@@ -1,0 +1,67 @@
+"""Schema-first sources (SURVEY.md §2.1 S1-S3).
+
+The reference bulk-loads a headered 750k-row CSV with ``COPY ... WITH CSV
+HEADER`` (reference: dags/financial_pipeline.py:45-49) and reads back from
+Postgres heap tables. Here the source formats are CSV (ingest boundary) and
+Parquet (everything post-bronze); both always take an explicit schema so the
+scan never pays an inference pass and Catalyst can prune columns/push filters
+into the reader.
+
+Scale note: a 100 TB ingest is just more files behind the same
+``spark.read`` — the reader parallelizes per file-split
+(``spark.sql.files.maxPartitionBytes``), so nothing here changes on a
+1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..schemas import FIXTURES, STAGING
+
+
+def read_ohlcv_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: StructType = STAGING,
+    fail_fast_exists: bool = True,
+) -> DataFrame:
+    """CSV source for the raw quotes feed (S1 + S2).
+
+    ``fail_fast_exists`` mirrors the reference's pre-load ``os.path.exists``
+    check (reference: dags/financial_pipeline.py:25-27): a clean error before
+    a job is launched. ``mode=FAILFAST`` mirrors COPY's abort-on-malformed-row
+    behavior (Postgres semantics) instead of silently nulling bad rows.
+    """
+    if fail_fast_exists and not _path_exists_local(path):
+        raise FileNotFoundError(f"input CSV not found: {path}")
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def _path_exists_local(path: str) -> bool:
+    # Only meaningful for local/file: paths; object-store URIs defer to the
+    # reader's own AnalysisException.
+    if "://" in path and not path.startswith("file://"):
+        return True
+    return os.path.exists(path.removeprefix("file://"))
+
+
+def load_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One driver fixture table (region/nation/.../embeddings) as a DataFrame."""
+    if name not in FIXTURES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {sorted(FIXTURES)}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_fixtures(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Several fixture tables at once: ``load_fixtures(spark, d, 'lineitem', 'orders')``."""
+    return {n: load_fixture(spark, sf_dir, n) for n in (names or FIXTURES)}
