@@ -154,3 +154,358 @@ def q_top_avg_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() target: the weekly-volatility table at the given scale."""
     return q_weekly_volatility(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Parity tier: aggregations, windows, sorts, joins, dims, quality, scoring
+# (SURVEY.md §2.2-§2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    ROUND(SUM(l_quantity), 2) AS sum_qty,
+    ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+    ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+    ROUND(AVG(l_quantity), 6) AS avg_qty,
+    ROUND(AVG(l_extendedprice), 6) AS avg_price,
+    ROUND(AVG(l_discount), 6) AS avg_disc,
+    COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-aggregate (A11, A1, A5, A6)."""
+    from .plans.analytics import pricing_summary
+
+    return pricing_summary(load_fixture(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "ticker_metrics",
+    _CHANGES_CTE
+    + """
+SELECT
+    ticker,
+    ROUND(STDDEV_SAMP(variacao_diaria), 6) AS volatilidade,
+    ROUND(AVG(variacao_diaria), 6) AS variacao_media,
+    ROUND(MAX(variacao_diaria), 6) AS maior_alta,
+    ROUND(MIN(variacao_diaria), 6) AS maior_queda,
+    COUNT(*) AS n_obs
+FROM changes
+WHERE variacao_diaria IS NOT NULL
+GROUP BY ticker
+""",
+)
+def q_ticker_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-instrument STDDEV/AVG/MAX/MIN (A4-A7, A11)."""
+    from .plans.analytics import ticker_metrics
+
+    return ticker_metrics(_lineitem_changes(spark, sf_dir))
+
+
+@register(
+    "volume_leaders",
+    """
+SELECT
+    l_partkey AS ticker,
+    SUM(l_quantity) AS total_volume,
+    COUNT(*) AS n_trades
+FROM lineitem
+GROUP BY l_partkey
+ORDER BY total_volume DESC, ticker ASC
+LIMIT 5
+""",
+)
+def q_volume_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 volume (A6 + O1). l_quantity sums are integer-valued → exact."""
+    from .plans.analytics import volume_leaders
+
+    return volume_leaders(load_fixture(spark, sf_dir, "lineitem"), k=5)
+
+
+@register(
+    "segment_balance",
+    """
+SELECT
+    c_mktsegment,
+    ROUND(AVG(c_acctbal), 6) AS avg_balance,
+    ROUND(SUM(c_acctbal), 2) AS total_balance,
+    COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q_segment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG/SUM per group (A5/A6)."""
+    from .plans.analytics import segment_balance
+
+    return segment_balance(load_fixture(spark, sf_dir, "customer"))
+
+
+@register(
+    "distinct_counts",
+    """
+SELECT
+    COUNT(DISTINCT user_id) AS n_users,
+    COUNT(DISTINCT event_type) AS n_event_types,
+    COUNT(*) AS n_events
+FROM events
+""",
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT DISTINCT (A9)."""
+    from .plans.analytics import distinct_counts
+
+    return distinct_counts(load_fixture(spark, sf_dir, "events"))
+
+
+@register(
+    "recent_extract",
+    """
+SELECT event_id, ts, user_id, event_type, value AS close
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 100
+""",
+)
+def q_recent_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + sort + deterministic LIMIT (P1/P2, O2, O3)."""
+    from .plans.analytics import recent_extract
+
+    return recent_extract(load_fixture(spark, sf_dir, "events"), limit=100)
+
+
+@register(
+    "star_revenue",
+    """
+SELECT
+    r_name AS region,
+    n_name AS nation,
+    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema consumption join, broadcast dims (J1/J2)."""
+    from .plans.analytics import star_revenue
+
+    t = {n: load_fixture(spark, sf_dir, n)
+         for n in ("lineitem", "orders", "customer", "nation", "region")}
+    return star_revenue(t["lineitem"], t["orders"], t["customer"],
+                        t["nation"], t["region"])
+
+
+@register(
+    "customers_without_big_orders",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+)
+""",
+)
+def q_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the ON CONFLICT DO NOTHING shape (J3/S6)."""
+    from .plans.analytics import customers_without_big_orders
+
+    return customers_without_big_orders(
+        load_fixture(spark, sf_dir, "customer"),
+        load_fixture(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "customers_with_big_orders",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+)
+""",
+)
+def q_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi twin (EXISTS)."""
+    from .plans.analytics import customers_with_big_orders
+
+    return customers_with_big_orders(
+        load_fixture(spark, sf_dir, "customer"),
+        load_fixture(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "dim_instrumento",
+    """
+SELECT DISTINCT
+    p_brand AS ticker,
+    'Ativo ' || p_brand AS nome_ativo,
+    'Acao' AS tipo_ativo
+FROM part
+""",
+)
+def q_dim_instrumento(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrument dim derivation (A8, F8, F9)."""
+    from .plans.dims import build_dim_instrumento
+
+    return build_dim_instrumento(
+        load_fixture(spark, sf_dir, "part"), symbol_col="p_brand"
+    )
+
+
+@register(
+    "dim_tempo",
+    """
+SELECT DISTINCT
+    o_orderdate::DATE AS data_id,
+    CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS ano,
+    CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mes,
+    CAST(EXTRACT(DOW FROM o_orderdate) AS INT) AS dia_da_semana
+FROM orders
+""",
+)
+def q_dim_tempo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date dim with PG DOW numbering (A8, F2-F4 incl. the DOW-1 fix)."""
+    from .plans.dims import build_dim_tempo
+
+    return build_dim_tempo(
+        load_fixture(spark, sf_dir, "orders"), date_col="o_orderdate"
+    )
+
+
+@register(
+    "quality_gate",
+    """
+SELECT
+    COUNT(*) AS total_rows,
+    CAST(SUM(CASE WHEN l_extendedprice IS NULL OR l_shipdate IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS null_rows,
+    (COUNT(*) > 0 AND
+     SUM(CASE WHEN l_extendedprice IS NULL OR l_shipdate IS NULL
+              THEN 1 ELSE 0 END) = 0) AS passed
+FROM lineitem
+""",
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLCheckOperator-style gate row (A1, A2, P4, P5)."""
+    from .operators.quality import quality_summary
+
+    return quality_summary(
+        load_fixture(spark, sf_dir, "lineitem"),
+        null_check_cols=["l_extendedprice", "l_shipdate"],
+    )
+
+
+@register(
+    "brand_scores",
+    """
+WITH stats AS (
+    SELECT p_brand AS brand,
+           AVG(p_retailprice) AS avg_price,
+           AVG(p_size) AS avg_size
+    FROM part
+    GROUP BY p_brand
+), scaled AS (
+    SELECT
+        brand, avg_price, avg_size,
+        (avg_price - MIN(avg_price) OVER ())
+            / NULLIF(MAX(avg_price) OVER () - MIN(avg_price) OVER (), 0) * 100
+            AS price_scaled,
+        (avg_size - MIN(avg_size) OVER ())
+            / NULLIF(MAX(avg_size) OVER () - MIN(avg_size) OVER (), 0) * 100
+            AS size_scaled
+    FROM stats
+)
+SELECT
+    brand,
+    ROUND(avg_price, 6) AS avg_price,
+    ROUND(avg_size, 6) AS avg_size,
+    ROUND(price_scaled, 6) AS price_scaled,
+    ROUND(size_scaled, 6) AS size_scaled,
+    ROUND(price_scaled * 0.6 + size_scaled * 0.4, 6) AS score
+FROM scaled
+ORDER BY price_scaled * 0.6 + size_scaled * 0.4 DESC, brand ASC
+LIMIT 3
+""",
+)
+def q_brand_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max normalize + weighted profile score, top-3 (A10, F11, O1)."""
+    from .plans.analytics import brand_scores
+
+    return brand_scores(load_fixture(spark, sf_dir, "part"), k=3)
+
+
+@register(
+    "returnflag_correlation",
+    """
+SELECT
+    l_returnflag,
+    ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+    COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_returnflag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group (SURVEY §7.3-11)."""
+    from .plans.analytics import returnflag_correlation
+
+    return returnflag_correlation(load_fixture(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "latest_event_per_user",
+    """
+WITH ranked AS (
+    SELECT
+        user_id, ts, event_type, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+       value AS last_value
+FROM ranked
+WHERE rn = 1
+""",
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-by-latest via ranking window (top_k_per_group)."""
+    from .plans.analytics import latest_event_per_user
+
+    return latest_event_per_user(load_fixture(spark, sf_dir, "events"))
+
+
+@register(
+    "events_json_kpi",
+    """
+SELECT
+    event_type,
+    ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+    MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+    COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def q_events_json_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + aggregate over events.props (§7.5)."""
+    from .plans.analytics import events_json_kpi
+
+    return events_json_kpi(load_fixture(spark, sf_dir, "events"))

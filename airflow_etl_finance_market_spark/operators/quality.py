@@ -1,0 +1,66 @@
+"""Data-quality gates (SURVEY.md §2.2 P4-P5, §2.11 C4).
+
+The reference gates the pipeline with a SQLCheckOperator: one aggregate row
+whose first cell must be truthy, else the chain halts
+(reference: dags/financial_pipeline.py:126-136):
+
+    SELECT COUNT(*) = 750000 AND SUM(CASE WHEN close IS NULL OR
+           date IS NULL THEN 1 ELSE 0 END) = 0 FROM staging
+
+Here the same gate is a one-row DataFrame (distributed aggregate — a full
+scan with map-side partial aggregation, no shuffle of data rows, only of the
+per-partition counters) plus a driver-side raise. On 100 TB this is the
+cheapest possible full-table pass: count + conditional count fused into one
+aggregation over a column-pruned scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class QualityGateError(ValueError):
+    """Raised when a quality gate fails — halts the pipeline (C4 semantics)."""
+
+
+def quality_summary(
+    df: DataFrame,
+    null_check_cols: list[str],
+    *,
+    expected_count: int | None = None,
+) -> DataFrame:
+    """One-row gate summary: total_rows, null_rows, passed.
+
+    ``passed`` is the reference's boolean conjunction: exact row count (when
+    ``expected_count`` given, else just non-empty) AND zero NULLs in the
+    critical columns.
+    """
+    null_cond: Column = F.lit(False)
+    for c in null_check_cols:
+        null_cond = null_cond | F.col(c).isNull()
+    count_ok = (
+        (F.col("total_rows") == F.lit(expected_count))
+        if expected_count is not None
+        else (F.col("total_rows") > F.lit(0))
+    )
+    return (
+        df.agg(
+            F.count(F.lit(1)).alias("total_rows"),
+            F.sum(F.when(null_cond, 1).otherwise(0)).cast("long").alias("null_rows"),
+        )
+        .withColumn("passed", count_ok & (F.col("null_rows") == F.lit(0)))
+    )
+
+
+def expect_passed(summary: DataFrame, gate_name: str = "quality") -> None:
+    """Driver-side fail-fast: raise if the gate row is falsy (C4).
+
+    The collect here moves exactly one row — the gate aggregate — never data.
+    """
+    row = summary.collect()[0]
+    if not row["passed"]:
+        raise QualityGateError(
+            f"{gate_name} gate failed: total_rows={row['total_rows']} "
+            f"null_rows={row['null_rows']}"
+        )

@@ -1,0 +1,226 @@
+"""Analytical query surface (SURVEY.md §2.4-§2.6, §2.3, §3 entry point 2).
+
+These are the README metric queries, the notebook analytics, and the
+star-schema consumption joins, generalized over input DataFrames. Each
+function documents its reference twin and its physical shape at scale.
+
+All expressions are native Catalyst — zero Python UDFs on this path, so every
+plan below is fully inside WholeStageCodegen between exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.scoring import minmax_scale, weighted_score
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """Multi-aggregate in one pass (A11 + A1/A5/A6): one shuffle, 8 measures.
+
+    Reference shape: the README per-ticker multi-aggregate metric
+    (reference: README.md:89-97) — phrased over lineitem's natural grouping
+    keys. Sums round to 2 (money edge), means to 6 (F6 presentation-edge
+    rounding so cross-engine summation-order noise can't flip a value hash).
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def ticker_metrics(changes: DataFrame, *, key: str = "ticker",
+                   change: str = "variacao_diaria") -> DataFrame:
+    """Per-instrument risk metrics: STDDEV/AVG/MAX/MIN in one grouping
+    (A4-A7, A11, F6; reference: README.md:89-97)."""
+    return (
+        changes.filter(F.col(change).isNotNull())
+        .groupBy(F.col(key).alias("ticker"))
+        .agg(
+            F.round(F.stddev_samp(change), 6).alias("volatilidade"),
+            F.round(F.avg(change), 6).alias("variacao_media"),
+            F.round(F.max(change), 6).alias("maior_alta"),
+            F.round(F.min(change), 6).alias("maior_queda"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+
+
+def volume_leaders(lineitem: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k total volume (A6 + O1; reference: README.md:108-115).
+
+    Plans as partial-agg → exchange → final-agg → TakeOrderedAndProject;
+    the k-row heap merge means no global sort at any scale.
+    """
+    return (
+        lineitem.groupBy(F.col("l_partkey").alias("ticker"))
+        .agg(
+            F.sum("l_quantity").alias("total_volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .orderBy(F.desc("total_volume"), F.asc("ticker"))
+        .limit(k)
+    )
+
+
+def segment_balance(customer: DataFrame) -> DataFrame:
+    """AVG/SUM per segment (A5/A6 over the customer fixture)."""
+    return customer.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), 6).alias("avg_balance"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+def distinct_counts(events: DataFrame) -> DataFrame:
+    """Exact COUNT DISTINCT (A9; notebook nunique). At 100 TB prefer
+    approx_count_distinct — exact distinct is a full shuffle of the keys;
+    both are exposed, the oracle-checked one is exact."""
+    return events.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def recent_extract(events: DataFrame, limit: int = 100) -> DataFrame:
+    """Projection + full sort + LIMIT (P1/P2, O2, O3) — the notebook's fact
+    extract (reference: análise_exploratória.ipynb → cell 5d2d2b85).
+    event_id makes the ordering total, so LIMIT is deterministic."""
+    return (
+        events.select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            F.col("value").alias("close"),
+        )
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(limit)
+    )
+
+
+def star_revenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                 nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Star-schema consumption join (J1/J2; reference: README.md:134).
+
+    nation/region/customer are broadcast (dims: ≤ thousands of rows even at
+    100 TB fact scale); lineitem⋈orders is the one genuine shuffle join —
+    both sides hash-partition on orderkey, and AQE converts to broadcast
+    when orders fits under the threshold at small SF.
+    """
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def customers_without_big_orders(customer: DataFrame, orders: DataFrame,
+                                 threshold: float = 400000.0) -> DataFrame:
+    """Left-anti join (J3 — the ON CONFLICT DO NOTHING shape,
+    reference: dags/financial_pipeline.py:148-150). Filter pushes below the
+    join so the anti side shrinks before shuffling."""
+    big = orders.filter(F.col("o_totalprice") > threshold).select("o_custkey")
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def customers_with_big_orders(customer: DataFrame, orders: DataFrame,
+                              threshold: float = 400000.0) -> DataFrame:
+    """Left-semi twin of the above (EXISTS)."""
+    big = orders.filter(F.col("o_totalprice") > threshold).select("o_custkey")
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def brand_scores(part: DataFrame, k: int = 3) -> DataFrame:
+    """Min-max scoring pipeline (A10 + F11 + O1;
+    reference: análise_exploratória.ipynb → cell f927e059).
+
+    groupBy → tiny aggregate (one row per brand) → un-partitioned window
+    min/max (fine: input is already post-aggregation bytes) → weighted score
+    → top-k. The weights mirror the notebook's fixed-profile weighting.
+    """
+    stats = part.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.avg("p_retailprice").alias("avg_price"),
+        F.avg("p_size").alias("avg_size"),
+    )
+    scaled = stats.select(
+        "brand",
+        "avg_price",
+        "avg_size",
+        minmax_scale("avg_price", out="price_scaled"),
+        minmax_scale("avg_size", out="size_scaled"),
+    )
+    scored = scaled.select(
+        "brand",
+        F.round("avg_price", 6).alias("avg_price"),
+        F.round("avg_size", 6).alias("avg_size"),
+        F.round("price_scaled", 6).alias("price_scaled"),
+        F.round("size_scaled", 6).alias("size_scaled"),
+        F.round(
+            weighted_score({"price_scaled": 0.6, "size_scaled": 0.4}), 6
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("brand")).limit(k)
+
+
+def returnflag_correlation(lineitem: DataFrame) -> DataFrame:
+    """Pearson correlation per group (SURVEY.md §7.3-11: the reference README
+    claims ticker correlation but never implements it;
+    reference: README.md:21,163). Native F.corr — distributed co-moments."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """Dedup-by-latest: row_number window, rank 1 per key (top_k_per_group
+    shape). One shuffle on user_id; ties broken by event_id."""
+    from ..operators.topk import top_k_per_group
+
+    ranked = top_k_per_group(
+        events,
+        group_by=["user_id"],
+        order_by=[F.desc("ts"), F.desc("event_id")],
+        k=1,
+    )
+    return ranked.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def events_json_kpi(events: DataFrame) -> DataFrame:
+    """JSON extraction + aggregate (extension surface for events.props;
+    SURVEY.md §7.5). get_json_object is a native expression — no UDF."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

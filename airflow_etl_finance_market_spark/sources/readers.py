@@ -56,10 +56,34 @@ def _path_exists_local(path: str) -> bool:
 
 
 def load_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One driver fixture table (region/nation/.../embeddings) as a DataFrame."""
+    """One driver fixture table (region/nation/.../embeddings) as a DataFrame.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos via the
+    legacy conf and truncate to microseconds with *integer* division (``div``,
+    not ``/`` — double division would round the 19-digit nanos value). DuckDB
+    truncates ns→µs on read the same way, so both engines agree to the µs.
+    """
     if name not in FIXTURES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {sorted(FIXTURES)}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # TIMESTAMP_NTZ, built arithmetically from the epoch nanos: wall-clock
+        # semantics identical to DuckDB's TIMESTAMP under ANY session timezone
+        # (timestamp_micros() would yield an instant that renders shifted in
+        # non-UTC sessions).
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    return df
 
 
 def load_fixtures(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
