@@ -509,3 +509,298 @@ def q_events_json_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.analytics import events_json_kpi
 
     return events_json_kpi(load_fixture(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Extension tier: training-data pipeline operators (SURVEY.md §7.5)
+# ---------------------------------------------------------------------------
+
+#: Canonical normalized-text expression, mirrored verbatim in DuckDB SQL.
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_GRAMS_SQL = f"""
+list_distinct(list_transform(
+    generate_series(1, greatest(len({_TOKS_SQL}) - 2, 1)),
+    i -> array_to_string(({_TOKS_SQL})[i:i+2], ' ')))
+"""
+_EN_SET = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+
+@register(
+    "doc_exact_dedup",
+    f"""
+SELECT
+    md5({_NORM_SQL}) AS fp,
+    MIN(doc_id) AS keep_id,
+    COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text MD5 fingerprint (§7.5)."""
+    from .operators.dedup import exact_dedup_stats
+
+    return exact_dedup_stats(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_token_stats",
+    f"""
+WITH t AS (
+    SELECT
+        doc_id,
+        {_NORM_SQL} AS norm,
+        {_TOKS_SQL} AS toks
+    FROM documents
+)
+SELECT
+    doc_id,
+    len(toks) AS n_tokens,
+    CAST(list_sum(list_transform(toks,
+        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens,
+    ROUND(len(list_filter(toks, tk -> tk IN {_EN_SET}))
+          / greatest(len(toks), 1), 6) AS stop_ratio,
+    ROUND((length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')))
+          / greatest(length(norm), 1), 6) AS punct_ratio,
+    ROUND(0.4 * (len(list_filter(toks, tk -> tk IN {_EN_SET}))
+                 / greatest(len(toks), 1))
+        + 0.3 * least(len(toks) / 100.0, 1.0)
+        + 0.3 * (1.0 - (length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')))
+                 / greatest(length(norm), 1)), 6) AS quality_score,
+    md5(norm) AS fp
+FROM t
+""",
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring + fingerprint per document (§7.5)."""
+    from .functions import text as T
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_token_estimate("text").alias("bpe_tokens"),
+        F.round(T.stopword_ratio("text", T.LANG_STOPWORDS["en"]), 6).alias("stop_ratio"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.quality_score("text"), 6).alias("quality_score"),
+        T.fingerprint("text").alias("fp"),
+    )
+
+
+def _lang_hits_sql(lang_set: str) -> str:
+    return f"len(list_filter({_TOKS_SQL}, tk -> tk IN {lang_set}))"
+
+
+_LANG_SETS_SQL = {
+    "en": _EN_SET,
+    "pt": "('de', 'da', 'do', 'que', 'e', 'o', 'um')",
+    "es": "('el', 'la', 'de', 'los', 'que', 'y', 'un')",
+    "fr": "('le', 'la', 'les', 'des', 'et', 'un', 'une')",
+    "de": "('der', 'die', 'das', 'und', 'ein', 'zu', 'ist')",
+}
+
+_LANG_CASE_SQL = """
+CASE
+    WHEN en_hits > 0 AND en_hits >= pt_hits AND en_hits >= es_hits
+         AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+    WHEN pt_hits > 0 AND pt_hits > en_hits AND pt_hits >= es_hits
+         AND pt_hits >= fr_hits AND pt_hits >= de_hits THEN 'pt'
+    WHEN es_hits > 0 AND es_hits > en_hits AND es_hits > pt_hits
+         AND es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+    WHEN fr_hits > 0 AND fr_hits > en_hits AND fr_hits > pt_hits
+         AND fr_hits > es_hits AND fr_hits >= de_hits THEN 'fr'
+    WHEN de_hits > 0 AND de_hits > en_hits AND de_hits > pt_hits
+         AND de_hits > es_hits AND de_hits > fr_hits THEN 'de'
+    ELSE 'und'
+END
+"""
+
+
+@register(
+    "doc_lang_id",
+    f"""
+WITH h AS (
+    SELECT
+        doc_id,
+        lang AS claimed_lang,
+        {_lang_hits_sql(_LANG_SETS_SQL["en"])} AS en_hits,
+        {_lang_hits_sql(_LANG_SETS_SQL["pt"])} AS pt_hits,
+        {_lang_hits_sql(_LANG_SETS_SQL["es"])} AS es_hits,
+        {_lang_hits_sql(_LANG_SETS_SQL["fr"])} AS fr_hits,
+        {_lang_hits_sql(_LANG_SETS_SQL["de"])} AS de_hits
+    FROM documents
+)
+SELECT doc_id, claimed_lang, {_LANG_CASE_SQL} AS predicted_lang
+FROM h
+""",
+)
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID vs the fixture's claimed lang (§7.5)."""
+    from .functions.text import predict_lang
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("claimed_lang"),
+        predict_lang("text").alias("predicted_lang"),
+    )
+
+
+@register(
+    "doc_jaccard_near_dups",
+    f"""
+WITH g AS (
+    SELECT doc_id, lang, {_GRAMS_SQL} AS grams
+    FROM documents
+)
+SELECT
+    a.doc_id AS id_a,
+    b.doc_id AS id_b,
+    ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+          / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard_sim
+FROM g a
+JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.1
+""",
+)
+def q_doc_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs, lang-blocked (§7.5)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_fixture(spark, sf_dir, "documents"),
+        block_col="lang",
+        n=3,
+        threshold=0.1,
+    )
+
+
+_COS_SQL = """
+list_reduce(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]),
+            (x, y) -> x + y)
+/ NULLIF(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> {a}[i] * {a}[i]),
+              (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> {b}[i] * {b}[i]),
+              (x, y) -> x + y)), 0)
+"""
+
+
+@register(
+    "embedding_topk",
+    f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), scored AS (
+    SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS neighbor_id,
+        ROUND({_COS_SQL.format(a="q.e", b="c.e")}, 6) AS cosine_sim
+    FROM v q
+    JOIN v c ON c.vec_id != q.vec_id
+    WHERE q.vec_id IN (0, 1, 2, 3, 4)
+)
+SELECT query_id, neighbor_id, cosine_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+""",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 cosine neighbors for 5 query vectors (§7.5)."""
+    from .operators.similarity import cosine_topk_bruteforce
+
+    return cosine_topk_bruteforce(
+        load_fixture(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5
+    )
+
+
+@register(
+    "embedding_near_dups",
+    f"""
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), pairs AS (
+    SELECT
+        a.vec_id AS id_a,
+        b.vec_id AS id_b,
+        ROUND({_COS_SQL.format(a="a.e", b="b.e")}, 6) AS cosine_sim
+    FROM v a
+    JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.35
+""",
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (§7.5)."""
+    from .operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        load_fixture(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+@register(
+    "multimodal_features",
+    f"""
+SELECT
+    doc_id,
+    octet_length(encode(text)) AS n_bytes,
+    substr(sha256(text), 1, 16) AS sha16,
+    CAST(octet_length(encode(text)) % 64 + 16 AS INT) AS width,
+    CAST((octet_length(encode(text)) * 7) % 64 + 16 AS INT) AS height,
+    'image/fake' AS mime
+FROM documents
+""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: Arrow mapInPandas with the stub codec
+    (§7.5 multimodal). Oracle mirrors the deterministic fake formula."""
+    from .multimodal.binary import attach_fake_payload, extract_binary_features
+
+    media = attach_fake_payload(load_fixture(spark, sf_dir, "documents"))
+    return extract_binary_features(media, use_fake_codec=True)
+
+
+# -- rows-only entries (non-SQL-expressible scale paths) ---------------------
+
+
+@register("minhash_lsh_near_dups")
+def q_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (bands → candidates → exact verify).
+
+    Rows-only in the driver (xxhash64 has no DuckDB twin); tests assert its
+    verified pairs are a subset of the exact Jaccard pairs with recall ≥ ~1
+    on the planted duplicates (tests/test_dedup.py).
+    """
+    from .operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        load_fixture(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=8,
+        threshold=0.1,
+    )
+
+
+@register("simhash_near_dups")
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit near-dup pairs (block LSH + Hamming verify)."""
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        load_fixture(spark, sf_dir, "documents"), max_hamming=8
+    )
+
+
+@register("embedding_topk_lsh")
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (multiprobe) — the ANN scale path;
+    recall vs brute force asserted in tests/test_similarity.py."""
+    from .operators.similarity import cosine_topk_lsh
+
+    return cosine_topk_lsh(
+        load_fixture(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5
+    )

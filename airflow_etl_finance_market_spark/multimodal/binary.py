@@ -1,0 +1,116 @@
+"""Multimodal binary-column plumbing (SURVEY.md §7.5, BASELINE.json north star).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata. The
+Spark-side plumbing here is real and tested — schema, Arrow-batched
+``mapInPandas`` decode stage, partition-safe batch shape. The actual codec is
+STUBBED: this container has no image/audio libraries, so ``decode_image``
+raises NotImplementedError and the pipeline runs a clearly-marked
+deterministic fake (arithmetic on payload bytes) instead. Swapping the fake
+for a PIL/libav call changes ONE function, not the dataflow.
+
+Scale notes: the decode stage is map-only (no shuffle); Arrow batches cross
+the Python boundary (``spark.sql.execution.arrow.maxRecordsPerBatch``
+controls peak memory per batch). Partitioning carries over from the source,
+so a 100 TB media table decodes with zero data movement.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Output schema of the feature-extraction stage.
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha16", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mime", StringType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """REAL codec hook — intentionally unimplemented in this container.
+
+    A deployment with Pillow available implements this as
+    ``Image.open(io.BytesIO(payload)).size``.
+    """
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this "
+        "container; use fake_decode for deterministic testing"
+    )
+
+
+def fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode_image: dimensions derived from the
+    payload length (mirrorable in the SQL oracle)."""
+    n = len(payload)
+    return (n % 64 + 16, (n * 7) % 64 + 16)
+
+
+def attach_fake_payload(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Make a (doc_id, payload binary) frame from documents — the stand-in
+    for a real media table (no binary fixture exists)."""
+    return docs.select(
+        "doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload")
+    )
+
+
+def extract_binary_features(
+    media: DataFrame, *, use_fake_codec: bool = True
+) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads.
+
+    Yields one output row per input row: byte length, sha256 prefix, and
+    decoded dimensions (fake codec unless a real one is wired in).
+    """
+    # The closure must be fully self-contained: Spark's Python workers
+    # unpickle it WITHOUT this package on their sys.path, so referencing
+    # module-level functions (pickled by reference) would fail with
+    # ModuleNotFoundError on the worker. Locals pickle by value.
+    if use_fake_codec:
+        def decode(payload: bytes) -> tuple[int, int]:
+            n = len(payload)
+            return (n % 64 + 16, (n * 7) % 64 + 16)
+    else:
+        def decode(payload: bytes) -> tuple[int, int]:
+            raise NotImplementedError(
+                "image decoding requires an image library not present in "
+                "this container"
+            )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # stdlib import inside the closure: worker-safe
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [decode(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "sha16": payloads.map(
+                        lambda p: hashlib.sha256(p).hexdigest()[:16]
+                    ),
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "mime": "image/fake",
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)

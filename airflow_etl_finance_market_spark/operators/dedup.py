@@ -1,0 +1,304 @@
+"""Deduplication family for training-data pipelines (SURVEY.md §7.5).
+
+Four tiers, all pure DataFrame ops (no Python UDFs anywhere):
+
+- **exact**: MD5 fingerprint of the normalized text → hash groupBy. One
+  shuffle on the fingerprint; at 100 TB this is the cheapest dedup and the
+  fingerprint doubles as the bucketing key for storage.
+- **MinHash + LSH**: shingles → k minhashes (affine transforms of a 64-bit
+  base hash) → b bands → bucket self-join for candidates → exact Jaccard
+  verify. Candidate generation is O(n·b) shuffle rows instead of O(n²)
+  pairs — the scale path.
+- **SimHash**: per-token 64-bit hashes vote per bit → one 64-bit signature;
+  near-dups share a 16-bit block (4-block LSH) and pass a Hamming threshold.
+- **n-gram Jaccard**: exact set similarity on word n-grams for
+  candidate pairs; blocked all-pairs form for oracle-checkable correctness.
+
+The minhash affine transforms operate mod 2^31-1 so they are overflow-free
+in int64 under Spark's default ANSI mode.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, normalize_text, tokens, word_ngrams
+
+# Deterministic affine-transform parameters for the minhash family
+# (fixed seed — signatures must be reproducible across runs/sessions).
+# p = 2^31-1 keeps a*h+b < 2^62, inside int64 even under ANSI mode
+# (Spark 4 enables ANSI by default: long overflow is an ERROR, not a wrap).
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_stats(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-fingerprint stats: canonical survivor id + duplicate count."""
+    return (
+        docs.select(
+            fingerprint(text_col).alias("fp"), F.col(id_col).alias("_id")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivors only (min-id per fingerprint) — the actual dedup operator."""
+    keep = exact_dedup_stats(docs, text_col=text_col, id_col=id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_fn=None,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) — min over shingles of affine
+    transforms of xxhash64(shingle)."""
+    shingles = (shingle_fn or (lambda c: word_ngrams(c, 3)))(text_col)
+    base = F.array_distinct(
+        # reduce the 64-bit hash into [0, p) so every affine transform below
+        # stays overflow-free in int64
+        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    )
+    def _affine_min(a: int, b: int):
+        # closure factory: keeps the lambda unary (PySpark derives the HOF
+        # arity from the Python signature)
+        return F.array_min(
+            F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P)))
+        )
+
+    sig = F.array(*[_affine_min(a, b) for a, b in _minhash_params(num_hashes)])
+    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, bands: int = 8
+) -> DataFrame:
+    """Distinct (id_a, id_b) sharing ≥1 LSH band bucket (id_a < id_b).
+
+    Explodes each signature into `bands` (band_idx, band_hash) keys and
+    self-joins per bucket — the shuffle key is the bucket, so work scales
+    with bucket occupancy, not n². Banding trades recall/precision via
+    rows-per-band = num_hashes/bands.
+    """
+    # rows-per-band derived inside the expression (slice is 1-based)
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(
+                    F.slice(
+                        F.col("sig"),
+                        b * (F.size("sig") / bands).cast("int") + 1,
+                        (F.size("sig") / bands).cast("int"),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact set Jaccard of two array columns (array_intersect/union dedup)."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify.
+
+    Returns (id_a, id_b, jaccard_sim) for verified near-duplicates. The
+    verify join rehydrates only candidate ids with their n-gram sets —
+    at scale that's |candidates| rows, not |corpus|².
+    """
+    sigs = minhash_signatures(
+        docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes
+    )
+    cands = lsh_candidate_pairs(sigs, bands=bands)
+    grams = docs.select(
+        F.col(id_col).alias("gid"),
+        F.array_distinct(word_ngrams(text_col, 3)).alias("grams"),
+    )
+    return (
+        cands.join(grams.withColumnRenamed("gid", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
+        .join(grams.withColumnRenamed("gid", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, blocked all-pairs — the oracle-checkable form)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs within blocks (id_a < id_b).
+
+    Blocking on `block_col` bounds the quadratic term to the largest block;
+    for unblocked scale use minhash_dedup_pairs. SQL-expressible, so this is
+    the oracle-checked twin of the MinHash path.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.array_distinct(word_ngrams(text_col, n)).alias("grams"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jaccard(F.col("a.grams"), F.col("b.grams")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document via explode → per-bit votes → reassemble.
+
+    The explode+groupBy form keeps each aggregation row tiny and scales to
+    arbitrarily long documents (vs. a 64-deep expression over an array).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.getbit("h", F.lit(i)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: 4×16-bit block LSH + Hamming verify.
+
+    Two signatures within Hamming ≤ 16/block-count must agree on ≥1 block
+    (pigeonhole), so the block join is a sound candidate generator for
+    max_hamming ≤ 3·16/4... practically: recall is exact for Hamming < 4·1;
+    for larger thresholds add blocks. Candidates then verify with
+    bit_count(xor) ≤ max_hamming.
+    """
+    sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col)
+    blocks = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftrightunsigned("simhash", 16 * j).bitwiseAND(F.lit(0xFFFF)))
+                    for j in range(4)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (SURVEY.md §7.5).
+
+- **Brute-force top-k cosine** — the correctness baseline: broadcast the
+  (small) query set against the corpus, rank per query. One pass over the
+  corpus, no shuffle of the corpus itself; the only shuffle is the per-query
+  top-k (tiny). This is exactly the shape you want at 100 TB when the query
+  set is small: corpus-side work is map-only.
+- **Hyperplane-LSH ANN** — the scale path when the query set is NOT small:
+  sign-bit signatures against fixed random hyperplanes (seeded, deterministic)
+  bucket the corpus; candidates come from matching buckets (plus optional
+  1-bit multiprobe), then the exact cosine re-ranks. Bucketing turns the
+  cross product into a per-bucket join.
+
+Embedding-based near-dup detection (cosine ≥ threshold pairs) reuses the same
+kernels (see embedding_near_dup_pairs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double, cosine, dot
+
+
+def _queries(embeddings: DataFrame, query_ids: list[int],
+             id_col: str, vec_col: str) -> DataFrame:
+    return embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
+    )
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (queries excluded from results).
+
+    Deterministic: ties broken by neighbor id. Plans as broadcast
+    nested-loop of the tiny query set against the corpus scan, then a
+    per-query window top-k.
+    """
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nvec")
+    )
+    q = _queries(embeddings, query_ids, id_col, vec_col)
+    scored = (
+        q.crossJoin(corpus)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """Fixed random hyperplanes — seeded so signatures are reproducible
+    across sessions (a requirement for persisted bucket tables)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature_col(vec_col, planes: np.ndarray):
+    """Sign-bit signature of `vec` against each plane, packed into a long.
+
+    The planes enter the plan as ONE literal array-of-arrays and the dots are
+    computed with higher-order functions — an expanded per-element expression
+    tree (planes×dim multiply-add nodes) blows up codegen compilation, which
+    the HOF form avoids entirely.
+    """
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(w)) for w in plane]) for plane in planes]
+    )
+    dots = F.transform(planes_lit, lambda p: dot(p, vec_col))
+    sig = F.lit(0).cast("long")
+    for j in range(len(planes)):
+        bit = (
+            F.when(F.element_at(dots, j + 1) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, j))
+    return sig
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH + exact cosine re-rank.
+
+    Single-table sign-bit LSH only recalls near-duplicates: for a neighbor at
+    angle θ, P(all bits agree) = (1−θ/π)^n_planes — at cosine≈0.4 and 12
+    planes that is <1%. The standard fix is T independent tables of few bits
+    each: recall = 1−(1−p^b)^T, tunable to any target with map-only cost
+    (T signatures per corpus row, no extra shuffles). With multiprobe, each
+    query additionally probes every 1-bit-flip bucket per table, which
+    multiplies effective tables by (1+b) for probe-side-only cost.
+
+    Same output schema as the brute-force kernel so the two are drop-in
+    interchangeable (recall-tested against each other in tests).
+    """
+    tables = [_hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)]
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nvec")
+    )
+    corpus = corpus.select(
+        "neighbor_id",
+        "nvec",
+        F.posexplode(
+            F.array(*[lsh_signature_col(F.col("nvec"), p) for p in tables])
+        ).alias("table_idx", "bucket"),
+    )
+    q = _queries(embeddings, query_ids, id_col, vec_col)
+    probe_cols = []
+    for t, planes in enumerate(tables):
+        sig = lsh_signature_col(F.col("qvec"), planes)
+        sigs = [sig]
+        if multiprobe:
+            sigs += [
+                sig.bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(n_planes)
+            ]
+        probe_cols += [F.struct(F.lit(t).alias("table_idx"), s.alias("bucket")) for s in sigs]
+    q = q.select(
+        "query_id", "qvec", F.explode(F.array(*probe_cols)).alias("probe")
+    ).select("query_id", "qvec", "probe.table_idx", "probe.bucket")
+    scored = (
+        q.join(corpus, ["table_idx", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cosine_sim"),
+        )
+        .distinct()  # a neighbor can match via several tables/probes
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b) within blocks.
+
+    The blocked all-pairs form (oracle-checkable); the unblocked scale path
+    is the LSH bucketing above with threshold filtering.
+    """
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        as_double(vec_col).alias("v"),
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

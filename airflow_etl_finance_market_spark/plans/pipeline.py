@@ -1,0 +1,144 @@
+"""The reference's 9-task Airflow chain as ONE Spark driver program.
+
+Reference chain (reference: dags/financial_pipeline.py:227):
+
+    setup_staging → locate_csv → load_staging → quality_checks →
+    create_dims → load_fact → volatility_view → report → log
+
+Here the nine Postgres round-trips collapse into one SparkSession program
+(SURVEY.md §3 entry point 1): stage boundaries become shuffle boundaries, the
+only process boundary left is driver↔executors, and XCom scalars become plain
+return values. Each stage writes Parquet with overwrite semantics, so a rerun
+is idempotent exactly like the reference's TRUNCATE-reload (C5).
+
+Orchestration note: this function IS the Airflow task body — a production
+deployment wraps `run_pipeline` in a single SparkSubmitOperator (retries at
+the orchestrator level, C2), rather than one task per stage; Spark's own DAG
+scheduler parallelizes within.
+
+Scale design (100 TB posture):
+- the fact table is written partitioned by `ano` (year) → static/dynamic
+  partition pruning for BI consumers, and a daily incremental run overwrites
+  only the touched partitions under dynamic partitionOverwriteMode;
+- the fact DataFrame is cached between its three consumers (fact write,
+  weekly aggregate, report) so the window computation runs once;
+- dims use the anti-join append sink (ON CONFLICT DO NOTHING, S6) — the
+  incoming distinct keys are the broadcast side;
+- nothing `.collect()`s except the one-row gate and the ≤k-row report.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.quality import expect_passed, quality_summary
+from ..sources.readers import read_ohlcv_csv
+from ..sources.sinks import append_if_absent, overwrite_parquet
+from .dims import build_dim_instrumento, build_dim_tempo
+from .volatility import daily_pct_change, top_avg_volatility, weekly_volatility
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class PipelineResult:
+    """What the reference pushed through XCom, as plain values (C3)."""
+
+    staged_rows: int
+    fact_rows: int
+    weekly_rows: int
+    report_message: str
+
+
+def build_fact(staging: DataFrame) -> DataFrame:
+    """staging → fact_movimentacao_diaria (P1, W1, W2, F7 + surrogate id).
+
+    Projection/rename mirrors the INSERT..SELECT
+    (reference: dags/financial_pipeline.py:184-194); the id is
+    monotonically_increasing_id — non-contiguous, but nothing downstream
+    consumes it (SURVEY.md §1.2) and it avoids the total-order shuffle a
+    row_number surrogate would force.
+    """
+    changes = daily_pct_change(
+        staging, key="symbol", ts="date", value="close"
+    )
+    return changes.select(
+        F.monotonically_increasing_id().alias("id"),
+        F.col("symbol").alias("ticker"),
+        F.col("date").alias("data_id"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "variacao_diaria",
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    csv_path: str,
+    warehouse_dir: str,
+    *,
+    expected_count: int | None = None,
+    top_k: int = 1,
+) -> PipelineResult:
+    """Execute the full daily run. Raises QualityGateError to halt (C4)."""
+    # -- 1-3: locate + load staging (S1, S2, S4) ---------------------------
+    staging = read_ohlcv_csv(spark, csv_path)
+    staging_path = f"{warehouse_dir}/staging"
+    overwrite_parquet(staging, staging_path)
+    staging = spark.read.parquet(staging_path)  # re-read: columnar, pruned
+
+    # -- 4: quality gate (A1, A2, P4, P5, C4) ------------------------------
+    gate = quality_summary(
+        staging, null_check_cols=["close", "date"], expected_count=expected_count
+    )
+    expect_passed(gate, gate_name="staging")
+    staged_rows = gate.collect()[0]["total_rows"]
+
+    # -- 5: dimensions (A8, F2-F4, F8, F9, S6/J3) --------------------------
+    dim_inst = build_dim_instrumento(staging, symbol_col="symbol")
+    dim_tempo = build_dim_tempo(staging, date_col="date")
+    append_if_absent(spark, dim_inst, f"{warehouse_dir}/dim_instrumento", ["ticker"])
+    append_if_absent(spark, dim_tempo, f"{warehouse_dir}/dim_tempo", ["data_id"])
+
+    # -- 6: fact with %-change window (P1, W1, W2, F7) ---------------------
+    fact = build_fact(staging).withColumn("ano", F.year("data_id"))
+    fact.cache()  # three consumers below (SURVEY.md §4.3)
+    fact_rows = fact.count()
+    overwrite_parquet(fact, f"{warehouse_dir}/fact_movimentacao_diaria",
+                      partition_by=["ano"])
+
+    # -- 7: weekly volatility = MV refresh (F1, A3, S7) --------------------
+    weekly = weekly_volatility(fact, key="ticker", ts="data_id")
+    weekly_path = f"{warehouse_dir}/volatility_weekly"
+    overwrite_parquet(weekly, weekly_path)
+    weekly = spark.read.parquet(weekly_path)
+    weekly_rows = weekly.count()
+
+    # -- 8-9: report + log (O1, S8, F12, S10) ------------------------------
+    top = top_avg_volatility(weekly, k=top_k).collect()
+    if not top:
+        message = "Nenhum dado de volatilidade disponível."
+    else:
+        r = top[0]
+        message = (
+            f"Ativo mais volátil: {r['ticker']} "
+            f"(volatilidade média semanal: {r['avg_volatility']:.2f}%)"
+        )
+    log.info(
+        "pipeline ok: staged=%s fact=%s weekly=%s | %s",
+        staged_rows, fact_rows, weekly_rows, message,
+    )
+    fact.unpersist()
+    return PipelineResult(
+        staged_rows=staged_rows,
+        fact_rows=fact_rows,
+        weekly_rows=weekly_rows,
+        report_message=message,
+    )
