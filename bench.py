@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <float>}
+
+Method: one shared SparkSession (per BASELINE.md — fixed JVM/session cost
+dwarfs sf0.1 compute, exactly like the reference's one-Postgres-instance
+model); each query materializes fully via the `noop` sink (forces every
+column/row through the plan with zero sink cost — `count()` would let
+Catalyst prune work). Ingest is benchmarked separately as parquet read →
+overwrite write, the S1/S4 path whose reference baseline is the ~2 s
+750k-row COPY (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+#: Headline set: the flagship chain + one representative per operator family.
+BENCH_QUERIES = [
+    "weekly_volatility",
+    "top_avg_volatility",
+    "ticker_metrics",
+    "pricing_summary",
+    "star_revenue",
+    "volume_leaders",
+    "latest_event_per_user",
+    "brand_scores",
+    "doc_token_stats",
+    "doc_exact_dedup",
+    "minhash_lsh_near_dups",
+    "embedding_topk",
+]
+
+
+def main() -> None:
+    from airflow_etl_finance_market_spark import harness
+    from airflow_etl_finance_market_spark.session import get_spark
+
+    spark = get_spark(
+        "finmarket-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = harness.queries()
+    timings: dict[str, float] = {}
+
+    # warm the session (JVM JIT, parquet footers) with the cheapest query
+    qs["volume_leaders"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # ingest path: columnar scan + overwrite sink (reference: 750k rows ~2 s)
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        li.write.mode("overwrite").parquet(f"{tmp}/staging")
+        timings["ingest_overwrite"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
