@@ -87,22 +87,43 @@ def minhash_signatures(
     num_hashes: int = 32,
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — min over shingles of affine
-    transforms of xxhash64(shingle)."""
-    shingles = (shingle_fn or (lambda c: word_ngrams(c, 3)))(text_col)
-    base = F.array_distinct(
-        # reduce the 64-bit hash into [0, p) so every affine transform below
-        # stays overflow-free in int64
-        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
-    )
-    def _affine_min(a: int, b: int):
-        # closure factory: keeps the lambda unary (PySpark derives the HOF
-        # arity from the Python signature)
-        return F.array_min(
-            F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P)))
-        )
+    transforms of xxhash64(shingle).
 
-    sig = F.array(*[_affine_min(a, b) for a, b in _minhash_params(num_hashes)])
-    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    Shape: explode shingle hashes to rows, then one hash-aggregate with
+    `num_hashes` MIN aggregates. Higher-order array functions are interpreted
+    (no codegen), so an array-of-array_min formulation re-evaluates the whole
+    shingle pipeline per hash function (~30 s for 500 docs); the explode +
+    groupBy form stays inside WholeStageCodegen and map-side partial
+    aggregation collapses the exploded rows before the shuffle — one 32-long
+    row per doc crosses the wire regardless of document length.
+    """
+    shingles = (shingle_fn or (lambda c: word_ngrams(c, 3)))(text_col)
+    hashed = docs.select(
+        F.col(id_col).alias("id"),
+        # reduce the 64-bit hash into [0, p) so every affine transform below
+        # stays overflow-free in int64; distinct first = set semantics
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
+                )
+            )
+        ).alias("h"),
+    )
+    aggs = [
+        F.min(
+            F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+        ).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_hashes))
+    ]
+    return (
+        hashed.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id",
+            F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
 
 
 def lsh_candidate_pairs(
