@@ -764,6 +764,72 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_features(media, use_fake_codec=True)
 
 
+# ---------------------------------------------------------------------------
+# Streaming-tier functions, batch mode (SURVEY.md §2.9): the same bodies run
+# incrementally under readStream (tests/test_streaming.py); here the batch
+# form is oracle-checked so the streaming tier's semantics are pinned too.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "windowed_event_kpis",
+    """
+SELECT
+    time_bucket(INTERVAL '1 day', ts) AS window_start,
+    time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+    event_type,
+    COUNT(*) AS n_events,
+    ROUND(AVG(value), 6) AS avg_value,
+    ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def q_windowed_event_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time KPIs — F.window in batch mode (§2.9)."""
+    from .streaming import windowed_event_kpis
+
+    return windowed_event_kpis(load_fixture(spark, sf_dir, "events"))
+
+
+@register(
+    "user_sessions",
+    """
+WITH o AS (
+    SELECT user_id, ts, value,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN prev_ts IS NULL
+                     OR ts >= prev_ts + INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM o
+), sess AS (
+    SELECT user_id, ts, value,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM sess
+GROUP BY user_id, sid
+""",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window gap sessionization; oracle is the lag/cumsum
+    gaps-and-islands rewrite (sessions end at last event + gap)."""
+    from .streaming import session_stats
+
+    return session_stats(
+        load_fixture(spark, sf_dir, "events"), gap="30 minutes"
+    )
+
+
 # -- rows-only entries (non-SQL-expressible scale paths) ---------------------
 
 

@@ -1,0 +1,92 @@
+"""Streaming sources/sinks for the events feed (SURVEY.md §2.9).
+
+File-based streams are the local stand-in for Kafka: the reader treats
+every new file in the directory as new data, so `readStream` over a
+parquet dir + `availableNow`/`processAllAvailable` drives a finite
+fixture through the full incremental machinery (micro-batches,
+watermark advancement, state store) deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: File-stream schema for the events fixture. The driver parquet stores
+#: `ts` as TIMESTAMP(NANOS), which Spark's vectorized reader rejects —
+#: the batch reader (sources.readers.load_fixture) handles it via the
+#: nanosAsLong legacy conf, and the stream reader must declare the column
+#: as LONG for the same reason, then rebuild a TIMESTAMP_NTZ.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch nanos (see above)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+#: Rebuild microsecond timestamps from epoch nanos. Event-time watermarks
+#: require TIMESTAMP (LTZ) — [EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE] on NTZ —
+#: so unlike the batch fixture reader this surface is LTZ; the engine
+#: session pins spark.sql.session.timeZone=UTC, which keeps window
+#: boundaries identical to the NTZ batch tier.
+_TS_FROM_NANOS = "timestamp_micros(ts div 1000)"
+
+
+def read_events_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Batch twin of :func:`read_events_stream` — same schema, same LTZ
+    conversion — so streaming results can be differential-tested against
+    the identical plan run as a batch query."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.read.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(path)
+        .withColumn("ts", F.expr(_TS_FROM_NANOS))
+    )
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """`readStream` over a directory of events-shaped parquet files.
+
+    ``max_files_per_trigger`` splits a finite fixture into several
+    micro-batches — that is what lets a test observe watermark
+    advancement (the watermark only moves at batch boundaries).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path).withColumn("ts", F.expr(_TS_FROM_NANOS))
+
+
+def run_available_now(
+    df: DataFrame, query_name: str, *, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a finite stream into the in-memory sink and return the result.
+
+    Synchronous: starts the query, processes everything available
+    (including the trailing no-data batch that flushes state after the
+    final watermark update), stops, and hands back ``spark.table(name)``.
+    Local-test harness only — a production job would `.start()` against
+    a durable sink with a checkpoint dir and keep running.
+    """
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(query_name)

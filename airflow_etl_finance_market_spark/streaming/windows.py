@@ -1,0 +1,117 @@
+"""Event-time windowed aggregates (SURVEY.md §2.9 mapping).
+
+Each function takes a DataFrame and returns a DataFrame; pass a batch
+frame and it is an ordinary oracle-checkable group-by, pass a streaming
+frame (plus a watermark) and Spark runs it incrementally. The weekly
+DATE_TRUNC volatility bucketing of the reference
+(reference: dags/financial_pipeline.py:203-209) maps 1:1 onto
+``F.window(ts, '7 days')`` here.
+
+Scale notes: windowed aggregation shuffles on (window, key) — at 100 TB
+the watermark bounds state size (expired windows are evicted), and the
+aggregation is partial/map-side combined exactly like its batch twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts: str = "ts", delay: str = "1 hour") -> DataFrame:
+    """Late-data bound; no-op for batch frames (batch has no state to bound)."""
+    return df.withWatermark(ts, delay) if df.isStreaming else df
+
+
+def windowed_event_kpis(
+    events: DataFrame,
+    *,
+    ts: str = "ts",
+    window: str = "1 day",
+    slide: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding) per-event-type KPIs over event time.
+
+    Output: (window_start, window_end, event_type, n_events, avg_value,
+    total_value) — flattened so the schema is plain-SQL comparable.
+    """
+    src = with_watermark(events, ts, watermark) if watermark else events
+    win = F.window(F.col(ts), window, slide) if slide else F.window(F.col(ts), window)
+    return (
+        src.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+            "total_value",
+        )
+    )
+
+
+def windowed_volatility(
+    changes: DataFrame,
+    *,
+    key: str = "ticker",
+    ts: str = "ts",
+    value: str = "variacao_diaria",
+    window: str = "7 days",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming-shaped weekly volatility: stddev_samp of the pct-change
+    stream per key per event-time window.
+
+    The batch pipeline's DATE_TRUNC('week') bucketing anchors weeks to
+    Monday; ``F.window`` anchors to the epoch — both are 7-day tumbling
+    buckets, and this variant exists precisely to serve the incremental
+    path (pair it with pct_change_stateful upstream).
+    """
+    src = with_watermark(changes, ts, watermark) if watermark else changes
+    return (
+        src.filter(F.col(value).isNotNull())
+        .groupBy(F.window(F.col(ts), window).alias("w"), key)
+        .agg(F.stddev_samp(value).alias("vol"))
+        .select(
+            F.col("w.start").alias("week_start"),
+            F.col(key).alias(key),
+            "vol",
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sessionization via ``session_window`` (gap-merged event-time windows).
+
+    A session spans from its first event to its last event + gap; output
+    is one row per (key, session). Works identically in batch — the
+    DuckDB oracle is the classic gaps-and-islands lag/cumsum rewrite.
+    """
+    src = with_watermark(events, ts, watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window(F.col(ts), gap).alias("s"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col(key).alias(key),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,100 @@
+"""Structured Streaming tier: streaming results differential-tested against
+the batch twin (the same function body on a batch frame), plus watermark
+append-mode semantics across micro-batches.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from airflow_etl_finance_market_spark.streaming import (
+    pct_change_stateful,
+    read_events_batch,
+    read_events_stream,
+    run_available_now,
+    windowed_event_kpis,
+)
+
+
+def _rows(df):
+    rows = [
+        tuple(None if isinstance(v, float) and math.isnan(v) else v for v in r)
+        for r in df.collect()
+    ]
+    rows.sort(key=lambda r: tuple((v is None, str(v)) for v in r))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, sf_dir, tmp_path_factory):
+    """The events fixture split into 3 ts-ordered parquet files so a file
+    stream with maxFilesPerTrigger=1 yields 3 micro-batches with advancing
+    watermark. ts stays raw epoch-nanos (the stream schema's wire format)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts: bigint nanos
+    lo, hi = raw.selectExpr("min(ts)", "max(ts)").first()
+    span = (hi - lo) // 3 + 1
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    for i in range(3):
+        part = raw.filter(
+            (raw.ts >= lo + i * span) & (raw.ts < lo + (i + 1) * span)
+        )
+        pdir = f"{out}/b{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        # file source orders by modification time: force batch order
+        for f in os.listdir(pdir):
+            if f.endswith(".parquet"):
+                os.utime(f"{pdir}/{f}", (1_700_000_000 + i, 1_700_000_000 + i))
+    return out
+
+
+def test_windowed_kpis_stream_equals_batch(spark, sf_dir, split_events_dir):
+    batch = windowed_event_kpis(read_events_batch(spark, f"{sf_dir}/events.parquet"))
+    stream = windowed_event_kpis(
+        read_events_stream(spark, f"{split_events_dir}/b*"),
+        watermark="1 hour",
+    )
+    got = run_available_now(stream, "kpis_complete", output_mode="complete")
+    assert _rows(got) == _rows(batch)
+
+
+def test_append_mode_emits_only_finalized_windows(spark, sf_dir, split_events_dir):
+    """Append mode + watermark: emitted windows are exactly the ones the
+    final watermark passed, and their values match the batch computation."""
+    stream = windowed_event_kpis(
+        read_events_stream(spark, f"{split_events_dir}/b*", max_files_per_trigger=1),
+        window="1 day",
+        watermark="1 hour",
+    )
+    got = run_available_now(stream, "kpis_append", output_mode="append")
+    batch_rows = _rows(windowed_event_kpis(read_events_batch(spark, f"{sf_dir}/events.parquet")))
+    got_rows = _rows(got)
+    assert got_rows, "append mode emitted nothing — watermark never advanced"
+    assert set(got_rows) <= set(batch_rows), "append emitted rows that disagree with batch"
+    # windows still open at end-of-stream (end > final watermark) must NOT
+    # have been emitted; every emitted window-end predates the global max ts
+    max_end = max(r[1] for r in batch_rows)  # columns sorted: window_end idx 1
+    assert all(r[1] < max_end for r in got_rows)
+
+
+def test_pct_change_stateful_carries_state_across_batches(
+    spark, sf_dir, split_events_dir
+):
+    """3 micro-batches: the first row of batch N+1 must diff against the last
+    value of batch N from the state store — equal to the batch LAG twin."""
+    stream = pct_change_stateful(
+        read_events_stream(spark, f"{split_events_dir}/b*", max_files_per_trigger=1)
+    )
+    got = run_available_now(stream, "pct_stateful", output_mode="append")
+    batch = pct_change_stateful(read_events_batch(spark, f"{sf_dir}/events.parquet"))
+    g, b = _rows(got), _rows(batch)
+    assert len(g) == len(b)
+    for x, y in zip(g, b):
+        assert x[:3] == y[:3]
+        if x[3] is None or y[3] is None:
+            assert x[3] == y[3]
+        else:
+            assert abs(x[3] - y[3]) < 1e-9
