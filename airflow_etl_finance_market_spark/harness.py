@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from .plans.volatility import daily_pct_change, top_avg_volatility, weekly_volatility
 from .sources.readers import load_fixture
+from .util import fan_out
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -576,7 +577,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring + fingerprint per document (§7.5)."""
     from .functions import text as T
 
-    docs = load_fixture(spark, sf_dir, "documents")
+    docs = fan_out(load_fixture(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
@@ -639,7 +640,7 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID vs the fixture's claimed lang (§7.5)."""
     from .functions.text import predict_lang
 
-    docs = load_fixture(spark, sf_dir, "documents")
+    docs = fan_out(load_fixture(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("lang").alias("claimed_lang"),

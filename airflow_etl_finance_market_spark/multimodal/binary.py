@@ -31,6 +31,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..util import fan_out
+
 #: Output schema of the feature-extraction stage.
 FEATURE_SCHEMA = StructType(
     [
@@ -65,8 +67,13 @@ def fake_decode(payload: bytes) -> tuple[int, int]:
 
 def attach_fake_payload(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Make a (doc_id, payload binary) frame from documents — the stand-in
-    for a real media table (no binary fixture exists)."""
-    return docs.select(
+    for a real media table (no binary fixture exists).
+
+    fan_out here, not in the decode stage: a real media table arrives in
+    many splits and must decode with zero data movement, but this adapter
+    feeds from a single-file fixture that would otherwise decode on 1 core.
+    """
+    return fan_out(docs).select(
         "doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload")
     )
 

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, normalize_text, tokens, word_ngrams
+from ..util import fan_out
 
 # Deterministic affine-transform parameters for the minhash family
 # (fixed seed — signatures must be reproducible across runs/sessions).
@@ -52,7 +53,7 @@ def exact_dedup_stats(
 ) -> DataFrame:
     """Per-fingerprint stats: canonical survivor id + duplicate count."""
     return (
-        docs.select(
+        fan_out(docs).select(
             fingerprint(text_col).alias("fp"), F.col(id_col).alias("_id")
         )
         .groupBy("fp")
@@ -98,7 +99,7 @@ def minhash_signatures(
     row per doc crosses the wire regardless of document length.
     """
     shingles = (shingle_fn or (lambda c: word_ngrams(c, 3)))(text_col)
-    hashed = docs.select(
+    hashed = fan_out(docs, id_col).select(
         F.col(id_col).alias("id"),
         # reduce the 64-bit hash into [0, p) so every affine transform below
         # stays overflow-free in int64; distinct first = set semantics
@@ -152,8 +153,16 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # Force a sort-merge join: Catalyst would otherwise broadcast one side
+    # of the self-join, and a broadcast build of the full banded corpus
+    # (a) re-computes the signature pipeline for the build side and
+    # (b) collects the whole corpus to the driver — measured 4x slower
+    # here and a non-starter at 100 TB. With SMJ both sides shuffle on the
+    # bucket key, which is also the shape AQE's skew-join splitting can fix
+    # when a degenerate bucket (e.g. many empty documents) concentrates
+    # candidates.
+    left = banded.alias("l").hint("merge")
+    right = banded.alias("r").hint("merge")
     return (
         left.join(
             right,
@@ -190,7 +199,7 @@ def minhash_dedup_pairs(
         docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes
     )
     cands = lsh_candidate_pairs(sigs, bands=bands)
-    grams = docs.select(
+    grams = fan_out(docs, id_col).select(
         F.col(id_col).alias("gid"),
         F.array_distinct(word_ngrams(text_col, 3)).alias("grams"),
     )
@@ -226,7 +235,7 @@ def ngram_jaccard_pairs(
     for unblocked scale use minhash_dedup_pairs. SQL-expressible, so this is
     the oracle-checked twin of the MinHash path.
     """
-    grams = docs.select(
+    grams = fan_out(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         F.array_distinct(word_ngrams(text_col, n)).alias("grams"),
@@ -256,7 +265,7 @@ def simhash_signatures(
     The explode+groupBy form keeps each aggregation row tiny and scales to
     arbitrarily long documents (vs. a 64-deep expression over an array).
     """
-    toks = docs.select(
+    toks = fan_out(docs, id_col).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     votes = toks.groupBy("id").agg(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine, dot
+from ..util import fan_out
 
 
 def _queries(embeddings: DataFrame, query_ids: list[int],
@@ -46,12 +47,15 @@ def cosine_topk_bruteforce(
     nested-loop of the tiny query set against the corpus scan, then a
     per-query window top-k.
     """
-    corpus = embeddings.select(
+    corpus = fan_out(embeddings).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nvec")
     )
     q = _queries(embeddings, query_ids, id_col, vec_col)
+    # Corpus is the STREAM side, query set the broadcast side: the per-pair
+    # cosine work lands on the corpus's fanned partitions (N tasks) instead
+    # of the query set's single input split (1 task).
     scored = (
-        q.crossJoin(corpus)
+        corpus.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -125,7 +129,7 @@ def cosine_topk_lsh(
     interchangeable (recall-tested against each other in tests).
     """
     tables = [_hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)]
-    corpus = embeddings.select(
+    corpus = fan_out(embeddings).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nvec")
     )
     corpus = corpus.select(
@@ -181,7 +185,7 @@ def embedding_near_dup_pairs(
     The blocked all-pairs form (oracle-checkable); the unblocked scale path
     is the LSH bucketing above with threshold filtering.
     """
-    vecs = embeddings.select(
+    vecs = fan_out(embeddings, id_col).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         as_double(vec_col).alias("v"),

@@ -66,6 +66,11 @@ def get_spark(
         # -- Python boundary: Arrow everywhere we cross it -------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # -- local-mode memory (ignored when a cluster master is set) --------
+        # Measured on the local[32] bench at sf0.1: 8g → ~34 s total,
+        # 16g → ~42 s, 48g → 120-145 s (2-25x per-query regressions).
+        # Oversized heaps lose badly in this virtualized environment
+        # (lazily-committed pages + larger GC regions), so keep the heap
+        # small; the workload's working set fits comfortably.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
