@@ -765,6 +765,153 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_features(media, use_fake_codec=True)
 
 
+@register(
+    "purchase_attribution",
+    """
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts, p.value AS purchase_value,
+       v.ts AS view_ts, v.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+)
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's most recent
+    prior-or-same-instant view (operators.asof — window composition)."""
+    from .operators.asof import asof_join
+
+    ev = load_fixture(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    views = ev.filter(F.col("event_type") == "view")
+    return asof_join(
+        purchases,
+        views,
+        by="user_id",
+        ts="purchase_ts",
+        right_ts="ts",
+        right_vals={"ts": "view_ts", "value": "view_value"},
+    )
+
+
+@register(
+    "rolling_close_avg",
+    """
+SELECT
+    l_partkey AS ticker,
+    l_shipdate AS ts,
+    l_orderkey,
+    l_linenumber,
+    l_extendedprice AS close,
+    ROUND(AVG(l_extendedprice) OVER (
+        PARTITION BY l_partkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+FROM lineitem
+""",
+)
+def q_rolling_close_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row trailing SMA per instrument (frame-spec window, §2.5 class)."""
+    from .plans.volatility import rolling_mean
+
+    out = rolling_mean(
+        _lineitem_series(spark, sf_dir),
+        key="ticker",
+        ts="ts",
+        value="close",
+        n=7,
+        order_tiebreak=_SERIES_TIEBREAK,
+        out="ma7",
+    )
+    return out.withColumn("ma7", F.round("ma7", 6))
+
+
+@register(
+    "qty_rollup",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def q_qty_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals + grand total (grouping sets)."""
+    from .plans.analytics import qty_rollup
+
+    return qty_rollup(load_fixture(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "customer_set_ops",
+    """
+WITH hi_bal AS (
+    SELECT c_custkey FROM customer WHERE c_acctbal > 7000.0
+), big_ord AS (
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    WHERE o_totalprice > 300000.0
+)
+SELECT 'both' AS tag, c_custkey
+FROM (SELECT c_custkey FROM hi_bal INTERSECT SELECT c_custkey FROM big_ord)
+UNION ALL
+SELECT 'balance_only' AS tag, c_custkey
+FROM (SELECT c_custkey FROM hi_bal EXCEPT SELECT c_custkey FROM big_ord)
+UNION ALL
+SELECT 'orders_only' AS tag, c_custkey
+FROM (SELECT c_custkey FROM big_ord EXCEPT SELECT c_custkey FROM hi_bal)
+""",
+)
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION with set semantics (§2.7)."""
+    from .plans.analytics import customer_set_ops
+
+    return customer_set_ops(
+        load_fixture(spark, sf_dir, "customer"),
+        load_fixture(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "price_percentiles",
+    """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles per group (PERCENTILE_CONT semantics)."""
+    from .plans.analytics import price_percentiles
+
+    return price_percentiles(load_fixture(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "status_flag_pivot",
+    """
+SELECT l_linestatus,
+       ROUND(AVG(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 6) AS avg_qty_a,
+       ROUND(AVG(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 6) AS avg_qty_n,
+       ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 6) AS avg_qty_r
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def q_status_flag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with pinned values (one aggregation pass, no discovery job)."""
+    from .plans.analytics import status_flag_pivot
+
+    return status_flag_pivot(load_fixture(spark, sf_dir, "lineitem"))
+
+
 # ---------------------------------------------------------------------------
 # Streaming-tier functions, batch mode (SURVEY.md §2.9): the same bodies run
 # incrementally under readStream (tests/test_streaming.py); here the batch

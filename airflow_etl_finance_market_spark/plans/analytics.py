@@ -224,3 +224,88 @@ def events_json_kpi(events: DataFrame) -> DataFrame:
         F.max(k).alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+def qty_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total (§2.4
+    extension — the reference has no grouping sets, Spark gives them free).
+
+    Physically a single hash-aggregate pass with an Expand node (one row per
+    grouping set), so the cost is ~|grouping sets| x one aggregation — no
+    repeated scans.
+    """
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def customer_set_ops(customer: DataFrame, orders: DataFrame,
+                     *, bal_floor: float = 7000.0,
+                     price_floor: float = 300000.0) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION surface (§2.7 — absent in the reference,
+    built-in in Spark): high-balance customers vs big-order customers,
+    tagged by which set they fall in.
+
+    Set (DISTINCT) semantics on both engines: .intersect / .subtract are
+    INTERSECT / EXCEPT DISTINCT. Each branch is a shuffle on c_custkey; AQE
+    converts the small distinct sides to broadcast where profitable.
+    """
+    hi_bal = customer.filter(F.col("c_acctbal") > bal_floor).select("c_custkey")
+    big_ord = (
+        orders.filter(F.col("o_totalprice") > price_floor)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    both = hi_bal.intersect(big_ord).select(F.lit("both").alias("tag"), "c_custkey")
+    bal_only = hi_bal.subtract(big_ord).select(
+        F.lit("balance_only").alias("tag"), "c_custkey"
+    )
+    ord_only = big_ord.subtract(hi_bal).select(
+        F.lit("orders_only").alias("tag"), "c_custkey"
+    )
+    return both.unionByName(bal_only).unionByName(ord_only)
+
+
+def price_percentiles(lineitem: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per group (F.percentile ≡ SQL
+    PERCENTILE_CONT ≡ DuckDB quantile_cont).
+
+    Exact percentile sorts each group's values in the aggregation buffer —
+    fine per (returnflag) group; at 100 TB with huge groups switch the call
+    site to approx_percentile (t-digest, mergeable sketches).
+    """
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(pcts.alias("_p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 6).alias("p25"),
+            F.round(F.col("_p")[1], 6).alias("p50"),
+            F.round(F.col("_p")[2], 6).alias("p75"),
+        )
+    )
+
+
+def status_flag_pivot(lineitem: DataFrame) -> DataFrame:
+    """Pivot: avg quantity per linestatus row x returnflag column (§2.6-ish
+    reshaping; the notebook's matplotlib tables are the closest reference).
+
+    The pivot values are pinned explicitly — with them, one aggregation
+    pass; without, Spark runs an extra distinct job to discover columns
+    (never let it at scale).
+    """
+    return (
+        lineitem.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.avg("l_quantity"), 6))
+        .select(
+            "l_linestatus",
+            F.col("A").alias("avg_qty_a"),
+            F.col("N").alias("avg_qty_n"),
+            F.col("R").alias("avg_qty_r"),
+        )
+    )

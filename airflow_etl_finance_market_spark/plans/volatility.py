@@ -69,6 +69,29 @@ def weekly_volatility(
     )
 
 
+def rolling_mean(
+    series: DataFrame,
+    *,
+    key: str = "ticker",
+    ts: str = "data_id",
+    value: str = "close",
+    n: int = 7,
+    order_tiebreak: tuple[str, ...] = (),
+    out: str = "rolling_avg",
+) -> DataFrame:
+    """n-row trailing moving average per key (frame-spec window, §2.5 class).
+
+    ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW — row-based (not range-based)
+    so partial leading windows average over however many rows exist, the
+    standard SMA convention. Same shuffle shape as daily_pct_change: one
+    exchange on the key, then a per-partition sort — windows over the same
+    key reuse the partitioning, so chaining this after pct_change costs no
+    extra shuffle.
+    """
+    w = series_window(key, ts, *order_tiebreak).rowsBetween(-(n - 1), 0)
+    return series.withColumn(out, F.avg(value).over(w))
+
+
 def top_avg_volatility(weekly: DataFrame, k: int = 1) -> DataFrame:
     """Most-volatile instruments: AVG(vol) per ticker, ORDER BY DESC LIMIT k.
 

@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "star_revenue",
     "volume_leaders",
     "latest_event_per_user",
+    "purchase_attribution",
+    "rolling_close_avg",
     "brand_scores",
     "doc_token_stats",
     "doc_exact_dedup",

@@ -1,0 +1,55 @@
+"""Edge semantics of the as-of join operator (operators/asof.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from airflow_etl_finance_market_spark.operators.asof import asof_join
+
+
+def _d(day):
+    return dt.date(2024, 1, day)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, _d(5), "t5"), (1, _d(10), "t10"), (2, _d(3), "t3")],
+        "k long, ts date, tag string",
+    )
+    right = spark.createDataFrame(
+        # k=1: quotes on day 5 (tie with left) and day 8; k=2 has none
+        # before day 3. The day-8 quote carries a NULL px (struct-carry
+        # regression case: it must NOT inherit day-5's px).
+        [(1, _d(5), 100.0, "a"), (1, _d(8), None, "b"), (3, _d(1), 7.0, "c")],
+        "k long, ts date, px double, src string",
+    )
+    return left, right
+
+
+def test_inclusive_matches_same_instant(spark):
+    left, right = _frames(spark)
+    out = {
+        r["tag"]: (r["q_ts"], r["q_px"], r["q_src"])
+        for r in asof_join(
+            left, right, by="k", ts="ts",
+            right_vals={"ts": "q_ts", "px": "q_px", "src": "q_src"},
+        ).collect()
+    }
+    assert out["t5"] == (_d(5), 100.0, "a")  # tie matched (>= semantics)
+    # latest right row wins even when its value is NULL — all attached
+    # columns must come from that one row, not be stitched across rows
+    assert out["t10"] == (_d(8), None, "b")
+    assert out["t3"] == (None, None, None)  # no prior right row → NULLs
+
+
+def test_exclusive_skips_same_instant(spark):
+    left, right = _frames(spark)
+    out = {
+        r["tag"]: r["q_ts"]
+        for r in asof_join(
+            left, right, by="k", ts="ts", inclusive=False,
+            right_vals={"ts": "q_ts"},
+        ).collect()
+    }
+    assert out["t5"] is None  # the day-5 tie is excluded under strict <
+    assert out["t10"] == _d(8)
