@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine, dot
+from ..functions.vector import as_double, cosine, dot, l2_norm
 from ..util import fan_out
 
 
@@ -83,10 +83,10 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
 def lsh_signature_col(vec_col, planes: np.ndarray):
     """Sign-bit signature of `vec` against each plane, packed into a long.
 
-    The planes enter the plan as ONE literal array-of-arrays and the dots are
-    computed with higher-order functions — an expanded per-element expression
-    tree (planes×dim multiply-add nodes) blows up codegen compilation, which
-    the HOF form avoids entirely.
+    Single-column expression form (HOF dot per plane) — fine for a handful
+    of rows (the query side); for corpus-scale signature computation use
+    :func:`lsh_signatures_frame`, which is ~10x faster (codegen'd
+    explode+aggregate instead of interpreted higher-order functions).
     """
     planes_lit = F.array(
         *[F.array(*[F.lit(float(w)) for w in plane]) for plane in planes]
@@ -101,6 +101,58 @@ def lsh_signature_col(vec_col, planes: np.ndarray):
         )
         sig = sig.bitwiseOR(F.shiftleft(bit, j))
     return sig
+
+
+def lsh_signatures_frame(
+    df: DataFrame,
+    tables: list[np.ndarray],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, sigs: array<long>[n_tables]) for every row of `df`.
+
+    Same explode + hash-aggregate shape as the minhash kernel (higher-order
+    functions evaluate interpreted; per-element rows + SUM/MIN aggregates
+    stay inside WholeStageCodegen): explode vector elements to (id, pos, x)
+    rows, compute every (table, plane) dot as a SUM aggregate against
+    constant-folded weight literals, then pack sign bits. fan_out hashes by
+    id first, so explode → aggregate runs co-partitioned with NO extra
+    shuffle, and partial aggregation folds the 64x row blowup map-side.
+    """
+    n_planes = tables[0].shape[0]
+    wlits = [
+        F.array(*[F.lit(float(w)) for w in plane])
+        for tbl in tables
+        for plane in tbl
+    ]
+    elems = fan_out(df, id_col).select(
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("vec"),
+        F.posexplode(as_double(vec_col)).alias("pos", "x"),
+    )
+    dots = elems.groupBy("id").agg(
+        F.first("vec").alias("vec"),
+        # the L2 norm rides along for free (one more SUM in the same pass);
+        # downstream cosine re-ranks then only need the dot product
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("norm"),
+        *[
+            F.sum(F.col("x") * F.element_at(w, F.col("pos") + 1)).alias(f"_d{i}")
+            for i, w in enumerate(wlits)
+        ],
+    )
+    sigs = []
+    for t in range(len(tables)):
+        sig = F.lit(0).cast("long")
+        for j in range(n_planes):
+            bit = (
+                F.when(F.col(f"_d{t * n_planes + j}") > 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            sig = sig.bitwiseOR(F.shiftleft(bit, j))
+        sigs.append(sig)
+    return dots.select("id", "vec", "norm", F.array(*sigs).alias("sigs"))
 
 
 def cosine_topk_lsh(
@@ -129,38 +181,68 @@ def cosine_topk_lsh(
     interchangeable (recall-tested against each other in tests).
     """
     tables = [_hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)]
-    corpus = fan_out(embeddings).select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nvec")
+    sigs = lsh_signatures_frame(
+        embeddings, tables, id_col=id_col, vec_col=vec_col
     )
-    corpus = corpus.select(
-        "neighbor_id",
-        "nvec",
-        F.posexplode(
-            F.array(*[lsh_signature_col(F.col("nvec"), p) for p in tables])
-        ).alias("table_idx", "bucket"),
+    corpus = sigs.select(
+        F.col("id").alias("neighbor_id"),
+        F.posexplode("sigs").alias("table_idx", "bucket"),
     )
-    q = _queries(embeddings, query_ids, id_col, vec_col)
+    qsigs = lsh_signatures_frame(
+        embeddings.filter(F.col(id_col).isin(query_ids)),
+        tables,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
     probe_cols = []
-    for t, planes in enumerate(tables):
-        sig = lsh_signature_col(F.col("qvec"), planes)
-        sigs = [sig]
+    for t in range(n_tables):
+        sig = F.element_at("sigs", t + 1)
+        probes = [sig]
         if multiprobe:
-            sigs += [
+            probes += [
                 sig.bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(n_planes)
             ]
-        probe_cols += [F.struct(F.lit(t).alias("table_idx"), s.alias("bucket")) for s in sigs]
-    q = q.select(
-        "query_id", "qvec", F.explode(F.array(*probe_cols)).alias("probe")
-    ).select("query_id", "qvec", "probe.table_idx", "probe.bucket")
-    scored = (
-        q.join(corpus, ["table_idx", "bucket"])
+        probe_cols += [
+            F.struct(F.lit(t).alias("table_idx"), s.alias("bucket"))
+            for s in probes
+        ]
+    q = qsigs.select(
+        F.col("id").alias("query_id"),
+        F.explode(F.array(*probe_cols)).alias("probe"),
+    ).select("query_id", "probe.table_idx", "probe.bucket")
+    # Candidate ids first, cosine second: a neighbor matching via several
+    # tables/probes is deduplicated BEFORE the (expensive) re-rank, so each
+    # unique pair pays for exactly one dot product — and the signature
+    # frame already carries the norms.
+    cands = (
+        F.broadcast(q)
+        .join(corpus, ["table_idx", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qvecs = qsigs.select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    nvecs = sigs.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        F.col("norm").alias("nnorm"),
+    )
+    scored = (
+        cands.join(F.broadcast(qvecs), "query_id")
+        .join(nvecs, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("qvec"), F.col("nvec"))
+                / F.nullif(F.col("qnorm") * F.col("nnorm"), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim"),
         )
-        .distinct()  # a neighbor can match via several tables/probes
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -185,18 +267,24 @@ def embedding_near_dup_pairs(
     The blocked all-pairs form (oracle-checkable); the unblocked scale path
     is the LSH bucketing above with threshold filtering.
     """
+    # Norms once per VECTOR (n folds), not once per PAIR (n² folds): the
+    # pair-level cosine then costs a single dot product.
     vecs = fan_out(embeddings, id_col).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         as_double(vec_col).alias("v"),
-    )
+    ).withColumn("nrm", l2_norm(F.col("v")))
     a, b = vecs.alias("a"), vecs.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"))
+                / F.nullif(F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
