@@ -1018,3 +1018,16 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(
         load_fixture(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5
     )
+
+
+@register("embedding_topk_ivf")
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted-file) approximate top-k — the data-adaptive
+    ANN tier; nprobe/nlist of the corpus scanned per query. Rows-only
+    (iterative training is not SQL-expressible); recall vs brute force
+    asserted in tests/test_similarity.py."""
+    from .operators.similarity import cosine_topk_ivf
+
+    return cosine_topk_ivf(
+        load_fixture(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5
+    )

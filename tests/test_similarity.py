@@ -41,3 +41,21 @@ def test_bruteforce_excludes_self_and_ranks(spark, sf_dir):
         assert ranks == list(range(1, len(rs) + 1))
         sims = [x["cosine_sim"] for x in sorted(rs, key=lambda x: x["rank"])]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from airflow_etl_finance_market_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    exact = cosine_topk_bruteforce(emb, QUERIES, k=5).collect()
+    approx = cosine_topk_ivf(emb, QUERIES, k=5).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
+    # scores are true cosines: overlapping pairs agree exactly
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["cosine_sim"] - exact_scores[key]) < 1e-9
