@@ -5,6 +5,18 @@ aggregate over arrays) — no Python UDFs, so these run inside WholeStageCodegen
 and scale linearly with input bytes. The same formulas are mirrored 1:1 in
 DuckDB SQL by the harness oracles, which pins the semantics.
 
+Two API layers:
+
+- ``*(col)`` convenience forms normalize/tokenize internally — fine when a
+  query needs ONE stat.
+- ``*_from(norm, toks)`` forms take the precomputed canonical text and
+  token array. A query computing several stats should materialize `norm` /
+  `toks` once in a prior select (see the `doc_token_stats` /
+  `doc_lang_id` harness queries) — the regex normalization is the
+  dominant cost and Catalyst's project-collapse keeps non-cheap
+  expressions in their own projection, so the shared pass really does
+  run once.
+
 Design note for 100 TB: all of these are embarrassingly parallel map-side
 expressions; the only shuffles in the dedup/similarity consumers are the
 groupBys on fingerprints/buckets.
@@ -30,16 +42,23 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 LANG_PRIORITY: tuple[str, ...] = ("en", "pt", "es", "fr", "de")
 
 
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
 def normalize_text(col: Column | str) -> Column:
     """Lowercase + collapse whitespace + trim — the canonical form every
     fingerprint/shingle builds on."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
 
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of the normalized text."""
-    return F.split(normalize_text(col), " ")
+    return tokens_from(normalize_text(col))
+
+
+def tokens_from(norm: Column | str) -> Column:
+    return F.split(_c(norm), " ")
 
 
 def token_count(col: Column | str) -> Column:
@@ -54,8 +73,12 @@ def bpe_token_estimate(col: Column | str) -> Column:
     ceil(len(word)/4) summed over words — a deterministic, engine-mirrorable
     stand-in for subword tokenizers (~4 chars/token heuristic).
     """
+    return bpe_token_estimate_from(tokens(col))
+
+
+def bpe_token_estimate_from(toks: Column | str) -> Column:
     return F.aggregate(
-        tokens(col),
+        _c(toks),
         F.lit(0).cast("long"),
         lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
     )
@@ -76,21 +99,34 @@ def char_shingles(col: Column | str, n: int = 5) -> Column:
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Word n-gram array (space-joined) — the Jaccard dedup unit."""
-    toks = tokens(col)
+    return word_ngrams_from(tokens(col), n)
+
+
+def word_ngrams_from(toks: Column | str, n: int = 3) -> Column:
+    t = _c(toks)
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
     )
 
 
 def stopword_hits(col: Column | str, stopwords: tuple[str, ...]) -> Column:
     """How many tokens fall in `stopwords` (multiset count, not distinct)."""
+    return stopword_hits_from(tokens(col), stopwords)
+
+
+def stopword_hits_from(toks: Column | str, stopwords: tuple[str, ...]) -> Column:
     lit_set = F.array(*[F.lit(s) for s in stopwords])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(lit_set, t)))
+    return F.size(F.filter(_c(toks), lambda t: F.array_contains(lit_set, t)))
 
 
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...]) -> Column:
-    return stopword_hits(col, stopwords) / F.greatest(token_count(col), F.lit(1))
+    return stopword_ratio_from(tokens(col), stopwords)
+
+
+def stopword_ratio_from(toks: Column | str, stopwords: tuple[str, ...]) -> Column:
+    t = _c(toks)
+    return stopword_hits_from(t, stopwords) / F.greatest(F.size(t), F.lit(1))
 
 
 def predict_lang(col: Column | str) -> Column:
@@ -98,7 +134,23 @@ def predict_lang(col: Column | str) -> Column:
 
     'und' when no language scores a single stopword hit.
     """
-    hit_cols = {lang: stopword_hits(col, sw) for lang, sw in LANG_STOPWORDS.items()}
+    return predict_lang_from(tokens(col))
+
+
+def predict_lang_from(toks: Column | str) -> Column:
+    t = _c(toks)
+    return lang_from_hits(
+        {lang: stopword_hits_from(t, sw) for lang, sw in LANG_STOPWORDS.items()}
+    )
+
+
+def lang_from_hits(hit_cols: dict[str, Column]) -> Column:
+    """Argmax-with-priority over per-language hit counts.
+
+    The when-chain references every hit column ~10x; pass PLAIN COLUMNS from
+    a prior projection (not inline filter() expressions) or each reference
+    re-evaluates the interpreted array-filter per row.
+    """
     best = None
     for lang in LANG_PRIORITY:
         cond = F.lit(True)
@@ -120,11 +172,13 @@ def predict_lang(col: Column | str) -> Column:
 
 def punct_ratio(col: Column | str) -> Column:
     """Share of characters that are not [a-z0-9 ] in the normalized text."""
-    norm = normalize_text(col)
-    stripped = F.regexp_replace(norm, r"[^a-z0-9 ]", "")
-    return (F.length(norm) - F.length(stripped)) / F.greatest(
-        F.length(norm), F.lit(1)
-    )
+    return punct_ratio_from(normalize_text(col))
+
+
+def punct_ratio_from(norm: Column | str) -> Column:
+    n = _c(norm)
+    stripped = F.regexp_replace(n, r"[^a-z0-9 ]", "")
+    return (F.length(n) - F.length(stripped)) / F.greatest(F.length(n), F.lit(1))
 
 
 def quality_score(col: Column | str) -> Column:
@@ -135,14 +189,23 @@ def quality_score(col: Column | str) -> Column:
     Mirrors the length/punct/stopword family of pretraining quality filters,
     frozen into an engine-mirrorable formula.
     """
+    return quality_score_from(normalize_text(col), tokens(col))
+
+
+def quality_score_from(norm: Column | str, toks: Column | str) -> Column:
+    t = _c(toks)
     return (
-        F.lit(0.4) * stopword_ratio(col, LANG_STOPWORDS["en"])
-        + F.lit(0.3) * F.least(token_count(col) / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(col))
+        F.lit(0.4) * stopword_ratio_from(t, LANG_STOPWORDS["en"])
+        + F.lit(0.3) * F.least(F.size(t) / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio_from(norm))
     )
 
 
 def fingerprint(col: Column | str) -> Column:
     """Canonical-form MD5 fingerprint (exact-dedup key). MD5 over the
     normalized text is engine-portable (same hex in Spark and DuckDB)."""
-    return F.md5(normalize_text(col).cast("binary"))
+    return fingerprint_from(normalize_text(col))
+
+
+def fingerprint_from(norm: Column | str) -> Column:
+    return F.md5(_c(norm).cast("binary"))

@@ -578,14 +578,21 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import text as T
 
     docs = fan_out(load_fixture(spark, sf_dir, "documents"))
-    return docs.select(
+    # normalize + tokenize ONCE; the stats project reads the shared columns
+    # (project-collapse keeps non-cheap exprs in their own projection)
+    base = docs.select(
         "doc_id",
-        T.token_count("text").alias("n_tokens"),
-        T.bpe_token_estimate("text").alias("bpe_tokens"),
-        F.round(T.stopword_ratio("text", T.LANG_STOPWORDS["en"]), 6).alias("stop_ratio"),
-        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(T.quality_score("text"), 6).alias("quality_score"),
-        T.fingerprint("text").alias("fp"),
+        T.normalize_text("text").alias("norm"),
+        T.tokens("text").alias("toks"),
+    )
+    return base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        T.bpe_token_estimate_from("toks").alias("bpe_tokens"),
+        F.round(T.stopword_ratio_from("toks", T.LANG_STOPWORDS["en"]), 6).alias("stop_ratio"),
+        F.round(T.punct_ratio_from("norm"), 6).alias("punct_ratio"),
+        F.round(T.quality_score_from("norm", "toks"), 6).alias("quality_score"),
+        T.fingerprint_from("norm").alias("fp"),
     )
 
 
@@ -638,13 +645,30 @@ FROM h
 )
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID vs the fixture's claimed lang (§7.5)."""
-    from .functions.text import predict_lang
+    from .functions.text import LANG_STOPWORDS, lang_from_hits, stopword_hits_from, tokens
 
     docs = fan_out(load_fixture(spark, sf_dir, "documents"))
-    return docs.select(
+    base = docs.select(
         "doc_id",
         F.col("lang").alias("claimed_lang"),
-        predict_lang("text").alias("predicted_lang"),
+        tokens("text").alias("toks"),
+    )
+    # hit counts in their own projection: the argmax chain then reads plain
+    # ints instead of re-evaluating the array filters per reference
+    hits = base.select(
+        "doc_id",
+        "claimed_lang",
+        *[
+            stopword_hits_from("toks", sw).alias(f"h_{lang}")
+            for lang, sw in LANG_STOPWORDS.items()
+        ],
+    )
+    return hits.select(
+        "doc_id",
+        "claimed_lang",
+        lang_from_hits(
+            {lang: F.col(f"h_{lang}") for lang in LANG_STOPWORDS}
+        ).alias("predicted_lang"),
     )
 
 
@@ -763,6 +787,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_fake_payload(load_fixture(spark, sf_dir, "documents"))
     return extract_binary_features(media, use_fake_codec=True)
+
+
+#: ONE SQL text, two engines: runs verbatim via spark.sql over temp views
+#: AND as its own DuckDB oracle — the §3 entry-point-2 parity proof (the
+#: reference's ad-hoc analytical SQL surface, reference: README.md:88-97).
+_SQL_API_TEXT = """
+WITH nation_rev AS (
+    SELECT
+        r_name AS region,
+        n_name AS nation,
+        ROUND(SUM(o_totalprice), 2) AS total_price,
+        COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+)
+SELECT region, nation, total_price, n_orders,
+       CAST(RANK() OVER (PARTITION BY region
+                         ORDER BY total_price DESC, nation) AS INT)
+           AS rank_in_region
+FROM nation_rev
+"""
+
+
+@register("sql_api_nation_rank", _SQL_API_TEXT)
+def q_sql_api_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql() entry point: same Catalyst plan surface as the DataFrame
+    API — the oracle runs the IDENTICAL SQL text."""
+    for t in ("orders", "customer", "nation", "region"):
+        load_fixture(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_API_TEXT)
 
 
 @register(
