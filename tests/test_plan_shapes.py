@@ -1,0 +1,85 @@
+"""Physical-plan regressions: the plan properties the engine's scale story
+depends on, pinned so a refactor can't silently lose them (the build rule:
+`.explain` until it's the plan you want, then keep it that way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_etl_finance_market_spark import harness
+from airflow_etl_finance_market_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from airflow_etl_finance_market_spark.sources.readers import load_fixture
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """J1/J2: every dim side of the star join must broadcast — a shuffle
+    join against a 5-row region table would shuffle the fact for nothing."""
+    plan = plan_of(harness.queries()["star_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # all four dims fit broadcast
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    """O1: ORDER BY .. LIMIT k must be TakeOrderedAndProject (true top-k),
+    never a full global Sort materialization."""
+    plan = plan_of(harness.queries()["volume_leaders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    """Predicates on scans must appear as PushedFilters in the reader."""
+    orders = load_fixture(spark, sf_dir, "orders")
+    plan = plan_of(orders.filter(F.col("o_totalprice") > 400000.0).select("o_orderkey"))
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,400000.0)]" in plan
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    """A 2-column projection must scan 2 columns, not the whole table."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    plan = plan_of(li.select("l_orderkey", "l_quantity"))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    """A11: map-side partial aggregation before the exchange."""
+    plan = plan_of(harness.queries()["pricing_summary"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_minhash_fan_out_exchange_is_reused_by_agg(spark, sf_dir):
+    """The fan_out exchange hashes on the grouping key, so the signature
+    aggregation must NOT add a second exchange (explode preserves
+    partitioning; partial agg runs co-partitioned)."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    plan = plan_of(minhash_signatures(docs))
+    assert plan.count("Exchange") == 1
+
+
+def test_lsh_bucket_join_stays_sort_merge(spark, sf_dir):
+    """The banded self-join must stay SMJ: broadcasting the derived corpus
+    would recompute the signature pipeline on the build side and collect
+    the corpus to the driver at scale."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    plan = plan_of(lsh_candidate_pairs(minhash_signatures(docs)))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_bruteforce_topk_broadcasts_queries_not_corpus(spark, sf_dir):
+    """The tiny query set must be the broadcast side; the corpus streams."""
+    plan = plan_of(harness.queries()["embedding_topk"](spark, sf_dir))
+    # broadcast build contains the query-id IN-filter scan
+    build = plan.split("BroadcastExchange")[1]
+    assert "vec_id IN (0,1,2,3,4)" in build.replace(" ", "").replace("#", " ").split("ReadSchema")[0] or "In(vec_id" in build

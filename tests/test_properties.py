@@ -1,0 +1,111 @@
+"""Property-based differential tests (hypothesis): engine operators vs the
+equivalent pandas computation on arbitrary generated inputs.
+
+Each example runs real Spark jobs, so examples are few and small — the value
+is the input-space coverage (ties, duplicates, empty sides, all-NULL runs)
+that fixture-based tests can't enumerate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from airflow_etl_finance_market_spark.operators.asof import asof_join
+from airflow_etl_finance_market_spark.plans.volatility import daily_pct_change
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_day = st.integers(min_value=1, max_value=28)
+_key = st.integers(min_value=0, max_value=2)
+_px = st.one_of(
+    st.just(0.0), st.floats(min_value=0.5, max_value=100.0, allow_nan=False)
+)
+
+
+@st.composite
+def _series_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=18))
+    rows = []
+    for i in range(n):
+        rows.append((draw(_key), dt.date(2024, 1, draw(_day)), i, draw(_px)))
+    return rows
+
+
+@given(rows=_series_rows())
+@settings(**SETTINGS)
+def test_pct_change_matches_pandas(spark, rows):
+    df = spark.createDataFrame(rows, "k long, d date, seq long, px double")
+    got = {
+        (r["k"], r["seq"]): r["chg"]
+        for r in daily_pct_change(
+            df, key="k", ts="d", value="px", order_tiebreak=("seq",), out="chg"
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "d", "seq", "px"]).sort_values(
+        ["k", "d", "seq"]
+    )
+    prev = pdf.groupby("k")["px"].shift(1)
+    want = (pdf["px"] - prev) / prev.where(prev != 0) * 100  # NULLIF(prev,0)
+    for (k, seq), w in zip(zip(pdf["k"], pdf["seq"]), want):
+        g = got[(k, seq)]
+        if pd.isna(w):
+            assert g is None or (isinstance(g, float) and math.isnan(g))
+        else:
+            assert g is not None and abs(g - w) < 1e-9
+
+
+@st.composite
+def _asof_sides(draw):
+    nl = draw(st.integers(min_value=1, max_value=10))
+    nr = draw(st.integers(min_value=0, max_value=10))
+    left = sorted(
+        {(draw(_key), dt.date(2024, 1, draw(_day))) for _ in range(nl)}
+    )
+    right = sorted(
+        {(draw(_key), dt.date(2024, 1, draw(_day))) for _ in range(nr)}
+    )
+    right = [(k, d, float(i)) for i, (k, d) in enumerate(right)]
+    return left, right
+
+
+@given(sides=_asof_sides(), inclusive=st.booleans())
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, sides, inclusive):
+    left_rows, right_rows = sides
+    left = spark.createDataFrame(left_rows, "k long, ts date")
+    right = spark.createDataFrame(right_rows, "k long, ts date, v double")
+    got = {
+        (r["k"], r["ts"]): r["rv"]
+        for r in asof_join(
+            left, right, by="k", ts="ts", right_vals={"v": "rv"},
+            inclusive=inclusive,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
+    lp["ts"] = pd.to_datetime(lp["ts"])
+    rp["ts"] = pd.to_datetime(rp["ts"])
+    if rp.empty:
+        want = lp.assign(v=float("nan"))
+    else:
+        want = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction="backward",
+            allow_exact_matches=inclusive,
+        )
+    assert len(got) == len(left_rows)
+    for _, row in want.iterrows():
+        g = got[(row["k"], row["ts"].date())]
+        if pd.isna(row["v"]):
+            assert g is None
+        else:
+            assert g == row["v"]
