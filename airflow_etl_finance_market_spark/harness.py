@@ -1088,3 +1088,12 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         load_fixture(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5
     )
+
+
+@register("approx_event_stats")
+def q_approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct + approximate median per event type (rows-only: the
+    sketches are engine-specific; accuracy vs exact asserted in tests)."""
+    from .plans.analytics import approx_event_stats
+
+    return approx_event_stats(load_fixture(spark, sf_dir, "events"))

@@ -309,3 +309,21 @@ def status_flag_pivot(lineitem: DataFrame) -> DataFrame:
             F.col("R").alias("avg_qty_r"),
         )
     )
+
+
+def approx_event_stats(events: DataFrame) -> DataFrame:
+    """Sketch aggregates for 100 TB interactive use: HyperLogLog++ distinct
+    users and t-digest-style median per event type.
+
+    approx_count_distinct and approx_percentile are mergeable fixed-size
+    sketches — partial aggregation works, memory is O(precision) per group
+    regardless of cardinality, unlike exact COUNT(DISTINCT)'s expand +
+    re-shuffle or exact percentile's full value buffer. Accuracy bounds are
+    asserted against the exact forms in tests (rows-only in the driver:
+    sketch internals are engine-specific by design).
+    """
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

