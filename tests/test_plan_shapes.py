@@ -83,3 +83,25 @@ def test_bruteforce_topk_broadcasts_queries_not_corpus(spark, sf_dir):
     # broadcast build contains the query-id IN-filter scan
     build = plan.split("BroadcastExchange")[1]
     assert "vec_id IN (0,1,2,3,4)" in build.replace(" ", "").replace("#", " ").split("ReadSchema")[0] or "In(vec_id" in build
+
+
+def test_partitioned_fact_scan_prunes_partitions(spark, tmp_path):
+    """The pipeline's fact table is partitioned by year; a year-filtered
+    read must prune at the PartitionFilters level (at 100 TB this is the
+    difference between scanning one year and scanning the decade)."""
+    import datetime as dt
+
+    rows = [
+        (t, dt.date(2023 + t % 3, 1, 5 + i), 10.0 + i)
+        for t in range(3)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "ticker long, data_id date, close double")
+    path = str(tmp_path / "fact")
+    df.withColumn("ano", F.year("data_id")).write.partitionBy("ano").parquet(path)
+
+    plan = plan_of(spark.read.parquet(path).filter(F.col("ano") == 2024))
+    assert "PartitionFilters: [isnotnull(ano" in plan or "PartitionFilters: [(ano" in plan
+    # the data filter list stays empty — the predicate is partition-only
+    part_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "2024" in part_line

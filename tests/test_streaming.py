@@ -98,3 +98,37 @@ def test_pct_change_stateful_carries_state_across_batches(
             assert x[3] == y[3]
         else:
             assert abs(x[3] - y[3]) < 1e-9
+
+
+def test_streaming_volatility_chain(spark, sf_dir, split_events_dir):
+    """The streaming flagship: stateful pct-change -> watermark -> 7-day
+    windowed stddev, two chained stateful operators in ONE streaming query.
+    Append mode withholds non-finalized windows; everything emitted must
+    match the batch twin exactly."""
+    from airflow_etl_finance_market_spark.streaming import windowed_volatility
+
+    stream = windowed_volatility(
+        pct_change_stateful(
+            read_events_stream(spark, f"{split_events_dir}/b*")
+        ).withWatermark("ts", "1 hour"),
+        key="user_id",
+        ts="ts",
+        window="7 days",
+    )
+    got = run_available_now(stream, "vol_chain", output_mode="append")
+    batch = windowed_volatility(
+        pct_change_stateful(read_events_batch(spark, f"{sf_dir}/events.parquet")),
+        key="user_id",
+        ts="ts",
+        window="7 days",
+    )
+    g = {(r["user_id"], r["week_start"]): r["vol"] for r in got.collect()}
+    b = {(r["user_id"], r["week_start"]): r["vol"] for r in batch.collect()}
+    assert g, "append emitted nothing"
+    assert set(g) <= set(b)
+    for k, gv in g.items():
+        bv = b[k]
+        if gv is None or bv is None:
+            assert gv == bv
+        else:
+            assert abs(gv - bv) < 1e-9
