@@ -128,15 +128,65 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, *, bands: int = 8
+    signatures: DataFrame, *, bands: int = 8, via: str = "join"
 ) -> DataFrame:
     """Distinct (id_a, id_b) sharing ≥1 LSH band bucket (id_a < id_b).
 
-    Explodes each signature into `bands` (band_idx, band_hash) keys and
-    self-joins per bucket — the shuffle key is the bucket, so work scales
-    with bucket occupancy, not n². Banding trades recall/precision via
-    rows-per-band = num_hashes/bands.
+    Explodes each signature into `bands` (band_idx, band_hash) keys; the
+    shuffle key is the bucket, so work scales with bucket occupancy, not
+    n². Banding trades recall/precision via rows-per-band =
+    num_hashes/bands.
+
+    ``via="join"`` (default): sort-merge self-join per bucket — never
+    materializes a bucket membership list, so pathological buckets (e.g.
+    masses of identical empty documents) degrade into AQE skew-split
+    territory instead of an aggregation-buffer blowup. Measured equal to
+    the group form at sf0.1 (signatures are cheap post explode+agg
+    rewrite, so computing them per side costs little).
+    ``via="group"``: ONE shuffle — group each bucket, emit its id pairs
+    with an in-bucket nested transform; preferable when signature
+    computation dominates (very long documents) AND banding keeps buckets
+    provably small. Both produce identical candidates (tested).
     """
+    if via == "group":
+        banded = signatures.select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.hash(
+                        F.slice(
+                            F.col("sig"),
+                            b * (F.size("sig") / bands).cast("int") + 1,
+                            (F.size("sig") / bands).cast("int"),
+                        )
+                    ),
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+        buckets = (
+            banded.groupBy("band_idx", "band_hash")
+            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        pairs = buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"), i + 2, F.size("ids") - i - 1
+                            ),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        return pairs.select("p.id_a", "p.id_b").distinct()
     # rows-per-band derived inside the expression (slice is 1-based)
     banded = signatures.select(
         "id",

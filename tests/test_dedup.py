@@ -74,3 +74,15 @@ def test_dedup_exact_survivors(spark, sf_dir):
     assert survivors.count() == n_fp
     # idempotent: dedup of the dedup changes nothing
     assert dedup_exact(survivors).count() == n_fp
+
+
+def test_lsh_candidates_group_equals_join(spark, sf_dir):
+    from airflow_etl_finance_market_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(load_fixture(spark, sf_dir, "documents"))
+    a = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, via="group").collect()}
+    b = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, via="join").collect()}
+    assert a == b and a
