@@ -1097,3 +1097,63 @@ def q_approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.analytics import approx_event_stats
 
     return approx_event_stats(load_fixture(spark, sf_dir, "events"))
+
+
+_CORR_SUBQ_TEXT = """
+SELECT p.p_partkey, p.p_brand, p.p_retailprice
+FROM part p
+WHERE p.p_retailprice > 1.03 * (
+    SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+"""
+
+
+@register("pricey_parts_vs_brand_avg", _CORR_SUBQ_TEXT)
+def q_pricey_parts_vs_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates it into an
+    aggregate + join — SURVEY §4.2 'subquery decorrelation' row). Same SQL
+    text on both engines."""
+    load_fixture(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_CORR_SUBQ_TEXT)
+
+
+@register(
+    "customer_order_coverage",
+    """
+WITH per_cust AS (
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spent
+    FROM orders GROUP BY o_custkey
+)
+SELECT
+    COALESCE(c.c_custkey, p.o_custkey) AS custkey,
+    c.c_mktsegment,
+    p.n_orders,
+    p.total_spent
+FROM customer c
+FULL OUTER JOIN per_cust p ON c.c_custkey = p.o_custkey
+""",
+)
+def q_customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: customers with no orders keep NULL order stats,
+    order keys with no customer row (referential gaps) keep NULL segment."""
+    customer = load_fixture(spark, sf_dir, "customer")
+    per_cust = (
+        load_fixture(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+    )
+    return (
+        customer.join(
+            per_cust, customer.c_custkey == per_cust.o_custkey, "full_outer"
+        )
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            "c_mktsegment",
+            "n_orders",
+            "total_spent",
+        )
+    )
