@@ -1157,3 +1157,34 @@ def q_customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_spent",
         )
     )
+
+
+@register(
+    "top_performers",
+    _CHANGES_CTE
+    + """
+SELECT ticker,
+       ROUND(AVG(variacao_diaria), 6) AS avg_return,
+       COUNT(*) AS n_obs
+FROM changes
+WHERE variacao_diaria IS NOT NULL
+GROUP BY ticker
+ORDER BY avg_return DESC, ticker ASC
+LIMIT 5
+""",
+)
+def q_top_performers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Notebook top-5 by mean daily return (reference:
+    analysis/análise_exploratória.ipynb → cell ac5a4914, A5 + O1)."""
+    from .operators.topk import top_k
+
+    changes = _lineitem_changes(spark, sf_dir)
+    perf = (
+        changes.filter(F.col("variacao_diaria").isNotNull())
+        .groupBy("ticker")
+        .agg(
+            F.round(F.avg("variacao_diaria"), 6).alias("avg_return"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    return top_k(perf, [F.desc("avg_return"), F.asc("ticker")], 5)
