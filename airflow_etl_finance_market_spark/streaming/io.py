@@ -60,6 +60,11 @@ def read_events_stream(
     ``max_files_per_trigger`` splits a finite fixture into several
     micro-batches — that is what lets a test observe watermark
     advancement (the watermark only moves at batch boundaries).
+
+    Unlike the batch reader, the file-stream source does NOT recurse into
+    subdirectories: pass a glob that reaches the parquet files
+    (``.../batches/b*``, not ``.../batches``) or the source silently
+    lists nothing and every batch is empty.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
@@ -90,3 +95,27 @@ def run_available_now(
     finally:
         q.stop()
     return df.sparkSession.table(query_name)
+
+
+def run_available_now_to_parquet(
+    df: DataFrame, out_path: str, checkpoint: str
+) -> None:
+    """Drain everything currently available into a parquet sink, then stop.
+
+    The checkpoint directory is the exactly-once contract: offsets + state
+    commit there, so re-invoking with the same checkpoint after new files
+    arrive processes ONLY the new data, restores stateful operators'
+    state, and never duplicates sink rows (the file sink records committed
+    batches in its _spark_metadata log). This is the restartable daily-run
+    shape — the streaming twin of the reference's idempotent
+    TRUNCATE-reload cadence.
+    """
+    q = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -132,3 +132,45 @@ def test_streaming_volatility_chain(spark, sf_dir, split_events_dir):
             assert gv == bv
         else:
             assert abs(gv - bv) < 1e-9
+
+
+def test_checkpoint_restart_restores_state_exactly_once(
+    spark, sf_dir, split_events_dir, tmp_path
+):
+    """Kill-and-restart: run the stateful pct-change over the first two
+    files, stop, then add the third and re-run with the SAME checkpoint.
+    The restart must (a) process only the new file, (b) restore per-key
+    state so the third file's first rows diff against the second file's
+    last values, (c) never duplicate sink rows."""
+    import shutil
+
+    from airflow_etl_finance_market_spark.streaming.io import (
+        run_available_now_to_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    for b in ("b0", "b1"):
+        shutil.copytree(f"{split_events_dir}/{b}", f"{src}/{b}")
+
+    stream = pct_change_stateful(read_events_stream(spark, f"{src}/b*"))
+    run_available_now_to_parquet(stream, out, ckpt)
+    rows_after_first = spark.read.parquet(out).count()
+
+    shutil.copytree(f"{split_events_dir}/b2", f"{src}/b2")
+    stream = pct_change_stateful(read_events_stream(spark, f"{src}/b*"))
+    run_available_now_to_parquet(stream, out, ckpt)
+
+    got = _rows(spark.read.parquet(out))
+    batch = _rows(
+        pct_change_stateful(read_events_batch(spark, f"{sf_dir}/events.parquet"))
+    )
+    assert rows_after_first < len(got) == len(batch)  # incremental, no dups
+    for x, y in zip(got, batch):
+        assert x[:3] == y[:3]
+        if x[3] is None or y[3] is None:
+            assert x[3] == y[3]
+        else:
+            assert abs(x[3] - y[3]) < 1e-9
