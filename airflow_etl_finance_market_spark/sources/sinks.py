@@ -56,3 +56,28 @@ def append_if_absent(
     if n:
         to_insert.write.mode("append").parquet(path)
     return n
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: list[str],
+    n_buckets: int = 32,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: pre-shuffle the data ONCE at write time so
+    every later join/aggregation on the bucket key is exchange-free.
+
+    This is the 100 TB answer to a fact⋈fact join that would otherwise
+    shuffle both sides on every query: two tables bucketed identically on
+    the join key co-locate bucket-for-bucket, and Catalyst plans the join
+    with NO Exchange on either side (asserted in tests/test_plan_shapes).
+    ``sort_by`` additionally pre-sorts within buckets, upgrading SMJ to a
+    sort-free merge. Bucketing metadata lives in the session catalog —
+    `saveAsTable`, not a bare path.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

@@ -105,3 +105,40 @@ def test_partitioned_fact_scan_prunes_partitions(spark, tmp_path):
     # the data filter list stays empty — the predicate is partition-only
     part_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "2024" in part_line
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Identically-bucketed tables must join with zero Exchange nodes —
+    the write-once/join-free contract that amortizes the shuffle of a
+    repeated fact⋈fact join at scale."""
+    from airflow_etl_finance_market_spark.sources.sinks import write_bucketed_table
+
+    # managed tables land in the session's spark-warehouse dir (static
+    # conf); DROP TABLE below removes the data, .gitignore covers the dir
+    li = load_fixture(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    write_bucketed_table(li, "li_bkt", bucket_by=["l_orderkey"], n_buckets=8)
+    write_bucketed_table(orders, "ord_bkt", bucket_by=["o_orderkey"], n_buckets=8)
+    try:
+        joined = (
+            spark.table("li_bkt")
+            .hint("merge")  # force SMJ so broadcast doesn't mask the check
+            .join(
+                spark.table("ord_bkt"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # bucketed scan is announced in the plan
+        assert "SelectedBucketsCount" in plan
+        # and the result is still correct
+        assert joined.count() == li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
