@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans of the headline queries."""
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+NAMES = [
+    "weekly_volatility", "top_avg_volatility", "star_revenue",
+    "pricing_summary", "purchase_attribution", "rolling_close_avg",
+    "minhash_lsh_near_dups", "embedding_topk", "windowed_event_kpis",
+    "sql_api_nation_rank",
+]
+
+
+def main() -> None:
+    from airflow_etl_finance_market_spark import harness
+    from airflow_etl_finance_market_spark.session import get_spark
+
+    spark = get_spark("plans", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = harness.queries()
+    out = [
+        "# PLANS — formatted physical plans of the headline queries",
+        "",
+        "Generated from `spark.sql`/DataFrame plans at sf0.001 (plan shape is",
+        "scale-invariant; AQE may further coalesce at runtime). Regenerate with",
+        "`python tools/dump_plans.py`.",
+        "",
+    ]
+    for n in NAMES:
+        df = qs[n](spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out += [f"## {n}", "", "```", buf.getvalue().rstrip(), "```", ""]
+    with open(f"{REPO}/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {REPO}/PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
