@@ -1188,3 +1188,47 @@ def q_top_performers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top_k(perf, [F.desc("avg_return"), F.asc("ticker")], 5)
+
+
+_QUALITY_SQL = f"""
+ROUND(0.4 * (len(list_filter({_TOKS_SQL}, tk -> tk IN {_EN_SET}))
+             / greatest(len({_TOKS_SQL}), 1))
+    + 0.3 * least(len({_TOKS_SQL}) / 100.0, 1.0)
+    + 0.3 * (1.0 - (length({_NORM_SQL}) - length(regexp_replace({_NORM_SQL}, '[^a-z0-9 ]', '', 'g')))
+             / greatest(length({_NORM_SQL}), 1)), 6)
+"""
+
+
+@register(
+    "curated_corpus",
+    f"""
+WITH h AS (
+    SELECT
+        doc_id, text,
+        {_QUALITY_SQL} AS quality,
+        md5({_NORM_SQL}) AS fp,
+        {_lang_hits_sql(_LANG_SETS_SQL["en"])} AS en_hits,
+        {_lang_hits_sql(_LANG_SETS_SQL["pt"])} AS pt_hits,
+        {_lang_hits_sql(_LANG_SETS_SQL["es"])} AS es_hits,
+        {_lang_hits_sql(_LANG_SETS_SQL["fr"])} AS fr_hits,
+        {_lang_hits_sql(_LANG_SETS_SQL["de"])} AS de_hits
+    FROM documents
+), kept AS (
+    SELECT doc_id, text, quality, {_LANG_CASE_SQL} AS lang_pred, fp
+    FROM h
+    WHERE quality >= 0.5 AND {_LANG_CASE_SQL} IN ('en')
+)
+SELECT doc_id, text, quality, lang_pred, fp
+FROM kept
+QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+""",
+)
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pipeline: quality filter +
+    language filter + exact dedup in one chain (operators.dedup
+    .curate_corpus) — the end-to-end shape the extension tier serves."""
+    from .operators.dedup import curate_corpus
+
+    return curate_corpus(
+        load_fixture(spark, sf_dir, "documents"), min_quality=0.5, langs=("en",)
+    )

@@ -382,3 +382,62 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """The composed training-data curation pipeline: language-ID filter →
+    quality-score filter → exact dedup (min-id survivor), returning the
+    curated corpus with its computed metadata.
+
+    This is the end-to-end shape the individual operators exist for; each
+    stage is a map-side expression except the final dedup's one shuffle on
+    the fingerprint. Order matters at scale: the cheap filters run BEFORE
+    the dedup shuffle so discarded documents never cross the wire.
+    """
+    from ..functions.text import (
+        fingerprint_from,
+        lang_from_hits,
+        normalize_text,
+        quality_score_from,
+        stopword_hits_from,
+        tokens_from,
+    )
+    from ..functions.text import LANG_STOPWORDS
+
+    base = fan_out(docs).select(
+        F.col(id_col),
+        F.col(text_col),
+        normalize_text(text_col).alias("_norm"),
+        tokens_from(normalize_text(text_col)).alias("_toks"),
+    )
+    hits = base.select(
+        id_col,
+        text_col,
+        "_norm",
+        "_toks",
+        *[
+            stopword_hits_from("_toks", sw).alias(f"_h_{lang}")
+            for lang, sw in LANG_STOPWORDS.items()
+        ],
+    )
+    scored = hits.select(
+        id_col,
+        text_col,
+        F.round(quality_score_from("_norm", "_toks"), 6).alias("quality"),
+        lang_from_hits(
+            {lang: F.col(f"_h_{lang}") for lang in LANG_STOPWORDS}
+        ).alias("lang_pred"),
+        fingerprint_from("_norm").alias("fp"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= min_quality) & F.col("lang_pred").isin(list(langs))
+    )
+    survivors = kept.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return kept.join(survivors, [id_col, "fp"], "left_semi")

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "brand_scores",
     "doc_token_stats",
     "doc_exact_dedup",
+    "curated_corpus",
     "minhash_lsh_near_dups",
     "embedding_topk",
 ]
