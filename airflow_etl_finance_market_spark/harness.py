@@ -1232,3 +1232,153 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(
         load_fixture(spark, sf_dir, "documents"), min_quality=0.5, langs=("en",)
     )
+
+
+@register(
+    "train_test_split",
+    """
+SELECT
+    doc_id,
+    CASE WHEN b < 80 THEN 'train'
+         WHEN b < 90 THEN 'valid'
+         ELSE 'test' END AS split
+FROM (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+               % 100 AS b
+    FROM documents
+)
+""",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-md5 train/valid/test assignment (80/10/10) —
+    engine-portable, shuffle-free, re-derivable per row (operators.sampling)."""
+    from .operators.sampling import assign_split
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    return assign_split(docs, "doc_id").select("doc_id", "split")
+
+
+@register(
+    "top_docs_per_lang",
+    f"""
+WITH h AS (
+    SELECT
+        doc_id,
+        {_QUALITY_SQL} AS quality,
+        {_lang_hits_sql(_LANG_SETS_SQL["en"])} AS en_hits,
+        {_lang_hits_sql(_LANG_SETS_SQL["pt"])} AS pt_hits,
+        {_lang_hits_sql(_LANG_SETS_SQL["es"])} AS es_hits,
+        {_lang_hits_sql(_LANG_SETS_SQL["fr"])} AS fr_hits,
+        {_lang_hits_sql(_LANG_SETS_SQL["de"])} AS de_hits
+    FROM documents
+), scored AS (
+    SELECT doc_id, quality, {_LANG_CASE_SQL} AS lang_pred FROM h
+)
+SELECT lang_pred, doc_id, quality
+FROM scored
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY lang_pred ORDER BY quality DESC, doc_id
+) <= 3
+""",
+)
+def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-3 documents per predicted language by quality score — the
+    grouped top-k (operators.topk.top_k_per_group): one ranking-window
+    shuffle on the group key, rows beyond k never leave the executor."""
+    from .functions.text import (
+        LANG_STOPWORDS,
+        lang_from_hits,
+        normalize_text,
+        quality_score_from,
+        stopword_hits_from,
+        tokens_from,
+    )
+    from .operators.topk import top_k_per_group
+
+    docs = fan_out(load_fixture(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        normalize_text("text").alias("_norm"),
+        tokens_from(normalize_text("text")).alias("_toks"),
+    )
+    hits = base.select(
+        "doc_id",
+        "_norm",
+        "_toks",
+        *[
+            stopword_hits_from("_toks", sw).alias(f"_h_{lang}")
+            for lang, sw in LANG_STOPWORDS.items()
+        ],
+    )
+    scored = hits.select(
+        "doc_id",
+        F.round(quality_score_from("_norm", "_toks"), 6).alias("quality"),
+        lang_from_hits(
+            {lang: F.col(f"_h_{lang}") for lang in LANG_STOPWORDS}
+        ).alias("lang_pred"),
+    )
+    best = top_k_per_group(
+        scored, ["lang_pred"], [F.desc("quality"), F.asc("doc_id")], 3
+    )
+    return best.select("lang_pred", "doc_id", "quality")
+
+
+@register(
+    "term_frequencies",
+    f"""
+WITH occ AS (
+    SELECT doc_id, u.term
+    FROM documents, unnest({_TOKS_SQL}) AS u(term)
+    WHERE length(u.term) >= 1
+), per_doc AS (
+    SELECT term, doc_id, COUNT(*) AS n_in_doc
+    FROM occ GROUP BY term, doc_id
+)
+SELECT term, CAST(SUM(n_in_doc) AS BIGINT) AS tf, COUNT(*) AS df
+FROM per_doc
+GROUP BY term
+ORDER BY tf DESC, term
+LIMIT 20
+""",
+)
+def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: top-20 terms by collection frequency with
+    document frequency riding the same shuffle (operators.corpus)."""
+    from .operators.corpus import term_frequencies
+    from .operators.topk import top_k
+
+    tf = term_frequencies(load_fixture(spark, sf_dir, "documents"))
+    return top_k(tf, [F.desc("tf"), F.asc("term")], 20)
+
+
+@register(
+    "embedding_centroids",
+    """
+SELECT
+    label,
+    CAST(i - 1 AS INT) AS pos,
+    ROUND(AVG(embedding[i]), 6) AS component,
+    COUNT(*) AS n_vectors
+FROM embeddings CROSS JOIN generate_series(1, 64) AS s(i)
+GROUP BY label, i
+""",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototype): posexplode + one
+    (label, pos)-keyed hash-aggregate, exploded back for comparison
+    (operators.similarity.group_centroids)."""
+    from .operators.similarity import group_centroids
+
+    cents = group_centroids(
+        load_fixture(spark, sf_dir, "embeddings"),
+        vec_col="embedding",
+        group_col="label",
+    )
+    return cents.select(
+        "label",
+        F.posexplode("centroid").alias("pos", "component"),
+        "n_vectors",
+    ).select(
+        "label", "pos", F.round("component", 6).alias("component"), "n_vectors"
+    )

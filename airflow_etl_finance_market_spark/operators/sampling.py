@@ -1,0 +1,73 @@
+"""Deterministic sampling / dataset-split operators (training-data tier).
+
+A training pipeline needs reproducible train/valid/test assignment that is
+(a) stable across runs and engines, (b) a pure map-side expression — no
+shuffle, no RNG state, no driver coordination — and (c) re-derivable for
+any single row without scanning the dataset. The standard trick is a
+salted-hash bucket: ``md5(seed || key) mod 100`` assigns every row to one
+of 100 buckets, and split boundaries carve the bucket space.
+
+md5 (rather than ``xxhash64``/``hash``) is chosen deliberately: its output
+is identical in every engine (Spark, DuckDB, Postgres, Python), so the
+assignment itself is oracle-checkable and survives an engine migration —
+exactly the property a 100 TB corpus split must have, since re-splitting
+leaks eval data into train. Spark-internal hashes are seeded/implementation
+-specific and would not cross-check.
+
+Scale: embarrassingly parallel, whole-stage-codegen expression on every
+row; the optional per-split summary is one partial-aggregated groupBy on a
+3-value key.
+
+Reference has no sampling surface (SURVEY.md §2.7) — this is extension
+tier per the §7.5 north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column | str, *, seed: str = "seed42", buckets: int = 100) -> Column:
+    """Engine-portable deterministic bucket in [0, buckets): md5 of the
+    salted key's first 4 hex chars as an int, mod buckets."""
+    key_c = F.col(key) if isinstance(key, str) else key
+    salted = F.concat(F.lit(f"{seed}:"), key_c.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 4), 16, 10).cast("int") % buckets
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    key: str,
+    *,
+    seed: str = "seed42",
+    train_pct: int = 80,
+    valid_pct: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a train/valid/test label keyed on a stable id column.
+
+    Buckets [0, train) → train, [train, train+valid) → valid, rest → test.
+    Pure projection: no shuffle, each row's label is a function of its key
+    alone, so late-arriving data lands in the same split forever.
+    """
+    b = hash_bucket(key, seed=seed)
+    return df.withColumn(
+        split_col,
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + valid_pct, "valid")
+        .otherwise("test"),
+    )
+
+
+def split_summary(
+    assigned: DataFrame, *, split_col: str = "split", weight_col: str | None = None
+) -> DataFrame:
+    """Per-split row counts (and optional weight sums) — the sanity check a
+    split always ships with."""
+    aggs = [F.count("*").alias("n_rows")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).alias("total_weight"))
+    return assigned.groupBy(split_col).agg(*aggs)

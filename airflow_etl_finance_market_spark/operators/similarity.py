@@ -416,3 +416,37 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Per-group mean vector (centroid) of an embedding column, plus the
+    group's member count — the building block for cluster profiling, IVF
+    cell refresh, and class-prototype similarity.
+
+    Physical shape: ``posexplode`` to (group, pos, component) — a map-side
+    expansion by the fixed dim, no Python — then ONE hash-aggregate keyed
+    (group, pos) with partial (map-side) combine, and a per-group
+    reassembly ``array_sort(collect_list(struct(pos, avg)))``. Shuffle
+    volume is |groups| x dim rows regardless of corpus size, so this scales
+    to any corpus that has bounded group cardinality.
+    """
+    exploded = fan_out(df, group_col).select(
+        F.col(group_col),
+        F.posexplode(as_double(vec_col)).alias("pos", "component"),
+    )
+    per_dim = exploded.groupBy(group_col, "pos").agg(
+        F.avg("component").alias("mean_c"),
+        F.count("*").alias("n_members"),
+    )
+    return per_dim.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_c"))),
+            lambda s: s["mean_c"],
+        ).alias("centroid"),
+        F.first("n_members").alias("n_vectors"),
+    )
