@@ -37,8 +37,12 @@ def term_frequencies(
     so both stats come out of the same (term, doc) pre-aggregate — one
     shuffle keyed on term carries everything.
     """
+    # fan out keyed on doc_id: all of a doc's occurrences stay co-located,
+    # so hash-partitioning(doc_id) already satisfies the (term, doc_id)
+    # grouping's clustering requirement and the per-doc aggregate runs
+    # exchange-free — only the final term-keyed shuffle moves data.
     occurrences = (
-        fan_out(docs)
+        fan_out(docs, id_col)
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .filter(F.length("term") >= min_len)
     )

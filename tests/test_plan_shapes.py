@@ -142,3 +142,33 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_train_test_split_is_shuffle_free(spark, sf_dir):
+    """The split assignment is a pure map-side projection: any Exchange
+    would mean the 'no-shuffle, re-derivable per row' contract broke."""
+    plan = plan_of(harness.queries()["train_test_split"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_term_frequencies_single_data_shuffle(spark, sf_dir):
+    """Fan-out keyed on doc_id co-locates each doc's occurrences, so the
+    per-doc pre-aggregate reuses that partitioning; only the final
+    term-keyed exchange remains (2 total incl. the fan-out itself)."""
+    plan = plan_of(harness.queries()["term_frequencies"](spark, sf_dir))
+    assert plan.count("Exchange") == 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_centroids_single_exchange(spark, sf_dir):
+    """posexplode + (label,pos) aggregate + per-label reassembly must ride
+    ONE label-keyed exchange (label subsumes both grouping keys)."""
+    plan = plan_of(harness.queries()["embedding_centroids"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
+def test_grouped_topk_prunes_before_exchange(spark, sf_dir):
+    """top_k_per_group must plan WindowGroupLimit partial+final: rows
+    beyond k are dropped map-side, before the group-key shuffle."""
+    plan = plan_of(harness.queries()["top_docs_per_lang"](spark, sf_dir))
+    assert plan.count("WindowGroupLimit") == 2
