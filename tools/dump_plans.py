@@ -14,7 +14,8 @@ NAMES = [
     "weekly_volatility", "top_avg_volatility", "star_revenue",
     "pricing_summary", "purchase_attribution", "rolling_close_avg",
     "minhash_lsh_near_dups", "embedding_topk", "windowed_event_kpis",
-    "sql_api_nation_rank",
+    "sql_api_nation_rank", "curated_corpus", "term_frequencies",
+    "embedding_centroids",
 ]
 
 
