@@ -1382,3 +1382,54 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label", "pos", F.round("component", 6).alias("component"), "n_vectors"
     )
+
+
+@register(
+    "split_balance",
+    f"""
+WITH assigned AS (
+    SELECT
+        doc_id, n_chars,
+        {_QUALITY_SQL} AS quality,
+        CASE WHEN CAST(('0x' || substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                  % 100 < 80 THEN 'train'
+             WHEN CAST(('0x' || substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                  % 100 < 90 THEN 'valid'
+             ELSE 'test' END AS split
+    FROM documents
+)
+SELECT
+    split,
+    COUNT(*) AS n_docs,
+    ROUND(AVG(quality), 6) AS avg_quality,
+    ROUND(AVG(n_chars), 4) AS avg_chars
+FROM assigned
+GROUP BY split
+""",
+)
+def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification audit of the hash split: per-split doc count, mean
+    quality, mean length. A biased split (metric drift between train and
+    test) shows up here; a salted-hash split should be statistically flat.
+    Map-side assignment + one 3-key aggregate."""
+    from .functions.text import normalize_text, quality_score_from, tokens_from
+    from .operators.sampling import assign_split
+
+    docs = fan_out(load_fixture(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        normalize_text("text").alias("_norm"),
+        tokens_from(normalize_text("text")).alias("_toks"),
+    )
+    scored = base.select(
+        "doc_id",
+        "n_chars",
+        F.round(quality_score_from("_norm", "_toks"), 6).alias("quality"),
+    )
+    assigned = assign_split(scored, "doc_id")
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
