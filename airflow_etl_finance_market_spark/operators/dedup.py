@@ -392,14 +392,27 @@ def curate_corpus(
     min_quality: float = 0.5,
     langs: tuple[str, ...] = ("en",),
 ) -> DataFrame:
-    """The composed training-data curation pipeline: language-ID filter →
-    quality-score filter → exact dedup (min-id survivor), returning the
-    curated corpus with its computed metadata.
+    """The composed training-data curation pipeline: language-ID + quality
+    scoring → exact dedup (min-id survivor) → filter, returning the curated
+    corpus with its computed metadata.
 
-    This is the end-to-end shape the individual operators exist for; each
-    stage is a map-side expression except the final dedup's one shuffle on
-    the fingerprint. Order matters at scale: the cheap filters run BEFORE
-    the dedup shuffle so discarded documents never cross the wire.
+    Physical shape (pinned in tests/test_plan_shapes.py): ONE scan of the
+    corpus, the fan-out exchange, the staged text-kernel projections
+    evaluated exactly once per row, one fp-keyed window for survivor
+    selection, then the filter. Survivor selection is
+    ``row_number() over (partition by fp order by id) = 1`` rather than a
+    groupBy+semi-join — the self-join form rescans the corpus and recomputes
+    the whole scoring pipeline for the build side.
+
+    The quality/language filter deliberately sits ABOVE the window, together
+    with the rank predicate: Catalyst pushes only partition-key (fp)
+    predicates below a window, so the interpreted tokenize/score expressions
+    can never be alias-substituted into a filter below the fan-out exchange
+    (the round-1 plan pathology: the combined filter re-inlined the text
+    kernels ~30x onto the unsplit single-task scan). Correctness is
+    unchanged: quality/lang_pred are pure functions of the normalized text,
+    so all rows sharing a fingerprint share them — filtering before or after
+    survivor selection keeps exactly the same rows.
     """
     from ..functions.text import (
         fingerprint_from,
@@ -410,6 +423,7 @@ def curate_corpus(
         tokens_from,
     )
     from ..functions.text import LANG_STOPWORDS
+    from pyspark.sql import Window
 
     base = fan_out(docs).select(
         F.col(id_col),
@@ -436,8 +450,13 @@ def curate_corpus(
         ).alias("lang_pred"),
         fingerprint_from("_norm").alias("fp"),
     )
-    kept = scored.filter(
-        (F.col("quality") >= min_quality) & F.col("lang_pred").isin(list(langs))
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") == 1)
+            & (F.col("quality") >= min_quality)
+            & F.col("lang_pred").isin(list(langs))
+        )
+        .drop("_rn")
     )
-    survivors = kept.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    return kept.join(survivors, [id_col, "fp"], "left_semi")

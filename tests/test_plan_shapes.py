@@ -167,6 +167,26 @@ def test_embedding_centroids_single_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1
 
 
+def test_curated_corpus_single_scan_kernels_once(spark, sf_dir):
+    """The curation chain must scan the corpus ONCE, evaluate the text
+    kernels ONCE above the fan-out exchange, and select survivors with a
+    window — not a groupBy+semi-join (which rescans and rescores). The
+    quality/lang filter must stay above the window so predicate pushdown
+    can't alias-substitute the interpreted kernels into a scan-stage filter
+    (the round-1 pathology: ~30x re-inlined tokenize on a 1-task scan)."""
+    plan = plan_of(harness.queries()["curated_corpus"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2  # fan-out + fp-keyed window
+    assert plan.count("split(") == 1  # tokenize kernel evaluated once
+    # below the fan-out exchange there is only the scan — no filter
+    below_fan_out = plan.split("Exchange RoundRobinPartitioning")[1]
+    assert "- Filter " not in below_fan_out  # no Filter NODE in the scan stage
+    assert "DataFilters: []" in below_fan_out and "PushedFilters: []" in below_fan_out
+    # rank-1 survivor selection prunes duplicates map-side, pre-exchange
+    assert plan.count("WindowGroupLimit") == 2
+
+
 def test_grouped_topk_prunes_before_exchange(spark, sf_dir):
     """top_k_per_group must plan WindowGroupLimit partial+final: rows
     beyond k are dropped map-side, before the group-key shuffle."""
