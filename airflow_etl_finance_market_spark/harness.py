@@ -1038,14 +1038,63 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- rows-only entries (non-SQL-expressible scale paths) ---------------------
 
 
-@register("minhash_lsh_near_dups")
-def q_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pipeline (bands → candidates → exact verify).
+def _minhash_oracle_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    """DuckDB twin of the FULL portable-mode MinHash+LSH pipeline: shingle
+    hash → affine minhash signature → band keys → bucket self-join →
+    exact-Jaccard verify. Generated from the same _minhash_params constants
+    the Spark operator uses, so signatures match bit-for-bit."""
+    from .operators.dedup import _MERSENNE_P, _minhash_params
 
-    Rows-only in the driver (xxhash64 has no DuckDB twin); tests assert its
-    verified pairs are a subset of the exact Jaccard pairs with recall ≥ ~1
-    on the planted duplicates (tests/test_dedup.py).
-    """
+    p = _MERSENNE_P
+    params = _minhash_params(num_hashes)
+    mins = ",\n        ".join(
+        f"MIN(({a} * h + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    rpb = num_hashes // bands
+    band_rows = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        + " || ',' || ".join(f"CAST(m{b * rpb + j} AS VARCHAR)" for j in range(rpb))
+        + " AS band_key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id,
+           CAST(('0x' || substr(md5(u.g), 1, 15)) AS BIGINT) % {p} AS h
+    FROM documents, unnest({_GRAMS_SQL}) AS u(g)
+), sig AS (
+    SELECT doc_id,
+        {mins}
+    FROM sh GROUP BY doc_id
+), bands AS (
+    {band_rows}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+), g AS (
+    SELECT doc_id, {_GRAMS_SQL} AS grams FROM documents
+), scored AS (
+    SELECT c.id_a, c.id_b,
+           ROUND(len(list_intersect(ga.grams, gb.grams))::DOUBLE
+                 / len(list_distinct(list_concat(ga.grams, gb.grams))), 6)
+               AS jaccard_sim
+    FROM cand c
+    JOIN g ga ON ga.doc_id = c.id_a
+    JOIN g gb ON gb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard_sim FROM scored WHERE jaccard_sim >= {threshold}
+"""
+
+
+@register("minhash_lsh_near_dups", _minhash_oracle_sql(32, 8, 0.1))
+def q_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (bands → candidates → exact verify),
+    run in engine-portable hash mode so the ENTIRE pipeline — signatures,
+    banding, candidate join, verify — is oracle-checked against DuckDB.
+    The xxhash64 fast path is the code default; tests pin that both modes
+    share a plan shape and recall the planted duplicates."""
     from .operators.dedup import minhash_dedup_pairs
 
     return minhash_dedup_pairs(
@@ -1053,6 +1102,7 @@ def q_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=32,
         bands=8,
         threshold=0.1,
+        hash_mode="portable",
     )
 
 

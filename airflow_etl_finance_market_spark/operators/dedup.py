@@ -43,6 +43,26 @@ def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def _shingle_hash(col: Column, hash_mode: str) -> Column:
+    """Shingle base hash reduced into [0, p), by mode:
+
+    - ``xxhash64`` (default): Spark's native 64-bit hash — fastest (codegen,
+      no string materialization), but engine-specific.
+    - ``portable``: first 15 hex chars of md5 (60 bits) parsed as an
+      integer — bit-identical in Spark, DuckDB, Postgres and Python, which
+      makes the whole MinHash pipeline oracle-checkable end-to-end (same
+      trick as operators.sampling.hash_bucket). ~2x the cost of xxhash64;
+      use it when cross-engine reproducibility of signatures matters more
+      than throughput.
+    """
+    if hash_mode == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(_MERSENNE_P))
+    if hash_mode == "portable":
+        base = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+        return F.pmod(base, F.lit(_MERSENNE_P))
+    raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -86,9 +106,10 @@ def minhash_signatures(
     id_col: str = "doc_id",
     shingle_fn=None,
     num_hashes: int = 32,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — min over shingles of affine
-    transforms of xxhash64(shingle).
+    transforms of the shingle base hash (see :func:`_shingle_hash`).
 
     Shape: explode shingle hashes to rows, then one hash-aggregate with
     `num_hashes` MIN aggregates. Higher-order array functions are interpreted
@@ -105,9 +126,7 @@ def minhash_signatures(
         # stays overflow-free in int64; distinct first = set semantics
         F.explode(
             F.array_distinct(
-                F.transform(
-                    shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
-                )
+                F.transform(shingles, lambda s: _shingle_hash(s, hash_mode))
             )
         ).alias("h"),
     )
@@ -127,8 +146,30 @@ def minhash_signatures(
     )
 
 
+def _banded_keys(bands: int, hash_mode: str) -> Column:
+    """array[bands] of band bucket keys over the `sig` column.
+
+    ``xxhash64`` buckets by Spark's native hash of the band slice (4-byte
+    key); ``portable`` uses the comma-joined slice values verbatim — a
+    longer string key, but exactly reproducible in any engine (and
+    collision-free by construction).
+    """
+
+    def one_band(b: Column) -> Column:
+        band = F.slice(
+            F.col("sig"),
+            b * (F.size("sig") / bands).cast("int") + 1,
+            (F.size("sig") / bands).cast("int"),
+        )
+        if hash_mode == "portable":
+            return F.concat_ws(",", F.transform(band, lambda x: x.cast("string")))
+        return F.hash(band)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), one_band)
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, *, bands: int = 8, via: str = "join"
+    signatures: DataFrame, *, bands: int = 8, via: str = "join", hash_mode: str = "xxhash64"
 ) -> DataFrame:
     """Distinct (id_a, id_b) sharing ≥1 LSH band bucket (id_a < id_b).
 
@@ -151,18 +192,9 @@ def lsh_candidate_pairs(
     if via == "group":
         banded = signatures.select(
             "id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.hash(
-                        F.slice(
-                            F.col("sig"),
-                            b * (F.size("sig") / bands).cast("int") + 1,
-                            (F.size("sig") / bands).cast("int"),
-                        )
-                    ),
-                )
-            ).alias("band_idx", "band_hash"),
+            F.posexplode(_banded_keys(bands, hash_mode)).alias(
+                "band_idx", "band_hash"
+            ),
         )
         buckets = (
             banded.groupBy("band_idx", "band_hash")
@@ -190,18 +222,7 @@ def lsh_candidate_pairs(
     # rows-per-band derived inside the expression (slice is 1-based)
     banded = signatures.select(
         "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.hash(
-                    F.slice(
-                        F.col("sig"),
-                        b * (F.size("sig") / bands).cast("int") + 1,
-                        (F.size("sig") / bands).cast("int"),
-                    )
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(_banded_keys(bands, hash_mode)).alias("band_idx", "band_hash"),
     )
     # Force a sort-merge join: Catalyst would otherwise broadcast one side
     # of the self-join, and a broadcast build of the full banded corpus
@@ -238,17 +259,24 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify.
 
     Returns (id_a, id_b, jaccard_sim) for verified near-duplicates. The
     verify join rehydrates only candidate ids with their n-gram sets —
     at scale that's |candidates| rows, not |corpus|².
+
+    ``hash_mode="portable"`` swaps xxhash64 for the md5-based engine-portable
+    shingle hash and raw-value band keys, making the whole pipeline
+    reproducible bit-for-bit in DuckDB/Postgres (the harness oracle-checks
+    that mode end-to-end); plan shape is identical in both modes (tested).
     """
     sigs = minhash_signatures(
-        docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes
+        docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        hash_mode=hash_mode,
     )
-    cands = lsh_candidate_pairs(sigs, bands=bands)
+    cands = lsh_candidate_pairs(sigs, bands=bands, hash_mode=hash_mode)
     grams = fan_out(docs, id_col).select(
         F.col(id_col).alias("gid"),
         F.array_distinct(word_ngrams(text_col, 3)).alias("grams"),

@@ -19,9 +19,15 @@ def _docs(spark, sf_dir):
     return load_fixture(spark, sf_dir, "documents")
 
 
-def test_minhash_pairs_subset_of_exact(spark, sf_dir):
+import pytest
+
+
+@pytest.mark.parametrize("hash_mode", ["xxhash64", "portable"])
+def test_minhash_pairs_subset_of_exact(spark, sf_dir, hash_mode):
     """Verified MinHash pairs must be exactly-Jaccard-filtered (precision 1.0
-    by construction) and should recover the high-similarity planted dups."""
+    by construction) and should recover the high-similarity planted dups —
+    in BOTH hash modes (the portable mode is additionally oracle-checked
+    end-to-end by the harness)."""
     docs = _docs(spark, sf_dir)
     exact = {
         (r["id_a"], r["id_b"]): r["jaccard_sim"]
@@ -29,7 +35,9 @@ def test_minhash_pairs_subset_of_exact(spark, sf_dir):
     }
     mh = {
         (r["id_a"], r["id_b"]): r["jaccard_sim"]
-        for r in minhash_dedup_pairs(docs, threshold=0.1).collect()
+        for r in minhash_dedup_pairs(
+            docs, threshold=0.1, hash_mode=hash_mode
+        ).collect()
     }
     # precision: every minhash pair is a true >=0.1 pair (note: minhash is
     # UNblocked, so it may legitimately find cross-lang pairs exact missed;
@@ -86,3 +94,19 @@ def test_lsh_candidates_group_equals_join(spark, sf_dir):
     a = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, via="group").collect()}
     b = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, via="join").collect()}
     assert a == b and a
+
+
+def test_minhash_portable_same_plan_shape_as_fast_path(spark, sf_dir):
+    """The portable md5 hash must change only the hash expressions, never
+    the physical strategy: same Exchange count, still SMJ on band buckets,
+    no broadcast of the corpus (the fast path's pinned shape)."""
+    docs = _docs(spark, sf_dir)
+
+    def plan(hash_mode):
+        df = minhash_dedup_pairs(docs, threshold=0.1, hash_mode=hash_mode)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    fast, portable = plan("xxhash64"), plan("portable")
+    assert fast.count("Exchange") == portable.count("Exchange")
+    assert fast.count("SortMergeJoin") == portable.count("SortMergeJoin")
+    assert ("BroadcastHashJoin" in fast) == ("BroadcastHashJoin" in portable)
