@@ -1106,20 +1106,159 @@ def q_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_near_dups")
+def _simhash_oracle_sql(max_hamming: int) -> str:
+    """DuckDB twin of the portable-mode SimHash pipeline: 60-bit md5 token
+    hash → per-bit votes → signature → 4x15-bit block LSH → Hamming verify.
+    Bit extraction is spelled arithmetically ((h // 2^i) % 2) so it is
+    engine-neutral; signatures reassemble as a sum of disjoint powers."""
+    n_bits, width = 60, 15
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(n_bits)
+    )
+    sig_expr = "\n        + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    blocks = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {j} AS block_idx, "
+        f"(sig // {1 << (width * j)}) % {1 << width} AS block_val FROM sig"
+        for j in range(4)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(u.t), 1, 15)) AS BIGINT) AS h
+    FROM documents, unnest({_TOKS_SQL}) AS u(t)
+), votes AS (
+    SELECT doc_id,
+        {votes}
+    FROM tok GROUP BY doc_id
+), sig AS (
+    SELECT doc_id,
+        {sig_expr} AS sig
+    FROM votes
+), blocks AS (
+    {blocks}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM blocks a
+    JOIN blocks b ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+                AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.sig, sb.sig)) <= {max_hamming}
+"""
+
+
+@register("simhash_near_dups", _simhash_oracle_sql(8))
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit near-dup pairs (block LSH + Hamming verify)."""
+    """SimHash near-dup pairs (block LSH + Hamming verify), run in
+    engine-portable 60-bit md5 mode so signatures, blocking and the Hamming
+    verify are all oracle-checked in DuckDB; xxhash64/64-bit stays the code
+    default (tests cover both modes)."""
     from .operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(
-        load_fixture(spark, sf_dir, "documents"), max_hamming=8
+        load_fixture(spark, sf_dir, "documents"),
+        max_hamming=8,
+        hash_mode="portable",
     )
 
 
-@register("embedding_topk_lsh")
+def _lsh_ann_oracle_sql(
+    query_ids: list[int],
+    k: int,
+    *,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of the FULL hyperplane-LSH ANN pipeline. The hyperplanes
+    are seeded constants (numpy default_rng), embedded as list literals in
+    both engines; the signature dot products fold left-to-right over the
+    same doubles on both sides, so sign bits — and therefore buckets,
+    candidates and the re-ranked top-k — match bit-for-bit."""
+    from .operators.similarity import _hyperplanes
+
+    tables = [_hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)]
+
+    def dot_lit(plane) -> str:
+        lit = "[" + ", ".join(repr(float(w)) for w in plane) + "]"
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> e[i] * ({lit})[i]), (x, y) -> x + y)"
+        )
+
+    sig_cols = ",\n        ".join(
+        "("
+        + "\n         + ".join(
+            f"(CASE WHEN {dot_lit(tables[t][j])} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        + f") AS sig{t}"
+        for t in range(n_tables)
+    )
+    corpus = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id AS neighbor_id, {t} AS table_idx, sig{t} AS bucket FROM sigs"
+        for t in range(n_tables)
+    )
+    probe_arms = []
+    for t in range(n_tables):
+        probe_arms.append(f"SELECT vec_id AS query_id, {t} AS table_idx, sig{t} AS bucket FROM qsigs")
+        probe_arms += [
+            f"SELECT vec_id AS query_id, {t} AS table_idx, "
+            f"xor(sig{t}, {1 << j}) AS bucket FROM qsigs"
+            for j in range(n_planes)
+        ]
+    probes = "\n    UNION ALL\n    ".join(probe_arms)
+    ids = ", ".join(str(q) for q in query_ids)
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), sigs AS (
+    SELECT vec_id, e,
+        sqrt(list_reduce(list_transform(generate_series(1, {dim}),
+             i -> e[i] * e[i]), (x, y) -> x + y)) AS nrm,
+        {sig_cols}
+    FROM v
+), qsigs AS (
+    SELECT * FROM sigs WHERE vec_id IN ({ids})
+), corpus AS (
+    {corpus}
+), probes AS (
+    {probes}
+), cand AS (
+    SELECT DISTINCT p.query_id, c.neighbor_id
+    FROM probes p
+    JOIN corpus c ON c.table_idx = p.table_idx AND c.bucket = p.bucket
+    WHERE c.neighbor_id != p.query_id
+), scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+        ROUND(list_reduce(list_transform(generate_series(1, {dim}),
+                  i -> q.e[i] * n.e[i]), (x, y) -> x + y)
+              / NULLIF(q.nrm * n.nrm, 0), 6) AS cosine_sim
+    FROM cand
+    JOIN sigs q ON q.vec_id = cand.query_id
+    JOIN sigs n ON n.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+@register("embedding_topk_lsh", _lsh_ann_oracle_sql([0, 1, 2, 3, 4], 5))
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (multiprobe) — the ANN scale path;
-    recall vs brute force asserted in tests/test_similarity.py."""
+    """Hyperplane-LSH approximate top-k (multiprobe) — the ANN scale path.
+    The hyperplanes are seeded constants, so the WHOLE pipeline (sign-bit
+    signatures, multi-table buckets, multiprobe, cosine re-rank) is
+    deterministic and oracle-checked end-to-end in DuckDB; recall vs brute
+    force additionally asserted in tests/test_similarity.py."""
     from .operators.similarity import cosine_topk_lsh
 
     return cosine_topk_lsh(
@@ -1127,26 +1266,102 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_topk_ivf")
+@register(
+    "embedding_topk_ivf",
+    """
+SELECT CAST(5 AS BIGINT) AS n_queries,
+       CAST(25 AS BIGINT) AS n_exact_pairs,
+       true AS recall_ok,
+       true AS scores_exact
+""",
+)
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means inverted-file) approximate top-k — the data-adaptive
-    ANN tier; nprobe/nlist of the corpus scanned per query. Rows-only
-    (iterative training is not SQL-expressible); recall vs brute force
-    asserted in tests/test_similarity.py."""
-    from .operators.similarity import cosine_topk_ivf
+    ANN tier; nprobe/nlist of the corpus scanned per query.
 
-    return cosine_topk_ivf(
-        load_fixture(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5
+    The iterative k-means training is not SQL-expressible, so the entry is
+    a HARD GATE instead of rows-only: it runs the full IVF pipeline AND the
+    exact brute-force twin, and returns one audit row the oracle pins as
+    constants — every query answered, recall ≥ 0.3 vs brute force (the
+    floor tests/test_similarity.py enforces), and every overlapping pair's
+    cosine bit-equal to the exact kernel. A silent recall collapse or score
+    drift flips the hash red in CORRECTNESS_r{N}.json.
+    """
+    from .operators.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    ivf = cosine_topk_ivf(emb, qids, k=5).select(
+        "query_id", "neighbor_id", "cosine_sim"
+    )
+    bf = cosine_topk_bruteforce(emb, qids, k=5).select(
+        "query_id", "neighbor_id", F.col("cosine_sim").alias("bf_sim")
+    )
+    hits = ivf.join(bf, ["query_id", "neighbor_id"])
+    return (
+        bf.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+        .crossJoin(ivf.agg(F.countDistinct("query_id").alias("n_queries")))
+        .crossJoin(
+            hits.agg(
+                F.count(F.lit(1)).alias("n_hits"),
+                F.max(F.abs(F.col("cosine_sim") - F.col("bf_sim"))).alias("max_diff"),
+            )
+        )
+        .select(
+            "n_queries",
+            "n_exact_pairs",
+            (
+                F.col("n_hits") >= F.lit(0.3) * F.col("n_exact_pairs")
+            ).alias("recall_ok"),
+            (F.coalesce(F.col("max_diff"), F.lit(0.0)) < F.lit(1e-9)).alias(
+                "scores_exact"
+            ),
+        )
     )
 
 
-@register("approx_event_stats")
+@register(
+    "approx_event_stats",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS exact_users,
+       true AS users_ok,
+       true AS median_ok
+FROM events
+GROUP BY event_type
+""",
+)
 def q_approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct + approximate median per event type (rows-only: the
-    sketches are engine-specific; accuracy vs exact asserted in tests)."""
+    """HLL++ distinct + approximate median per event type, as a HARD GATE:
+    the sketch values are engine-specific by design, so the entry returns
+    the exact aggregates (oracle-checkable) plus error-bound booleans the
+    oracle pins to true — HLL++ within 3·rsd (15%) of exact COUNT DISTINCT,
+    approx median inside the exact p40–p60 band. Sketch drift flips the row
+    red rather than leaving it grey. (At 100 TB only the sketch side runs;
+    the exact twin here is the correctness fixture.)"""
     from .plans.analytics import approx_event_stats
 
-    return approx_event_stats(load_fixture(spark, sf_dir, "events"))
+    events = load_fixture(spark, sf_dir, "events")
+    sk = approx_event_stats(events)
+    exact = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events_exact"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.4)").alias("_p40"),
+        F.expr("percentile(value, 0.6)").alias("_p60"),
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_events").alias("n_events"),
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(0.15) * F.col("exact_users")
+        ).alias("users_ok"),
+        F.col("approx_median_value").between(F.col("_p40"), F.col("_p60")).alias(
+            "median_ok"
+        ),
+    )
 
 
 _CORR_SUBQ_TEXT = """

@@ -335,27 +335,45 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def simhash_bits(hash_mode: str) -> int:
+    """Signature width per hash mode: xxhash64 fills 64 bits; the portable
+    md5 hash parses 15 hex chars → 60 usable bits."""
+    return 64 if hash_mode == "xxhash64" else 60
+
+
 def simhash_signatures(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document via explode → per-bit votes → reassemble.
+    """SimHash per document via explode → per-bit votes → reassemble
+    (64-bit with xxhash64; 60-bit in engine-portable md5 mode, which the
+    harness oracle mirrors bit-for-bit in DuckDB).
 
     The explode+groupBy form keeps each aggregation row tiny and scales to
     arbitrarily long documents (vs. a 64-deep expression over an array).
     """
+    n_bits = simhash_bits(hash_mode)
+    token_hash = (
+        F.xxhash64("tok")
+        if hash_mode == "xxhash64"
+        else F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    )
     toks = fan_out(docs, id_col).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", token_hash)
     votes = toks.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.getbit("h", F.lit(i)) == 1, 1).otherwise(-1)
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     sig = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -370,24 +388,40 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
+    hash_mode: str = "xxhash64",
+    n_blocks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: 4×16-bit block LSH + Hamming verify.
+    """Near-dup pairs by SimHash: block LSH + Hamming verify.
 
-    Two signatures within Hamming ≤ 16/block-count must agree on ≥1 block
-    (pigeonhole), so the block join is a sound candidate generator for
-    max_hamming ≤ 3·16/4... practically: recall is exact for Hamming < 4·1;
-    for larger thresholds add blocks. Candidates then verify with
+    Two signatures within Hamming < n_blocks must agree on ≥1 block
+    (pigeonhole), so the block join is an exact candidate generator for
+    max_hamming ≤ n_blocks - 1; beyond that it is the standard
+    high-recall/bounded-cost heuristic. Candidates then verify with
     bit_count(xor) ≤ max_hamming.
+
+    The block-count tradeoff at scale: more blocks widen the exact-recall
+    band but shrink block width (n_bits // n_blocks), which collapses the
+    bucket space (2^width) and fattens the self-join. The default 4 blocks
+    (16-bit at 64-bit width, 15-bit portable) keeps 32k-64k buckets —
+    the classic Manku/Jain/Sarma web-dedup configuration.
     """
-    sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col)
+    n_bits = simhash_bits(hash_mode)
+    width = n_bits // n_blocks
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(
+        docs, text_col=text_col, id_col=id_col, hash_mode=hash_mode
+    )
     blocks = sigs.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    (F.shiftrightunsigned("simhash", 16 * j).bitwiseAND(F.lit(0xFFFF)))
-                    for j in range(4)
+                    (
+                        F.shiftrightunsigned("simhash", width * j)
+                        .bitwiseAND(F.lit(mask))
+                    )
+                    for j in range(n_blocks)
                 ]
             )
         ).alias("block_idx", "block_val"),

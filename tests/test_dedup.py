@@ -1,5 +1,7 @@
-"""Quality tests for the approximate dedup family (no SQL oracle exists for
-xxhash64-based signatures, so these pin behavior against the exact operators).
+"""Quality tests for the approximate dedup family: behavior pinned against
+the exact operators in BOTH hash modes. (The portable md5 mode is also
+oracle-checked end-to-end by the harness; the xxhash64 fast path has no SQL
+twin, so these tests are its correctness gate.)
 """
 
 from __future__ import annotations
@@ -52,22 +54,52 @@ def test_minhash_pairs_subset_of_exact(spark, sf_dir, hash_mode):
     )
 
 
-def test_simhash_finds_planted_dups(spark, sf_dir):
+@pytest.mark.parametrize("hash_mode", ["xxhash64", "portable"])
+def test_simhash_finds_planted_dups(spark, sf_dir, hash_mode):
+    """4-block LSH guarantees recall only for signature-hamming < n_blocks
+    (pigeonhole); beyond that it is a high-recall heuristic. Assert exactly
+    that contract: (a) the guarantee band is exact, (b) heuristic recall on
+    planted jaccard>=0.8 dups stays above a floor, (c) verify is precise."""
+    from airflow_etl_finance_market_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
     docs = _docs(spark, sf_dir)
     strong = {
         (r["id_a"], r["id_b"])
         for r in ngram_jaccard_pairs(docs, block_col="lang", threshold=0.1).collect()
         if r["jaccard_sim"] >= 0.8
     }
-    # word-shuffled near-dups can still differ in a few tokens; hamming 16
-    # (of 64) is the loose-recall band for jaccard>=0.8 pairs
-    sh = {
+    sh16 = {
         (r["id_a"], r["id_b"])
-        for r in simhash_near_pairs(docs, max_hamming=16).collect()
+        for r in simhash_near_pairs(
+            docs, max_hamming=16, hash_mode=hash_mode
+        ).collect()
     }
-    assert strong <= sh or len(strong) == 0, f"simhash missed {strong - sh}"
-    # near-identical docs must have tiny hamming distance
-    for r in simhash_near_pairs(docs, max_hamming=2).collect():
+    # (a) exact-guarantee band: every pair within hamming <= 3 MUST be found
+    sigs = {r["id"]: r["simhash"] for r in simhash_signatures(
+        docs, hash_mode=hash_mode
+    ).collect()}
+    for (ia, ib) in strong:
+        if bin(sigs[ia] ^ sigs[ib]).count("1") <= 3:
+            assert (ia, ib) in sh16, f"guaranteed pair ({ia},{ib}) missed"
+    # (b) heuristic recall floor on the planted near-dups
+    if strong:
+        recall = len(strong & sh16) / len(strong)
+        assert recall >= 0.75, f"simhash recall {recall}: missed {strong - sh16}"
+    # widening the exact band via n_blocks=17 (pigeonhole covers hamming<=16)
+    # must recover EVERY strong pair whose true hamming is <= 16
+    sh_wide = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            docs, max_hamming=16, hash_mode=hash_mode, n_blocks=17
+        ).collect()
+    }
+    for (ia, ib) in strong:
+        if bin(sigs[ia] ^ sigs[ib]).count("1") <= 16:
+            assert (ia, ib) in sh_wide, f"wide-band pair ({ia},{ib}) missed"
+    # (c) near-identical docs must have tiny hamming distance
+    for r in simhash_near_pairs(docs, max_hamming=2, hash_mode=hash_mode).collect():
         assert r["hamming"] <= 2
 
 
