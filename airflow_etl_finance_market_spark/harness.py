@@ -1509,7 +1509,7 @@ SELECT
          ELSE 'test' END AS split
 FROM (
     SELECT doc_id,
-           CAST(('0x' || substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+           CAST(('0x' || substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 100 AS b
     FROM documents
 )
@@ -1656,9 +1656,9 @@ WITH assigned AS (
     SELECT
         doc_id, n_chars,
         {_QUALITY_SQL} AS quality,
-        CASE WHEN CAST(('0x' || substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+        CASE WHEN CAST(('0x' || substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                   % 100 < 80 THEN 'train'
-             WHEN CAST(('0x' || substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+             WHEN CAST(('0x' || substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                   % 100 < 90 THEN 'valid'
              ELSE 'test' END AS split
     FROM documents

@@ -33,6 +33,7 @@ def asof_join(
     right_ts: str | None = None,
     right_vals: dict[str, str],
     inclusive: bool = True,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Backward as-of left-join: attach, to every left row, `right_vals`
     from the latest right row with ``right.right_ts <= left.ts`` (``<``
@@ -42,6 +43,13 @@ def asof_join(
     ``right_vals`` maps right-column → output-name (output names must not
     collide with left columns). Left rows with no prior right row keep
     NULLs — left-outer semantics, mirroring DuckDB's ``ASOF LEFT JOIN``.
+
+    ``tiebreak`` names a right-side column that deterministically orders
+    right rows sharing the same ``(by, right_ts)``: the row with the
+    GREATEST tiebreak value wins. Without it the winner among exact
+    duplicates is partitioning-dependent (Spark's window sort is not
+    stable), so pass one whenever ``(by, right_ts)`` is not unique on the
+    right — e.g. a sequence number or source row id.
     """
     collisions = set(right_vals.values()) & set(left.columns)
     if collisions:
@@ -56,16 +64,21 @@ def asof_join(
         F.struct(
             *[F.col(src).alias(dst) for src, dst in right_vals.items()]
         ).alias("_asof_payload"),
+        *([F.col(tiebreak).alias("_asof_tb")] if tiebreak else []),
     ).withColumn("_asof_src", F.lit(0))
     l = left.withColumn("_asof_src", F.lit(1))
     merged = l.unionByName(r, allowMissingColumns=True)
 
     # Right rows sort before left rows at equal ts iff the match is
-    # inclusive (ties: the right row "has already happened").
+    # inclusive (ties: the right row "has already happened"). Within the
+    # right rows at one ts, the tiebreak ascends so last() carries the max.
     src_order = F.col("_asof_src").asc() if inclusive else F.col("_asof_src").desc()
+    order = [F.col(ts).asc(), src_order]
+    if tiebreak:
+        order.append(F.col("_asof_tb").asc_nulls_first())
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(ts).asc(), src_order)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last(F.col("_asof_payload"), ignorenulls=True).over(w)

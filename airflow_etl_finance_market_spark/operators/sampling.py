@@ -30,11 +30,16 @@ from pyspark.sql import functions as F
 
 def hash_bucket(key: Column | str, *, seed: str = "seed42", buckets: int = 100) -> Column:
     """Engine-portable deterministic bucket in [0, buckets): md5 of the
-    salted key's first 4 hex chars as an int, mod buckets."""
+    salted key's first 8 hex chars (32 bits) as a bigint, mod buckets.
+
+    32 bits of hash keeps the modulo bias at buckets/2^32 (~2e-8 for 100
+    buckets) — statistically flat for any realistic split. (4 hex chars was
+    measurably biased: 65,536 mod 100 leaves buckets 0-35 ~0.15% heavy.)
+    """
     key_c = F.col(key) if isinstance(key, str) else key
     salted = F.concat(F.lit(f"{seed}:"), key_c.cast("string"))
     return (
-        F.conv(F.substring(F.md5(salted), 1, 4), 16, 10).cast("int") % buckets
+        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint") % buckets
     )
 
 

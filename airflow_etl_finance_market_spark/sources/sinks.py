@@ -44,11 +44,20 @@ def append_if_absent(
     Returns the number of appended rows. First write (no existing data)
     degrades to a plain create. The incoming batch is de-duplicated on the
     keys first, matching ``SELECT DISTINCT ... ON CONFLICT DO NOTHING``.
+
+    Only a genuinely-missing path takes the create branch: any other read
+    failure (permissions, corrupt footer, transient storage error) re-raises
+    instead of silently overwriting a valid table — ON CONFLICT DO NOTHING
+    must never destroy the conflict target.
     """
+    from pyspark.errors import AnalysisException
+
     fresh = incoming.dropDuplicates(keys)
     try:
         existing = spark.read.parquet(path).select(*keys)
-    except Exception:
+    except AnalysisException as e:
+        if e.getCondition() != "PATH_NOT_FOUND":
+            raise
         fresh.write.mode("overwrite").parquet(path)
         return fresh.count()
     to_insert = fresh.join(existing, on=keys, how="left_anti")

@@ -42,6 +42,29 @@ def test_inclusive_matches_same_instant(spark):
     assert out["t3"] == (None, None, None)  # no prior right row → NULLs
 
 
+def test_tiebreak_picks_deterministic_right_row(spark):
+    """Duplicate (by, right_ts) rows: the greatest tiebreak value must win,
+    independent of input order / partitioning."""
+    left = spark.createDataFrame(
+        [(1, _d(6), "t6")], "k long, ts date, tag string"
+    )
+    dup_rows = [
+        (1, _d(5), 10.0, 1),
+        (1, _d(5), 30.0, 3),
+        (1, _d(5), 20.0, 2),
+    ]
+    for rows in (dup_rows, list(reversed(dup_rows))):
+        right = spark.createDataFrame(
+            rows, "k long, ts date, px double, seq long"
+        ).repartition(4)
+        out = asof_join(
+            left, right, by="k", ts="ts",
+            right_vals={"px": "q_px", "seq": "q_seq"},
+            tiebreak="seq",
+        ).collect()
+        assert [(r["q_px"], r["q_seq"]) for r in out] == [(30.0, 3)]
+
+
 def test_exclusive_skips_same_instant(spark):
     left, right = _frames(spark)
     out = {

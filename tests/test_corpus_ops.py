@@ -61,7 +61,7 @@ class TestAssignSplit:
             F.col("id"), hash_bucket("id").alias("b")
         )
         for r in df.collect():
-            expect = int(hashlib.md5(f"seed42:{r.id}".encode()).hexdigest()[:4], 16) % 100
+            expect = int(hashlib.md5(f"seed42:{r.id}".encode()).hexdigest()[:8], 16) % 100
             assert r.b == expect
 
 

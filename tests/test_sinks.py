@@ -1,0 +1,47 @@
+"""Sink semantics (sources/sinks.py): ON CONFLICT DO NOTHING must never
+destroy the conflict target, and the create branch fires only for a
+genuinely-missing path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from airflow_etl_finance_market_spark.sources.sinks import append_if_absent
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_create_then_append_only_new_keys(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    assert append_if_absent(spark, _df(spark, [(1, "a"), (2, "b")]), path, ["k"]) == 2
+    # overlapping batch: only k=3 is new; k=1's NEW value must not replace old
+    assert append_if_absent(spark, _df(spark, [(1, "x"), (3, "c")]), path, ["k"]) == 1
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_incoming_batch_deduped_on_keys(spark, tmp_path):
+    path = str(tmp_path / "dim2")
+    n = append_if_absent(spark, _df(spark, [(1, "a"), (1, "a2"), (2, "b")]), path, ["k"])
+    assert n == 2
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_unreadable_existing_path_raises_not_overwrites(spark, tmp_path):
+    """A read failure that is NOT path-missing (here: a directory with no
+    readable parquet footer) must re-raise, leaving the target untouched —
+    the round-1 behavior silently overwrote it."""
+    path = tmp_path / "broken"
+    path.mkdir()
+    sentinel = path / "part-00000.parquet"
+    sentinel.write_bytes(b"this is not a parquet file")
+    with pytest.raises(Exception) as exc_info:
+        append_if_absent(spark, _df(spark, [(9, "z")]), str(path), ["k"])
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)
+    # target untouched: the garbage file survives, nothing was written
+    assert sorted(os.listdir(path)) == ["part-00000.parquet"]
+    assert sentinel.read_bytes() == b"this is not a parquet file"
