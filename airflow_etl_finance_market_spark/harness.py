@@ -414,6 +414,99 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_gate_exact",
+    """
+WITH base AS (
+    SELECT
+        COUNT(*) AS total_rows,
+        CAST(SUM(CASE WHEN l_extendedprice IS NULL OR l_shipdate IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS null_rows
+    FROM lineitem
+)
+SELECT 'exact_ok' AS variant, total_rows, null_rows,
+       (total_rows = (SELECT COUNT(*) FROM lineitem) AND null_rows = 0) AS passed
+FROM base
+UNION ALL
+SELECT 'exact_off_by_one' AS variant, total_rows, null_rows,
+       (total_rows = (SELECT COUNT(*) FROM lineitem) + 1 AND null_rows = 0) AS passed
+FROM base
+""",
+)
+def q_quality_gate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count gate branch, both outcomes (A1, A2, C4).
+
+    The reference pins COUNT(*) = 750000
+    (reference: dags/financial_pipeline.py:132) — a literal known to the
+    operator author. Here the literal is obtained by a driver-side count
+    (one scalar moves), then fed to the same gate twice: once matching
+    (passed=true) and once deliberately off by one (passed=false), so BOTH
+    branches of the conjunction are oracle-pinned.
+    """
+    from .operators.quality import quality_summary
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    n = li.count()
+    cols = ["l_extendedprice", "l_shipdate"]
+    ok = quality_summary(li, null_check_cols=cols, expected_count=n).select(
+        F.lit("exact_ok").alias("variant"), "total_rows", "null_rows", "passed"
+    )
+    off = quality_summary(li, null_check_cols=cols, expected_count=n + 1).select(
+        F.lit("exact_off_by_one").alias("variant"), "total_rows", "null_rows", "passed"
+    )
+    return ok.unionByName(off)
+
+
+@register(
+    "fk_orphan_check",
+    """
+SELECT 'fk_lineitem_orders' AS constraint_name,
+       COUNT(*) AS orphan_rows, COUNT(*) = 0 AS passed
+FROM lineitem
+WHERE l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'fk_lineitem_part' AS constraint_name,
+       COUNT(*) AS orphan_rows, COUNT(*) = 0 AS passed
+FROM lineitem
+WHERE l_partkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+UNION ALL
+SELECT 'fk_orders_customer' AS constraint_name,
+       COUNT(*) AS orphan_rows, COUNT(*) = 0 AS passed
+FROM orders
+WHERE o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+""",
+)
+def q_fk_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan audit: fact→dim anti-join counters (SURVEY §1.2, J3 class).
+
+    The reference enforces these as PG FOREIGN KEY constraints
+    (reference: dags/financial_pipeline.py:172-173); a columnar lake has no
+    constraint engine, so the same guarantee becomes an explicit quality
+    gate after load.
+    """
+    from .operators.quality import fk_orphans
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    orders = load_fixture(spark, sf_dir, "orders")
+    checks = [
+        fk_orphans(li, orders, keys={"l_orderkey": "o_orderkey"},
+                   constraint="fk_lineitem_orders"),
+        fk_orphans(li, load_fixture(spark, sf_dir, "part"),
+                   keys={"l_partkey": "p_partkey"},
+                   constraint="fk_lineitem_part"),
+        fk_orphans(orders, load_fixture(spark, sf_dir, "customer"),
+                   keys={"o_custkey": "c_custkey"},
+                   constraint="fk_orders_customer"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@register(
     "brand_scores",
     """
 WITH stats AS (

@@ -53,6 +53,41 @@ def quality_summary(
     )
 
 
+def fk_orphans(
+    fact: DataFrame,
+    dim: DataFrame,
+    *,
+    keys: dict[str, str],
+    constraint: str,
+) -> DataFrame:
+    """One-row FK audit: count of `fact` rows whose non-NULL key tuple has
+    no match in `dim` (SURVEY.md §1.2 — the reference declares these as PG
+    FOREIGN KEY constraints, reference: dags/financial_pipeline.py:172-173;
+    here they become an explicit post-load anti-join check).
+
+    ``keys`` maps fact column → dim column. SQL FK semantics: a NULL in any
+    key column never violates, so those rows are filtered out first.
+
+    Scale shape: the dim side is projected to its key columns and
+    de-duplicated before the join, so the anti-join's build side is
+    |dim keys|, broadcast when small; otherwise a hash-partitioned anti-join
+    on the key — one exchange per side, map-side pruned to the key columns.
+    """
+    fact_cols = list(keys)
+    not_null = F.lit(True)
+    for fc in fact_cols:
+        not_null = not_null & F.col(fc).isNotNull()
+    dim_keys = dim.select(
+        *[F.col(dc).alias(fc) for fc, dc in keys.items()]
+    ).dropDuplicates()
+    orphans = fact.filter(not_null).join(dim_keys, on=fact_cols, how="left_anti")
+    return orphans.agg(F.count(F.lit(1)).alias("orphan_rows")).select(
+        F.lit(constraint).alias("constraint_name"),
+        "orphan_rows",
+        (F.col("orphan_rows") == F.lit(0)).alias("passed"),
+    )
+
+
 def expect_passed(summary: DataFrame, gate_name: str = "quality") -> None:
     """Driver-side fail-fast: raise if the gate row is falsy (C4).
 
