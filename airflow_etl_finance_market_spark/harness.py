@@ -152,6 +152,96 @@ def q_top_avg_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("avg_volatility", F.round("avg_volatility", 6))
 
 
+#: The changes CTE widened with volume/close kept — the report queries need
+#: them; spelled separately so the narrow flagship CTE's plans stay pinned.
+_REPORT_CTE = f"""
+WITH changes AS (
+    SELECT
+        l_partkey AS ticker,
+        l_shipdate AS ts,
+        l_quantity AS volume,
+        l_extendedprice AS close,
+        (l_extendedprice - LAG(l_extendedprice) OVER w)
+            / NULLIF(LAG(l_extendedprice) OVER w, 0) * 100 AS variacao_diaria
+    FROM lineitem
+    WINDOW w AS ({_SERIES_WINDOW_SQL})
+)
+"""
+
+
+def _report_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = load_fixture(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("ticker"),
+        F.col("l_shipdate").alias("ts"),
+        F.col("l_quantity").alias("volume"),
+        F.col("l_extendedprice").alias("close"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return daily_pct_change(
+        series, key="ticker", ts="ts", value="close",
+        order_tiebreak=_SERIES_TIEBREAK,
+    )
+
+
+@register(
+    "market_overview",
+    _REPORT_CTE
+    + """
+SELECT
+    COUNT(*) AS total_rows,
+    COUNT(DISTINCT ticker) AS n_tickers,
+    COUNT(DISTINCT ts) AS n_days,
+    MIN(ts) AS first_day,
+    MAX(ts) AS last_day,
+    ROUND(STDDEV_SAMP(variacao_diaria), 6) AS market_volatility,
+    ROUND(AVG(variacao_diaria), 6) AS mean_daily_change,
+    ROUND(AVG(volume), 2) AS avg_volume,
+    ROUND(AVG(close), 2) AS avg_close
+FROM changes
+""",
+)
+def q_market_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report header: one-row global market summary (S8/S9 feeder, A1-A9).
+
+    The notebook's "RESUMO GERAL" block
+    (reference: analysis/análise_exploratória.ipynb → relatorio cell) as a
+    single aggregate pass.
+    """
+    from .plans.report import market_overview
+
+    return market_overview(_report_changes(spark, sf_dir), ts="ts")
+
+
+@register(
+    "ticker_report_stats",
+    _REPORT_CTE
+    + """
+SELECT
+    ticker,
+    ROUND(STDDEV_SAMP(variacao_diaria), 6) AS volatility,
+    ROUND(AVG(variacao_diaria), 6) AS mean_change,
+    ROUND(SUM(volume), 2) AS total_volume
+FROM changes
+GROUP BY ticker
+""",
+)
+def q_ticker_report_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report rankings' shared input: ONE groupBy(ticker) multi-agg that
+    feeds all three top-5 lists (S9; A3, A5, A6 fused) — the pandas
+    notebook ran three separate groupbys over the full frame.
+    """
+    from .plans.report import ticker_stats
+
+    st = ticker_stats(_report_changes(spark, sf_dir))
+    return st.select(
+        "ticker",
+        F.round("volatility", 6).alias("volatility"),
+        F.round("mean_change", 6).alias("mean_change"),
+        F.round("total_volume", 2).alias("total_volume"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() target: the weekly-volatility table at the given scale."""
     return q_weekly_volatility(spark, sf_dir)

@@ -86,8 +86,13 @@ def run_pipeline(
     *,
     expected_count: int | None = None,
     top_k: int = 1,
+    report_path: str | None = None,
 ) -> PipelineResult:
-    """Execute the full daily run. Raises QualityGateError to halt (C4)."""
+    """Execute the full daily run. Raises QualityGateError to halt (C4).
+
+    ``report_path``: when set, write the executive text report (S9,
+    the notebook's `relatorio_completo.txt`) there from the cached fact.
+    """
     # -- 1-3: locate + load staging (S1, S2, S4) ---------------------------
     staging = read_ohlcv_csv(spark, csv_path)
     staging_path = f"{warehouse_dir}/staging"
@@ -131,6 +136,10 @@ def run_pipeline(
             f"Ativo mais volátil: {r['ticker']} "
             f"(volatilidade média semanal: {r['avg_volatility']:.2f}%)"
         )
+    if report_path:
+        from .report import write_report
+
+        write_report(fact, report_path, k=5)
     log.info(
         "pipeline ok: staged=%s fact=%s weekly=%s | %s",
         staged_rows, fact_rows, weekly_rows, message,

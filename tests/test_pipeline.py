@@ -115,6 +115,19 @@ def test_rerun_idempotent(spark, ohlcv_csv, warehouse, result):
     )
 
 
+def test_report_file_written(spark, ohlcv_csv, warehouse, result, tmp_path):
+    """S9: run with report_path writes the notebook-equivalent artifact,
+    consistent with the XCom report message."""
+    path = tmp_path / "relatorio_completo.txt"
+    again = run_pipeline(spark, ohlcv_csv, warehouse, report_path=str(path))
+    text = path.read_text(encoding="utf-8")
+    assert "RELATÓRIO EXECUTIVO" in text
+    assert "MAIS VOLÁTEIS" in text and "MAIS NEGOCIADAS" in text
+    # the report message's top ticker leads the volatility ranking
+    top = again.report_message.split(":")[1].strip().split(" ")[0]
+    assert f"1. {top}:" in text
+
+
 def test_gate_trips_on_corruption(spark, tmp_path):
     bad_csv = str(tmp_path / "bad.csv")
     write_csv(bad_csv, corrupt=True)
