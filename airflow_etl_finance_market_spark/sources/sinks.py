@@ -18,6 +18,29 @@ pruning, and so overwrites of a daily run touch one partition, not 100 TB
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _cluster_for_write(
+    df: DataFrame,
+    partition_by: list[str],
+    files_per_partition: int,
+) -> DataFrame:
+    """Co-locate each output partition's rows before a partitionBy write.
+
+    Without this, every task writes one file into every partition directory
+    it holds rows for — up to tasks × partitions tiny files (a 32-thread
+    local run already emits 32 files per day; a 1000-executor cluster makes
+    it pathological). One shuffle keyed on the partition columns yields ONE
+    file per partition; ``files_per_partition > 1`` adds a deterministic
+    hash salt for partitions too large for a single file (the 100 TB knob:
+    a ~40 GB day wants ~40 × 1 GB files, not 1).
+    """
+    keys = [F.col(c) for c in partition_by]
+    if files_per_partition > 1:
+        salt = F.abs(F.hash(*[F.col(c) for c in df.columns])) % files_per_partition
+        return df.repartition(*keys, salt)
+    return df.repartition(*keys)
 
 
 def overwrite_parquet(
@@ -25,12 +48,42 @@ def overwrite_parquet(
     path: str,
     *,
     partition_by: list[str] | None = None,
+    files_per_partition: int = 1,
 ) -> None:
     """Truncate-and-reload sink (S4/S5/S7): full overwrite of `path`."""
-    writer = df.write.mode("overwrite")
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+        df = _cluster_for_write(df, partition_by, files_per_partition)
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    else:
+        df.write.mode("overwrite").parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str],
+    files_per_partition: int = 1,
+) -> None:
+    """Dynamic partition overwrite (S7 incremental refresh): replace ONLY
+    the partitions present in ``df``, leaving every other partition's files
+    untouched — byte-identical, not rewritten.
+
+    This is the 100 TB daily-load primitive: a one-day increment rewrites
+    one ``data_id=`` directory instead of truncate-reloading the table. The
+    session conf is flipped to ``dynamic`` only for the duration of this
+    write and restored after (Spark's default ``static`` mode would wipe
+    the whole table root).
+    """
+    spark = df.sparkSession
+    df = _cluster_for_write(df, partition_by, files_per_partition)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
 
 
 def append_if_absent(
