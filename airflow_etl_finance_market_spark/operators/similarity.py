@@ -155,6 +155,51 @@ def lsh_signatures_frame(
     return dots.select("id", "vec", "norm", F.array(*sigs).alias("sigs"))
 
 
+def _norms_frame(
+    df: DataFrame, *, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, norm) via the codegen explode+SUM shape — norms bit-equal
+    to the index frame's (same left-to-right fold over the same explode
+    order), at 1/(n_tables*n_planes) of its aggregation cost."""
+    return (
+        fan_out(df, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            as_double(vec_col).alias("vec"),
+            F.posexplode(as_double(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("id")
+        .agg(
+            F.first("vec").alias("vec"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("norm"),
+        )
+    )
+
+
+def lsh_index(
+    embeddings: DataFrame,
+    *,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Build the reusable LSH index frame: (id, vec, norm, sigs).
+
+    This is the ANN system's index-build step, separated from the query
+    step so its cost is paid ONCE: persist the returned frame (or write it
+    as a table partitioned/bucketed by bucket id) and hand it to
+    :func:`cosine_topk_lsh` via ``index=``. At 100 TB the index is a
+    persisted table and each query is partition-pruned bucket lookups; on a
+    single session, ``.persist()`` gives the same amortization. The
+    hyperplanes are seeded constants, so an index built in one session is
+    valid in every later one.
+    """
+    tables = [_hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)]
+    return lsh_signatures_frame(embeddings, tables, id_col=id_col, vec_col=vec_col)
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -166,6 +211,7 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: multi-table hyperplane LSH + exact cosine re-rank.
 
@@ -177,23 +223,36 @@ def cosine_topk_lsh(
     query additionally probes every 1-bit-flip bucket per table, which
     multiplies effective tables by (1+b) for probe-side-only cost.
 
+    ``index`` is a prebuilt (persisted/loaded) :func:`lsh_index` frame; when
+    omitted, one is derived inline. Either way the expensive signature
+    aggregation is evaluated ONCE per corpus row: the bucket explode and the
+    re-rank vector lookup both read the same index frame, and the query-side
+    signatures come from a filtered (predicate-pushed) branch of it.
+
     Same output schema as the brute-force kernel so the two are drop-in
     interchangeable (recall-tested against each other in tests).
     """
-    tables = [_hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)]
-    sigs = lsh_signatures_frame(
-        embeddings, tables, id_col=id_col, vec_col=vec_col
-    )
+    if index is None:
+        sigs = lsh_index(
+            embeddings, n_planes=n_planes, n_tables=n_tables,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        )
+        # No persisted index to reuse: the re-rank's (vec, norm) lookup
+        # comes from a norm-only pass over the raw corpus (1 SUM) rather
+        # than a second evaluation of the signature frame (n_tables x
+        # n_planes SUMs). Bit-identical norms — same left-to-right fold.
+        rerank_src = _norms_frame(embeddings, id_col=id_col, vec_col=vec_col)
+    else:
+        sigs = index
+        rerank_src = index
     corpus = sigs.select(
         F.col("id").alias("neighbor_id"),
         F.posexplode("sigs").alias("table_idx", "bucket"),
     )
-    qsigs = lsh_signatures_frame(
-        embeddings.filter(F.col(id_col).isin(query_ids)),
-        tables,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
+    # Query-side signatures are a filtered branch of the index: on a
+    # persisted index this is a cache lookup; unpersisted, the isin filter
+    # pushes down to the scan so only the query rows pay the aggregation.
+    qsigs = sigs.filter(F.col("id").isin(query_ids))
     probe_cols = []
     for t in range(n_tables):
         sig = F.element_at("sigs", t + 1)
@@ -226,7 +285,7 @@ def cosine_topk_lsh(
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
     )
-    nvecs = sigs.select(
+    nvecs = rerank_src.select(
         F.col("id").alias("neighbor_id"),
         F.col("vec").alias("nvec"),
         F.col("norm").alias("nnorm"),
@@ -301,32 +360,117 @@ def _ivf_centroids(
     by hash-partition means (no RNG — reproducible across runs/sessions,
     the same requirement as the LSH hyperplanes).
 
-    Each Lloyd iteration is one distributed pass: assign (map-only against
-    broadcast-literal centroids) + per-cell mean (one hash aggregate).
+    The (id, pos, x) element fan-out is computed ONCE and persisted across
+    all Lloyd iterations (each iteration only changes the centroid
+    literals, not the exploded input). Per iteration: assignment is the
+    codegen'd explode→hash-aggregate dot shape (:func:`_cell_argmax_agg`),
+    and the new means are ONE hash aggregate keyed (cell, pos) — the
+    id-keyed join between elements and assignments is co-partitioned (both
+    sides derive from the same id-hashed fan-out), so no extra exchange.
     Only the nlist x dim centroid matrix ever reaches the driver.
     """
-    def cell_means(assigned: DataFrame) -> list[list[float]]:
+    elems = fan_out(embeddings, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(as_double(vec_col)).alias("pos", "x"),
+    ).persist()
+
+    def assemble(rows) -> list[list[float]]:
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r["_cell"], {})[r["pos"]] = r["m"]
+        return [
+            [cell[p] for p in sorted(cell)]
+            for _, cell in sorted(by_cell.items())
+        ]
+
+    def cell_means(elems_with_cell: DataFrame) -> list[list[float]]:
         rows = (
-            assigned.select("_cell", F.posexplode(as_double(vec_col)).alias("pos", "x"))
-            .groupBy("_cell", "pos")
+            elems_with_cell.groupBy("_cell", "pos")
             .agg(F.avg("x").alias("m"))
-            .groupBy("_cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
-            .select("_cell", F.col("ms.m").alias("centroid"))
             .collect()
         )
-        return [r["centroid"] for r in sorted(rows, key=lambda r: r["_cell"])]
+        return assemble(rows)
 
-    seeded = embeddings.withColumn(
-        "_cell", F.pmod(F.xxhash64(F.col(id_col)), F.lit(nlist))
+    centroids = cell_means(
+        elems.withColumn("_cell", F.pmod(F.xxhash64(F.col("id")), F.lit(nlist)))
     )
-    centroids = cell_means(seeded)
     for _ in range(iterations):
-        assigned = embeddings.withColumn(
-            "_cell", nearest_centroid_col(F.col(vec_col), centroids)
-        )
-        centroids = cell_means(assigned)
+        assigned = _cell_argmax_agg(elems, centroids).select("id", "_cell")
+        centroids = cell_means(elems.join(assigned, "id"))
+    elems.unpersist()
     return centroids
+
+
+def _cell_argmax_agg(elems: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(id, norm, _cell) from an (id, pos, x) element frame: every centroid
+    dot as a SUM aggregate against constant-folded literals (the same
+    codegen explode→hash-aggregate shape as the LSH/minhash kernels —
+    interpreted ``transform``/``aggregate`` lambdas are 10x slower at
+    corpus scale), then argmax via a native sort of a (−dot, cell) struct
+    array (ties → smallest cell id, matching :func:`nearest_centroid_col`).
+    """
+    clits = [F.array(*[F.lit(float(w)) for w in c]) for c in centroids]
+    dots = elems.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("norm"),
+        *[
+            F.sum(F.col("x") * F.element_at(c, F.col("pos") + 1)).alias(f"_d{i}")
+            for i, c in enumerate(clits)
+        ],
+    )
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"_d{i}")).alias("negd"), F.lit(i).alias("cell")
+                )
+                for i in range(len(centroids))
+            ]
+        )
+    )
+    return dots.select(
+        "id", "norm", F.element_at(ranked, 1).getField("cell").alias("_cell")
+    )
+
+
+def assign_cells_frame(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, norm, _cell) for every row of `df` — the corpus-scale
+    assignment kernel (codegen explode+aggregate; see :func:`_cell_argmax_agg`).
+    :func:`nearest_centroid_col` is the single-expression twin for tiny
+    frames (e.g. query-side probes)."""
+    elems = fan_out(df, id_col).select(
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("vec"),
+        F.posexplode(as_double(vec_col)).alias("pos", "x"),
+    )
+    clits = [F.array(*[F.lit(float(w)) for w in c]) for c in centroids]
+    dots = elems.groupBy("id").agg(
+        F.first("vec").alias("vec"),
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("norm"),
+        *[
+            F.sum(F.col("x") * F.element_at(c, F.col("pos") + 1)).alias(f"_d{i}")
+            for i, c in enumerate(clits)
+        ],
+    )
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"_d{i}")).alias("negd"), F.lit(i).alias("cell")
+                )
+                for i in range(len(centroids))
+            ]
+        )
+    )
+    return dots.select(
+        "id", "vec", "norm",
+        F.element_at(ranked, 1).getField("cell").alias("_cell"),
+    )
 
 
 def nearest_centroid_col(vec_col, centroids: list[list[float]]):
@@ -351,6 +495,34 @@ def nearest_centroid_col(vec_col, centroids: list[list[float]]):
     return F.element_at(ranked, 1).getField("cell")
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    *,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 2,
+) -> tuple[list[list[float]], DataFrame]:
+    """Build the IVF index: (centroids, assigned corpus frame).
+
+    The returned frame is (id, vec, norm, _cell) — persist it, or at scale
+    write it as a table PARTITIONED BY ``_cell`` so that probing nprobe
+    cells is partition pruning (reads nprobe/nlist of the corpus). The
+    centroid matrix (nlist x dim floats) is the only driver-side state; it
+    is deterministic, so it can be recomputed or stored alongside the
+    table. Hand both to :func:`cosine_topk_ivf` via ``index=`` to amortize
+    training across queries.
+    """
+    centroids = _ivf_centroids(
+        embeddings, nlist=nlist, id_col=id_col, vec_col=vec_col,
+        iterations=iterations,
+    )
+    assigned = assign_cells_frame(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col
+    )
+    return centroids, assigned
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -360,6 +532,7 @@ def cosine_topk_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[list[list[float]], DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: k-means cells
     partition the corpus; each query scans only its `nprobe` nearest cells.
@@ -367,22 +540,37 @@ def cosine_topk_ivf(
     The third ANN tier next to brute force (exact) and hyperplane LSH:
     IVF gives data-adaptive cells (better recall on clustered corpora than
     data-oblivious hyperplanes) at the cost of the one-off training pass.
-    At scale the cell id is a natural PARTITION/bucket column for the
-    persisted index table — probing nprobe cells is then partition pruning,
-    reading nprobe/nlist of the corpus.
+    ``index`` is a prebuilt :func:`ivf_index` result; when omitted, one is
+    trained inline. At scale the cell id is a natural PARTITION/bucket
+    column for the persisted index table — probing nprobe cells is then
+    partition pruning, reading nprobe/nlist of the corpus.
 
-    Same output schema as the brute-force kernel; recall-tested against it.
+    Same output schema as the brute-force kernel; recall-tested against it,
+    and the re-rank scores stay bit-equal to the exact kernel (the
+    harness's IVF audit gate pins that): the index norm is the same
+    left-to-right fold as ``l2_norm``, and the pair dot is the same HOF.
     """
-    centroids = _ivf_centroids(
-        embeddings, nlist=nlist, id_col=id_col, vec_col=vec_col
+    if index is None:
+        index = ivf_index(
+            embeddings, nlist=nlist, id_col=id_col, vec_col=vec_col
+        )
+    centroids, assigned = index
+    corpus = assigned.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        F.col("norm").alias("nnorm"),
+        "_cell",
     )
-    corpus = fan_out(embeddings, id_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(vec_col).alias("nvec"),
-    ).withColumn("_cell", nearest_centroid_col(F.col("nvec"), centroids))
-    # per-query nprobe nearest cells, exploded to (query_id, _cell) probes
+    # per-query nprobe nearest cells, exploded to (query_id, _cell) probes.
+    # Query side is a filtered branch of the index (cache/pushdown-friendly,
+    # like the LSH query path); the handful of centroid dots per query row
+    # stay in single-expression HOF form — interpreted, but O(queries).
     clits = F.array(*[F.array(*[F.lit(float(w)) for w in c]) for c in centroids])
-    q = _queries(embeddings, query_ids, id_col, vec_col)
+    q = assigned.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
     cell_dots = F.transform(clits, lambda c: dot(c, F.col("qvec")))
     probe_cells = F.slice(
         F.array_sort(
@@ -396,7 +584,8 @@ def cosine_topk_ivf(
         nprobe,
     )
     q = q.select(
-        "query_id", "qvec", F.explode(probe_cells.getField("cell")).alias("_cell")
+        "query_id", "qvec", "qnorm",
+        F.explode(probe_cells.getField("cell")).alias("_cell"),
     )
     scored = (
         F.broadcast(q)
@@ -405,7 +594,11 @@ def cosine_topk_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("qvec"), F.col("nvec"))
+                / F.nullif(F.col("qnorm") * F.col("nnorm"), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -114,9 +114,11 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
     from pyspark.sql import functions as F  # noqa: F401  (parity with build)
 
     from airflow_etl_finance_market_spark.operators import dedup as D
+    from airflow_etl_finance_market_spark.operators import similarity as S
 
     x10 = build_x10_fixture(spark, tmp)
     docs = spark.read.parquet(f"{x10}/documents.parquet")
+    emb = spark.read.parquet(f"{x10}/embeddings.parquet")
 
     def _noop(df):
         df.write.format("noop").mode("overwrite").save()
@@ -146,14 +148,38 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         "ann_lsh": lambda: _noop(qs["embedding_topk_lsh"](spark, x10)),
         "ann_ivf": lambda: _noop(qs["embedding_topk_ivf"](spark, x10)),
     }
-    out: dict[str, float] = {}
-    for name, thunk in jobs.items():
+
+    def best_of_2(thunk) -> float:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             thunk()
             best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 3)
+        return round(best, 3)
+
+    out: dict[str, float] = {}
+    for name, thunk in jobs.items():
+        out[name] = best_of_2(thunk)
+
+    # ANN warm-query paths, timed LAST: the persisted index would otherwise
+    # leak into the cold ann_lsh/ann_ivf runs via CacheManager plan
+    # substitution. Index build+persist happens OUTSIDE the timer (at scale
+    # it is a written table); ann_*_query is the per-query cost an
+    # index-amortized workload actually pays.
+    qids = list(range(5))
+    lsh_idx = S.lsh_index(emb).persist()
+    lsh_idx.count()
+    out["ann_lsh_query"] = best_of_2(
+        lambda: _noop(S.cosine_topk_lsh(emb, qids, k=5, index=lsh_idx))
+    )
+    centroids, ivf_frame = S.ivf_index(emb)
+    ivf_frame = ivf_frame.persist()
+    ivf_frame.count()
+    out["ann_ivf_query"] = best_of_2(
+        lambda: _noop(S.cosine_topk_ivf(emb, qids, k=5, index=(centroids, ivf_frame)))
+    )
+    lsh_idx.unpersist()
+    ivf_frame.unpersist()
     return out
 
 

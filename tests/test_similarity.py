@@ -59,3 +59,71 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert abs(r["cosine_sim"] - exact_scores[key]) < 1e-9
+
+
+def test_lsh_prebuilt_index_matches_inline(spark, sf_dir):
+    """index= (the persisted/amortized path) must be a pure optimization:
+    bit-identical results to the inline build."""
+    from airflow_etl_finance_market_spark.operators.similarity import lsh_index
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    inline = cosine_topk_lsh(emb, QUERIES, k=5).collect()
+    idx = lsh_index(emb).persist()
+    try:
+        idx.count()
+        with_idx = cosine_topk_lsh(emb, QUERIES, k=5, index=idx).collect()
+    finally:
+        idx.unpersist()
+    assert sorted(map(tuple, with_idx), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, inline), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_ivf_prebuilt_index_matches_inline(spark, sf_dir):
+    from airflow_etl_finance_market_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_index,
+    )
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    inline = cosine_topk_ivf(emb, QUERIES, k=5).collect()
+    centroids, frame = ivf_index(emb)
+    frame = frame.persist()
+    try:
+        frame.count()
+        with_idx = cosine_topk_ivf(
+            emb, QUERIES, k=5, index=(centroids, frame)
+        ).collect()
+    finally:
+        frame.unpersist()
+    assert sorted(map(tuple, with_idx), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, inline), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_assign_cells_matches_expression_form(spark, sf_dir):
+    """The codegen explode+aggregate assignment (corpus path) must agree
+    with the single-expression HOF twin on every vector."""
+    from airflow_etl_finance_market_spark.operators.similarity import (
+        _ivf_centroids,
+        assign_cells_frame,
+        nearest_centroid_col,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_fixture(spark, sf_dir, "embeddings").limit(200)
+    centroids = _ivf_centroids(
+        emb, nlist=8, id_col="vec_id", vec_col="embedding", iterations=1
+    )
+    agg_form = {
+        r["id"]: r["_cell"]
+        for r in assign_cells_frame(emb, centroids).collect()
+    }
+    expr_form = {
+        r["vec_id"]: r["_cell"]
+        for r in emb.select(
+            "vec_id",
+            nearest_centroid_col(F.col("embedding"), centroids).alias("_cell"),
+        ).collect()
+    }
+    assert agg_form == expr_form
