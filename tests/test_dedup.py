@@ -142,3 +142,16 @@ def test_minhash_portable_same_plan_shape_as_fast_path(spark, sf_dir):
     assert fast.count("Exchange") == portable.count("Exchange")
     assert fast.count("SortMergeJoin") == portable.count("SortMergeJoin")
     assert ("BroadcastHashJoin" in fast) == ("BroadcastHashJoin" in portable)
+
+
+def test_simhash_pairs_group_equals_join(spark, sf_dir):
+    """Both candidate-generation strategies must produce identical verified
+    pairs (the default is chosen on measured speed, not semantics)."""
+    from airflow_etl_finance_market_spark.operators.dedup import simhash_near_pairs
+    from airflow_etl_finance_market_spark.sources.readers import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    g = simhash_near_pairs(docs, max_hamming=8, via="group").collect()
+    j = simhash_near_pairs(docs, max_hamming=8, via="join").collect()
+    assert sorted(map(tuple, g)) == sorted(map(tuple, j))
+    assert len(j) > 0
