@@ -1801,6 +1801,119 @@ def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks",
+    f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), s AS (
+    SELECT doc_id, toks, len(toks) AS n FROM t
+), st AS (
+    SELECT doc_id, toks, n,
+           unnest(generate_series(1, greatest(n - 8, 1), 24)) AS start
+    FROM s
+)
+SELECT doc_id,
+       CAST((start - 1) // 24 AS INT) AS chunk_idx,
+       array_to_string(toks[start:least(start + 31, n)], ' ') AS chunk_text,
+       CAST(least(32, n - start + 1) AS INT) AS chunk_n_tokens
+FROM st
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking with overlap (32/8) — the
+    context-length packing step of a training-data pipeline
+    (operators.chunking; map-side only, no shuffle)."""
+    from .operators.chunking import chunk_documents
+
+    return chunk_documents(
+        load_fixture(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+@register(
+    "doc_repetition_stats",
+    f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), units AS (
+    SELECT doc_id, 1 AS n, unnest(toks) AS gram FROM t
+    UNION ALL
+    SELECT doc_id, 2 AS n,
+           unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 1)),
+               i -> array_to_string(toks[i:i+1], ' '))) AS gram
+    FROM t
+    UNION ALL
+    SELECT doc_id, 3 AS n,
+           unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS gram
+    FROM t
+), counts AS (
+    SELECT doc_id, n, gram, COUNT(*) AS c FROM units GROUP BY doc_id, n, gram
+), per_size AS (
+    SELECT doc_id, n, MAX(c) AS top_c, SUM(c) AS total,
+           COUNT(*) AS n_distinct
+    FROM counts GROUP BY doc_id, n
+)
+SELECT doc_id,
+    ROUND(MAX(CASE WHEN n = 1 THEN top_c / total END), 6) AS top_token_frac,
+    ROUND(MAX(CASE WHEN n = 2 THEN top_c / total END), 6) AS top_bigram_frac,
+    ROUND(MAX(CASE WHEN n = 3 THEN 1 - n_distinct / total END), 6)
+        AS dup_trigram_frac
+FROM per_size GROUP BY doc_id
+""",
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document — top
+    token/bigram fraction and duplicate-trigram fraction, all three gram
+    sizes riding one explode (operators.corpus.repetition_stats)."""
+    from .operators.corpus import repetition_stats
+
+    return repetition_stats(load_fixture(spark, sf_dir, "documents"))
+
+
+_CONTAM_GRAMS_SQL = f"""
+list_distinct(list_transform(
+    generate_series(1, greatest(len({_TOKS_SQL}) - 2, 1)),
+    i -> array_to_string(({_TOKS_SQL})[i:i+2], ' ')))
+"""
+
+
+@register(
+    "doc_contamination",
+    f"""
+WITH bg AS (
+    SELECT DISTINCT unnest({_CONTAM_GRAMS_SQL}) AS gram
+    FROM documents WHERE doc_id % 50 = 0
+), dg AS (
+    SELECT doc_id, unnest({_CONTAM_GRAMS_SQL}) AS gram
+    FROM documents WHERE doc_id % 50 != 0
+), ov AS (
+    SELECT dg.doc_id, COUNT(*) AS n_ov
+    FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(ov.n_ov, 0) AS BIGINT) AS n_overlap_grams,
+       COALESCE(ov.n_ov, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+WHERE d.doc_id % 50 != 0
+""",
+)
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th doc plays the held-out eval
+    set; corpus docs are flagged on any shared word trigram. Benchmark
+    gram set broadcasts; corpus side stays map-local
+    (operators.corpus.contamination_flags)."""
+    from .operators.corpus import contamination_flags
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_flags(corpus, bench, n=3)
+
+
+@register(
     "embedding_centroids",
     """
 SELECT

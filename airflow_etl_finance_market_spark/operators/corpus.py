@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import tokens, word_ngrams, word_ngrams_from
 from ..util import fan_out
 
 
@@ -52,4 +52,117 @@ def term_frequencies(
     return per_doc.groupBy("term").agg(
         F.sum("n_in_doc").alias("tf"),
         F.count("*").alias("df"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repetition signals — the Gopher/C4 family of quality
+    filters for catching degenerate (looping, boilerplate-stuffed) text:
+
+    - ``top_token_frac``:   occurrences of the most frequent token / tokens
+    - ``top_bigram_frac``:  occurrences of the most frequent bigram / bigrams
+    - ``dup_trigram_frac``: share of trigram occurrences beyond each
+      gram's first (1 − distinct/total)
+
+    Physical shape: all three gram sizes ride ONE explode — each (doc,
+    gram_size, gram) occurrence is a row — then a two-level hash aggregate:
+    (doc, size, gram) counts, (doc, size) max/sum/distinct, and a final
+    per-doc pivot. The fan-out keys on the doc id, so the first aggregate's
+    (doc, …) grouping is satisfied by the exchange the fan-out already
+    paid; partial aggregation collapses repeats map-side, bounding shuffle
+    rows by distinct grams per doc.
+    """
+    base = fan_out(docs, id_col).select(
+        F.col(id_col), tokens(text_col).alias("toks")
+    )
+    units = base.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.transform(
+                    "toks",
+                    lambda t: F.struct(F.lit(1).alias("n"), t.alias("gram")),
+                ),
+                F.transform(
+                    word_ngrams_from(F.col("toks"), 2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
+                ),
+                F.transform(
+                    word_ngrams_from(F.col("toks"), 3),
+                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram")),
+                ),
+            )
+        ).alias("u"),
+    ).select(F.col(id_col), F.col("u.n").alias("n"), F.col("u.gram").alias("gram"))
+    counts = units.groupBy(id_col, "n", "gram").agg(F.count("*").alias("c"))
+    per_size = counts.groupBy(id_col, "n").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("total"),
+        F.count("*").alias("n_distinct"),
+    )
+    def _frac(size: int, expr):
+        return F.round(
+            F.max(F.when(F.col("n") == size, expr)), 6
+        )
+    return per_size.groupBy(id_col).agg(
+        _frac(1, F.col("top_c") / F.col("total")).alias("top_token_frac"),
+        _frac(2, F.col("top_c") / F.col("total")).alias("top_bigram_frac"),
+        _frac(3, 1 - F.col("n_distinct") / F.col("total")).alias(
+            "dup_trigram_frac"
+        ),
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with an evaluation/benchmark set (the standard n-gram-overlap
+    contamination test applied before a training run).
+
+    (id, n_overlap_grams, contaminated) for EVERY corpus doc —
+    n_overlap_grams counts the doc's distinct grams that appear anywhere
+    in the benchmark.
+
+    Scale shape: the benchmark's distinct gram set is tiny next to the
+    corpus (eval sets are thousands of docs, corpora billions), so it
+    BROADCASTS — the corpus side stays map-local: explode distinct grams,
+    broadcast-hash-join, one groupBy keyed on the id the fan-out already
+    hashed. The final left join re-attaches zero-overlap docs without
+    moving text.
+    """
+    bench_grams = (
+        fan_out(benchmark, id_col)
+        .select(
+            F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = fan_out(docs, id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+    )
+    overlap = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_n_overlap"))
+    )
+    return (
+        docs.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_n_overlap", F.lit(0)).alias("n_overlap_grams"),
+            (F.coalesce("_n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
     )

@@ -108,3 +108,114 @@ class TestTopKPerGroup:
         out = top_k_per_group(df, ["g"], [F.desc("v"), F.asc("g")], 2)
         rows = sorted((r.g, r.v) for r in out.collect())
         assert rows == [("a", 2), ("a", 3), ("b", 9)]
+
+
+class TestChunking:
+    def test_chunks_cover_and_overlap(self, spark, docs):
+        from airflow_etl_finance_market_spark.operators.chunking import (
+            chunk_documents,
+        )
+
+        rows = chunk_documents(
+            docs, chunk_tokens=32, overlap=8
+        ).collect()
+        texts = {
+            r.doc_id: re.sub(r"\s+", " ", r.text.lower()).strip()
+            for r in docs.collect()
+        }
+        per_doc = collections.defaultdict(list)
+        for r in rows:
+            per_doc[r.doc_id].append(r)
+        assert set(per_doc) == set(texts)
+        for doc_id, chunks in per_doc.items():
+            toks = texts[doc_id].split(" ")
+            chunks.sort(key=lambda r: r.chunk_idx)
+            assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+            rebuilt = []
+            for k, c in enumerate(chunks):
+                start = k * 24  # stride = 32 - 8
+                expect = toks[start : start + 32]
+                assert c.chunk_text.split(" ") == expect
+                assert c.chunk_n_tokens == len(expect)
+                rebuilt.extend(expect if k == 0 else expect[8:])
+            # overlapping windows reconstruct the document exactly
+            assert rebuilt == toks
+
+    def test_overlap_must_be_smaller(self, docs):
+        from airflow_etl_finance_market_spark.operators.chunking import (
+            chunk_documents,
+        )
+
+        with pytest.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+class TestRepetitionStats:
+    def test_matches_python_recomputation(self, docs):
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            repetition_stats,
+        )
+
+        got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+        for r in docs.collect():
+            toks = re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+
+            def grams(n):
+                if len(toks) <= n - 1:
+                    return [" ".join(toks)]
+                return [
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                ]
+
+            t1 = collections.Counter(grams(1))
+            t2 = collections.Counter(grams(2))
+            t3 = collections.Counter(grams(3))
+            g = got[r.doc_id]
+            assert g.top_token_frac == round(
+                max(t1.values()) / sum(t1.values()), 6
+            )
+            assert g.top_bigram_frac == round(
+                max(t2.values()) / sum(t2.values()), 6
+            )
+            assert g.dup_trigram_frac == round(
+                1 - len(t3) / sum(t3.values()), 6
+            )
+
+
+class TestContamination:
+    def test_matches_python_recomputation(self, docs):
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            contamination_flags,
+        )
+
+        corpus = docs.filter(F.col("doc_id") % 50 != 0)
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        got = {
+            r.doc_id: (r.n_overlap_grams, r.contaminated)
+            for r in contamination_flags(corpus, bench, n=3).collect()
+        }
+
+        def trigrams(text):
+            toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+            if len(toks) <= 2:
+                return {" ".join(toks)}
+            return {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+
+        all_rows = docs.collect()
+        bench_grams = set()
+        for r in all_rows:
+            if r.doc_id % 50 == 0:
+                bench_grams |= trigrams(r.text)
+        n_checked = 0
+        for r in all_rows:
+            if r.doc_id % 50 == 0:
+                continue
+            ov = len(trigrams(r.text) & bench_grams)
+            assert got[r.doc_id] == (ov, ov > 0)
+            n_checked += 1
+        assert n_checked == len(got) > 0
+        assert any(v[1] for v in got.values())
+        assert not all(v[1] for v in got.values())
