@@ -144,6 +144,9 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         "exact_dedup": lambda: _noop(qs["doc_exact_dedup"](spark, x10)),
         "token_stats": lambda: _noop(qs["doc_token_stats"](spark, x10)),
         "curated_corpus": lambda: _noop(qs["curated_corpus"](spark, x10)),
+        "chunking": lambda: _noop(qs["doc_chunks"](spark, x10)),
+        "repetition": lambda: _noop(qs["doc_repetition_stats"](spark, x10)),
+        "contamination": lambda: _noop(qs["doc_contamination"](spark, x10)),
         "ann_brute": lambda: _noop(qs["embedding_topk"](spark, x10)),
         "ann_lsh": lambda: _noop(qs["embedding_topk_lsh"](spark, x10)),
         "ann_ivf": lambda: _noop(qs["embedding_topk_ivf"](spark, x10)),

@@ -192,3 +192,35 @@ def test_grouped_topk_prunes_before_exchange(spark, sf_dir):
     beyond k are dropped map-side, before the group-key shuffle."""
     plan = plan_of(harness.queries()["top_docs_per_lang"](spark, sf_dir))
     assert plan.count("WindowGroupLimit") == 2
+
+
+def test_ivf_index_table_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The IVF scale contract made concrete: write the index partitioned by
+    cell, and a probe of nprobe cells must prune at PartitionFilters —
+    reading nprobe/nlist of the corpus, which is the whole point of an
+    inverted file at 100 TB. The query over the persisted index must also
+    return exactly what the in-memory index returns."""
+    from airflow_etl_finance_market_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_index,
+    )
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    centroids, assigned = ivf_index(emb, nlist=8)
+    path = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("_cell").parquet(path)
+
+    stored = spark.read.parquet(path)
+    # a probe of 2 cells prunes to 2 of the 8 partition directories
+    plan = plan_of(stored.filter(F.col("_cell").isin([1, 3])))
+    part_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "_cell" in part_line and "1,3" in part_line.replace(" ", "")
+
+    qids = [0, 1, 2, 3, 4]
+    from_stored = cosine_topk_ivf(
+        emb, qids, k=5, index=(centroids, stored)
+    ).collect()
+    from_mem = cosine_topk_ivf(
+        emb, qids, k=5, index=(centroids, assigned)
+    ).collect()
+    assert sorted(map(tuple, from_stored)) == sorted(map(tuple, from_mem))

@@ -15,7 +15,8 @@ NAMES = [
     "pricing_summary", "purchase_attribution", "rolling_close_avg",
     "minhash_lsh_near_dups", "embedding_topk", "windowed_event_kpis",
     "sql_api_nation_rank", "curated_corpus", "term_frequencies",
-    "embedding_centroids",
+    "embedding_centroids", "doc_chunks", "doc_repetition_stats",
+    "doc_contamination", "embedding_topk_lsh", "embedding_topk_ivf",
 ]
 
 
