@@ -13,15 +13,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: File-stream schema for the events fixture. The driver parquet stores
-#: `ts` as TIMESTAMP(NANOS), which Spark's vectorized reader rejects —
-#: the batch reader (sources.readers.load_fixture) handles it via the
-#: nanosAsLong legacy conf, and the stream reader must declare the column
-#: as LONG for the same reason, then rebuild a TIMESTAMP_NTZ.
+#: File-stream schema for the events fixture. `ts` is declared LONG so
+#: the reader hands back the raw epoch int64 regardless of the parquet
+#: logical unit — the fixture has shipped as both TIMESTAMP(NANOS)
+#: (Spark's vectorized reader rejects it without the nanosAsLong legacy
+#: conf) and TIMESTAMP(MICROS); either way an int64-schema read yields
+#: the physical value, and the unit-adaptive expression below rebuilds
+#: a proper timestamp.
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch nanos (see above)
+        T.StructField("ts", T.LongType()),  # raw epoch int64 (see above)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -29,12 +31,20 @@ EVENTS_STREAM_SCHEMA = T.StructType(
     ]
 )
 
-#: Rebuild microsecond timestamps from epoch nanos. Event-time watermarks
-#: require TIMESTAMP (LTZ) — [EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE] on NTZ —
-#: so unlike the batch fixture reader this surface is LTZ; the engine
-#: session pins spark.sql.session.timeZone=UTC, which keeps window
+#: Rebuild microsecond timestamps from the raw epoch int64. Event-time
+#: watermarks require TIMESTAMP (LTZ) — [EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]
+#: on NTZ — so unlike the batch fixture reader this surface is LTZ; the
+#: engine session pins spark.sql.session.timeZone=UTC, which keeps window
 #: boundaries identical to the NTZ batch tier.
-_TS_FROM_NANOS = "timestamp_micros(ts div 1000)"
+#:
+#: Unit detection by magnitude: epoch MICROS stays below 1e17 until the
+#: year 5138, while epoch NANOS exceeds 1e17 for any instant after 1973 —
+#: so one threshold cleanly separates the two encodings this fixture has
+#: shipped with (and a wrong guess would be off by 1000x, never subtle).
+_TS_FROM_EPOCH = (
+    "timestamp_micros(CASE WHEN abs(ts) > 100000000000000000"
+    " THEN ts div 1000 ELSE ts END)"
+)
 
 
 def read_events_batch(spark: SparkSession, path: str) -> DataFrame:
@@ -45,7 +55,7 @@ def read_events_batch(spark: SparkSession, path: str) -> DataFrame:
     return (
         spark.read.schema(EVENTS_STREAM_SCHEMA)
         .parquet(path)
-        .withColumn("ts", F.expr(_TS_FROM_NANOS))
+        .withColumn("ts", F.expr(_TS_FROM_EPOCH))
     )
 
 
@@ -70,7 +80,7 @@ def read_events_stream(
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path).withColumn("ts", F.expr(_TS_FROM_NANOS))
+    return reader.parquet(path).withColumn("ts", F.expr(_TS_FROM_EPOCH))
 
 
 def run_available_now(

@@ -32,9 +32,18 @@ def _rows(df):
 def split_events_dir(spark, sf_dir, tmp_path_factory):
     """The events fixture split into 3 ts-ordered parquet files so a file
     stream with maxFilesPerTrigger=1 yields 3 micro-batches with advancing
-    watermark. ts stays raw epoch-nanos (the stream schema's wire format)."""
+    watermark. ts stays raw epoch-nanos (the stream schema's wire format).
+
+    Read with the stream's explicit LONG schema — relying on the
+    nanosAsLong session conf is fragile (under Spark 4.1.2 a conf set
+    mid-suite can be ignored and ts comes back as a timestamp, breaking
+    the integer span arithmetic below)."""
+    from airflow_etl_finance_market_spark.streaming.io import EVENTS_STREAM_SCHEMA
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts: bigint nanos
+    raw = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(
+        f"{sf_dir}/events.parquet"
+    )  # ts: bigint nanos
     lo, hi = raw.selectExpr("min(ts)", "max(ts)").first()
     span = (hi - lo) // 3 + 1
     out = str(tmp_path_factory.mktemp("events_stream"))
