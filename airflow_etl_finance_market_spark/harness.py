@@ -44,12 +44,39 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+#: Entries pushed to the BACK of the registry order. The driver verifies
+#: exactly the first 50 registered names per round, so the window must hold
+#: every entry that has not yet earned a driver correctness row. These 8 are
+#: all twice-green (CORRECTNESS_r01 + r02 hash-match) and their SURVEY §2
+#: rows stay oracle-covered by other in-window entries (e.g. A8 DISTINCT by
+#: dim_tempo, set membership by customer_set_ops), so demoting them costs no
+#: §2 coverage while freeing slots for this round's new operators.
+_WINDOW_DEMOTED = [
+    "customers_with_big_orders",
+    "dim_instrumento",
+    "qty_rollup",
+    "status_flag_pivot",
+    "price_percentiles",
+    "returnflag_correlation",
+    "customer_order_coverage",
+    "pricey_parts_vs_brand_avg",
+]
+
+
+def _window_order(d: dict) -> dict:
+    demoted = [n for n in _WINDOW_DEMOTED if n in d]
+    return {
+        **{k: v for k, v in d.items() if k not in _WINDOW_DEMOTED},
+        **{n: d[n] for n in demoted},
+    }
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return _window_order(_QUERIES)
 
 
 def oracles() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _window_order(_ORACLES)
 
 
 # ---------------------------------------------------------------------------
@@ -1470,16 +1497,29 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine bit-equal to the exact kernel. A silent recall collapse or score
     drift flips the hash red in CORRECTNESS_r{N}.json.
     """
-    from .operators.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+    from .operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        ivf_index,
+    )
 
     emb = load_fixture(spark, sf_dir, "embeddings")
     qids = [0, 1, 2, 3, 4]
-    ivf = cosine_topk_ivf(emb, qids, k=5).select(
+    # Build the index ONCE and persist the assigned frame: the probe reads
+    # it twice (corpus side + query side), and this audit consumes the IVF
+    # result in two branches (hits join + n_queries agg) — without the
+    # persist the corpus-scale assignment aggregate re-runs ~4x. At 100 TB
+    # the same role is played by the _cell-partitioned index table
+    # (ivf_index docstring); persist() is the single-session twin. The two
+    # ≤25-row result frames are cached for the same two-branch reason.
+    centroids, assigned = ivf_index(emb)
+    assigned.persist()
+    ivf = cosine_topk_ivf(emb, qids, k=5, index=(centroids, assigned)).select(
         "query_id", "neighbor_id", "cosine_sim"
-    )
+    ).cache()
     bf = cosine_topk_bruteforce(emb, qids, k=5).select(
         "query_id", "neighbor_id", F.col("cosine_sim").alias("bf_sim")
-    )
+    ).cache()
     hits = ivf.join(bf, ["query_id", "neighbor_id"])
     return (
         bf.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
