@@ -355,81 +355,57 @@ def _ivf_centroids(
     id_col: str,
     vec_col: str,
     iterations: int = 2,
+    sample_per_cell: int = 256,
 ) -> list[list[float]]:
-    """Deterministic IVF coarse quantizer: k-means over the corpus, seeded
-    by hash-partition means (no RNG — reproducible across runs/sessions,
-    the same requirement as the LSH hyperplanes).
+    """Deterministic IVF coarse quantizer: k-means trained on a BOUNDED
+    hash-sample of the corpus (FAISS convention — ``sample_per_cell``
+    x ``nlist`` vectors), no RNG — reproducible across runs/sessions, the
+    same requirement as the LSH hyperplanes.
 
-    The (id, pos, x) element fan-out is computed ONCE and persisted across
-    all Lloyd iterations (each iteration only changes the centroid
-    literals, not the exploded input). Per iteration: assignment is the
-    codegen'd explode→hash-aggregate dot shape (:func:`_cell_argmax_agg`),
-    and the new means are ONE hash aggregate keyed (cell, pos) — the
-    id-keyed join between elements and assignments is co-partitioned (both
-    sides derive from the same id-hashed fan-out), so no extra exchange.
-    Only the nlist x dim centroid matrix ever reaches the driver.
+    One narrow Spark pass: TakeOrderedAndProject on ``xxhash64(id)`` pulls
+    the ≤ sample_per_cell*nlist training vectors to the driver (partial
+    top-k map-side — no full sort, no explode), then Lloyd iterations run
+    driver-local in numpy over the sample. The driver-side state is
+    bounded by the *parameters*, never the corpus size, so the training
+    cost is flat in corpus scale; the only full-corpus work an IVF build
+    does is the single assignment pass in :func:`ivf_index`.
+
+    Seeding matches the old full-corpus kernel: cell c starts as the mean
+    of sampled vectors with ``pmod(xxhash64(id), nlist) == c``; cells the
+    sample never hits are dropped (same compaction the corpus-pass version
+    applied). Tie-break on assignment is smallest cell index, matching
+    :func:`nearest_centroid_col` / :func:`assign_cells_frame`.
     """
-    elems = fan_out(embeddings, id_col).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(as_double(vec_col)).alias("pos", "x"),
-    ).persist()
+    import numpy as np
 
-    def assemble(rows) -> list[list[float]]:
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cell.setdefault(r["_cell"], {})[r["pos"]] = r["m"]
-        return [
-            [cell[p] for p in sorted(cell)]
-            for _, cell in sorted(by_cell.items())
-        ]
-
-    def cell_means(elems_with_cell: DataFrame) -> list[list[float]]:
-        rows = (
-            elems_with_cell.groupBy("_cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
+    cap = sample_per_cell * nlist
+    rows = (
+        embeddings.select(
+            F.xxhash64(F.col(id_col)).alias("_h"),
+            F.col(id_col).alias("id"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(nlist)).alias("_seed"),
+            as_double(vec_col).alias("v"),
         )
-        return assemble(rows)
-
-    centroids = cell_means(
-        elems.withColumn("_cell", F.pmod(F.xxhash64(F.col("id")), F.lit(nlist)))
+        .orderBy("_h", "id")
+        .limit(cap)
+        .collect()
     )
+    if not rows:
+        return []
+    rows.sort(key=lambda r: (r["_h"], r["id"]))
+    sample = np.array([r["v"] for r in rows], dtype=np.float64)
+    seeds = np.array([r["_seed"] for r in rows], dtype=np.int64)
+
+    live = sorted({int(s) for s in seeds})
+    cents = np.stack([sample[seeds == c].mean(axis=0) for c in live])
     for _ in range(iterations):
-        assigned = _cell_argmax_agg(elems, centroids).select("id", "_cell")
-        centroids = cell_means(elems.join(assigned, "id"))
-    elems.unpersist()
-    return centroids
-
-
-def _cell_argmax_agg(elems: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """(id, norm, _cell) from an (id, pos, x) element frame: every centroid
-    dot as a SUM aggregate against constant-folded literals (the same
-    codegen explode→hash-aggregate shape as the LSH/minhash kernels —
-    interpreted ``transform``/``aggregate`` lambdas are 10x slower at
-    corpus scale), then argmax via a native sort of a (−dot, cell) struct
-    array (ties → smallest cell id, matching :func:`nearest_centroid_col`).
-    """
-    clits = [F.array(*[F.lit(float(w)) for w in c]) for c in centroids]
-    dots = elems.groupBy("id").agg(
-        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("norm"),
-        *[
-            F.sum(F.col("x") * F.element_at(c, F.col("pos") + 1)).alias(f"_d{i}")
-            for i, c in enumerate(clits)
-        ],
-    )
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (-F.col(f"_d{i}")).alias("negd"), F.lit(i).alias("cell")
-                )
-                for i in range(len(centroids))
-            ]
-        )
-    )
-    return dots.select(
-        "id", "norm", F.element_at(ranked, 1).getField("cell").alias("_cell")
-    )
+        # argmax dot with first-index (= smallest cell) tie-break.
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for j in range(len(live)):
+            members = sample[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in cents]
 
 
 def assign_cells_frame(
@@ -440,7 +416,7 @@ def assign_cells_frame(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, vec, norm, _cell) for every row of `df` — the corpus-scale
-    assignment kernel (codegen explode+aggregate; see :func:`_cell_argmax_agg`).
+    assignment kernel (codegen explode+aggregate).
     :func:`nearest_centroid_col` is the single-expression twin for tiny
     frames (e.g. query-side probes)."""
     elems = fan_out(df, id_col).select(

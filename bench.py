@@ -9,10 +9,13 @@ Method: one shared SparkSession (per BASELINE.md — fixed JVM/session cost
 dwarfs sf0.1 compute, exactly like the reference's one-Postgres-instance
 model); each query materializes fully via the `noop` sink (forces every
 column/row through the plan with zero sink cost — `count()` would let
-Catalyst prune work) and reports BEST-OF-2 runs: this host shows sporadic
-multi-second stalls (measured 2-25x on identical plans minutes apart), and
-steady-state throughput is the quantity comparable to the reference's
-baseline. Ingest is benchmarked as schema-first CSV scan → parquet
+Catalyst prune work) and reports BEST-OF-3 runs for the headline tier:
+this host shows sporadic multi-second stalls (measured 2-25x on identical
+plans minutes apart), and steady-state throughput is the quantity
+comparable to the reference's baseline. Best-of-2 proved too few samples:
+r02 recorded doc_token_stats 0.274->0.496 and doc_exact_dedup 0.349->0.665
+vs r01 with ZERO code changes to either plan (verified against the round-2
+diffs) — both minima were stall-inflated, hence one more sample. Ingest is benchmarked as schema-first CSV scan → parquet
 overwrite (the S1/S4 path; reference baseline ~2 s 750k-row COPY) plus a
 parquet→parquet overwrite.
 """
@@ -152,9 +155,15 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         "ann_ivf": lambda: _noop(qs["embedding_topk_ivf"](spark, x10)),
     }
 
-    def best_of_2(thunk) -> float:
+    def best_of_2(thunk, *, cold: bool = False) -> float:
         best = float("inf")
         for _ in range(2):
+            if cold:
+                # the IVF audit gate persists its index frame internally
+                # (legitimately — the audit reads it 4x); without this the
+                # 2nd iteration hits the 1st's cache via CacheManager plan
+                # substitution and the "cold" number silently goes warm.
+                spark.catalog.clearCache()
             t0 = time.perf_counter()
             thunk()
             best = min(best, time.perf_counter() - t0)
@@ -162,7 +171,7 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
 
     out: dict[str, float] = {}
     for name, thunk in jobs.items():
-        out[name] = best_of_2(thunk)
+        out[name] = best_of_2(thunk, cold=name.startswith("ann_"))
 
     # ANN warm-query paths, timed LAST: the persisted index would otherwise
     # leak into the cold ann_lsh/ann_ivf runs via CacheManager plan
@@ -204,7 +213,7 @@ def main() -> None:
 
     for name in BENCH_QUERIES:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             df = qs[name](spark, SF_DIR)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
