@@ -135,6 +135,7 @@ def run_pipeline(
     expected_count: int | None = None,
     top_k: int = 1,
     report_path: str | None = None,
+    charts_dir: str | None = None,
     incremental_date: dt.date | None = None,
     lookback_days: int = 14,
 ) -> PipelineResult:
@@ -142,6 +143,9 @@ def run_pipeline(
 
     ``report_path``: when set, write the executive text report (S9,
     the notebook's `relatorio_completo.txt`) there from the fact table.
+
+    ``charts_dir``: when set, also render the notebook's four PNG figures
+    there (S9 chart sinks, plans/charts.py).
 
     ``incremental_date``: when set, load ONLY that day — the CSV scan is
     filtered (predicate pushdown), the day's variacao_diaria is seeded from
@@ -218,15 +222,20 @@ def run_pipeline(
             f"Ativo mais volátil: {r['ticker']} "
             f"(volatilidade média semanal: {r['avg_volatility']:.2f}%)"
         )
-    if report_path:
-        from .report import write_report
-
+    if report_path or charts_dir:
         # the report is global: in incremental mode the in-memory `fact`
         # is one day, so read the full (freshly updated) table back
         report_fact = (
             fact if incremental_date is None else spark.read.parquet(fact_path)
         )
-        write_report(report_fact, report_path, k=5)
+        if report_path:
+            from .report import write_report
+
+            write_report(report_fact, report_path, k=5)
+        if charts_dir:
+            from .charts import write_report_charts
+
+            write_report_charts(report_fact, charts_dir, k=5)
     log.info(
         "pipeline ok: staged=%s fact=%s weekly=%s | %s",
         staged_rows, fact_rows, weekly_rows, message,

@@ -128,6 +128,24 @@ def test_report_file_written(spark, ohlcv_csv, warehouse, result, tmp_path):
     assert f"1. {top}:" in text
 
 
+def test_chart_files_written(spark, ohlcv_csv, warehouse, result, tmp_path):
+    """S9 chart sinks: run with charts_dir writes the notebook's four PNGs
+    with the daily-change rankings embedded in their metadata."""
+    from airflow_etl_finance_market_spark.plans.charts import read_png_meta
+
+    charts = tmp_path / "outputs"
+    run_pipeline(spark, ohlcv_csv, warehouse, charts_dir=str(charts))
+    names = sorted(p.name for p in charts.iterdir())
+    assert names == [
+        "01_volatilidade.png",
+        "02_performance.png",
+        "03_volume.png",
+        "04_risco_retorno.png",
+    ]
+    meta = read_png_meta(str(charts / "01_volatilidade.png"))
+    assert meta["title"].startswith("TOP 5") and "=" in meta["series"]
+
+
 def test_gate_trips_on_corruption(spark, tmp_path):
     bad_csv = str(tmp_path / "bad.csv")
     write_csv(bad_csv, corrupt=True)

@@ -72,3 +72,40 @@ def test_write_report_roundtrip(spark, tmp_path):
     text = write_report(_fact(spark), str(p), k=2)
     assert p.read_text(encoding="utf-8") == text
     assert "FIM DO RELATÓRIO" in text
+
+
+def test_write_report_charts(spark, tmp_path):
+    """S9 PNG chart sinks: the notebook's four figures, rendered without
+    matplotlib, with content pinned via tEXt metadata."""
+    from airflow_etl_finance_market_spark.plans.charts import (
+        read_png_meta,
+        write_report_charts,
+    )
+
+    out = tmp_path / "outputs"
+    paths = write_report_charts(_fact(spark), str(out), k=2)
+    assert set(paths) == {"volatility", "performance", "volume", "risk_return"}
+    for p in paths.values():
+        meta = read_png_meta(p)
+        assert int(meta["width"]) > 0 and int(meta["height"]) > 0
+
+    # chart CONTENT: rankings and values match the data, not just existence
+    vol = read_png_meta(paths["volatility"])
+    assert vol["series"].startswith("AAA=14.14")  # stddev_samp(10,-10)
+    perf = read_png_meta(paths["performance"])
+    assert perf["series"].startswith("CCC=5.0")
+    liq = read_png_meta(paths["volume"])
+    assert liq["series"].split(";")[0].startswith("BBB=")
+    scat = read_png_meta(paths["risk_return"])
+    assert "BBB=(0.0," in scat["series"]  # zero-volatility ticker present
+
+
+def test_charts_deterministic(spark, tmp_path):
+    from airflow_etl_finance_market_spark.plans.charts import write_report_charts
+
+    a = write_report_charts(_fact(spark), str(tmp_path / "a"), k=3)
+    b = write_report_charts(
+        _fact(spark).repartition(5), str(tmp_path / "b"), k=3
+    )
+    for key in a:
+        assert open(a[key], "rb").read() == open(b[key], "rb").read()
