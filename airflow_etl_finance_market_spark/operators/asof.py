@@ -46,10 +46,15 @@ def asof_join(
 
     ``tiebreak`` names a right-side column that deterministically orders
     right rows sharing the same ``(by, right_ts)``: the row with the
-    GREATEST tiebreak value wins. Without it the winner among exact
-    duplicates is partitioning-dependent (Spark's window sort is not
-    stable), so pass one whenever ``(by, right_ts)`` is not unique on the
-    right — e.g. a sequence number or source row id.
+    GREATEST tiebreak value wins — e.g. a sequence number or source row
+    id. When omitted, duplicates are broken by the PAYLOAD STRUCT itself
+    (field-wise comparison, greatest wins), so the result is deterministic
+    by construction either way — Spark's window sort is not stable, and
+    without a total order the winner among exact duplicates would be
+    partitioning-dependent. The payload fallback costs nothing (no extra
+    pass); it only requires every ``right_vals`` column to be an orderable
+    type (maps are not — pass an explicit ``tiebreak`` for those, or the
+    analyzer rejects the sort).
     """
     collisions = set(right_vals.values()) & set(left.columns)
     if collisions:
@@ -76,6 +81,11 @@ def asof_join(
     order = [F.col(ts).asc(), src_order]
     if tiebreak:
         order.append(F.col("_asof_tb").asc_nulls_first())
+    else:
+        # no tiebreak: total-order duplicate right rows by their payload so
+        # the carried winner is deterministic (left rows' NULL payloads
+        # sort among themselves — harmless, they are never carried FROM).
+        order.append(F.col("_asof_payload").asc_nulls_first())
     w = (
         Window.partitionBy(by)
         .orderBy(*order)

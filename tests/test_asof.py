@@ -76,3 +76,29 @@ def test_exclusive_skips_same_instant(spark):
     }
     assert out["t5"] is None  # the day-5 tie is excluded under strict <
     assert out["t10"] == _d(8)
+
+
+def test_no_tiebreak_duplicates_resolve_by_payload(spark):
+    """Without an explicit tiebreak, duplicate (by, right_ts) right rows
+    must resolve deterministically: greatest payload struct wins, under
+    any partitioning."""
+    from airflow_etl_finance_market_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("A", 10)], "k string, ts int"
+    )
+    right = spark.createDataFrame(
+        [("A", 5, 1.0), ("A", 5, 9.0), ("A", 5, 4.0)],
+        "k string, ts int, px double",
+    )
+    outs = set()
+    for parts in (1, 3, 7):
+        out = asof_join(
+            left,
+            right.repartition(parts),
+            by="k",
+            ts="ts",
+            right_vals={"px": "asof_px"},
+        ).collect()
+        outs.add(out[0]["asof_px"])
+    assert outs == {9.0}
