@@ -2034,3 +2034,149 @@ def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("quality"), 6).alias("avg_quality"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@register(
+    "streaming_pct_change_vol",
+    """
+SELECT (SELECT COUNT(*) FROM events) AS n_rows,
+       true AS pct_matches_batch,
+       true AS vol_windows_subset,
+       true AS vol_values_match
+""",
+)
+def q_streaming_pct_change_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming HARD GATE (§2.9): the chained streaming flagship
+    — applyInPandasWithState pct-change → watermark → 7-day windowed
+    stddev — executed as REAL streaming queries over 3 file micro-batches,
+    then audited against the batch LAG twin. Like the IVF gate, the oracle
+    pins the audit row: every event yields exactly one pct row across
+    micro-batches (n_rows vs COUNT(*) — cross-batch state loss would drop
+    or duplicate), streamed pct values equal the batch LAG path row-for-row
+    (1e-9), and append-mode windows are a value-matching subset of the
+    batch windows (non-empty, i.e. the watermark finalized windows).
+
+    Iterative micro-batch execution is not SQL-expressible; the gate makes
+    the driver (not just pytest) cover the stateful streaming tier.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import (
+        pct_change_stateful,
+        read_events_batch,
+        read_events_stream,
+        run_available_now,
+        windowed_volatility,
+    )
+    from .streaming.io import EVENTS_STREAM_SCHEMA
+
+    global _STREAM_GATE_SEQ
+    _STREAM_GATE_SEQ += 1
+    seq = _STREAM_GATE_SEQ
+
+    tmp = tempfile.mkdtemp(prefix="finmarket_stream_gate_")
+    try:
+        # events split into 3 ts-ranged single-file parquet dirs: the file
+        # source (maxFilesPerTrigger=1, mtime-ordered) replays them as 3
+        # micro-batches with advancing watermark — state must carry across.
+        raw = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(
+            f"{sf_dir}/events.parquet"
+        )
+        lo, hi = raw.selectExpr("min(ts)", "max(ts)").first()
+        span = (hi - lo) // 3 + 1
+        for i in range(3):
+            pdir = f"{tmp}/in/b{i}"
+            raw.filter(
+                (raw.ts >= lo + i * span) & (raw.ts < lo + (i + 1) * span)
+            ).coalesce(1).write.mode("overwrite").parquet(pdir)
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    os.utime(f"{pdir}/{f}", (1_700_000_000 + i,) * 2)
+
+        src = f"{tmp}/in/b*"
+        streamed_pct = run_available_now(
+            pct_change_stateful(
+                read_events_stream(spark, src, max_files_per_trigger=1)
+            ),
+            f"_gate_pct_{seq}",
+            output_mode="append",
+        )
+        streamed_vol = run_available_now(
+            windowed_volatility(
+                pct_change_stateful(
+                    read_events_stream(spark, src, max_files_per_trigger=1)
+                ).withWatermark("ts", "1 hour"),
+                key="user_id",
+                ts="ts",
+                window="7 days",
+            ),
+            f"_gate_vol_{seq}",
+            output_mode="append",
+        )
+
+        batch_pct = pct_change_stateful(
+            read_events_batch(spark, f"{sf_dir}/events.parquet")
+        )
+        batch_vol = windowed_volatility(
+            batch_pct, key="user_id", ts="ts", window="7 days"
+        )
+
+        # ---- audit (distributed joins; only scalars reach the driver) ----
+        n_stream = streamed_pct.count()
+        n_batch = batch_pct.count()
+        pct_join = streamed_pct.alias("s").join(
+            batch_pct.alias("b"), ["user_id", "ts"], "full_outer"
+        )
+        pct_bad = pct_join.filter(
+            F.col("s.value").isNull()
+            | F.col("b.value").isNull()
+            | (F.col("s.value") != F.col("b.value"))
+            | (
+                F.col("s.variacao_diaria").isNull()
+                != F.col("b.variacao_diaria").isNull()
+            )
+            | (
+                F.abs(
+                    F.col("s.variacao_diaria") - F.col("b.variacao_diaria")
+                )
+                > 1e-9
+            )
+        ).count()
+
+        n_vol = streamed_vol.count()
+        # _b1 marks "batch row exists": b.vol itself is NULL for legitimate
+        # one-sample windows (stddev_samp of 1 value), which is a match,
+        # not a miss, when the streamed side is NULL too.
+        vol_join = streamed_vol.alias("s").join(
+            batch_vol.withColumn("_b1", F.lit(1)).alias("b"),
+            ["user_id", "week_start"],
+            "left_outer",
+        )
+        vol_missing = vol_join.filter(F.col("b._b1").isNull()).count()
+        vol_bad = vol_join.filter(
+            (F.col("s.vol").isNull() != F.col("b.vol").isNull())
+            | (
+                F.abs(F.col("s.vol") - F.col("b.vol"))
+                > F.greatest(F.lit(1.0), F.abs(F.col("b.vol"))) * 1e-9
+            )
+        ).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [
+            (
+                n_stream,
+                n_stream == n_batch and pct_bad == 0,
+                n_vol > 0 and vol_missing == 0,
+                vol_bad == 0,
+            )
+        ],
+        "n_rows long, pct_matches_batch boolean, "
+        "vol_windows_subset boolean, vol_values_match boolean",
+    )
+
+
+_STREAM_GATE_SEQ = 0
