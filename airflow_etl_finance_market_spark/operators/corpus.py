@@ -166,3 +166,61 @@ def contamination_flags(
             (F.coalesce("_n_overlap", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_len: int = 1,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF:
+    ``(n_in_doc / doc_len) * ln((N + 1) / (df + 1))``, rounded to 6 — the
+    classic keyword-extraction / boilerplate-contrast signal.
+
+    One explode feeds everything: per-(doc, term) counts run co-located
+    (fan_out keys the scan by doc), document length is a window over the
+    same per-doc rows, document frequency is the term-keyed second-level
+    aggregate, and the global doc count N joins in as a broadcast one-row
+    frame (kept lazy — no driver round-trip). Ranking happens on the
+    ROUNDED score (ties → term asc): cross-engine float ulps can't flip
+    the order of equal-to-6-decimals scores, which keeps the top-k
+    deterministic for the oracle as well as across Spark runs.
+    """
+    from pyspark.sql import Window
+
+    occurrences = (
+        fan_out(docs, id_col)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.length("term") >= min_len)
+    )
+    per_doc = occurrences.groupBy(id_col, "term").agg(
+        F.count("*").alias("n_in_doc")
+    )
+    doc_len = Window.partitionBy(id_col)
+    df_frame = per_doc.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (
+        per_doc.withColumn("doc_len", F.sum("n_in_doc").over(doc_len))
+        .join(df_frame, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("n_in_doc")
+                / F.col("doc_len")
+                * F.log((F.col("_n_docs") + 1) / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    rank_w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

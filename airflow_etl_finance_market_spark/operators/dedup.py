@@ -577,3 +577,65 @@ def curate_corpus(
         )
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    window: int = 4,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., the MOSS algorithm):
+    (doc_id, fp) — the distinct minima of a ``window``-wide sliding MIN
+    over the positional n-gram hash sequence.
+
+    Winnowing guarantees any shared substring of ~``window + ngram - 1``
+    tokens contributes a common fingerprint to both documents, at a
+    ~2/(window+1) sampling rate — the containment-detection primitive
+    (quote/excerpt finding, plagiarism-style overlap) that whole-document
+    MinHash can't express. Documents shorter than one window keep their
+    global-min gram hash (the final position's window spans the whole doc),
+    so every non-empty document gets ≥1 fingerprint.
+
+    Physical shape: posexplode the ORDERED n-gram array (map-side; the
+    fan_out keeps a doc's grams co-located so the per-doc sliding window
+    sorts without an extra exchange), one rolling MIN frame window, then a
+    distinct on (doc, fp). Portable hash mode keeps fingerprints
+    bit-identical across engines — a fingerprint index built once is valid
+    from Spark, DuckDB or Python.
+    """
+    from pyspark.sql import Window
+
+    grams = fan_out(docs, id_col).select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(text_col, ngram)).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        id_col,
+        "pos",
+        _shingle_hash(F.col("gram"), hash_mode).alias("h"),
+    )
+    count_w = Window.partitionBy(id_col)
+    roll_w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    return (
+        hashed.withColumn("n_grams", F.count(F.lit(1)).over(count_w))
+        .withColumn("fp", F.min("h").over(roll_w))
+        .filter(
+            (F.col("pos") >= window - 1)
+            | (F.col("pos") == F.col("n_grams") - 1)
+        )
+        .select(id_col, "fp")
+        .distinct()
+    )

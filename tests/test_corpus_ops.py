@@ -219,3 +219,105 @@ class TestContamination:
         assert n_checked == len(got) > 0
         assert any(v[1] for v in got.values())
         assert not all(v[1] for v in got.values())
+
+
+class TestTfidfTopTerms:
+    def test_matches_python_model(self, spark):
+        """TF-IDF against a literal driver-side computation."""
+        import math
+
+        rows = [
+            (1, "apple banana apple cherry"),
+            (2, "banana banana date"),
+            (3, "apple elderberry elderberry elderberry"),
+        ]
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            tfidf_top_terms,
+        )
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+            for r in tfidf_top_terms(docs, k=2).collect()
+        }
+        toks = {i: t.split() for i, t in rows}
+        df = collections.Counter(
+            term for ts in toks.values() for term in set(ts)
+        )
+        n = len(rows)
+        for i, ts in toks.items():
+            scores = sorted(
+                (
+                    (
+                        round(
+                            ts.count(term)
+                            / len(ts)
+                            * math.log((n + 1) / (df[term] + 1)),
+                            6,
+                        ),
+                        term,
+                    )
+                    for term in set(ts)
+                ),
+                key=lambda p: (-p[0], p[1]),
+            )
+            for rank, (score, term) in enumerate(scores[:2], 1):
+                assert got[(i, rank)] == (term, pytest.approx(score, abs=1e-9))
+
+    def test_rare_term_beats_common(self, spark):
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            tfidf_top_terms,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "common zebra" if i == 0 else "common filler") for i in range(5)],
+            "doc_id long, text string",
+        )
+        top = {
+            r["doc_id"]: r["term"]
+            for r in tfidf_top_terms(docs, k=1).collect()
+        }
+        assert top[0] == "zebra"  # df=1 outranks the everywhere-word
+
+
+class TestSequencePacking:
+    def test_contiguous_greedy_packing(self, spark):
+        """Within a shard: offsets advance by token counts, sequences roll
+        over exactly when the budget is crossed, coordinates re-derive from
+        a driver-side replay."""
+        from airflow_etl_finance_market_spark.operators.packing import (
+            pack_sequences,
+        )
+        from airflow_etl_finance_market_spark.operators.sampling import (
+            hash_bucket,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["tok"] * (3 + i % 5))) for i in range(100)],
+            "doc_id long, text string",
+        )
+        out = pack_sequences(docs, budget=10, shards=4).collect()
+        by_shard = collections.defaultdict(list)
+        for r in out:
+            by_shard[r["shard"]].append(r)
+        assert sum(len(v) for v in by_shard.values()) == 100
+        for shard_rows in by_shard.values():
+            shard_rows.sort(key=lambda r: r["doc_id"])
+            cum = 0
+            for r in shard_rows:
+                assert r["seq_id"] == cum // 10
+                assert r["seq_offset"] == cum % 10
+                cum += r["n_tokens"]
+
+    def test_deterministic_under_partitioning(self, spark):
+        from airflow_etl_finance_market_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * (1 + i % 7))) for i in range(60)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, pack_sequences(docs).collect()))
+        b = sorted(map(tuple, pack_sequences(docs.repartition(13)).collect()))
+        assert a == b

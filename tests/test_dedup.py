@@ -155,3 +155,58 @@ def test_simhash_pairs_group_equals_join(spark, sf_dir):
     j = simhash_near_pairs(docs, max_hamming=8, via="join").collect()
     assert sorted(map(tuple, g)) == sorted(map(tuple, j))
     assert len(j) > 0
+
+
+class TestWinnowFingerprints:
+    def test_shared_excerpt_guarantee(self, spark):
+        """Winnowing guarantee: documents sharing a run of >= window+ngram-1
+        tokens must share at least one fingerprint; disjoint docs share none."""
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+
+        excerpt = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [
+                (1, f"intro one two {excerpt} closing words here"),
+                (2, f"totally different opening {excerpt} and another tail"),
+                (3, "nothing in common with the others at all whatsoever"),
+            ],
+            "doc_id long, text string",
+        )
+        fps = winnow_fingerprints(docs, ngram=3, window=4).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert by_doc[1] & by_doc[2], "shared excerpt produced no common fp"
+        assert not (by_doc[1] & by_doc[3])
+        assert not (by_doc[2] & by_doc[3])
+
+    def test_short_doc_still_fingerprinted(self, spark):
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "just two"), (2, "one")], "doc_id long, text string"
+        )
+        fps = winnow_fingerprints(docs, ngram=3, window=4).collect()
+        assert {r["doc_id"] for r in fps} == {1, 2}
+
+    def test_deterministic_across_partitioning(self, spark, sf_dir):
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+        from airflow_etl_finance_market_spark.sources.readers import (
+            load_fixture,
+        )
+
+        docs = load_fixture(spark, sf_dir, "documents")
+        a = sorted(map(tuple, winnow_fingerprints(docs.limit(50)).collect()))
+        b = sorted(
+            map(
+                tuple,
+                winnow_fingerprints(docs.limit(50).repartition(9)).collect(),
+            )
+        )
+        assert a == b

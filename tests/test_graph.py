@@ -1,0 +1,84 @@
+"""Connected components (operators/graph.py): fixpoint correctness vs a
+driver-side union-find oracle, determinism under partitioning, and the
+dedup_clusters contract."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from airflow_etl_finance_market_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical component = min id in component
+    comp = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(members) for r, members in comp.items() for v in members}
+
+
+def test_chain_transitivity_and_singletons(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    expect = _union_find(n, edges)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    vdf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    for parts in (1, 7):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                edf.repartition(parts), vertices=vdf
+            ).collect()
+        }
+        assert got == expect
+
+
+def test_dedup_clusters_contract(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    out = dedup_clusters(docs, pairs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 6
+    assert {by_id[i]["cluster_id"] for i in (0, 3, 5)} == {0}
+    assert by_id[0]["is_canonical"] and not by_id[3]["is_canonical"]
+    assert by_id[0]["cluster_size"] == 3
+    assert by_id[1]["cluster_size"] == 1 and by_id[1]["is_canonical"]
+    # exactly one canonical per cluster
+    canon = [r for r in out if r["is_canonical"]]
+    assert len(canon) == len({r["cluster_id"] for r in out})
+    # the deduplicated corpus size = number of clusters
+    n_clusters = (
+        dedup_clusters(docs, pairs)
+        .filter(F.col("is_canonical"))
+        .count()
+    )
+    assert n_clusters == 4
