@@ -614,24 +614,31 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
-    grams = fan_out(docs, id_col).select(
-        F.col(id_col),
-        F.posexplode(word_ngrams(text_col, ngram)).alias("pos", "gram"),
+    # n_grams comes from the array size BEFORE the explode — a count()
+    # window after it would cost a second Window+Sort pass for a number
+    # the pre-explode row already knows.
+    grams = (
+        fan_out(docs, id_col)
+        .select(F.col(id_col), word_ngrams(text_col, ngram).alias("_grams"))
+        .select(
+            F.col(id_col),
+            F.size("_grams").alias("n_grams"),
+            F.posexplode("_grams").alias("pos", "gram"),
+        )
     )
     hashed = grams.select(
         id_col,
+        "n_grams",
         "pos",
         _shingle_hash(F.col("gram"), hash_mode).alias("h"),
     )
-    count_w = Window.partitionBy(id_col)
     roll_w = (
         Window.partitionBy(id_col)
         .orderBy("pos")
         .rowsBetween(-(window - 1), Window.currentRow)
     )
     return (
-        hashed.withColumn("n_grams", F.count(F.lit(1)).over(count_w))
-        .withColumn("fp", F.min("h").over(roll_w))
+        hashed.withColumn("fp", F.min("h").over(roll_w))
         .filter(
             (F.col("pos") >= window - 1)
             | (F.col("pos") == F.col("n_grams") - 1)

@@ -56,7 +56,10 @@ def pack_sequences(
         .select(
             id_col,
             "shard",
-            (F.col("_cum") / budget).cast("long").alias("seq_id"),
+            # integer div, not float `/`: double division is only exact
+            # below 2^53 and a shard's cumulative token count at full
+            # corpus scale can pass that.
+            F.expr(f"_cum div {int(budget)}").alias("seq_id"),
             "n_tokens",
             (F.col("_cum") % budget).alias("seq_offset"),
         )

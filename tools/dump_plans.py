@@ -17,6 +17,12 @@ NAMES = [
     "sql_api_nation_rank", "curated_corpus", "term_frequencies",
     "embedding_centroids", "doc_chunks", "doc_repetition_stats",
     "doc_contamination", "embedding_topk_lsh", "embedding_topk_ivf",
+    # round 3: the new corpus operators. doc_dedup_clusters runs its
+    # label-propagation rounds eagerly at build time; the printed plan is
+    # the final-round shape over the checkpointed labels (the per-round
+    # shape is one edges⋈labels SMJ + min-agg + labels⋈labels jump).
+    "doc_tfidf_top_terms", "doc_seq_packing", "doc_winnow_fingerprints",
+    "doc_dedup_clusters",
 ]
 
 
