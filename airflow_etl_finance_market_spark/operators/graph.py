@@ -48,12 +48,18 @@ def connected_components(
     Deterministic: the fixpoint of min-label propagation is unique
     regardless of partitioning or iteration interleaving.
     """
-    sym = (
+    # Materialize the (possibly expensive — e.g. a full MinHash pipeline)
+    # edge frame ONCE, then symmetrize from the checkpointed blocks: a
+    # plain union of two selects over the raw frame would evaluate its
+    # lineage twice. No distinct() on the result — duplicate edges cost
+    # nothing against the MIN aggregate below, while deduplicating would
+    # add a full edge-list shuffle before the first round starts.
+    e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
+        .localCheckpoint()
     )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     nodes = sym.select(F.col("u").alias(id_col)).distinct()
     if vertices is not None:
         nodes = nodes.union(vertices.select(F.col(id_col))).distinct()
@@ -63,8 +69,8 @@ def connected_components(
     # ~15 the composed plan OOMs the JVM just rendering itself. Checkpoint
     # truncates lineage so every round plans against a materialized base
     # (a durable `checkpoint()` dir is the multi-executor-failure-safe
-    # variant for production runs).
-    sym = sym.localCheckpoint()
+    # variant for production runs). `sym` needs no checkpoint of its own:
+    # both union branches scan the already-checkpointed edge blocks.
     labels = nodes.select(
         id_col, F.col(id_col).alias("component")
     ).localCheckpoint()
@@ -79,6 +85,7 @@ def connected_components(
             neighbor_min, labels[id_col] == neighbor_min["u"], "left"
         ).select(
             labels[id_col],
+            F.col("component").alias("_old"),
             F.least(
                 F.col("component"), F.coalesce("_nbr_min", "component")
             ).alias("_step"),
@@ -90,6 +97,9 @@ def connected_components(
         lut = labels.select(
             F.col(id_col).alias("_lid"), F.col("component").alias("_lcomp")
         )
+        # carry the OLD label through the join so the convergence check is
+        # a column on the checkpointed frame (one cheap scan), not an extra
+        # labels⋈labels join job per round.
         new_labels = (
             stepped.join(lut, stepped["_step"] == lut["_lid"], "left")
             .select(
@@ -97,16 +107,15 @@ def connected_components(
                 F.least(
                     F.col("_step"), F.coalesce("_lcomp", "_step")
                 ).alias("component"),
+                (
+                    F.least(F.col("_step"), F.coalesce("_lcomp", "_step"))
+                    < F.col("_old")
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.component") < F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_changed").count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -153,6 +153,15 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         "ann_brute": lambda: _noop(qs["embedding_topk"](spark, x10)),
         "ann_lsh": lambda: _noop(qs["embedding_topk_lsh"](spark, x10)),
         "ann_ivf": lambda: _noop(qs["embedding_topk_ivf"](spark, x10)),
+        # round-3 corpus operators at x10
+        "tfidf_top_terms": lambda: _noop(qs["doc_tfidf_top_terms"](spark, x10)),
+        "seq_packing": lambda: _noop(qs["doc_seq_packing"](spark, x10)),
+        "winnow_fps": lambda: _noop(qs["doc_winnow_fingerprints"](spark, x10)),
+        # dedup_clusters runs its label-propagation rounds eagerly when the
+        # frame is built, so the timer wraps construction + materialization
+        "dedup_clusters": lambda: _noop(
+            qs["doc_dedup_clusters"](spark, x10)
+        ),
     }
 
     def best_of_2(thunk, *, cold: bool = False) -> float:
