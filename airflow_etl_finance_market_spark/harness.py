@@ -60,11 +60,12 @@ _WINDOW_DEMOTED = [
     "returnflag_correlation",
     "customer_order_coverage",
     "pricey_parts_vs_brand_avg",
-    # round-3 additions pushed past 50 entries; these two are twice-green
+    # round-3 additions pushed past 50 entries; these are twice-green
     # A/O-family duplicates (A4-A7 keeps ticker_metrics/ticker_report_stats,
-    # O1 keeps top_avg_volatility/volume_leaders in-window).
+    # O1 keeps top_avg_volatility in-window).
     "segment_balance",
     "top_performers",
+    "volume_leaders",
 ]
 
 
@@ -2344,4 +2345,36 @@ def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram=3,
         window=4,
         hash_mode="portable",
+    )
+
+
+@register(
+    "doc_stratified_sample",
+    """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 10000
+      < CASE lang
+            WHEN 'en' THEN 2500
+            WHEN 'zh' THEN 6000
+            WHEN 'es' THEN 6000
+            ELSE 1000
+        END
+""",
+)
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (rebalancing a skewed corpus):
+    down-sample the majority language, up-weight minority ones. Membership
+    is a pure salted-md5 function of doc_id, so the oracle reproduces the
+    EXACT row set — the property sampleBy's RNG cannot give."""
+    from .operators.sampling import stratified_sample
+
+    docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs,
+        key="doc_id",
+        strata_col="lang",
+        rates={"en": 0.25, "zh": 0.6, "es": 0.6},
+        default_rate=0.1,
     )

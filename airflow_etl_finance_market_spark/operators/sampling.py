@@ -76,3 +76,39 @@ def split_summary(
     if weight_col is not None:
         aggs.append(F.sum(weight_col).alias("total_weight"))
     return assigned.groupBy(split_col).agg(*aggs)
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    key: str,
+    strata_col: str,
+    rates: dict[str, float],
+    seed: str = "seed42",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its salted-md5
+    bucket (out of 10,000) falls below ``rate * 10,000`` for its stratum —
+    the engine-portable twin of ``DataFrame.sampleBy``.
+
+    ``sampleBy`` draws from a per-partition RNG: resampling after a
+    repartition, an engine migration, or on a different executor count
+    yields a DIFFERENT subset. Here membership is a pure function of
+    (seed, key), so the sample is reproducible row-by-row anywhere md5
+    exists, late-arriving rows join the same sample they always would
+    have, and rates are exact to 1/10,000. Map-side projection + filter —
+    no shuffle, no RNG state (same posture as assign_split).
+    """
+    thresholds = F.create_map(
+        *[
+            F.lit(x)
+            for kv in rates.items()
+            for x in (kv[0], int(round(kv[1] * 10_000)))
+        ]
+    )
+    b = hash_bucket(key, seed=seed, buckets=10_000)
+    thr = F.coalesce(
+        thresholds.getItem(F.col(strata_col)),
+        F.lit(int(round(default_rate * 10_000))),
+    )
+    return df.filter(b < thr)

@@ -321,3 +321,53 @@ class TestSequencePacking:
         a = sorted(map(tuple, pack_sequences(docs).collect()))
         b = sorted(map(tuple, pack_sequences(docs.repartition(13)).collect()))
         assert a == b
+
+
+class TestStratifiedSample:
+    def test_membership_matches_python_md5(self, spark, docs):
+        """Row membership replays exactly from Python's md5 — the portable
+        contract that distinguishes this from sampleBy's RNG."""
+        import hashlib
+
+        from airflow_etl_finance_market_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        rates = {"en": 0.3, "zh": 0.7}
+        got = {
+            r["doc_id"]
+            for r in stratified_sample(
+                docs.select("doc_id", "lang"),
+                key="doc_id",
+                strata_col="lang",
+                rates=rates,
+                default_rate=0.05,
+            ).collect()
+        }
+        expect = set()
+        for r in docs.select("doc_id", "lang").collect():
+            b = (
+                int(hashlib.md5(f"seed42:{r['doc_id']}".encode()).hexdigest()[:8], 16)
+                % 10_000
+            )
+            thr = int(round(rates.get(r["lang"], 0.05) * 10_000))
+            if b < thr:
+                expect.add(r["doc_id"])
+        assert got == expect
+
+    def test_rates_roughly_hold(self, spark, docs):
+        from airflow_etl_finance_market_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        n_en = docs.filter(F.col("lang") == "en").count()
+        kept = stratified_sample(
+            docs,
+            key="doc_id",
+            strata_col="lang",
+            rates={"en": 0.5},
+            default_rate=0.0,
+        )
+        k = kept.count()
+        assert kept.filter(F.col("lang") != "en").count() == 0
+        assert abs(k / n_en - 0.5) < 0.15

@@ -224,3 +224,27 @@ def test_ivf_index_table_probe_is_partition_pruned(spark, sf_dir, tmp_path):
         emb, qids, k=5, index=(centroids, assigned)
     ).collect()
     assert sorted(map(tuple, from_stored)) == sorted(map(tuple, from_mem))
+
+
+def test_seq_packing_single_shard_exchange(spark, sf_dir):
+    """Packing is one shard-keyed exchange + window; token counting stays
+    map-side. A second Exchange would mean the shard/window keys split."""
+    plan = plan_of(harness.queries()["doc_seq_packing"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_winnowing_single_window_pass(spark, sf_dir):
+    """n_grams rides the pre-explode projection, so exactly ONE Window
+    (the rolling min) and ONE exchange: the fan_out's doc_id partitioning
+    already satisfies the final distinct's (doc_id, fp) clustering."""
+    plan = plan_of(harness.queries()["doc_winnow_fingerprints"](spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_tfidf_broadcasts_doc_count(spark, sf_dir):
+    """The global-N one-row frame must broadcast into the scored join; a
+    shuffle against a scalar would re-exchange the whole per-doc frame."""
+    plan = plan_of(harness.queries()["doc_tfidf_top_terms"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
