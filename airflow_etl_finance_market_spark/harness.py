@@ -66,6 +66,9 @@ _WINDOW_DEMOTED = [
     "segment_balance",
     "top_performers",
     "volume_leaders",
+    # window-ranking dedup pattern stays covered in-window by
+    # top_docs_per_lang (same row_number-over-partition shape).
+    "latest_event_per_user",
 ]
 
 
@@ -2377,4 +2380,70 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         strata_col="lang",
         rates={"en": 0.25, "zh": 0.6, "es": 0.6},
         default_rate=0.1,
+    )
+
+
+@register(
+    "reorder_within_30d",
+    """
+WITH b AS (
+    SELECT o_orderkey, o_custkey,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS order_day
+    FROM orders
+)
+SELECT a.o_orderkey,
+       COUNT(p.o_orderkey) AS n_reorders_30d
+FROM b a
+LEFT JOIN b p
+  ON p.o_custkey = a.o_custkey
+ AND p.order_day >= a.order_day + 1
+ AND p.order_day <= a.order_day + 30
+GROUP BY a.o_orderkey
+""",
+)
+def q_reorder_within_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/ranges.py): per order, how many follow-up
+    orders the same customer placed in the next 30 days — the binned
+    point-in-interval rewrite of a BETWEEN self-join that Catalyst would
+    otherwise plan as a nested-loop. bin_size=32 ≈ interval width, so each
+    interval replicates into ≤2 bins."""
+    from .operators.ranges import range_join
+
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    base = load_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", day.alias("order_day")
+    )
+    points = base.select(
+        F.col("o_custkey"),
+        F.col("o_orderkey").alias("p_orderkey"),
+        F.col("order_day").alias("p_day"),
+    )
+    intervals = base.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("order_day") + 1).alias("lo_day"),
+        (F.col("order_day") + 30).alias("hi_day"),
+    )
+    matched = range_join(
+        points,
+        intervals,
+        point_col="p_day",
+        lo_col="lo_day",
+        hi_col="hi_day",
+        by="o_custkey",
+        bin_size=32,
+    )
+    counts = matched.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_reorders_30d")
+    )
+    return (
+        base.select("o_orderkey")
+        .join(counts, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("n_reorders_30d", F.lit(0)).alias("n_reorders_30d"),
+        )
     )
