@@ -17,9 +17,15 @@ differential oracle for the streaming path in tests.
 
 from .io import read_events_batch, read_events_stream, run_available_now
 from .stateful import pct_change_stateful
-from .windows import session_stats, windowed_event_kpis, windowed_volatility
+from .windows import (
+    dedup_events,
+    session_stats,
+    windowed_event_kpis,
+    windowed_volatility,
+)
 
 __all__ = [
+    "dedup_events",
     "read_events_batch",
     "read_events_stream",
     "run_available_now",

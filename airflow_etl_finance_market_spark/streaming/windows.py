@@ -115,3 +115,29 @@ def session_stats(
             "total_value",
         )
     )
+
+
+def dedup_events(
+    events: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("event_id",),
+    ts: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key event delivery: at-least-once sources (Kafka
+    replays, file redeliveries) are deduplicated on ``keys``.
+
+    Streaming frames use ``dropDuplicatesWithinWatermark`` — per-key state
+    is EVICTED once the watermark passes a key's event time, so state size
+    is bounded by the watermark horizon times the key arrival rate (a plain
+    ``dropDuplicates`` on a stream would keep every key ever seen and OOM
+    at 100 TB). Duplicates arriving later than the watermark delay are
+    passed through: choose the delay to cover the source's redelivery
+    window. Batch frames take the ordinary ``dropDuplicates`` — the
+    differential-test twin.
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))

@@ -183,3 +183,44 @@ def test_checkpoint_restart_restores_state_exactly_once(
             assert x[3] == y[3]
         else:
             assert abs(x[3] - y[3]) < 1e-9
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, split_events_dir, tmp_path):
+    """At-least-once delivery: every event duplicated within its micro-batch
+    and re-delivered in the NEXT batch must still come out exactly once —
+    dropDuplicatesWithinWatermark state covers the redelivery window, and
+    eviction past the watermark keeps state bounded."""
+    import os
+
+    from airflow_etl_finance_market_spark.streaming import (
+        dedup_events,
+        read_events_batch,
+        read_events_stream,
+        run_available_now,
+    )
+    from airflow_etl_finance_market_spark.streaming.io import EVENTS_STREAM_SCHEMA
+
+    # redeliver: each split file unioned with itself (in-batch dup), plus
+    # the previous batch's rows appended again (cross-batch redelivery)
+    dup_dir = str(tmp_path / "dup_stream")
+    batches = sorted(os.listdir(split_events_dir))
+    prev = None
+    for i, b in enumerate(batches):
+        cur = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(
+            f"{split_events_dir}/{b}"
+        )
+        out = cur.union(cur) if prev is None else cur.union(cur).union(prev)
+        pdir = f"{dup_dir}/b{i}"
+        out.coalesce(1).write.mode("overwrite").parquet(pdir)
+        for f in os.listdir(pdir):
+            if f.endswith(".parquet"):
+                os.utime(f"{pdir}/{f}", (1_700_000_000 + i,) * 2)
+        prev = cur
+    stream = dedup_events(
+        read_events_stream(spark, f"{dup_dir}/b*", max_files_per_trigger=1),
+        watermark="25 hours",  # covers the one-batch redelivery lag
+    )
+    got = run_available_now(stream, "dedup_stream", output_mode="append")
+    batch = dedup_events(read_events_batch(spark, f"{sf_dir}/events.parquet"))
+    assert got.count() == batch.count()
+    assert _rows(got.select("event_id")) == _rows(batch.select("event_id"))
