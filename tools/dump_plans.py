@@ -22,7 +22,7 @@ NAMES = [
     # the final-round shape over the checkpointed labels (the per-round
     # shape is one edges⋈labels SMJ + min-agg + labels⋈labels jump).
     "doc_tfidf_top_terms", "doc_seq_packing", "doc_winnow_fingerprints",
-    "doc_dedup_clusters",
+    "doc_dedup_clusters", "reorder_within_30d", "doc_stratified_sample",
 ]
 
 
