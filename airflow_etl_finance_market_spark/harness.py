@@ -69,6 +69,9 @@ _WINDOW_DEMOTED = [
     # window-ranking dedup pattern stays covered in-window by
     # top_docs_per_lang (same row_number-over-partition shape).
     "latest_event_per_user",
+    # rolling ROWS-BETWEEN frame stays covered in-window by
+    # doc_winnow_fingerprints (sliding-min frame window).
+    "rolling_close_avg",
 ]
 
 
@@ -2447,3 +2450,30 @@ def q_reorder_within_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_reorders_30d", F.lit(0)).alias("n_reorders_30d"),
         )
     )
+
+
+@register(
+    "doc_unigram_logprob",
+    f"""
+WITH occ AS (
+    SELECT doc_id, u.term
+    FROM documents, unnest({_TOKS_SQL}) AS u(term)
+    WHERE length(u.term) >= 1
+), vocab AS (
+    SELECT term, COUNT(*) AS tf FROM occ GROUP BY term
+), tot AS (
+    SELECT SUM(tf) AS total FROM vocab
+)
+SELECT o.doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(ln(v.tf) - ln(t.total)), 6) AS avg_logprob
+FROM occ o JOIN vocab v USING (term) CROSS JOIN tot t
+GROUP BY o.doc_id
+""",
+)
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean token log-probability under
+    the corpus's own unigram LM (operators/corpus.unigram_logprob)."""
+    from .operators.corpus import unigram_logprob
+
+    return unigram_logprob(load_fixture(spark, sf_dir, "documents"))

@@ -224,3 +224,48 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 1,
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) under the corpus's own unigram LM —
+    the cheapest perplexity proxy: fluent, typical text scores high;
+    gibberish, boilerplate explosions, and wrong-language contamination
+    score low. The standard first-pass LM-quality filter when a real LM is
+    too expensive to run over 100 TB.
+
+    ``avg_logprob = mean over tokens of ln(tf(token) / total_tokens)``,
+    with tf taken over the whole corpus (the document scores against the
+    collection it lives in — self-normalized, no external model).
+
+    Physical shape: ONE explode feeds both sides — the global unigram
+    table is the term-keyed aggregate (bounded by |vocab|), re-joined to
+    the per-occurrence rows on term, then one mean per doc. The join is
+    term-keyed (vocab-sized build side: broadcastable at any corpus scale
+    with a vocab cap) and the final aggregate rides the doc key. The total
+    token count joins as a broadcast one-row frame, folded inside the log:
+    ln(tf) - ln(total) keeps the arithmetic associative-safe.
+    """
+    occurrences = (
+        fan_out(docs, id_col)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.length("term") >= min_len)
+    )
+    vocab = occurrences.groupBy("term").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("_total"))
+    return (
+        occurrences.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log("tf") - F.log("_total")), 6
+            ).alias("avg_logprob"),
+        )
+    )

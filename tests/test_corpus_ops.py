@@ -371,3 +371,34 @@ class TestStratifiedSample:
         k = kept.count()
         assert kept.filter(F.col("lang") != "en").count() == 0
         assert abs(k / n_en - 0.5) < 0.15
+
+
+class TestUnigramLogprob:
+    def test_matches_python_model(self, spark):
+        import math
+
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            unigram_logprob,
+        )
+
+        rows = [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "zyzzyva"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+            for r in unigram_logprob(docs).collect()
+        }
+        toks = {i: t.split() for i, t in rows}
+        tf = collections.Counter(t for ts in toks.values() for t in ts)
+        total = sum(tf.values())
+        for i, ts in toks.items():
+            lp = round(
+                sum(math.log(tf[t]) - math.log(total) for t in ts) / len(ts), 6
+            )
+            assert got[i][0] == len(ts)
+            assert got[i][1] == pytest.approx(lp, abs=1e-9)
+        # the hapax-only doc must score strictly worst
+        assert got[3][1] < got[1][1] and got[3][1] < got[2][1]

@@ -45,3 +45,46 @@ def test_unreadable_existing_path_raises_not_overwrites(spark, tmp_path):
     # target untouched: the garbage file survives, nothing was written
     assert sorted(os.listdir(path)) == ["part-00000.parquet"]
     assert sentinel.read_bytes() == b"this is not a parquet file"
+
+
+def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered layout: every output file must cover a materially narrower
+    range of EACH cluster column than the global span — a plain sort by one
+    column would leave the other at ~full span per file, and an unsorted
+    write leaves both."""
+    from airflow_etl_finance_market_spark.sources.readers import load_fixture
+    from airflow_etl_finance_market_spark.sources.sinks import write_zordered
+    from pyspark.sql import functions as F
+
+    li = load_fixture(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("ship_day"),
+    )
+    out = str(tmp_path / "li_z")
+    write_zordered(li, out, cluster_by=["l_partkey", "ship_day"], n_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, li.collect()))
+
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("l_partkey") - F.min("l_partkey")).alias("pk_span"),
+            (F.max("ship_day") - F.min("ship_day")).alias("day_span"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 4
+    glob = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("pk"),
+        (F.max("ship_day") - F.min("ship_day")).alias("d"),
+    ).first()
+    mean_pk = sum(r["pk_span"] for r in per_file) / len(per_file)
+    mean_day = sum(r["day_span"] for r in per_file) / len(per_file)
+    assert mean_pk < 0.75 * glob["pk"], (mean_pk, glob["pk"])
+    assert mean_day < 0.75 * glob["d"], (mean_day, glob["d"])
