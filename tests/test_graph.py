@@ -82,3 +82,35 @@ def test_dedup_clusters_contract(spark):
         .count()
     )
     assert n_clusters == 4
+
+
+def test_empty_inputs_yield_empty_not_crash(spark):
+    """Empty-corpus runs of the round-3 operators return empty frames with
+    the right schema instead of raising — the behavior a pipeline
+    restarted on an empty partition depends on."""
+    from airflow_etl_finance_market_spark.operators.corpus import (
+        tfidf_top_terms,
+        unigram_logprob,
+    )
+    from airflow_etl_finance_market_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    from airflow_etl_finance_market_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(empty_docs, empty_pairs).collect() == []
+    assert pack_sequences(empty_docs).collect() == []
+    assert tfidf_top_terms(empty_docs).collect() == []
+    assert unigram_logprob(empty_docs).collect() == []
+    assert winnow_fingerprints(empty_docs).collect() == []
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(empty_pairs.withColumnRenamed("id_a", "src")
+                                      .withColumnRenamed("id_b", "dst"),
+                                      vertices=verts).collect()
+    }
+    assert got == {1: 1, 2: 2}
