@@ -181,7 +181,8 @@ def render_bar_png(
     plot_x0, plot_x1 = _MARGIN, _W - _MARGIN
     plot_y0, plot_y1 = _MARGIN + 16, _H - _MARGIN
 
-    lo, hi = min(0.0, *values), max(0.0, *values)
+    # an all-NULL metric leaves no bars — render axes + title, not a crash
+    lo, hi = min([0.0, *values]), max([0.0, *values])
     span = (hi - lo) or 1.0
 
     def to_y(v: float) -> int:

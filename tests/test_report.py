@@ -109,3 +109,22 @@ def test_charts_deterministic(spark, tmp_path):
     )
     for key in a:
         assert open(a[key], "rb").read() == open(b[key], "rb").read()
+
+
+def test_charts_handle_all_null_metric(spark, tmp_path):
+    """A fact slice where every stddev is NULL (single row per ticker) must
+    still produce all four files — axes-only charts, not a crash."""
+    from airflow_etl_finance_market_spark.plans.charts import (
+        read_png_meta,
+        write_report_charts,
+    )
+
+    one_row_each = spark.createDataFrame(
+        [("AAA", dt.date(2024, 1, 1), 10.0, 100.0, None)],
+        "ticker string, data_id date, close double, volume double, "
+        "variacao_diaria double",
+    )
+    paths = write_report_charts(one_row_each, str(tmp_path / "o"), k=2)
+    for p in paths.values():
+        meta = read_png_meta(p)
+        assert int(meta["width"]) > 0
