@@ -23,6 +23,7 @@ NAMES = [
     # shape is one edges⋈labels SMJ + min-agg + labels⋈labels jump).
     "doc_tfidf_top_terms", "doc_seq_packing", "doc_winnow_fingerprints",
     "doc_dedup_clusters", "reorder_within_30d", "doc_stratified_sample",
+    "doc_unigram_logprob",
 ]
 
 
