@@ -646,3 +646,109 @@ def winnow_fingerprints(
         .select(id_col, "fp")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: persisted MinHash index + new-batch probe
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(id, band_idx, band_hash) — the persisted dedup index.
+
+    The 100 TB dedup cadence is INCREMENTAL: the corpus is signed once and
+    each new crawl probes against it, rather than re-running dedup over
+    corpus+batch. Write this frame as a table bucketed (or partitioned) by
+    ``band_hash`` so a probe's band join co-locates/prunes instead of
+    shuffling the whole index; append each accepted batch's rows to keep
+    the index current. Same banding constants as
+    :func:`minhash_dedup_pairs`, so index+probe finds exactly the pairs
+    the batch pipeline would (differential-tested).
+    """
+    sigs = minhash_signatures(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        hash_mode=hash_mode,
+    )
+    return sigs.select(
+        "id",
+        F.posexplode(_banded_keys(bands, hash_mode)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+
+
+def minhash_probe(
+    new_docs: DataFrame,
+    index: DataFrame,
+    corpus_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.1,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(new_id, corpus_id, jaccard_sim) — near-dups of a NEW batch against
+    an indexed corpus (see :func:`minhash_index`).
+
+    Cost scales with the batch: the batch is signed and banded (map-side),
+    the band join touches only index buckets the batch hashes into, and
+    the exact-Jaccard verify joins text for candidate ids only. The
+    corpus is never re-signed. ``corpus_docs`` supplies candidate texts —
+    at scale the docs table itself, read through the candidate-id join's
+    pushed-down filter.
+    """
+    new_banded = minhash_index(
+        new_docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_mode=hash_mode,
+    )
+    cand = (
+        new_banded.alias("n")
+        .hint("merge")
+        .join(
+            index.alias("i").hint("merge"),
+            (F.col("n.band_idx") == F.col("i.band_idx"))
+            & (F.col("n.band_hash") == F.col("i.band_hash"))
+            & (F.col("n.id") != F.col("i.id")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"), F.col("i.id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    grams_new = fan_out(new_docs, id_col).select(
+        F.col(id_col).alias("new_id"),
+        F.array_distinct(word_ngrams(text_col, 3)).alias("_g_new"),
+    )
+    grams_corpus = fan_out(corpus_docs, id_col).select(
+        F.col(id_col).alias("corpus_id"),
+        F.array_distinct(word_ngrams(text_col, 3)).alias("_g_corpus"),
+    )
+    return (
+        cand.join(grams_new, "new_id")
+        .join(grams_corpus, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(jaccard(F.col("_g_new"), F.col("_g_corpus")), 6).alias(
+                "jaccard_sim"
+            ),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )

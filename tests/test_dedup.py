@@ -210,3 +210,51 @@ class TestWinnowFingerprints:
             )
         )
         assert a == b
+
+
+class TestIncrementalProbe:
+    def test_probe_equals_batch_pipeline_cross_pairs(self, spark, sf_dir):
+        """Index+probe must find exactly the (new, corpus) near-dup pairs
+        the batch pipeline finds over corpus ∪ new — the contract that lets
+        a 100 TB corpus be signed once and probed per crawl."""
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            minhash_dedup_pairs,
+            minhash_index,
+            minhash_probe,
+        )
+        from airflow_etl_finance_market_spark.sources.readers import (
+            load_fixture,
+        )
+        from pyspark.sql import functions as F
+
+        corpus = load_fixture(spark, sf_dir, "documents")
+        # new batch: perturbed near-dups of three corpus docs + one
+        # unrelated doc, ids offset far above the corpus range
+        base = {
+            r["doc_id"]: r["text"]
+            for r in corpus.filter(F.col("doc_id") < 3).collect()
+        }
+        new_rows = [
+            (1_000_000 + i, f"{t} trailing revision marker")
+            for i, t in base.items()
+        ] + [(1_999_999, "entirely unrelated gibberish tokens qqq www eee")]
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+        idx = minhash_index(corpus).persist()
+        got = {
+            (r["new_id"], r["corpus_id"])
+            for r in minhash_probe(new, idx, corpus, threshold=0.1).collect()
+        }
+        idx.unpersist()
+
+        both = minhash_dedup_pairs(
+            corpus.select("doc_id", "text").unionByName(new), threshold=0.1
+        ).collect()
+        expect = {
+            (b, a) if b >= 1_000_000 else (a, b)
+            for a, b in ((r["id_a"], r["id_b"]) for r in both)
+            if (a >= 1_000_000) != (b >= 1_000_000)
+        }
+        assert got == expect
+        # every planted near-dup found, the gibberish doc matched nothing
+        assert {n for n, _ in got} == {1_000_000 + i for i in base}
