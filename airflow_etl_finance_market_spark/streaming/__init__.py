@@ -16,7 +16,7 @@ differential oracle for the streaming path in tests.
 """
 
 from .io import read_events_batch, read_events_stream, run_available_now
-from .stateful import pct_change_stateful
+from .stateful import pct_change_reordered, pct_change_stateful
 from .windows import (
     dedup_events,
     session_stats,
@@ -29,6 +29,7 @@ __all__ = [
     "read_events_batch",
     "read_events_stream",
     "run_available_now",
+    "pct_change_reordered",
     "pct_change_stateful",
     "session_stats",
     "windowed_event_kpis",

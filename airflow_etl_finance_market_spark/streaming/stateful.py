@@ -92,3 +92,104 @@ def pct_change_stateful(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def pct_change_reordered(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Out-of-order-tolerant streaming pct-change: the reorder-buffer
+    variant :func:`pct_change_stateful`'s docstring promises.
+
+    Rows buffer in per-key state until the event-time watermark passes
+    them — only then can no earlier-timestamped row still arrive — and are
+    emitted in timestamp order, each diffed against the previously emitted
+    value. Within the ``delay`` horizon ANY arrival order yields exactly
+    the batch LAG result; rows later than the watermark are dropped by
+    Spark before reaching the operator (the same contract as every
+    watermarked aggregate). Rows whose timestamp the final watermark never
+    passes stay buffered (append-mode semantics: unfinalized = unemitted).
+
+    State per key = last emitted value + the buffered (ts, value) arrays —
+    bounded by the key's arrival rate times ``delay``, the same bound a
+    windowed aggregate's state carries. Event-time timeouts flush a key's
+    newly-eligible rows even in micro-batches where the key receives no
+    new data.
+
+    Batch frames take the LAG-window path (identical semantics, no state).
+    """
+    if not events.isStreaming:
+        return pct_change_stateful(events, key=key, ts=ts, value=value)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key} long, {ts} timestamp, {value} double, variacao_diaria double"
+    )
+    state_schema = "last_value double, buf_ts array<long>, buf_val array<double>"
+    k_col, ts_col, v_col = key, ts, value
+
+    def fn(key_tuple, pdf_iter, state):
+        import pandas as pd
+
+        last, buf_ts, buf_val = (
+            state.get if state.exists else (None, [], [])
+        )
+        buf = list(zip(buf_ts or [], buf_val or []))
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            # normalize to epoch MICROS whatever datetime64 unit pandas
+            # chose (ns by default — .astype(int64) alone would be 1000x
+            # off and no row would ever pass the watermark)
+            micros = (
+                pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+            )
+            buf.extend(zip(micros.tolist(), pdf[v_col].tolist()))
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        emit = [(t, v) for t, v in buf if t <= wm_us]
+        hold = [(t, v) for t, v in buf if t > wm_us]
+        if emit:
+            out_ts, out_v, out_pct = [], [], []
+            for t, v in emit:
+                pct = (
+                    None
+                    if last is None or last == 0
+                    else (v - last) / last * 100.0
+                )
+                out_ts.append(t)
+                out_v.append(v)
+                out_pct.append(pct)
+                last = v
+            yield pd.DataFrame(
+                {
+                    k_col: key_tuple[0],
+                    ts_col: pd.to_datetime(out_ts, unit="us"),
+                    v_col: out_v,
+                    "variacao_diaria": pd.array(out_pct, dtype="Float64"),
+                }
+            )
+        state.update(
+            (last, [t for t, _ in hold], [v for _, v in hold])
+        )
+        if hold:
+            # wake this key when the watermark passes its oldest held row
+            state.setTimeoutTimestamp(hold[0][0] // 1000 + 1)
+
+    return (
+        events.select(key, ts, value)
+        .withWatermark(ts, delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

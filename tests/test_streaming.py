@@ -9,6 +9,7 @@ import math
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from airflow_etl_finance_market_spark.streaming import (
     pct_change_stateful,
@@ -224,3 +225,71 @@ def test_stream_dedup_within_watermark(spark, sf_dir, split_events_dir, tmp_path
     batch = dedup_events(read_events_batch(spark, f"{sf_dir}/events.parquet"))
     assert got.count() == batch.count()
     assert _rows(got.select("event_id")) == _rows(batch.select("event_id"))
+
+
+def test_reorder_buffer_handles_out_of_order_arrival(spark, sf_dir, tmp_path):
+    """Rows displaced into the NEXT micro-batch (late, but inside the
+    watermark) must still produce the exact batch-LAG pct chain: the
+    reorder buffer holds rows until the watermark passes them and emits in
+    event-time order. Emitted set = precisely the rows the final watermark
+    finalized."""
+    import os
+
+    from airflow_etl_finance_market_spark.streaming import (
+        pct_change_reordered,
+        read_events_batch,
+        read_events_stream,
+        run_available_now,
+    )
+    from airflow_etl_finance_market_spark.streaming.io import EVENTS_STREAM_SCHEMA
+
+    raw = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    lo, hi = raw.selectExpr("min(ts)", "max(ts)").first()
+    unit = 1 if hi < 10**17 else 1000  # micros per ts-unit (see io.py)
+    span_us = (hi - lo) // unit
+    batch_us = span_us // 3 + 1
+    delay_s = batch_us // 1_000_000 + 3600  # covers one-batch displacement
+    out = str(tmp_path / "ooo_stream")
+    for i in range(3):
+        b_lo, b_hi = lo + i * batch_us * unit, lo + (i + 1) * batch_us * unit
+        part = raw.filter((raw.ts >= b_lo) & (raw.ts < b_hi))
+        # displace every 7th event into the NEXT batch's file (late arrival);
+        # batch 0 additionally receives nothing from the past
+        keep = part.filter((part.event_id % 7 != 0) | (F.lit(i) == 2))
+        if i > 0:
+            prev_lo = lo + (i - 1) * batch_us * unit
+            late = raw.filter(
+                (raw.ts >= prev_lo) & (raw.ts < b_lo) & (raw.event_id % 7 == 0)
+            )
+            keep = keep.unionByName(late)
+        pdir = f"{out}/b{i}"
+        keep.coalesce(1).write.mode("overwrite").parquet(pdir)
+        for f in os.listdir(pdir):
+            if f.endswith(".parquet"):
+                os.utime(f"{pdir}/{f}", (1_700_000_000 + i,) * 2)
+
+    got = run_available_now(
+        pct_change_reordered(
+            read_events_stream(spark, f"{out}/b*", max_files_per_trigger=1),
+            delay=f"{delay_s} seconds",
+        ),
+        "pct_reordered",
+        output_mode="append",
+    )
+    batch = pct_change_reordered(
+        read_events_batch(spark, f"{sf_dir}/events.parquet")
+    )
+    wm_final_us = (hi // unit) - delay_s * 1_000_000
+    expect = batch.filter(
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")) <= wm_final_us
+    )
+    g, b = _rows(got), _rows(expect)
+    assert len(g) == len(b) and len(g) > 0
+    for x, y in zip(g, b):
+        assert x[:3] == y[:3]
+        if x[3] is None or y[3] is None:
+            assert x[3] == y[3]
+        else:
+            assert abs(x[3] - y[3]) < 1e-9
