@@ -109,3 +109,40 @@ def test_asof_join_matches_pandas_merge_asof(spark, sides, inclusive):
             assert g is None
         else:
             assert g == row["v"]
+
+
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=60),
+    budget=st.integers(min_value=1, max_value=50),
+    shards=st.integers(min_value=1, max_value=5),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_replays_greedy_packing(spark, toks, budget, shards):
+    """For arbitrary token-count corpora, every (shard, seq, offset)
+    coordinate must equal a literal greedy concat-then-split replay over
+    the same md5 shard assignment."""
+    import hashlib
+
+    from airflow_etl_finance_market_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(toks)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["n_tokens"], r["seq_offset"])
+        for r in pack_sequences(docs, budget=budget, shards=shards).collect()
+    }
+    cum: dict[int, int] = {}
+    for i, n in enumerate(toks):
+        # '' splits to [''] — one (empty) token, same as the engine's
+        # tokenizer contract
+        n_tok = max(n, 1)
+        shard = (
+            int(hashlib.md5(f"seed42:{i}".encode()).hexdigest()[:8], 16) % shards
+        )
+        c = cum.get(shard, 0)
+        assert got[i] == (shard, c // budget, n_tok, c % budget), (i, got[i])
+        cum[shard] = c + n_tok
