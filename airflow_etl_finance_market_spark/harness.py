@@ -72,6 +72,10 @@ _WINDOW_DEMOTED = [
     # rolling ROWS-BETWEEN frame stays covered in-window by
     # doc_winnow_fingerprints (sliding-min frame window).
     "rolling_close_avg",
+    # twice-green; the streaming tier's driver row is now the stronger
+    # streaming_pct_change_vol hard gate (real micro-batches), and the
+    # tumbling-window aggregate stays pytest-oracle-covered.
+    "windowed_event_kpis",
 ]
 
 
@@ -2477,3 +2481,28 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.corpus import unigram_logprob
 
     return unigram_logprob(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_incremental_probe",
+    f"""
+SELECT id_b AS new_id, id_a AS corpus_id, jaccard_sim
+FROM ( {_minhash_oracle_sql(32, 8, 0.1)} ) AS all_pairs
+WHERE id_a < 450 AND id_b >= 450
+""",
+)
+def q_doc_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: docs >= 450 play the incoming crawl, probed
+    against a MinHash index of the rest. Candidates/verify use the same
+    banding constants as the batch pipeline, so the oracle is simply the
+    full-corpus pairs restricted to cross-split — equality here proves
+    index+probe ≡ batch dedup for the new batch."""
+    from .operators.dedup import minhash_index, minhash_probe
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 450)
+    new = docs.filter(F.col("doc_id") >= 450)
+    idx = minhash_index(corpus, hash_mode="portable")
+    return minhash_probe(
+        new, idx, corpus, threshold=0.1, hash_mode="portable"
+    )
