@@ -76,6 +76,10 @@ _WINDOW_DEMOTED = [
     # streaming_pct_change_vol hard gate (real micro-batches), and the
     # tumbling-window aggregate stays pytest-oracle-covered.
     "windowed_event_kpis",
+    # grouping-sets cousin of the (demoted, twice-green) qty_rollup; its
+    # Expand-into-one-aggregate shape is identical and it stays
+    # pytest-oracle-covered — driver slots go to novel operator families.
+    "qty_cube",
 ]
 
 
@@ -2505,4 +2509,25 @@ def q_doc_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = minhash_index(corpus, hash_mode="portable")
     return minhash_probe(
         new, idx, corpus, threshold=0.1, hash_mode="portable"
+    )
+
+
+@register(
+    "qty_cube",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n_rows,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def q_qty_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations + GROUPING() ids (§2.4
+    extension next to qty_rollup). One Expand into one aggregate."""
+    from .plans.analytics import qty_cube
+
+    return qty_cube(load_fixture(spark, sf_dir, "lineitem")).withColumn(
+        "gid", F.col("gid").cast("long")
     )

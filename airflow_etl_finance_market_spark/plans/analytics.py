@@ -327,3 +327,22 @@ def approx_event_stats(events: DataFrame) -> DataFrame:
         F.percentile_approx("value", 0.5).alias("approx_median_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+def qty_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): every grouping-set combination —
+    the cross-dimensional twin of :func:`qty_rollup`, plus GROUPING() ids
+    so a consumer can tell a real NULL group from a subtotal row.
+
+    Same physical shape as ROLLUP: one Expand (4 grouping sets here) into
+    a single hash aggregate — no repeated scans; at scale the Expand's row
+    multiplication is folded by map-side partial aggregation exactly like
+    any other aggregate.
+    """
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+        )
+    )
