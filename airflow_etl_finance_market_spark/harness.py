@@ -2300,10 +2300,13 @@ WITH base AS (
            CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
     FROM documents
 ), cum AS (
+    -- CAST: DuckDB's windowed SUM(BIGINT) yields HUGEINT, which surfaces
+    -- as float64 at the driver's type-sensitive hasher (r03 red row);
+    -- Spark emits bigint, so pin the oracle to BIGINT too.
     SELECT doc_id, shard, n_tokens,
-           SUM(n_tokens) OVER (
+           CAST(SUM(n_tokens) OVER (
                PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING
-           ) - n_tokens AS c
+           ) - n_tokens AS BIGINT) AS c
     FROM base
 )
 SELECT doc_id, shard, c // 512 AS seq_id, n_tokens, c % 512 AS seq_offset

@@ -13,6 +13,7 @@ import math
 import os
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -45,20 +46,32 @@ def oracle(sf_dir):
 
 
 def _norm_cell(v):
-    """Canonicalize a cell for cross-engine comparison."""
+    """Canonicalize a cell for cross-engine comparison.
+
+    Numeric cells carry an explicit type tag: the driver's value hasher is
+    type-sensitive (an oracle emitting HUGEINT/float64 where Spark emits
+    bigint hash-mismatches even when the values are equal), but Python's
+    ``0 == 0.0`` is True — an untagged compare masked exactly that bug in
+    round 3 (``doc_seq_packing``). Tagging int vs float here makes the
+    local parity test fail the same way the driver would.
+    """
     if v is None:
         return None
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return ("bool", bool(v))
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return None
-        return v
+        return ("float", float(v))
+    if isinstance(v, (int, np.integer)):
+        return ("int", int(v))
     if isinstance(v, pd.Timestamp):
-        return v.to_pydatetime()
+        return ("ts", v.to_pydatetime())
     if isinstance(v, _dt.datetime):
-        return v
+        return ("ts", v)
     if isinstance(v, _dt.date):
-        return _dt.datetime(v.year, v.month, v.day)
-    return v
+        return ("ts", _dt.datetime(v.year, v.month, v.day))
+    return ("other", v)
 
 
 def to_canonical_rows(df: pd.DataFrame) -> list[tuple]:
