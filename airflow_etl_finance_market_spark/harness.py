@@ -76,11 +76,18 @@ _WINDOW_DEMOTED = [
     # streaming_pct_change_vol hard gate (real micro-batches), and the
     # tumbling-window aggregate stays pytest-oracle-covered.
     "windowed_event_kpis",
-    # grouping-sets cousin of the (demoted, twice-green) qty_rollup; its
-    # Expand-into-one-aggregate shape is identical and it stays
-    # pytest-oracle-covered — driver slots go to novel operator families.
-    "qty_cube",
+    # round-4 rotation: qty_cube (never driver-verified) re-enters the
+    # window; these two thrice-green entries (r01+r02+r03) free its slot
+    # plus one for the new streaming_pct_change_reordered hard gate. Their
+    # §2 rows stay covered in-window (set-ops shape by UNION/EXCEPT inside
+    # customers_without_big_orders' anti-join family; A8 DISTINCT-dedup by
+    # the in-window distinct_counts and the dim pipeline tests).
+    "customer_set_ops",
+    "dim_tempo",
 ]
+
+#: The driver verifies exactly this many leading registry entries per round.
+_DRIVER_WINDOW = 50
 
 
 def _window_order(d: dict) -> dict:
@@ -91,11 +98,26 @@ def _window_order(d: dict) -> dict:
     }
 
 
+def _check_window_fit() -> None:
+    """Fail LOUDLY if non-demoted entries outgrow the driver's window —
+    otherwise a newly registered query silently falls past slot 50 and
+    never earns a driver correctness row."""
+    n_live = len(_QUERIES) - sum(1 for n in _WINDOW_DEMOTED if n in _QUERIES)
+    if n_live > _DRIVER_WINDOW:
+        raise RuntimeError(
+            f"{n_live} non-demoted harness entries exceed the "
+            f"{_DRIVER_WINDOW}-query driver window; demote more "
+            "twice-driver-verified entries in harness._WINDOW_DEMOTED"
+        )
+
+
 def queries() -> dict[str, QueryFn]:
+    _check_window_fit()
     return _window_order(_QUERIES)
 
 
 def oracles() -> dict[str, str]:
+    _check_window_fit()
     return _window_order(_ORACLES)
 
 
@@ -2200,6 +2222,137 @@ def q_streaming_pct_change_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_GATE_SEQ = 0
+
+
+@register(
+    "streaming_pct_change_reordered",
+    """
+WITH b AS (
+    SELECT epoch_us(min(ts)) AS lo_us, epoch_us(max(ts)) AS hi_us FROM events
+), p AS (
+    SELECT hi_us,
+           ((hi_us - lo_us) // 3 + 1) // 1000000 + 3600 AS delay_s
+    FROM b
+)
+SELECT COUNT(*) AS n_rows,
+       true AS pct_matches_batch,
+       true AS emitted_set_exact
+FROM events, p
+WHERE epoch_us(ts) <= (p.hi_us // 1000) * 1000 - p.delay_s * 1000000
+""",
+)
+def q_streaming_pct_change_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order streaming HARD GATE: the reorder-buffer pct-change
+    (streaming/stateful.py pct_change_reordered) run as a REAL streaming
+    query over 3 file micro-batches where every 7th event arrives one
+    batch LATE (displaced, inside the watermark delay), then audited
+    against the batch LAG twin.
+
+    The oracle pins the audit row: the emitted set is EXACTLY the rows
+    the final watermark finalized — ``ts <= ms-floor(max_ts) - delay``
+    (Spark tracks watermarks in whole milliseconds, hence the ms floor;
+    the delay replays the harness arithmetic: one micro-batch span plus
+    an hour, in whole seconds) — and every emitted row's pct equals the
+    batch LAG value (1e-9) despite the displaced arrival order. A buffer
+    that dropped, duplicated, or mis-ordered late rows breaks n_rows or
+    the join audit. Micro-batch execution is not SQL-expressible; the
+    booleans ride distributed joins, only scalars reach the driver.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import (
+        pct_change_reordered,
+        read_events_batch,
+        read_events_stream,
+        run_available_now,
+    )
+    from .streaming.io import EVENTS_STREAM_SCHEMA
+
+    global _STREAM_GATE_SEQ
+    _STREAM_GATE_SEQ += 1
+    seq = _STREAM_GATE_SEQ
+
+    tmp = tempfile.mkdtemp(prefix="finmarket_reorder_gate_")
+    try:
+        raw = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(
+            f"{sf_dir}/events.parquet"
+        )
+        lo, hi = raw.selectExpr("min(ts)", "max(ts)").first()
+        unit = 1 if hi < 10**17 else 1000  # micros per raw ts unit (io.py)
+        lo_us, hi_us = lo // unit, hi // unit
+        batch_us = (hi_us - lo_us) // 3 + 1
+        delay_s = batch_us // 1_000_000 + 3600  # covers 1-batch displacement
+
+        # 3 mtime-ordered files; every 7th event of batches 0-1 is written
+        # into the NEXT batch's file instead (late arrival, no event lost).
+        for i in range(3):
+            b_lo = lo + i * batch_us * unit
+            b_hi = lo + (i + 1) * batch_us * unit
+            part = raw.filter((raw.ts >= b_lo) & (raw.ts < b_hi))
+            keep = part.filter((part.event_id % 7 != 0) | (F.lit(i) == 2))
+            if i > 0:
+                prev_lo = lo + (i - 1) * batch_us * unit
+                late = raw.filter(
+                    (raw.ts >= prev_lo)
+                    & (raw.ts < b_lo)
+                    & (raw.event_id % 7 == 0)
+                )
+                keep = keep.unionByName(late)
+            pdir = f"{tmp}/in/b{i}"
+            keep.coalesce(1).write.mode("overwrite").parquet(pdir)
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    os.utime(f"{pdir}/{f}", (1_700_000_000 + i,) * 2)
+
+        streamed = run_available_now(
+            pct_change_reordered(
+                read_events_stream(
+                    spark, f"{tmp}/in/b*", max_files_per_trigger=1
+                ),
+                delay=f"{delay_s} seconds",
+            ),
+            f"_gate_reorder_{seq}",
+            output_mode="append",
+        )
+
+        # Batch LAG twin, cut at the final watermark (ms-floored max ts
+        # minus delay — the exact set the stream must have finalized).
+        wm_final_us = (hi_us // 1000) * 1000 - delay_s * 1_000_000
+        expect = pct_change_reordered(
+            read_events_batch(spark, f"{sf_dir}/events.parquet")
+        ).filter(
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")) <= wm_final_us
+        )
+
+        n_stream = streamed.count()
+        n_expect = expect.count()
+        joined = streamed.alias("s").join(
+            expect.alias("b"), ["user_id", "ts"], "full_outer"
+        )
+        bad = joined.filter(
+            F.col("s.value").isNull()
+            | F.col("b.value").isNull()
+            | (F.col("s.value") != F.col("b.value"))
+            | (
+                F.col("s.variacao_diaria").isNull()
+                != F.col("b.variacao_diaria").isNull()
+            )
+            | (
+                F.abs(
+                    F.col("s.variacao_diaria") - F.col("b.variacao_diaria")
+                )
+                > 1e-9
+            )
+        ).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [(n_stream, bad == 0, n_stream == n_expect and n_stream > 0)],
+        "n_rows long, pct_matches_batch boolean, emitted_set_exact boolean",
+    )
 
 
 def _dedup_clusters_oracle_sql() -> str:

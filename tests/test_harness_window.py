@@ -10,14 +10,12 @@ from airflow_etl_finance_market_spark import harness
 
 DRIVER_WINDOW = 50
 
-#: Entries with no driver correctness row as of CORRECTNESS_r02.json — they
-#: were registered in slots 51-55 last round. They MUST be in-window now.
+#: Entries with no driver correctness row as of CORRECTNESS_r03.json — they
+#: MUST be in-window now (qty_cube was registered pre-demoted in round 3;
+#: the reorder gate is new this round).
 NEVER_DRIVER_VERIFIED = [
-    "doc_chunks",
-    "doc_repetition_stats",
-    "doc_contamination",
-    "embedding_centroids",
-    "split_balance",
+    "qty_cube",
+    "streaming_pct_change_reordered",
 ]
 
 

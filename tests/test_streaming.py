@@ -281,7 +281,10 @@ def test_reorder_buffer_handles_out_of_order_arrival(spark, sf_dir, tmp_path):
     batch = pct_change_reordered(
         read_events_batch(spark, f"{sf_dir}/events.parquet")
     )
-    wm_final_us = (hi // unit) - delay_s * 1_000_000
+    # Spark tracks watermarks in whole milliseconds — ms-floor the max
+    # event time before subtracting the delay (verified against real
+    # micro-batch runs; the unfloored value is up to 999us too high).
+    wm_final_us = (hi // unit) // 1000 * 1000 - delay_s * 1_000_000
     expect = batch.filter(
         F.unix_micros(F.col("ts").cast("timestamp_ltz")) <= wm_final_us
     )
