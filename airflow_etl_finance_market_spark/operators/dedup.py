@@ -688,6 +688,54 @@ def minhash_index(
     )
 
 
+def write_minhash_index_table(
+    index: DataFrame, table: str, *, n_buckets: int = 32
+) -> DataFrame:
+    """Persist a :func:`minhash_index` frame as a band-key-bucketed
+    managed table and return the catalog-backed frame.
+
+    Bucketing on exactly the probe join key (band_idx, band_hash)
+    pre-pays the index side of every future probe: the bucketed scan
+    supplies its hash partitioning from storage, so the band join plans
+    with NO Exchange over the (huge, corpus-sized) index — only the
+    (small, batch-sized) probe side shuffles (pinned in
+    tests/test_plan_shapes.py; bucket columns must equal the join keys,
+    or Spark's DisableUnnecessaryBucketedScan reverts to a plain scan).
+    Appending an accepted batch's rows keeps the index current; `sortBy`
+    keeps each bucket merge-ready."""
+    from ..sources.sinks import write_bucketed_table
+
+    write_bucketed_table(
+        index,
+        table,
+        bucket_by=["band_idx", "band_hash"],
+        n_buckets=n_buckets,
+        sort_by=["band_idx", "band_hash"],
+    )
+    return index.sparkSession.table(table)
+
+
+def band_candidates(new_banded: DataFrame, index: DataFrame) -> DataFrame:
+    """(new_id, corpus_id) candidate pairs: the probe batch's banded keys
+    merge-joined against the corpus index on (band_idx, band_hash). The
+    candidate-generation core of :func:`minhash_probe`, exposed so its
+    plan shape is pinnable in isolation."""
+    return (
+        new_banded.alias("n")
+        .hint("merge")
+        .join(
+            index.alias("i").hint("merge"),
+            (F.col("n.band_idx") == F.col("i.band_idx"))
+            & (F.col("n.band_hash") == F.col("i.band_hash"))
+            & (F.col("n.id") != F.col("i.id")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"), F.col("i.id").alias("corpus_id")
+        )
+        .distinct()
+    )
+
+
 def minhash_probe(
     new_docs: DataFrame,
     index: DataFrame,
@@ -709,6 +757,12 @@ def minhash_probe(
     corpus is never re-signed. ``corpus_docs`` supplies candidate texts —
     at scale the docs table itself, read through the candidate-id join's
     pushed-down filter.
+
+    PRECONDITION: batch and corpus ids come from one disjoint id space
+    (the candidate join drops same-id pairs, which exist only as
+    index-refresh echoes — a crawl that REUSED a corpus doc_id for a
+    different document would have that one pair silently skipped; assign
+    fresh ids upstream, as every append-only ingest naturally does).
     """
     new_banded = minhash_index(
         new_docs,
@@ -718,20 +772,7 @@ def minhash_probe(
         bands=bands,
         hash_mode=hash_mode,
     )
-    cand = (
-        new_banded.alias("n")
-        .hint("merge")
-        .join(
-            index.alias("i").hint("merge"),
-            (F.col("n.band_idx") == F.col("i.band_idx"))
-            & (F.col("n.band_hash") == F.col("i.band_hash"))
-            & (F.col("n.id") != F.col("i.id")),
-        )
-        .select(
-            F.col("n.id").alias("new_id"), F.col("i.id").alias("corpus_id")
-        )
-        .distinct()
-    )
+    cand = band_candidates(new_banded, index)
     grams_new = fan_out(new_docs, id_col).select(
         F.col(id_col).alias("new_id"),
         F.array_distinct(word_ngrams(text_col, 3)).alias("_g_new"),

@@ -15,18 +15,52 @@ the classic worst-case fix (large-star/small-star, Kiveris et al., which
 contracts paths in O(log n) rounds) is a drop-in upgrade of the loop body
 if a pathological chain-shaped graph ever shows up.
 
-Scale shape per round: one shuffle of the edge list joined against the
-current labels (sort-merge on vertex id; both sides can be bucketed by id
-to make every round exchange-free), one min-aggregate, one labels join.
-The only driver-side value is the per-round changed-count that drives
-convergence. Labels persist per round (bounded lineage); a 1000-executor
-run would localCheckpoint every few rounds to also truncate the DAG.
+Scale shape per round: ONE action (the label checkpoint — the convergence
+count rides it as an `observe` metric, not a second job), one shuffle of
+the edge list joined against the current labels, and one min-aggregate
+over the message union (self-messages carry the old label through the
+same aggregate, so no separate labels join is needed). The only
+driver-side value is the observed changed-count.
+At 100 TB the edge list is the frame you can never afford to reshuffle
+every round: :func:`symmetrize_edges_bucketed` writes it ONCE as a
+bucketed table (bucketed on the join-side vertex), after which every
+round's edge⋈labels join plans with NO Exchange on the edge side
+(pinned in tests/test_plan_shapes.py). Labels — |V| rows, typically two
+orders of magnitude smaller — still shuffle; that is the bounded cost.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def symmetrize_edges_bucketed(
+    edges: DataFrame,
+    table: str,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Materialize the symmetrized edge list ONCE as a bucketed table and
+    return the catalog-backed frame, ready for :func:`connected_components`
+    via its ``sym`` parameter.
+
+    Bucketing by ``v`` (the label-join side) pre-pays the edge shuffle at
+    write time: every subsequent round's ``sym ⋈ labels ON v = id`` join
+    reads bucket-for-bucket with no Exchange on the edge side — the
+    per-round cost that dominates iterative graph algorithms at scale.
+    """
+    from ..sources.sinks import write_bucketed_table
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    write_bucketed_table(sym, table, bucket_by=["v"], n_buckets=n_buckets)
+    return edges.sparkSession.table(table)
 
 
 def connected_components(
@@ -37,32 +71,46 @@ def connected_components(
     vertices: DataFrame | None = None,
     id_col: str = "id",
     max_iterations: int = 25,
+    vertices_complete: bool = False,
+    sym: DataFrame | None = None,
 ) -> DataFrame:
     """(id, component) for the undirected graph of ``edges``; ``component``
     is the smallest vertex id reachable from ``id``.
 
     ``vertices`` (one ``id_col`` column) adds isolated vertices — pass the
-    full corpus so singletons come back as their own component. Edges are
-    symmetrized internally; self-loops and duplicates are harmless.
+    full corpus so singletons come back as their own component. With
+    ``vertices_complete=True`` the caller asserts ``vertices`` is unique
+    AND covers every edge endpoint (true for any dedup pipeline: pairs
+    come from the corpus), skipping the edge-endpoint distinct entirely.
+    ``sym`` supplies a pre-symmetrized (u, v) frame — e.g. the bucketed
+    table from :func:`symmetrize_edges_bucketed` — bypassing the internal
+    checkpoint. Edges are symmetrized internally otherwise; self-loops and
+    duplicates are harmless.
 
     Deterministic: the fixpoint of min-label propagation is unique
     regardless of partitioning or iteration interleaving.
     """
-    # Materialize the (possibly expensive — e.g. a full MinHash pipeline)
-    # edge frame ONCE, then symmetrize from the checkpointed blocks: a
-    # plain union of two selects over the raw frame would evaluate its
-    # lineage twice. No distinct() on the result — duplicate edges cost
-    # nothing against the MIN aggregate below, while deduplicating would
-    # add a full edge-list shuffle before the first round starts.
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .localCheckpoint()
-    )
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    nodes = sym.select(F.col("u").alias(id_col)).distinct()
-    if vertices is not None:
-        nodes = nodes.union(vertices.select(F.col(id_col))).distinct()
+    if sym is None:
+        # Materialize the (possibly expensive — e.g. a full MinHash
+        # pipeline) edge frame ONCE, then symmetrize from the checkpointed
+        # blocks: a plain union of two selects over the raw frame would
+        # evaluate its lineage twice. No distinct() on the result —
+        # duplicate edges cost nothing against the MIN aggregate below,
+        # while deduplicating would add a full edge-list shuffle before
+        # the first round starts.
+        e = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .localCheckpoint()
+        )
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    if vertices is not None and vertices_complete:
+        nodes = vertices.select(F.col(id_col))
+    else:
+        nodes = sym.select(F.col("u").alias(id_col)).distinct()
+        if vertices is not None:
+            nodes = nodes.union(vertices.select(F.col(id_col))).distinct()
 
     # Eager localCheckpoint per round, NOT persist(): persist caches data
     # but the logical plan still nests one level per iteration — by round
@@ -74,49 +122,69 @@ def connected_components(
     labels = nodes.select(
         id_col, F.col(id_col).alias("component")
     ).localCheckpoint()
-    for _ in range(max_iterations):
+    for rnd in range(max_iterations):
         # 1-hop spread: adopt the minimum label among self + neighbors.
-        neighbor_min = (
-            sym.join(labels, sym["v"] == labels[id_col])
-            .groupBy("u")
-            .agg(F.min("component").alias("_nbr_min"))
+        # Self-messages ride the SAME aggregate as neighbor messages (the
+        # `_self` flag recovers the old label via max-when), so the round
+        # needs no labels⋈neighbor_min join — every vertex appears exactly
+        # once as its own message, isolated vertices included.
+        nbr_msgs = sym.join(labels, sym["v"] == labels[id_col]).select(
+            F.col("u").alias(id_col),
+            F.col("component"),
+            F.lit(False).alias("_self"),
         )
-        stepped = labels.join(
-            neighbor_min, labels[id_col] == neighbor_min["u"], "left"
-        ).select(
-            labels[id_col],
-            F.col("component").alias("_old"),
-            F.least(
-                F.col("component"), F.coalesce("_nbr_min", "component")
-            ).alias("_step"),
+        self_msgs = labels.select(
+            id_col, "component", F.lit(True).alias("_self")
         )
-        # pointer jump (path halving): follow the adopted label's OWN label
-        # one hop — labels only ever decrease, so this shortcuts chains and
-        # turns diameter-round convergence into O(log diameter) (the same
-        # idea as union-find path compression / large-star contraction).
-        lut = labels.select(
-            F.col(id_col).alias("_lid"), F.col("component").alias("_lcomp")
-        )
-        # carry the OLD label through the join so the convergence check is
-        # a column on the checkpointed frame (one cheap scan), not an extra
-        # labels⋈labels join job per round.
-        new_labels = (
-            stepped.join(lut, stepped["_step"] == lut["_lid"], "left")
-            .select(
-                stepped[id_col],
-                F.least(
-                    F.col("_step"), F.coalesce("_lcomp", "_step")
-                ).alias("component"),
-                (
-                    F.least(F.col("_step"), F.coalesce("_lcomp", "_step"))
-                    < F.col("_old")
-                ).alias("_changed"),
+        stepped = (
+            self_msgs.union(nbr_msgs)
+            .groupBy(id_col)
+            .agg(
+                F.min("component").alias("_step"),
+                F.max(F.when(F.col("_self"), F.col("component"))).alias(
+                    "_old"
+                ),
             )
-            .localCheckpoint()
         )
-        changed = new_labels.filter("_changed").count()
+        if rnd == 0:
+            # Round 1's labels are the identity map — pointer jumping
+            # through it is a no-op, so skip the lookup join entirely.
+            cand = stepped.select(
+                stepped[id_col],
+                F.col("_step").alias("component"),
+                (F.col("_step") < F.col("_old")).alias("_changed"),
+            )
+        else:
+            # pointer jump (path halving): follow the adopted label's OWN
+            # label one hop — labels only ever decrease, so this shortcuts
+            # chains and turns diameter-round convergence into
+            # O(log diameter) (the same idea as union-find path
+            # compression / large-star contraction).
+            lut = labels.select(
+                F.col(id_col).alias("_lid"),
+                F.col("component").alias("_lcomp"),
+            )
+            cand = (
+                stepped.join(lut, stepped["_step"] == lut["_lid"], "left")
+                .select(
+                    stepped[id_col],
+                    F.least(
+                        F.col("_step"), F.coalesce("_lcomp", "_step")
+                    ).alias("component"),
+                    (
+                        F.least(F.col("_step"), F.coalesce("_lcomp", "_step"))
+                        < F.col("_old")
+                    ).alias("_changed"),
+                )
+            )
+        # The convergence count rides the checkpoint materialization as an
+        # observed metric — one action per round, not a second count job.
+        obs = Observation()
+        new_labels = cand.observe(
+            obs, F.count(F.when(F.col("_changed"), 1)).alias("changed")
+        ).localCheckpoint()
         labels = new_labels.drop("_changed")
-        if changed == 0:
+        if obs.get["changed"] == 0:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
@@ -137,21 +205,21 @@ def dedup_clusters(
     ``pairs`` is any near-dup pair frame (MinHash, SimHash, embedding —
     they all emit (id_a, id_b)). The canonical survivor is the smallest
     doc_id in the cluster (deterministic); ``filter(is_canonical)`` IS the
-    dedup, and ``cluster_size`` is the dedup ratio audit for free. One
-    |clusters|-keyed aggregate on top of the component labels."""
+    dedup, and ``cluster_size`` is the dedup ratio audit for free. Sizes
+    ride a count-over-window on the component labels — one shuffle, no
+    aggregate-then-join. ``docs`` is a dedup corpus, so its ids are unique
+    and cover every pair endpoint (vertices_complete)."""
     comp = connected_components(
         pairs,
         src=pair_cols[0],
         dst=pair_cols[1],
         vertices=docs.select(F.col(id_col).alias("id")),
+        vertices_complete=True,
     )
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        comp.join(sizes, "component")
-        .select(
-            F.col("id").alias(id_col),
-            F.col("component").alias("cluster_id"),
-            (F.col("id") == F.col("component")).alias("is_canonical"),
-            "cluster_size",
-        )
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
     )

@@ -144,6 +144,91 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS ord_bkt")
 
 
+def test_cc_bucketed_edges_round_has_no_edge_side_exchange(spark, sf_dir):
+    """The per-round edge⋈labels join of connected components must plan
+    with NO Exchange on the edge side when the symmetrized edge list is
+    bucketed on the join vertex — at 100 TB the edge list is the frame
+    you can never afford to reshuffle every round (graph.py's scale
+    claim, pinned). Labels (|V| rows) may still exchange."""
+    from airflow_etl_finance_market_spark.operators.graph import (
+        connected_components,
+        symmetrize_edges_bucketed,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9)], ["src", "dst"]
+    )
+    sym = symmetrize_edges_bucketed(edges, "cc_sym_bkt", n_buckets=4)
+    try:
+        labels = spark.range(10).select(
+            F.col("id"), F.col("id").alias("component")
+        )
+        joined = sym.hint("merge").join(labels, sym["v"] == labels["id"])
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        # exactly one shuffle — the labels side; the bucketed edge scan
+        # provides its partitioning from storage
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "SelectedBucketsCount" in plan
+        # and the full operator accepts the bucketed frame and agrees
+        # with the self-symmetrizing path
+        got = connected_components(
+            edges, sym=sym, vertices=spark.range(10), id_col="id"
+        )
+        want = connected_components(edges, vertices=spark.range(10), id_col="id")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cc_sym_bkt")
+
+
+def test_minhash_index_bucketed_probe_has_no_index_side_exchange(spark, sf_dir):
+    """The incremental-dedup contract (dedup.py minhash_index docstring):
+    an index written bucketed by band_hash must serve a probe's band join
+    with NO Exchange over the corpus-sized index — only the batch-sized
+    probe side shuffles. Also: index+probe pairs through the bucketed
+    table stay identical to the in-memory index path."""
+    from airflow_etl_finance_market_spark.operators.dedup import (
+        band_candidates,
+        minhash_index,
+        minhash_probe,
+        write_minhash_index_table,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 450)
+    new = docs.filter(F.col("doc_id") >= 450)
+    idx_mem = minhash_index(corpus, hash_mode="portable")
+    idx_tbl = write_minhash_index_table(idx_mem, "mh_idx_bkt", n_buckets=8)
+    try:
+        new_banded = minhash_index(new, hash_mode="portable")
+        cand = band_candidates(new_banded, idx_tbl)
+        plan = plan_of(cand)
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount" in plan
+        # count requirement-driven Exchanges BELOW the join: the index
+        # side must contribute none — the only shuffle EnsureRequirements
+        # inserts is the probe side's. (The probe side also carries
+        # fan_out's deliberate REPARTITION_BY_NUM, which is not a join
+        # requirement and is excluded.)
+        import re
+
+        join_part = plan.split("SortMergeJoin", 1)[1]
+        ensure = re.findall(
+            r"Exchange hashpartitioning\([^)]*\), ENSURE_REQUIREMENTS",
+            join_part,
+        )
+        assert len(ensure) == 1
+        got = minhash_probe(new, idx_tbl, corpus, hash_mode="portable")
+        want = minhash_probe(new, idx_mem, corpus, hash_mode="portable")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_idx_bkt")
+
+
 def test_train_test_split_is_shuffle_free(spark, sf_dir):
     """The split assignment is a pure map-side projection: any Exchange
     would mean the 'no-shuffle, re-derivable per row' contract broke."""
