@@ -48,14 +48,21 @@ def range_join(
     if dup:
         raise ValueError(f"column collision between sides: {sorted(dup)}")
 
-    def _bin(c: Column) -> Column:
-        return F.floor(c / F.lit(bin_size)).cast("long")
+    def _bin(col: str) -> Column:
+        # Exact long floor-division: truncating `div` adjusted by pmod so
+        # negative values still quantize to the FLOOR bin. Double `/` +
+        # floor() is only exact below 2^53 — epoch-nano values pass that,
+        # and a point and an interval endpoint rounding to different bins
+        # would silently miss matches.
+        b = int(bin_size)
+        c = f"`{col}`"
+        return F.expr(f"(({c} - pmod({c}, {b})) div {b})").cast("long")
 
     ivals = intervals.withColumn(
         "_bin",
-        F.explode(F.sequence(_bin(F.col(lo_col)), _bin(F.col(hi_col)))),
+        F.explode(F.sequence(_bin(lo_col), _bin(hi_col))),
     )
-    pts = points.withColumn("_bin", _bin(F.col(point_col)))
+    pts = points.withColumn("_bin", _bin(point_col))
     keys = ["_bin"] if by is None else [by, "_bin"]
     cmp_hi = (
         F.col(point_col) <= F.col(hi_col)

@@ -118,7 +118,13 @@ def pct_change_reordered(
     bounded by the key's arrival rate times ``delay``, the same bound a
     windowed aggregate's state carries. Event-time timeouts flush a key's
     newly-eligible rows even in micro-batches where the key receives no
-    new data.
+    new data. A drained key retains its (last_value, [], []) row
+    indefinitely: last_value is the diff base for that key's NEXT arrival,
+    so it can only be dropped when the key is known retired — total state
+    therefore also grows with LIVE key cardinality (like any keyed
+    streaming aggregate). A deployment with unbounded churn-and-die keys
+    should wrap this with a TTL policy (e.g. re-key by (key, day) so dead
+    keys age out with the watermark) rather than keep every key forever.
 
     Batch frames take the LAG-window path (identical semantics, no state).
     """

@@ -18,6 +18,14 @@ vs r01 with ZERO code changes to either plan (verified against the round-2
 diffs) — both minima were stall-inflated, hence one more sample. Ingest is benchmarked as schema-first CSV scan → parquet
 overwrite (the S1/S4 path; reference baseline ~2 s 750k-row COPY) plus a
 parquet→parquet overwrite.
+
+NOISE BUDGET (for cross-round comparison): even best-of-3 leaves ±0.1-0.2s
+of scheduler/host jitter per entry, which is 10-30% of a sub-second query.
+Rule: a sub-second (<1s) entry counts as REGRESSED only above +50% drift;
+multi-second entries only above +20%. Anything inside those bands is host
+noise, not a plan change — r03 measured volume_leaders +29%, ticker_metrics
++14%, csv_ingest +13% with byte-identical plans. Apply the rule before
+filing any perf task off a BENCH_r{N} diff.
 """
 
 from __future__ import annotations

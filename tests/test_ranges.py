@@ -82,3 +82,33 @@ def test_rejects_column_collision_and_bad_bin(spark):
             pdf.withColumnRenamed("pid", "iid"), idf,
             point_col="p", lo_col="lo", hi_col="hi", by="by", bin_size=8,
         )
+
+
+def test_exact_binning_negatives_and_beyond_2_53(spark):
+    """The bin key is exact long floor-division: negative values quantize
+    to the FLOOR bin (truncating div alone would shift them one bin up),
+    and epoch-nano-scale values beyond 2^53 — where double division loses
+    ulps — still bin identically for points and interval endpoints."""
+    base = 1_152_921_504_606_846_980  # multiple of 10 near 2^60
+    pts = [(-25, -25), (-1, -1), (0, 0), (1, base - 1), (2, base + 7)]
+    ivs = [
+        (10, -30, -20),       # negative interval containing -25
+        (11, -5, 3),          # straddles zero, contains -1, 0
+        (12, base - 9, base - 1),   # just below the huge boundary
+        (13, base + 1, base + 9),   # just above it
+    ]
+    pdf = spark.createDataFrame(pts, "pid long, p long")
+    idf = spark.createDataFrame(ivs, "iid long, lo long, hi long")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pdf, idf, point_col="p", lo_col="lo", hi_col="hi", bin_size=10
+        ).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, p in pts
+        for iid, lo, hi in ivs
+        if lo <= p <= hi
+    )
+    assert got == want
