@@ -209,3 +209,32 @@ def fingerprint(col: Column | str) -> Column:
 
 def fingerprint_from(norm: Column | str) -> Column:
     return F.md5(_c(norm).cast("binary"))
+
+
+#: Engine-portable PII patterns: character classes only ([0-9], not \d),
+#: no word-boundary anchors — the same source string compiles identically
+#: under Java regex (Spark) and RE2 (DuckDB), so the oracle twin can reuse
+#: them verbatim.
+PII_EMAIL_PATTERN = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+"
+PII_PHONE_PATTERN = "[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?"
+PII_ANY_PATTERN = f"({PII_EMAIL_PATTERN})|({PII_PHONE_PATTERN})"
+
+
+def pii_count(col: Column | str) -> Column:
+    """How many email/phone spans the text contains (audit metric — a
+    curation gate bounds the redaction rate before shipping a corpus)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(PII_ANY_PATTERN), 0))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Mask email addresses and phone-shaped digit runs with typed tokens.
+
+    The standard pre-training redaction stage: spans are replaced, never
+    dropped, so token offsets stay stable enough for downstream dedup
+    (the mask tokens themselves participate in shingles, which is what
+    you want — two documents equal up to their PII still near-dup).
+    Emails mask first: a phone-pattern substring inside an address must
+    not split the email mask. Pure Catalyst regexp_replace — no UDF.
+    """
+    no_email = F.regexp_replace(_c(col), PII_EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_email, PII_PHONE_PATTERN, "<PHONE>")

@@ -84,6 +84,12 @@ _WINDOW_DEMOTED = [
     # the in-window distinct_counts and the dim pipeline tests).
     "customer_set_ops",
     "dim_tempo",
+    # round-4 additions (doc_bm25_topk, doc_pii_redaction) need two more
+    # slots: fk_orphan_check (green r02+r03) stays covered by the FK
+    # quality tests and the anti-join family; events_json_kpi (green
+    # r01-r03) keeps its JSON-extraction functions pytest-oracle-covered.
+    "fk_orphan_check",
+    "events_json_kpi",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -2680,6 +2686,92 @@ def q_doc_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = minhash_index(corpus, hash_mode="portable")
     return minhash_probe(
         new, idx, corpus, threshold=0.1, hash_mode="portable"
+    )
+
+
+@register(
+    "doc_bm25_topk",
+    f"""
+WITH base AS (
+    SELECT doc_id, len({_TOKS_SQL}) AS doc_len, u.term
+    FROM documents, unnest({_TOKS_SQL}) AS u(term)
+    WHERE u.term IN ('spark', 'merge', 'window')
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf, MAX(doc_len) AS doc_len
+    FROM base GROUP BY doc_id, term
+), stats AS (
+    SELECT COUNT(*) AS n_docs, AVG(len({_TOKS_SQL})) AS avg_len FROM documents
+), dfreq AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+    SELECT tf.doc_id,
+           ROUND(SUM(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.doc_len / s.avg_len))
+           ), 6) AS bm25
+    FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+)
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query {spark, merge, window}: lexical search
+    over the corpus (operators/retrieval.py). One term-filtered explode,
+    broadcast df + corpus stats, TakeOrderedAndProject ranking."""
+    from .operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        load_fixture(spark, sf_dir, "documents"),
+        ["spark", "merge", "window"],
+        k=10,
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from .functions.text import PII_EMAIL_PATTERN, PII_PHONE_PATTERN
+
+    any_pat = f"({PII_EMAIL_PATTERN})|({PII_PHONE_PATTERN})"
+    return f"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example call 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{any_pat}')) AS n_pii,
+       regexp_replace(
+           regexp_replace(t, '{PII_EMAIL_PATTERN}', '<EMAIL>', 'g'),
+           '{PII_PHONE_PATTERN}', '<PHONE>', 'g') AS clean_text
+FROM aug
+"""
+
+
+@register("doc_pii_redaction", _pii_oracle_sql())
+def q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.py redact_pii): every document gets a
+    deterministic synthetic email + phone appended, then masked — the
+    full redacted text is oracle-compared byte-for-byte, plus the span
+    count the redaction-rate gate would consume. Pure map-side
+    regexp_replace; the patterns are shared verbatim with the oracle
+    (character classes only, so Java regex ≡ RE2)."""
+    from .functions.text import pii_count, redact_pii
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        pii_count(aug).cast("long").alias("n_pii"),
+        redact_pii(aug).alias("clean_text"),
     )
 
 

@@ -402,3 +402,34 @@ class TestUnigramLogprob:
             assert got[i][1] == pytest.approx(lp, abs=1e-9)
         # the hapax-only doc must score strictly worst
         assert got[3][1] < got[1][1] and got[3][1] < got[2][1]
+
+
+def test_redact_pii_masks_emails_before_phones(spark):
+    """Email masks take precedence (a phone-shaped substring inside an
+    address must not split the email mask), multiple spans all mask, and
+    PII-free text passes through byte-identical."""
+    from airflow_etl_finance_market_spark.functions.text import (
+        pii_count,
+        redact_pii,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "mail me at jo.doe+x@web.example.org or call 555-0134 now"),
+        (2, "two mails a@b.co c.d@e.f.gg and 415-555-0199"),
+        (3, "clean text with no personal data at all"),
+        (4, "digits 123-45 are not a phone but 123-456-7890 is"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r["id"]: (r["clean"], r["n"])
+        for r in df.select(
+            "id",
+            redact_pii("t").alias("clean"),
+            pii_count(F.col("t")).alias("n"),
+        ).collect()
+    }
+    assert got[1] == ("mail me at <EMAIL> or call <PHONE> now", 2)
+    assert got[2] == ("two mails <EMAIL> <EMAIL> and <PHONE>", 3)
+    assert got[3] == ("clean text with no personal data at all", 0)
+    assert got[4] == ("digits 123-45 are not a phone but <PHONE> is", 1)

@@ -333,3 +333,27 @@ def test_tfidf_broadcasts_doc_count(spark, sf_dir):
     shuffle against a scalar would re-exchange the whole per-doc frame."""
     plan = plan_of(harness.queries()["doc_tfidf_top_terms"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bm25_term_filter_is_map_side_and_stats_broadcast(spark, sf_dir):
+    """BM25's explode is filtered to the query terms BEFORE the (doc, term)
+    shuffle — the aggregate must only see query-term rows — and both tiny
+    frames (document frequencies, corpus stats) broadcast. The ranking is
+    a TakeOrderedAndProject, never a full sort."""
+    from airflow_etl_finance_market_spark.operators.retrieval import bm25_topk
+
+    df = bm25_topk(
+        load_fixture(spark, sf_dir, "documents"), ["spark", "merge"], k=5
+    )
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") == 2
+    lines = plan.splitlines()
+    filt = [i for i, ln in enumerate(lines) if "Filter" in ln and "spark" in ln]
+    exch = [
+        i for i, ln in enumerate(lines) if "Exchange hashpartitioning" in ln
+    ]
+    assert filt and exch
+    # tree prints parents first: the term filter sitting AFTER the first
+    # exchange line means it executes BELOW it, i.e. map-side
+    assert filt[0] > exch[0]
