@@ -269,3 +269,153 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df_ratio: int = 10,
+    min_pair_ratio: int = 50,
+    k: int = 20,
+) -> DataFrame:
+    """(term_a, term_b, n_ab, pmi) — the ``k`` most-associated term pairs
+    by document-level pointwise mutual information,
+    ``pmi = ln(P(a,b) / (P(a) P(b)))`` with probabilities as document
+    frequencies over N docs. The classic collocation / topic-signal
+    statistic (Church & Hanks 1990) over a corpus.
+
+    Pair generation is the quadratic hazard, so the vocabulary is gated
+    FIRST: only terms appearing in at least ``N / min_df_ratio`` documents
+    pair up (rare terms have unstable PMI anyway), which bounds per-doc
+    pair fan-out by the qualifying-vocab size, not the doc length; pair
+    support is gated at ``N / min_pair_ratio``. Both gates are INTEGER
+    ratio comparisons (``df * ratio >= N``) so they are exact at any corpus
+    size and mirror verbatim in the oracle — no float threshold can
+    straddle an engine boundary. The qualifying vocab is a broadcast
+    semi-join onto the occurrence stream; the self-join runs doc-keyed on
+    the fan_out partitioning (term_a < term_b halves it); pair counts are
+    one hash-aggregate; df and N attach as broadcasts. Ordering happens on
+    the ROUNDED pmi with (term_a, term_b) tiebreak — a
+    TakeOrderedAndProject, deterministic cross-engine.
+    """
+    occ = (
+        fan_out(docs, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+        )
+        .filter(F.length("term") >= 1)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    dfreq = occ.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * min_df_ratio >= F.col("_n"))
+        .select("term", "df")
+    )
+    occq = occ.join(F.broadcast(vocab), "term")
+    pairs = (
+        occq.select(F.col(id_col), F.col("term").alias("term_a"))
+        .join(
+            occq.select(F.col(id_col), F.col("term").alias("term_b")),
+            id_col,
+        )
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_ab"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("n_ab") * min_pair_ratio >= F.col("_n"))
+        .drop("_n")
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(vocab.select(F.col("term").alias("term_a"), F.col("df").alias("_dfa"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("term").alias("term_b"), F.col("df").alias("_dfb"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(
+                F.log(F.col("n_ab") * F.col("_n") / (F.col("_dfa") * F.col("_dfb"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "term_a", "term_b").limit(k)
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) under the corpus's own bigram LM
+    with add-one smoothing — one rung above :func:`unigram_logprob` on the
+    perplexity-proxy ladder: it additionally penalizes locally-implausible
+    token ORDER (shuffled or templated text keeps its unigram profile but
+    loses its bigram one).
+
+    ``avg_logprob = mean over bigram positions of
+    ln((c(w1 w2) + 1) / (c(w1 ·) + V))`` where counts are corpus-global,
+    ``c(w1 ·)`` counts bigrams starting with w1, and V is the corpus
+    vocabulary size. Documents with fewer than 2 tokens have no bigram
+    event and drop out (both engines derive positions 1..len-1, which is
+    empty there).
+
+    Physical shape: same as the unigram scorer — ONE positional expansion
+    feeds the bigram table (vocab²-bounded but in practice Zipf-sparse),
+    the context table (vocab-bounded), and the per-doc mean; both count
+    joins are term-keyed with build sides bounded by observed-vocab, and V
+    attaches as a broadcast scalar frame.
+    """
+    base = fan_out(docs, id_col).select(
+        F.col(id_col), tokens(text_col).alias("toks")
+    )
+    occ2 = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> "
+                    "struct(element_at(toks, i) AS w1, "
+                    "concat(element_at(toks, i), ' ', "
+                    "element_at(toks, i + 1)) AS big))"
+                )
+            ).alias("u"),
+        )
+        .select(F.col(id_col), F.col("u.w1").alias("w1"), F.col("u.big").alias("big"))
+    )
+    big_counts = occ2.groupBy("big").agg(F.count("*").alias("_cb"))
+    ctx_counts = occ2.groupBy("w1").agg(F.count("*").alias("_cctx"))
+    vsize = (
+        base.select(F.explode("toks").alias("term"))
+        .agg(F.count_distinct("term").alias("_v"))
+    )
+    return (
+        occ2.join(big_counts, "big")
+        .join(ctx_counts, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("_cb") + F.lit(1.0))
+                        / (F.col("_cctx") + F.col("_v"))
+                    )
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

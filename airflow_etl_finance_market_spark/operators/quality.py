@@ -99,3 +99,47 @@ def expect_passed(summary: DataFrame, gate_name: str = "quality") -> None:
             f"{gate_name} gate failed: total_rows={row['total_rows']} "
             f"null_rows={row['null_rows']}"
         )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    *,
+    value: str = "value",
+    group: str = "event_type",
+) -> DataFrame:
+    """Per-group robust-statistics outlier audit (Tukey fences):
+    (group, q1, q3, n_rows, n_outliers, outlier_frac) where an outlier
+    falls outside [q1 - 1.5*IQR, q3 + 1.5*IQR] with EXACT linear-interpolated
+    quartiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` ≡ numpy
+    'linear') — the standard distribution-free data-cleaning gate applied
+    before a value column feeds a model or a metric.
+
+    Scale shape: two group-keyed aggregates. The quartile pass shuffles the
+    per-group values once (exact percentile needs the group's values
+    together — the sketch-based alternative is approx_event_stats); the
+    per-group fence frame is |groups| rows and BROADCASTS back onto the
+    scan, so the counting pass is map-side + one tiny aggregate. Groups
+    whose value set fits no executor should use approx percentiles instead
+    — this operator is for bounded-cardinality value columns (metrics,
+    prices) where exactness is the contract.
+    """
+    fences = df.groupBy(group).agg(
+        F.expr(f"percentile({value}, 0.25)").alias("_q1"),
+        F.expr(f"percentile({value}, 0.75)").alias("_q3"),
+    )
+    lo = F.col("_q1") - 1.5 * (F.col("_q3") - F.col("_q1"))
+    hi = F.col("_q3") + 1.5 * (F.col("_q3") - F.col("_q1"))
+    out = (F.col(value) < lo) | (F.col(value) > hi)
+    return (
+        df.join(F.broadcast(fences), group)
+        .groupBy(group)
+        .agg(
+            F.round(F.max("_q1"), 6).alias("q1"),
+            F.round(F.max("_q3"), 6).alias("q3"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.round(
+                F.sum(F.when(out, 1).otherwise(0)) / F.count(F.lit(1)), 6
+            ).alias("outlier_frac"),
+        )
+    )

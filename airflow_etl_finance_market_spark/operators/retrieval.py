@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from ..util import fan_out
 
 
 def bm25_topk(
@@ -77,3 +78,46 @@ def bm25_topk(
         .agg(F.round(F.sum(w), 6).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), id_col).limit(k)
+
+
+def inverted_index(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """(term, df, postings) — the posting-list build behind
+    :func:`bm25_topk`: for every term with ``df >= min_df``, the sorted,
+    comma-joined list of documents containing it.
+
+    This is the materialization step a 100 TB deployment runs ONCE so
+    per-query BM25 never rescans the corpus: written bucketed by term
+    (sources/sinks.write_bucketed_table), a query's term lookups prune to
+    their buckets. Postings serialize as a canonical ascending string so
+    the result is deterministic and engine-comparable; at scale the same
+    aggregate keeps the array form instead.
+
+    Physical shape: one explode of per-doc DISTINCT terms (map-side
+    array_distinct bounds rows by per-doc vocabulary), then ONE term-keyed
+    hash-aggregate producing df and the posting list together; min_df
+    filters after aggregation (HAVING).
+    """
+    occ = fan_out(docs, id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    ).filter(F.length("term") >= 1)
+    return (
+        occ.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(id_col)),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -433,3 +433,121 @@ def test_redact_pii_masks_emails_before_phones(spark):
     assert got[2] == ("two mails <EMAIL> <EMAIL> and <PHONE>", 3)
     assert got[3] == ("clean text with no personal data at all", 0)
     assert got[4] == ("digits 123-45 are not a phone but <PHONE> is", 1)
+
+
+class TestPmiPairs:
+    def test_replays_python(self, spark):
+        from airflow_etl_finance_market_spark.operators.corpus import pmi_pairs
+        import itertools, math
+
+        texts = [
+            "spark shuffle join spark",
+            "spark join window",
+            "shuffle join window",
+            "spark shuffle",
+            "window join",
+            "noise one",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        out = {
+            (r.term_a, r.term_b): (r.n_ab, r.pmi)
+            for r in pmi_pairs(
+                docs, min_df_ratio=3, min_pair_ratio=6, k=100
+            ).collect()
+        }
+        n = len(texts)
+        doc_terms = [set(t.split()) for t in texts]
+        df = collections.Counter(t for s in doc_terms for t in s)
+        vocab = {t for t, d in df.items() if d * 3 >= n}
+        want = {}
+        for a, b in itertools.combinations(sorted(vocab), 2):
+            n_ab = sum(1 for s in doc_terms if a in s and b in s)
+            if n_ab * 6 >= n:
+                want[(a, b)] = (
+                    n_ab,
+                    round(math.log(n_ab * n / (df[a] * df[b])), 6),
+                )
+        assert out == want
+
+    def test_rare_terms_gated(self, spark):
+        from airflow_etl_finance_market_spark.operators.corpus import pmi_pairs
+
+        docs = spark.createDataFrame(
+            [(0, "rare1 rare2"), (1, "common x"), (2, "common y"),
+             (3, "common z"), (4, "common w"), (5, "common v"),
+             (6, "common u"), (7, "common t"), (8, "common s"),
+             (9, "common r")],
+            "doc_id long, text string",
+        )
+        # rare1/rare2 co-occur perfectly (max PMI) but df=1 < N/5 -> gated
+        out = pmi_pairs(docs, min_df_ratio=5, min_pair_ratio=5, k=100).collect()
+        terms = {r.term_a for r in out} | {r.term_b for r in out}
+        assert "rare1" not in terms and "rare2" not in terms
+
+
+class TestBigramLogprob:
+    def test_short_docs_drop_and_formula(self, spark):
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            bigram_logprob,
+        )
+        import math
+
+        docs = spark.createDataFrame(
+            [(0, "a b a b"), (1, "a b"), (2, "solo")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+        assert 2 not in rows  # single-token doc has no bigram event
+        # corpus bigrams: doc0 -> ab, ba, ab ; doc1 -> ab
+        # c(ab)=3, c(ba)=1 ; contexts: c(a .)=3, c(b .)=1 ; V={a,b,solo}=3
+        lp_ab = math.log((3 + 1) / (3 + 3))
+        lp_ba = math.log((1 + 1) / (1 + 3))
+        assert rows[0].n_bigrams == 3
+        assert abs(rows[0].avg_logprob - round((2 * lp_ab + lp_ba) / 3, 6)) < 1e-9
+        assert rows[1].n_bigrams == 1
+        assert abs(rows[1].avg_logprob - round(lp_ab, 6)) < 1e-9
+
+
+class TestInvertedIndex:
+    def test_postings_sorted_min_df(self, spark):
+        from airflow_etl_finance_market_spark.operators.retrieval import (
+            inverted_index,
+        )
+
+        docs = spark.createDataFrame(
+            [(30, "alpha beta"), (10, "alpha gamma"), (20, "alpha beta beta")],
+            "doc_id long, text string",
+        )
+        out = {r.term: (r.df, r.postings) for r in inverted_index(docs).collect()}
+        # gamma df=1 < 2 gated; postings ascending; repeated terms count once
+        assert out == {"alpha": (3, "10,20,30"), "beta": (2, "20,30")}
+
+
+class TestEditDistanceNearDups:
+    def test_known_pairs(self, spark):
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            edit_distance_near_dups,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        docs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base.replace("quick", "quack")),  # 1 edit in prefix
+                (3, "Z" + base[1:]),                  # 1 edit (case-insensitive z)
+                (4, "totally different text " * 6),   # same-ish length, far
+                (5, base * 40),                       # different length bucket
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r.id_a, r.id_b): r.edit_dist
+            for r in edit_distance_near_dups(docs).collect()
+        }
+        assert (1, 2) in out and out[(1, 2)] == 1
+        assert (1, 3) in out and out[(1, 3)] == 1
+        assert all(a < b for a, b in out)
+        assert not any(5 in p for p in out)
+        assert not any(4 in p for p in out)

@@ -357,3 +357,54 @@ def test_bm25_term_filter_is_map_side_and_stats_broadcast(spark, sf_dir):
     # tree prints parents first: the term filter sitting AFTER the first
     # exchange line means it executes BELOW it, i.e. map-side
     assert filt[0] > exch[0]
+
+
+def test_iqr_fences_broadcast(spark, sf_dir):
+    """The per-group fence frame (|groups| rows) must BROADCAST back onto
+    the events scan — shuffling the full table against a tiny stats frame
+    would double the heavy exchange."""
+    plan = plan_of(harness.queries()["event_value_outliers"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pmi_vocab_gate_broadcasts(spark, sf_dir):
+    """The df-gated vocabulary must broadcast into the occurrence stream
+    (semi-join gate) and the final ranking must be a TakeOrderedAndProject
+    — pair generation being doc-keyed is what bounds the quadratic step."""
+    plan = plan_of(harness.queries()["term_pmi_pairs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 3  # vocab x2 + N (+ reuse)
+
+
+def test_inverted_index_single_term_aggregate(spark, sf_dir):
+    """df and the posting list must come out of ONE term-keyed aggregate:
+    exactly two hashpartitioning exchanges total (the doc-keyed fan_out,
+    reused by nothing else here, and the term shuffle) — a separate
+    countDistinct pass would add a third."""
+    import re
+
+    plan = plan_of(harness.queries()["doc_inverted_index"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_funnel_exchanges_only_on_user_key(spark, sf_dir):
+    """Every shuffle in the funnel must be keyed on the user id — the
+    step-chaining joins and per-step aggregates all reuse that clustering;
+    any other key would mean an accidental re-shuffle of event rows."""
+    import re
+
+    plan = plan_of(harness.queries()["event_funnel"](spark, sf_dir))
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys <= {"user_id"}
+
+
+def test_edit_distance_blocking_is_equi_join(spark, sf_dir):
+    """The length-bucket blocking must plan as an EQUI-join (hash or
+    sort-merge on the bucket key) — never a BroadcastNestedLoopJoin or
+    CartesianProduct, which would be the all-pairs O(n²) shape."""
+    plan = plan_of(
+        harness.queries()["doc_edit_distance_near_dups"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
