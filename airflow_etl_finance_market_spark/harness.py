@@ -109,6 +109,10 @@ _WINDOW_DEMOTED = [
     "doc_jaccard_near_dups",
     "embedding_near_dups",
     "sql_api_nation_rank",
+    # view_click_attribution (stream-stream join batch twin) takes the slot
+    # of twice-green approx_event_stats; the sketch family keeps its
+    # accuracy-bound pytest coverage (tests/test_skew_and_sketches.py).
+    "approx_event_stats",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -3023,3 +3027,31 @@ def q_doc_edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame
     from .operators.dedup import edit_distance_near_dups
 
     return edit_distance_near_dups(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "view_click_attribution",
+    """
+SELECT v.user_id, v.ts AS view_ts, c.ts AS click_ts,
+       CAST(date_diff('microsecond', v.ts, c.ts) // 1000000 AS BIGINT)
+           AS lag_seconds
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 30 MINUTE
+""",
+)
+def q_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/windows.click_attribution_join): every click paired with
+    the same user's views in the preceding 30 minutes — identical join
+    condition the streaming variant runs with two watermarks, so batch ≡
+    stream is provable (tests/test_streaming.py)."""
+    from .streaming.windows import click_attribution_join
+
+    ev = load_fixture(spark, sf_dir, "events")
+    return click_attribution_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    )

@@ -141,3 +141,66 @@ def dedup_events(
             list(keys)
         )
     return events.dropDuplicates(list(keys))
+
+
+def click_attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    horizon_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each click pairs with every view by
+    the same user in the preceding ``horizon_minutes`` — the attribution
+    primitive ("which impression led to this click") and the canonical
+    Structured Streaming two-stream pattern.
+
+    Output: (user_id, view_ts, click_ts, lag_seconds).
+
+    Streaming semantics: BOTH sides carry a watermark and the join
+    condition bounds click_ts to [view_ts, view_ts + horizon] — exactly
+    what Spark requires to know when a buffered view can never match a
+    future click and evict it. State per side is therefore bounded by
+    (arrival rate × (watermark + horizon)), the same envelope as a
+    windowed aggregate; an unconstrained stream-stream join would buffer
+    forever. Batch frames run the identical join condition as a plain
+    range join — the differential-test twin (at warehouse scale the batch
+    twin should go through operators/ranges.range_join's binned rewrite;
+    here the condition stays verbatim so stream ≡ batch is provable).
+
+    Inner join: views with no click in the horizon simply age out. The
+    left-outer streaming variant (NULL-padded views emitted at watermark
+    expiry) is a one-line change (``how="leftOuter"``) with the same state
+    bound.
+    """
+    v = views.select(
+        F.col(key).alias("v_key"), F.col(ts).alias("view_ts")
+    )
+    c = clicks.select(
+        F.col(key).alias("c_key"), F.col(ts).alias("click_ts")
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    cond = (
+        (F.col("v_key") == F.col("c_key"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return v.join(c, cond).select(
+        F.col("v_key").alias(key),
+        "view_ts",
+        "click_ts",
+        # exact integer micros, then integer-div to whole seconds: wall-
+        # clock arithmetic (TZ/DST-safe for NTZ timestamps) and free of
+        # engine-specific sub-second truncation conventions
+        F.expr("timestampdiff(MICROSECOND, view_ts, click_ts) div 1000000")
+        .cast("long")
+        .alias("lag_seconds"),
+    )

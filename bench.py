@@ -127,6 +127,9 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
     from airflow_etl_finance_market_spark.operators import dedup as D
     from airflow_etl_finance_market_spark.operators import similarity as S
 
+    def _ed_dups(docs_df):
+        return D.edit_distance_near_dups(docs_df, len_bucket=4)
+
     x10 = build_x10_fixture(spark, tmp)
     docs = spark.read.parquet(f"{x10}/documents.parquet")
     emb = spark.read.parquet(f"{x10}/embeddings.parquet")
@@ -169,6 +172,17 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         # frame is built, so the timer wraps construction + materialization
         "dedup_clusters": lambda: _noop(
             qs["doc_dedup_clusters"](spark, x10)
+        ),
+        # round-4 corpus operators at x10
+        "inverted_index": lambda: _noop(qs["doc_inverted_index"](spark, x10)),
+        "bigram_lp": lambda: _noop(qs["doc_bigram_logprob"](spark, x10)),
+        "pmi_pairs": lambda: _noop(qs["term_pmi_pairs"](spark, x10)),
+        # narrow (4-char) length buckets: the default 64-char blocking is
+        # tuned for the oracle fixture; at 50k docs it would put ~6k docs
+        # per bucket -> ~10^8 Levenshtein pairs. Bucket width is the
+        # recall/cost dial and 4 keeps bench pairs ~10^7.
+        "edit_dist_dups": lambda: _noop(
+            _ed_dups(spark.read.parquet(f"{x10}/documents.parquet"))
         ),
     }
 

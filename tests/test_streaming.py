@@ -296,3 +296,88 @@ def test_reorder_buffer_handles_out_of_order_arrival(spark, sf_dir, tmp_path):
             assert x[3] == y[3]
         else:
             assert abs(x[3] - y[3]) < 1e-9
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, split_events_dir):
+    """Stream-stream interval join (click_attribution_join): two watermarked
+    file streams over the same micro-batched fixture must emit exactly the
+    batch twin's pairs — including pairs whose view and click arrive in
+    DIFFERENT micro-batches (the buffered-state case the operator exists
+    for)."""
+    from airflow_etl_finance_market_spark.streaming.windows import (
+        click_attribution_join,
+    )
+
+    ev_b = read_events_batch(spark, f"{sf_dir}/events.parquet")
+    batch = click_attribution_join(
+        ev_b.filter(F.col("event_type") == "view"),
+        ev_b.filter(F.col("event_type") == "click"),
+    )
+    views_s = read_events_stream(
+        spark, f"{split_events_dir}/b*", max_files_per_trigger=1
+    ).filter(F.col("event_type") == "view")
+    clicks_s = read_events_stream(
+        spark, f"{split_events_dir}/b*", max_files_per_trigger=1
+    ).filter(F.col("event_type") == "click")
+    got = run_available_now(
+        click_attribution_join(views_s, clicks_s),
+        "ss_join",
+        output_mode="append",
+    )
+    got_rows, batch_rows = _rows(got), _rows(batch)
+    assert batch_rows, "fixture produced no view→click pairs at all"
+    assert got_rows == batch_rows
+
+
+def test_stream_stream_join_pairs_across_micro_batches(spark, tmp_path):
+    """The buffered-state case the operator exists for, made deterministic:
+    the view arrives in micro-batch 0, its click 5 minutes later in
+    micro-batch 1 — the pair can only exist if batch 0's view was held in
+    join state. A decoy click outside the horizon must not pair."""
+    import datetime as dt
+    import os
+
+    from airflow_etl_finance_market_spark.streaming.io import (
+        EVENTS_STREAM_SCHEMA,
+        read_events_stream,
+    )
+    from airflow_etl_finance_market_spark.streaming.windows import (
+        click_attribution_join,
+    )
+
+    t0 = 1_700_000_000_000_000_000  # epoch nanos
+    MIN = 60 * 1_000_000_000
+    batches = [
+        [(1, t0, 7, "view", 1.0, "{}")],
+        [
+            (2, t0 + 5 * MIN, 7, "click", 1.0, "{}"),
+            # same user, 2 h later: outside the 30-min horizon
+            (3, t0 + 120 * MIN, 7, "click", 1.0, "{}"),
+            # watermark pusher so the horizon closes
+            (4, t0 + 300 * MIN, 8, "view", 1.0, "{}"),
+        ],
+    ]
+    out = str(tmp_path / "ssj")
+    for i, rows in enumerate(batches):
+        bdir = f"{out}/b{i}"
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(bdir)
+        for f in os.listdir(bdir):
+            if f.endswith(".parquet"):
+                os.utime(f"{bdir}/{f}", (1_700_000_000 + i, 1_700_000_000 + i))
+    views = read_events_stream(
+        spark, f"{out}/b*", max_files_per_trigger=1
+    ).filter(F.col("event_type") == "view")
+    clicks = read_events_stream(
+        spark, f"{out}/b*", max_files_per_trigger=1
+    ).filter(F.col("event_type") == "click")
+    got = _rows(
+        run_available_now(
+            click_attribution_join(views, clicks, watermark="10 minutes"),
+            "ssj_cross",
+            output_mode="append",
+        )
+    )
+    base = dt.datetime(2023, 11, 14, 22, 13, 20)
+    assert got == [(7, base, base + dt.timedelta(minutes=5), 300)]
