@@ -113,6 +113,11 @@ _WINDOW_DEMOTED = [
     # of twice-green approx_event_stats; the sketch family keeps its
     # accuracy-bound pytest coverage (tests/test_skew_and_sketches.py).
     "approx_event_stats",
+    # doc_length_deciles takes the slot of twice-green multimodal_features
+    # (its Arrow mapInPandas plumbing stays pytest-covered,
+    # tests/test_similarity.py::TestMultimodal, and the §2-external
+    # multimodal row keeps its honest-stub posture either way).
+    "multimodal_features",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -3055,3 +3060,38 @@ def q_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view"),
         ev.filter(F.col("event_type") == "click"),
     )
+
+
+@register(
+    "doc_length_deciles",
+    """
+WITH b AS (
+    SELECT quantile_cont(n_chars, 0.1) AS b1, quantile_cont(n_chars, 0.2) AS b2,
+           quantile_cont(n_chars, 0.3) AS b3, quantile_cont(n_chars, 0.4) AS b4,
+           quantile_cont(n_chars, 0.5) AS b5, quantile_cont(n_chars, 0.6) AS b6,
+           quantile_cont(n_chars, 0.7) AS b7, quantile_cont(n_chars, 0.8) AS b8,
+           quantile_cont(n_chars, 0.9) AS b9
+    FROM documents
+)
+SELECT CAST(1 + (CASE WHEN n_chars > b1 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > b2 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > b3 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > b4 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > b5 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > b6 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > b7 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > b8 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > b9 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
+       COUNT(*) AS n_rows, MIN(n_chars) AS lo, MAX(n_chars) AS hi
+FROM documents CROSS JOIN b
+GROUP BY 1
+""",
+)
+def q_doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile histogram over document length
+    (operators/quality.equi_depth_histogram): broadcast boundary vector +
+    map-side assignment — the distributed depth-bucketing idiom (a global
+    ntile window would need a single-partition total order)."""
+    from .operators.quality import equi_depth_histogram
+
+    return equi_depth_histogram(load_fixture(spark, sf_dir, "documents"))

@@ -143,3 +143,47 @@ def iqr_outliers(
             ).alias("outlier_frac"),
         )
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    *,
+    value: str = "n_chars",
+    buckets: int = 10,
+) -> DataFrame:
+    """(bucket, n_rows, lo, hi) — equi-depth (decile-style) histogram: the
+    profiling/calibration view behind "what does the p40-p50 band of this
+    score look like". Bucket b holds rows strictly above boundary b-1 and
+    at-or-below boundary b, with boundaries at the exact interpolated
+    ``i/buckets`` quantiles.
+
+    Scale shape: this is the DISTRIBUTED idiom for depth bucketing — one
+    aggregate computes the boundary vector (exact percentile; swap in
+    approx_percentile past memory-bound group sizes), which BROADCASTS
+    back onto the scan for a map-side bucket assignment + one final tiny
+    aggregate. A row_number/ntile window would need a global total order
+    (single partition) — the one shape that cannot scale. Rows equal to a
+    boundary go to the LOWER bucket on both engines; boundary doubles are
+    bit-comparable because Spark `percentile` and DuckDB `quantile_cont`
+    run the same type-7 linear interpolation.
+    """
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = df.agg(
+        *[
+            F.expr(f"percentile({value}, {q})").alias(f"_b{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(1, buckets):
+        bucket = bucket + F.when(F.col(value) > F.col(f"_b{i}"), 1).otherwise(0)
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(bucket.cast("long").alias("bucket"), F.col(value))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(value).alias("lo"),
+            F.max(value).alias("hi"),
+        )
+    )

@@ -151,6 +151,7 @@ def click_attribution_join(
     ts: str = "ts",
     horizon_minutes: int = 30,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each click pairs with every view by
     the same user in the preceding ``horizon_minutes`` — the attribution
@@ -170,10 +171,12 @@ def click_attribution_join(
     twin should go through operators/ranges.range_join's binned rewrite;
     here the condition stays verbatim so stream ≡ batch is provable).
 
-    Inner join: views with no click in the horizon simply age out. The
-    left-outer streaming variant (NULL-padded views emitted at watermark
-    expiry) is a one-line change (``how="leftOuter"``) with the same state
-    bound.
+    ``how="inner"`` (default): views with no click in the horizon simply
+    age out. ``how="leftOuter"``: a view the watermark expires unmatched
+    is EMITTED with NULL click columns (the "impressions that never
+    converted" side of the same audit) — same state bound, the NULL row
+    just waits for state expiry, so end-to-end latency for non-converters
+    is the watermark delay plus the horizon.
     """
     v = views.select(
         F.col(key).alias("v_key"), F.col(ts).alias("view_ts")
@@ -193,7 +196,7 @@ def click_attribution_join(
             <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
         )
     )
-    return v.join(c, cond).select(
+    return v.join(c, cond, how).select(
         F.col("v_key").alias(key),
         "view_ts",
         "click_ts",

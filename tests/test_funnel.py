@@ -132,3 +132,21 @@ class TestIqrOutliers:
             spark.createDataFrame(rows, "event_type string, value double")
         ).collect()}
         assert out == {"a": 0, "b": 0}
+
+
+class TestEquiDepthHistogram:
+    def test_depth_roughly_equal_and_total(self, spark):
+        from airflow_etl_finance_market_spark.operators.quality import (
+            equi_depth_histogram,
+        )
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(1000)], "n_chars double"
+        )
+        rows = {r.bucket: r for r in equi_depth_histogram(df).collect()}
+        assert sorted(rows) == list(range(1, 11))
+        assert sum(r.n_rows for r in rows.values()) == 1000
+        assert all(90 <= r.n_rows <= 110 for r in rows.values())
+        # bucket ranges are contiguous and ordered
+        for b in range(1, 10):
+            assert rows[b].hi <= rows[b + 1].lo

@@ -381,3 +381,71 @@ def test_stream_stream_join_pairs_across_micro_batches(spark, tmp_path):
     )
     base = dt.datetime(2023, 11, 14, 22, 13, 20)
     assert got == [(7, base, base + dt.timedelta(minutes=5), 300)]
+
+
+def test_stream_stream_left_outer_emits_unmatched_views(spark, tmp_path):
+    """leftOuter stream-stream join: a view with no click in its horizon
+    must be emitted NULL-padded once the watermark expires its state —
+    not silently dropped (inner) and not emitted before it is provably
+    unmatched."""
+    import os
+
+    from airflow_etl_finance_market_spark.streaming.io import (
+        EVENTS_STREAM_SCHEMA,
+        read_events_stream,
+    )
+    from airflow_etl_finance_market_spark.streaming.windows import (
+        click_attribution_join,
+    )
+
+    t0 = 1_700_000_000_000_000_000
+    MIN = 60 * 1_000_000_000
+    batches = [
+        [
+            (1, t0, 7, "view", 1.0, "{}"),          # converts
+            (2, t0, 9, "view", 1.0, "{}"),          # never converts
+        ],
+        [(3, t0 + 5 * MIN, 7, "click", 1.0, "{}")],
+        # watermark pushers in BOTH streams (the global watermark is the
+        # MIN across the two watermarked sources — a pusher in only one
+        # leaves the other's watermark at its stale max and nothing ever
+        # evicts), then one more batch: the watermark used by batch N is
+        # computed from batches < N, so eviction (and the outer NULL
+        # emission) happens one batch AFTER the pushers arrive. Pusher
+        # users are all distinct so they add no pairs of their own.
+        [
+            (4, t0 + 600 * MIN, 10, "view", 1.0, "{}"),
+            (5, t0 + 600 * MIN, 11, "click", 1.0, "{}"),
+        ],
+        [
+            (6, t0 + 601 * MIN, 12, "view", 1.0, "{}"),
+            (7, t0 + 601 * MIN, 13, "click", 1.0, "{}"),
+        ],
+    ]
+    out = str(tmp_path / "ssj_outer")
+    for i, rows in enumerate(batches):
+        bdir = f"{out}/b{i}"
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(bdir)
+        for f in os.listdir(bdir):
+            if f.endswith(".parquet"):
+                os.utime(f"{bdir}/{f}", (1_700_000_000 + i, 1_700_000_000 + i))
+    views = read_events_stream(
+        spark, f"{out}/b*", max_files_per_trigger=1
+    ).filter(F.col("event_type") == "view")
+    clicks = read_events_stream(
+        spark, f"{out}/b*", max_files_per_trigger=1
+    ).filter(F.col("event_type") == "click")
+    got = _rows(
+        run_available_now(
+            click_attribution_join(
+                views, clicks, watermark="10 minutes", how="leftOuter"
+            ),
+            "ssj_outer",
+            output_mode="append",
+        )
+    )
+    by_user = {r[0]: r for r in got}
+    assert by_user[7][2] is not None and by_user[7][3] == 300
+    assert by_user[9][2] is None and by_user[9][3] is None
