@@ -124,6 +124,38 @@ _WINDOW_DEMOTED = [
 _DRIVER_WINDOW = 50
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _bounded_stream_shuffle(spark: SparkSession, n: int = 8):
+    """Cap ``spark.sql.shuffle.partitions`` while a streaming gate runs.
+
+    A streaming query fixes its STATE-STORE partition count from the
+    session's shuffle partitions at first start; under the driver's
+    vanilla session that is 200, and a 3-micro-batch stateful gate then
+    pays 200 state partitions x batches of Arrow/python-worker round
+    trips for a 150-key fixture (~2 min wall). 8 partitions is the same
+    semantics at ~1/20 the constant. Restored in ``finally`` so the
+    batch twins and every other harness entry keep the session default.
+    At production scale the equivalent knob is sizing state partitions
+    to key cardinality — state stores are per-partition, not per-key.
+    """
+    key = "spark.sql.shuffle.partitions"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def _window_order(d: dict) -> dict:
     demoted = [n for n in _WINDOW_DEMOTED if n in d]
     return {
@@ -2187,25 +2219,26 @@ def q_streaming_pct_change_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
                     os.utime(f"{pdir}/{f}", (1_700_000_000 + i,) * 2)
 
         src = f"{tmp}/in/b*"
-        streamed_pct = run_available_now(
-            pct_change_stateful(
-                read_events_stream(spark, src, max_files_per_trigger=1)
-            ),
-            f"_gate_pct_{seq}",
-            output_mode="append",
-        )
-        streamed_vol = run_available_now(
-            windowed_volatility(
+        with _bounded_stream_shuffle(spark):
+            streamed_pct = run_available_now(
                 pct_change_stateful(
                     read_events_stream(spark, src, max_files_per_trigger=1)
-                ).withWatermark("ts", "1 hour"),
-                key="user_id",
-                ts="ts",
-                window="7 days",
-            ),
-            f"_gate_vol_{seq}",
-            output_mode="append",
-        )
+                ),
+                f"_gate_pct_{seq}",
+                output_mode="append",
+            )
+            streamed_vol = run_available_now(
+                windowed_volatility(
+                    pct_change_stateful(
+                        read_events_stream(spark, src, max_files_per_trigger=1)
+                    ).withWatermark("ts", "1 hour"),
+                    key="user_id",
+                    ts="ts",
+                    window="7 days",
+                ),
+                f"_gate_vol_{seq}",
+                output_mode="append",
+            )
 
         batch_pct = pct_change_stateful(
             read_events_batch(spark, f"{sf_dir}/events.parquet")
@@ -2355,16 +2388,17 @@ def q_streaming_pct_change_reordered(spark: SparkSession, sf_dir: str) -> DataFr
                 if f.endswith(".parquet"):
                     os.utime(f"{pdir}/{f}", (1_700_000_000 + i,) * 2)
 
-        streamed = run_available_now(
-            pct_change_reordered(
-                read_events_stream(
-                    spark, f"{tmp}/in/b*", max_files_per_trigger=1
+        with _bounded_stream_shuffle(spark):
+            streamed = run_available_now(
+                pct_change_reordered(
+                    read_events_stream(
+                        spark, f"{tmp}/in/b*", max_files_per_trigger=1
+                    ),
+                    delay=f"{delay_s} seconds",
                 ),
-                delay=f"{delay_s} seconds",
-            ),
-            f"_gate_reorder_{seq}",
-            output_mode="append",
-        )
+                f"_gate_reorder_{seq}",
+                output_mode="append",
+            )
 
         # Batch LAG twin, cut at the final watermark (ms-floored max ts
         # minus delay — the exact set the stream must have finalized).
