@@ -605,45 +605,44 @@ def winnow_fingerprints(
     global-min gram hash (the final position's window spans the whole doc),
     so every non-empty document gets ≥1 fingerprint.
 
-    Physical shape: posexplode the ORDERED n-gram array (map-side; the
-    fan_out keeps a doc's grams co-located so the per-doc sliding window
-    sorts without an extra exchange), one rolling MIN frame window, then a
-    distinct on (doc, fp). Portable hash mode keeps fingerprints
-    bit-identical across engines — a fingerprint index built once is valid
-    from Spark, DuckDB or Python.
+    Physical shape: ENTIRELY map-side until the final distinct. The
+    sliding MIN runs inside the gram array (transform over window slices +
+    array_min — whole-stage-codegen expressions), the per-doc minima
+    dedupe array-side (array_distinct), and only the ~2/(window+1)-sampled
+    fingerprints explode into the one (doc, fp) distinct shuffle. The
+    earlier formulation (posexplode → rowsBetween MIN window → filter)
+    computed the same set but paid a per-doc sort for the window plus a
+    full gram-count explode — the array form drops both, which matters
+    when the gram stream is ~50× the fingerprint stream. Portable hash
+    mode keeps fingerprints bit-identical across engines — a fingerprint
+    index built once is valid from Spark, DuckDB or Python.
     """
-    from pyspark.sql import Window
-
-    # n_grams comes from the array size BEFORE the explode — a count()
-    # window after it would cost a second Window+Sort pass for a number
-    # the pre-explode row already knows.
-    grams = (
+    base = (
         fan_out(docs, id_col)
         .select(F.col(id_col), word_ngrams(text_col, ngram).alias("_grams"))
         .select(
             F.col(id_col),
-            F.size("_grams").alias("n_grams"),
-            F.posexplode("_grams").alias("pos", "gram"),
+            F.transform(
+                "_grams", lambda g: _shingle_hash(g, hash_mode)
+            ).alias("_hs"),
+            F.size("_grams").alias("_n"),
         )
     )
-    hashed = grams.select(
-        id_col,
-        "n_grams",
-        "pos",
-        _shingle_hash(F.col("gram"), hash_mode).alias("h"),
+    # position j (1-indexed gram positions) hosts the window covering
+    # grams [j - window + 1, j]; docs shorter than one window keep their
+    # global minimum (the old final-position rule — that window spanned
+    # the whole doc).
+    sliding = F.transform(
+        F.sequence(F.lit(window), F.col("_n")),
+        lambda j: F.array_min(F.slice(F.col("_hs"), j - window + 1, window)),
     )
-    roll_w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(-(window - 1), Window.currentRow)
+    fps = F.when(F.col("_n") >= window, sliding).otherwise(
+        F.array(F.array_min("_hs"))
     )
     return (
-        hashed.withColumn("fp", F.min("h").over(roll_w))
-        .filter(
-            (F.col("pos") >= window - 1)
-            | (F.col("pos") == F.col("n_grams") - 1)
+        base.select(
+            F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
         )
-        .select(id_col, "fp")
         .distinct()
     )
 

@@ -319,13 +319,14 @@ def test_seq_packing_single_shard_exchange(spark, sf_dir):
     assert "Window" in plan
 
 
-def test_winnowing_single_window_pass(spark, sf_dir):
-    """n_grams rides the pre-explode projection, so exactly ONE Window
-    (the rolling min) and ONE exchange: the fan_out's doc_id partitioning
-    already satisfies the final distinct's (doc_id, fp) clustering."""
+def test_winnowing_is_map_side_until_distinct(spark, sf_dir):
+    """The sliding MIN runs array-side (transform + slice + array_min):
+    NO Window operator — the per-doc sort a rowsBetween frame would
+    require is gone — and the only exchanges are the fan_out plus the
+    final (doc_id, fp) distinct over the already-sampled fingerprints."""
     plan = plan_of(harness.queries()["doc_winnow_fingerprints"](spark, sf_dir))
-    assert plan.count("Window") == 1
-    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2
 
 
 def test_tfidf_broadcasts_doc_count(spark, sf_dir):
