@@ -118,6 +118,11 @@ _WINDOW_DEMOTED = [
     # tests/test_similarity.py::TestMultimodal, and the §2-external
     # multimodal row keeps its honest-stub posture either way).
     "multimodal_features",
+    # embedding_quantization takes the slot of thrice-green
+    # embedding_centroids (same posexplode/agg family stays in-window via
+    # the quantization entry's own exploded comparison; centroids keep
+    # their pytest + oracle-parity coverage).
+    "embedding_centroids",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -3129,3 +3134,37 @@ def q_doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.quality import equi_depth_histogram
 
     return equi_depth_histogram(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_quantization",
+    """
+WITH m AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+    FROM embeddings
+)
+SELECT vec_id,
+       CAST(i - 1 AS INT) AS pos,
+       CAST(CASE WHEN maxabs = 0 THEN 0
+                 ELSE floor(CAST(embedding[i] AS DOUBLE) / maxabs * 127
+                            + 0.5)
+            END AS INT) AS q,
+       ROUND(maxabs / 127, 6) AS scale
+FROM m CROSS JOIN generate_series(1, 64) AS s(i)
+""",
+)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column
+    (operators/similarity.quantize_embeddings), exploded to (vec_id, pos,
+    q, scale) for comparison. DOUBLE-pinned arithmetic + floor(v + 0.5)
+    makes the integers bit-identical cross-engine."""
+    from .operators.similarity import quantize_embeddings
+
+    qdf = quantize_embeddings(load_fixture(spark, sf_dir, "embeddings"))
+    return qdf.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.posexplode("qvec").alias("pos", "q"),
+    ).select("vec_id", "pos", "q", "scale")

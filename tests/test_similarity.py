@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from airflow_etl_finance_market_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
@@ -127,3 +129,53 @@ def test_assign_cells_matches_expression_form(spark, sf_dir):
         ).collect()
     }
     assert agg_form == expr_form
+
+
+class TestQuantization:
+    def test_reconstruction_error_bound(self, spark, sf_dir):
+        from airflow_etl_finance_market_spark.operators.similarity import (
+            dequantize_embeddings,
+            quantize_embeddings,
+        )
+        from airflow_etl_finance_market_spark.sources.readers import (
+            load_fixture,
+        )
+
+        emb = load_fixture(spark, sf_dir, "embeddings")
+        qdf = quantize_embeddings(emb)
+        # int8 range respected
+        rng = qdf.select(
+            F.array_max("qvec").alias("hi"), F.array_min("qvec").alias("lo")
+        ).agg(F.max("hi"), F.min("lo")).first()
+        assert rng[0] <= 127 and rng[1] >= -127
+        # reconstruction within scale/2 per component
+        recon = dequantize_embeddings(qdf)
+        pair = (
+            emb.join(recon, "vec_id")
+            .join(qdf.select("vec_id", "scale"), "vec_id")
+            .select(
+                F.array_max(
+                    F.zip_with(
+                        "embedding",
+                        "vec",
+                        lambda a, b: F.abs(a.cast("double") - b),
+                    )
+                ).alias("maxerr"),
+                "scale",
+            )
+            .filter(F.col("maxerr") > F.col("scale") / 2 + 1e-12)
+        )
+        assert pair.count() == 0
+
+    def test_zero_vector_safe(self, spark):
+        from airflow_etl_finance_market_spark.operators.similarity import (
+            quantize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, -2.0])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+        assert rows[1].qvec == [0, 0] and rows[1].scale == 0.0
+        assert rows[2].qvec == [64, -127]
