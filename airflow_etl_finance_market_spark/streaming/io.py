@@ -129,3 +129,43 @@ def run_available_now_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def run_available_now_upsert(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    *,
+    keys: list[str],
+) -> None:
+    """foreachBatch upsert sink: drain the stream, landing each micro-batch
+    through :func:`..sources.sinks.append_if_absent` (ON CONFLICT DO
+    NOTHING semantics on ``keys``).
+
+    THE production idiom for streaming into a keyed warehouse table when
+    the sink format has no native MERGE: the file sink alone is
+    append-only, so an at-least-once source (or a checkpoint rolled back
+    past a committed batch) would duplicate rows — the per-batch key
+    anti-join makes re-delivery idempotent END TO END, not just within
+    Spark's own offset tracking. Each batch pays one key-pruned scan of
+    the existing table; at warehouse scale the table is partitioned (or
+    bucketed on the key) so that scan prunes to the partitions the batch
+    touches.
+
+    foreachBatch receives an ORDINARY batch DataFrame, so the full batch
+    sink/operator library applies inside — this is the official escape
+    hatch for sinks Structured Streaming lacks (Spark docs, foreachBatch).
+    """
+    from ..sources.sinks import append_if_absent
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_if_absent(batch_df.sparkSession, batch_df, out_path, keys)
+
+    q = (
+        df.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -207,3 +207,28 @@ def click_attribution_join(
         .cast("long")
         .alias("lag_seconds"),
     )
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_mktsegment",),
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes to an event stream (user → segment, instrument → sector).
+
+    The STATIC side needs no watermark and holds no state — Spark re-plans
+    it per micro-batch, so a dim table updated between batches is picked
+    up automatically (the poor-man's SCD1 lookup; for point-in-time
+    correctness against history use operators/asof on the batch side).
+    With a small dim the per-batch join is broadcast — the stream never
+    shuffles; a big dim falls back to a shuffled join per batch, which is
+    the signal to pre-bucket the dim on the key. Works identically on a
+    batch frame (the differential-test twin).
+    """
+    d = dim.select(F.col(dim_key).alias(key), *[F.col(c) for c in dim_cols])
+    return events.join(F.broadcast(d), key, how)
