@@ -123,6 +123,12 @@ _WINDOW_DEMOTED = [
     # the quantization entry's own exploded comparison; centroids keep
     # their pytest + oracle-parity coverage).
     "embedding_centroids",
+    # doc_near_dup_triangles + price_trend_regression take the slots of
+    # thrice-green top_docs_per_lang (window ranking stays in-window via
+    # doc_tfidf_top_terms' row_number ranking) and split_balance
+    # (train_test_split keeps the salted-split family in-window).
+    "top_docs_per_lang",
+    "split_balance",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -3168,3 +3174,73 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 6).alias("scale"),
         F.posexplode("qvec").alias("pos", "q"),
     ).select("vec_id", "pos", "q", "scale")
+
+
+@register(
+    "doc_near_dup_triangles",
+    """
+WITH d AS (
+    SELECT doc_id, lower(substr(text, 1, 32)) AS p, length(text) // 64 AS blk
+    FROM documents
+), e AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.p, b.p) <= 5
+)
+SELECT e1.u AS u, e1.v AS v, e2.v AS w
+FROM e e1
+JOIN e e2 ON e1.v = e2.u
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+""",
+)
+def q_doc_near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the edit-distance near-dup graph
+    (operators/graph.triangles): mutually-confirming template families.
+    One 2-path join + one closure semi-join on the ascending
+    orientation."""
+    from .operators.dedup import edit_distance_near_dups
+    from .operators.graph import triangles
+
+    pairs = edit_distance_near_dups(load_fixture(spark, sf_dir, "documents"))
+    return triangles(pairs, src="id_a", dst="id_b")
+
+
+@register(
+    "price_trend_regression",
+    """
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice,
+                        date_diff('day', DATE '1992-01-01', l_shipdate)), 6)
+           AS slope,
+       ROUND(regr_intercept(l_extendedprice,
+                            date_diff('day', DATE '1992-01-01', l_shipdate)), 6)
+           AS intercept,
+       ROUND(regr_r2(l_extendedprice,
+                     date_diff('day', DATE '1992-01-01', l_shipdate)), 6)
+           AS r2,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_price_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend via the SQL-standard regression aggregates
+    (regr_slope/intercept/r2) — the finance beta/drift primitive as ONE
+    distributed aggregate (covariance partials combine map-side like any
+    sum; no per-group collect). x = days since 1992-01-01 in exact
+    integer day arithmetic on both engines."""
+    df = load_fixture(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.expr("datediff(to_date(l_shipdate), DATE '1992-01-01')")
+        .cast("double")
+        .alias("_x"),
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.round(F.expr("regr_slope(l_extendedprice, _x)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, _x)"), 6).alias(
+            "intercept"
+        ),
+        F.round(F.expr("regr_r2(l_extendedprice, _x)"), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -223,3 +223,40 @@ def dedup_clusters(
         (F.col("id") == F.col("component")).alias("is_canonical"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+def triangles(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(u, v, w) with u < v < w — every triangle in the undirected graph of
+    ``edges``. On a near-dup graph a triangle is mutually-confirming
+    evidence (three pairwise-similar documents — almost always one
+    template family), the signal that separates systematic boilerplate
+    from one-off pair noise; it is also the building block of clustering
+    coefficients.
+
+    Physical shape: edges canonicalize to the ascending orientation
+    (u < v), then ONE 2-path join (v = u') plus ONE closure semi-join —
+    the textbook distributed triangle enumeration. The ascending
+    orientation alone bounds work on skew-free graphs; a production run
+    on a skewed graph orients each edge from the LOWER-degree endpoint
+    instead (degree-ordered orientation caps per-vertex join fan-out at
+    O(sqrt(|E|)) — same plan shape, one extra degree join to build the
+    orientation).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    paths = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("u"), F.col("e1.v").alias("v"), F.col("e2.v").alias("w")
+    )
+    return paths.join(
+        e.select(F.col("u").alias("_cu"), F.col("v").alias("_cv")),
+        (F.col("u") == F.col("_cu")) & (F.col("w") == F.col("_cv")),
+        "leftsemi",
+    )

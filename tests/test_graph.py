@@ -114,3 +114,25 @@ def test_empty_inputs_yield_empty_not_crash(spark):
                                       vertices=verts).collect()
     }
     assert got == {1: 1, 2: 2}
+
+
+class TestTriangles:
+    def test_enumerates_known_triangles(self, spark):
+        from airflow_etl_finance_market_spark.operators.graph import triangles
+
+        # K4 on {1,2,3,4} (4 triangles) + a dangling path 5-6-7 (0)
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6), (6, 7)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r.u, r.v, r.w) for r in triangles(df).collect()
+        }
+        assert got == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
+
+    def test_orientation_and_dups_harmless(self, spark):
+        from airflow_etl_finance_market_spark.operators.graph import triangles
+
+        # same triangle given with mixed orientations, duplicates, self-loop
+        edges = [(2, 1), (1, 2), (3, 2), (1, 3), (3, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = [(r.u, r.v, r.w) for r in triangles(df).collect()]
+        assert got == [(1, 2, 3)]
