@@ -129,6 +129,14 @@ _WINDOW_DEMOTED = [
     # (train_test_split keeps the salted-split family in-window).
     "top_docs_per_lang",
     "split_balance",
+    # doc_containment_pairs takes the slot of thrice-green
+    # term_frequencies (the tf/df explode→two-level-agg family stays
+    # in-window via doc_tfidf_top_terms, which subsumes its shape).
+    "term_frequencies",
+    # event_transition_matrix takes the slot of thrice-green
+    # purchase_attribution (the as-of join keeps tests/test_asof.py and
+    # the binned range-join family stays in-window via reorder_within_30d).
+    "purchase_attribution",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -3244,3 +3252,64 @@ def q_price_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_r2(l_extendedprice, _x)"), 6).alias("r2"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "doc_containment_pairs",
+    f"""
+WITH g AS (
+    SELECT doc_id, lang, {_GRAMS_SQL} AS grams
+    FROM documents
+), j AS (
+    SELECT a.doc_id AS ida, b.doc_id AS idb,
+           len(list_intersect(a.grams, b.grams)) AS inter,
+           len(a.grams) AS na, len(b.grams) AS nb
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+), directed AS (
+    SELECT ida AS id_contained, idb AS id_container,
+           ROUND(inter::DOUBLE / na, 6) AS containment FROM j
+    UNION ALL
+    SELECT idb, ida, ROUND(inter::DOUBLE / nb, 6) FROM j
+)
+SELECT * FROM directed WHERE containment >= 0.5
+""",
+)
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs
+    (operators/dedup.ngram_containment_pairs): |A∩B|/|A| ≥ 0.5 — catches
+    the quoted-subset duplicates symmetric Jaccard misses; both directions
+    ride one blocked join."""
+    from .operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        load_fixture(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+WITH seq AS (
+    SELECT event_type AS to_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS from_type
+    FROM events
+), t AS (
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       ROUND(n_transitions::DOUBLE
+             / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS prob
+FROM t
+""",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences
+    (operators/funnel.event_transition_matrix): one LAG window on the
+    fan_out partitioning + one (from, to) aggregate; deterministic
+    (ts, event_id) ordering."""
+    from .operators.funnel import event_transition_matrix
+
+    return event_transition_matrix(load_fixture(spark, sf_dir, "events"))

@@ -844,3 +844,58 @@ def edit_distance_near_dups(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram containment:
+    ``containment(a in b) = |grams(a) ∩ grams(b)| / |grams(a)|`` — the
+    knob symmetric Jaccard can't turn. A short document quoted wholesale
+    inside a long one scores near-zero Jaccard (the union is huge) but
+    containment ≈ 1 from the short side; dedup pipelines (RefinedWeb-style
+    subset filtering) drop the CONTAINED doc and keep the superset.
+
+    Output: (id_contained, id_container, containment) — one DIRECTED row
+    per ordered pair above the threshold, both directions tested.
+
+    Physical shape: same blocked equi-join as :func:`ngram_jaccard_pairs`
+    (one gram pass, block-keyed self-join, id_a < id_b halves it); both
+    directions come out of the SAME joined row (two containment
+    expressions over one intersection), so asymmetry costs no second
+    join. At unblocked scale, candidates come from the MinHash index and
+    only the verify formula changes.
+    """
+    grams = fan_out(docs, id_col).select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.array_distinct(word_ngrams(text_col, n)).alias("grams"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    joined = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("_ida"),
+        F.col("b.id").alias("_idb"),
+        inter.alias("_inter"),
+        F.size("a.grams").alias("_na"),
+        F.size("b.grams").alias("_nb"),
+    )
+    a_in_b = joined.select(
+        F.col("_ida").alias("id_contained"),
+        F.col("_idb").alias("id_container"),
+        F.round(F.col("_inter") / F.col("_na"), 6).alias("containment"),
+    )
+    b_in_a = joined.select(
+        F.col("_idb").alias("id_contained"),
+        F.col("_ida").alias("id_container"),
+        F.round(F.col("_inter") / F.col("_nb"), 6).alias("containment"),
+    )
+    return a_in_b.unionAll(b_in_a).filter(F.col("containment") >= threshold)

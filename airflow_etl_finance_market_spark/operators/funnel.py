@@ -118,3 +118,49 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def event_transition_matrix(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """(from_type, to_type, n_transitions, prob) — the first-order Markov
+    transition matrix of per-user event sequences: how sessions actually
+    flow (view→click vs view→error), the model behind next-event
+    prediction baselines and funnel-drop diagnostics.
+
+    Ordering is (ts, tiebreak) within each user so equal timestamps are
+    deterministic. ``prob`` is row-normalized per from_type.
+
+    Physical shape: one per-user LAG window (rides the fan_out's user
+    partitioning — no extra exchange before the window sort), one
+    (from, to) hash-aggregate, and the row normalization is a window over
+    the |types|² matrix frame — negligible. At 100 TB the matrix frame is
+    still |event types|² rows; only the LAG pass touches data.
+    """
+    from pyspark.sql import Window
+
+    seq = fan_out(events.select(key, ts, type_col, tiebreak), key).select(
+        F.col(type_col).alias("to_type"),
+        F.lag(type_col)
+        .over(Window.partitionBy(key).orderBy(ts, tiebreak))
+        .alias("from_type"),
+    )
+    t = (
+        seq.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_w = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(row_w), 6
+        ).alias("prob"),
+    )
