@@ -137,6 +137,11 @@ _WINDOW_DEMOTED = [
     # purchase_attribution (the as-of join keeps tests/test_asof.py and
     # the binned range-join family stays in-window via reorder_within_30d).
     "purchase_attribution",
+    # customer_tier_scd2 (first ORACLE row for the SCD2 tier) takes the
+    # slot of thrice-green simhash_near_dups; the dedup family keeps
+    # minhash_lsh + containment + edit-distance in-window and SimHash its
+    # equality/planted-dup pytest coverage.
+    "simhash_near_dups",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -3313,3 +3318,54 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.funnel import event_transition_matrix
 
     return event_transition_matrix(load_fixture(spark, sf_dir, "events"))
+
+
+@register(
+    "customer_tier_scd2",
+    """
+WITH u AS (
+    SELECT o_custkey AS c_key, o_orderdate AS valid_from,
+           CASE WHEN MAX(o_totalprice) >= 150000 THEN 'high'
+                WHEN MAX(o_totalprice) >= 50000 THEN 'mid'
+                ELSE 'low' END AS tier
+    FROM orders GROUP BY 1, 2
+), chained AS (
+    SELECT c_key, tier, valid_from,
+           lag(tier) OVER (PARTITION BY c_key ORDER BY valid_from) AS _prev
+    FROM u
+), real AS (
+    SELECT c_key, tier, valid_from FROM chained
+    WHERE _prev IS NULL OR tier <> _prev
+)
+SELECT c_key, tier, valid_from,
+       lead(valid_from) OVER (
+           PARTITION BY c_key ORDER BY valid_from) AS valid_to,
+       lead(valid_from) OVER (
+           PARTITION BY c_key ORDER BY valid_from) IS NULL AS is_current
+FROM real
+""",
+)
+def q_customer_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build (operators/scd.scd2_apply) from a deterministic
+    update stream: each customer's per-order-date spend tier; no-op
+    deliveries (tier unchanged) collapse, validity intervals come from the
+    LEAD window, exactly the ANSI-SQL twin."""
+    from .operators.scd import scd2_apply
+
+    orders = load_fixture(spark, sf_dir, "orders")
+    updates = (
+        orders.groupBy(
+            F.col("o_custkey").alias("c_key"),
+            F.col("o_orderdate").alias("ts"),
+        )
+        .agg(F.max("o_totalprice").alias("_p"))
+        .select(
+            "c_key",
+            "ts",
+            F.when(F.col("_p") >= 150000, "high")
+            .when(F.col("_p") >= 50000, "mid")
+            .otherwise("low")
+            .alias("tier"),
+        )
+    )
+    return scd2_apply(None, updates, key="c_key", ts="ts", attrs=["tier"])

@@ -840,9 +840,14 @@ def edit_distance_near_dups(
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("_pa", "_pb").cast("long").alias("edit_dist"),
+            # threshold-bounded DP: Spark abandons a pair the moment its
+            # running distance exceeds max_dist (returns -1) — far pairs,
+            # the overwhelming majority, cost O(p·d) instead of O(p²)
+            F.levenshtein("_pa", "_pb", threshold=max_dist)
+            .cast("long")
+            .alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= max_dist)
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
     )
 
 
