@@ -24,6 +24,14 @@ NAMES = [
     "doc_tfidf_top_terms", "doc_seq_packing", "doc_winnow_fingerprints",
     "doc_dedup_clusters", "reorder_within_30d", "doc_stratified_sample",
     "doc_unigram_logprob",
+    # round 4: retrieval, association stats, sequential event analytics,
+    # robust audits, graph + SCD2 oracle tiers
+    "doc_bm25_topk", "doc_inverted_index", "term_pmi_pairs",
+    "doc_bigram_logprob", "doc_edit_distance_near_dups",
+    "doc_containment_pairs", "event_funnel", "user_retention_cohorts",
+    "event_transition_matrix", "event_value_outliers", "doc_length_deciles",
+    "view_click_attribution", "embedding_quantization",
+    "doc_near_dup_triangles", "price_trend_regression", "customer_tier_scd2",
 ]
 
 
