@@ -872,10 +872,11 @@ def ngram_containment_pairs(
 
     Physical shape: same blocked equi-join as :func:`ngram_jaccard_pairs`
     (one gram pass, block-keyed self-join, id_a < id_b halves it); both
-    directions come out of the SAME joined row (two containment
-    expressions over one intersection), so asymmetry costs no second
-    join. At unblocked scale, candidates come from the MinHash index and
-    only the verify formula changes.
+    directions come out of the SAME joined row via an explode of two
+    structs — a unionAll of two selects would plan the expensive join
+    subtree TWICE (Spark reuses exchanges, not arbitrary subplans), the
+    explode keeps it to one. At unblocked scale, candidates come from the
+    MinHash index and only the verify formula changes.
     """
     grams = fan_out(docs, id_col).select(
         F.col(id_col).alias("id"),
@@ -893,14 +894,24 @@ def ngram_containment_pairs(
         F.size("a.grams").alias("_na"),
         F.size("b.grams").alias("_nb"),
     )
-    a_in_b = joined.select(
-        F.col("_ida").alias("id_contained"),
-        F.col("_idb").alias("id_container"),
-        F.round(F.col("_inter") / F.col("_na"), 6).alias("containment"),
+    both = joined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_ida").alias("id_contained"),
+                    F.col("_idb").alias("id_container"),
+                    F.round(F.col("_inter") / F.col("_na"), 6).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("_idb").alias("id_contained"),
+                    F.col("_ida").alias("id_container"),
+                    F.round(F.col("_inter") / F.col("_nb"), 6).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("_d")
     )
-    b_in_a = joined.select(
-        F.col("_idb").alias("id_contained"),
-        F.col("_ida").alias("id_container"),
-        F.round(F.col("_inter") / F.col("_nb"), 6).alias("containment"),
-    )
-    return a_in_b.unionAll(b_in_a).filter(F.col("containment") >= threshold)
+    return both.select("_d.*").filter(F.col("containment") >= threshold)
