@@ -142,6 +142,10 @@ _WINDOW_DEMOTED = [
     # minhash_lsh + containment + edit-distance in-window and SimHash its
     # equality/planted-dup pytest coverage.
     "simhash_near_dups",
+    # trailing_7d_avg_price (gap-aware RANGE window frame — new capability
+    # class) takes the slot of thrice-green brand_scores (A10 min-max
+    # scoring keeps tests/test_quality.py::scoring coverage).
+    "brand_scores",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -3369,3 +3373,43 @@ def q_customer_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_apply(None, updates, key="c_key", ts="ts", attrs=["tier"])
+
+
+@register(
+    "trailing_7d_avg_price",
+    """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       ROUND(AVG(l_extendedprice) OVER (
+           PARTITION BY l_partkey
+           ORDER BY date_diff('day', DATE '1970-01-01', l_shipdate)
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 6) AS avg_7d
+FROM lineitem
+""",
+)
+def q_trailing_7d_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-part trailing 7-CALENDAR-DAY
+    average price. Unlike the ROWS frame (rolling_close_avg), a RANGE
+    frame is gap-aware — a part that didn't trade for a week averages
+    only its own day, instead of reaching back an arbitrary row count.
+    Spark expresses the interval frame as rangeBetween over exact integer
+    epoch-days (Window.rangeBetween takes numeric offsets; the day cast
+    is exact), bit-equal to DuckDB's RANGE BETWEEN 6 PRECEDING."""
+    from pyspark.sql import Window
+
+    df = load_fixture(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy(
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")
+            ).cast("long")
+        )
+        .rangeBetween(-6, 0)
+    )
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.round(F.avg("l_extendedprice").over(w), 6).alias("avg_7d"),
+    )
