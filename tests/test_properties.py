@@ -12,6 +12,7 @@ import datetime as dt
 import math
 
 import pandas as pd
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -146,3 +147,102 @@ def test_pack_sequences_replays_greedy_packing(spark, toks, budget, shards):
         c = cum.get(shard, 0)
         assert got[i] == (shard, c // budget, n_tok, c % budget), (i, got[i])
         cum[shard] = c + n_tok
+
+
+_etype = st.sampled_from(["view", "click", "purchase"])
+
+
+@st.composite
+def _event_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=20))
+    return [
+        (
+            draw(st.integers(min_value=0, max_value=3)),
+            dt.datetime(2024, 1, draw(_day), draw(st.integers(0, 23))),
+            draw(_etype),
+        )
+        for _ in range(n)
+    ]
+
+
+@given(rows=_event_rows())
+@settings(**SETTINGS)
+def test_funnel_matches_python_replay(spark, rows):
+    """Funnel counts replay the earliest-event-chaining definition in plain
+    Python on arbitrary event soups (ties, repeats, missing steps), and
+    step counts are monotonically non-increasing."""
+    from airflow_etl_finance_market_spark.operators.funnel import event_funnel
+
+    steps = ["view", "click", "purchase"]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.step: r.n_users for r in event_funnel(df, steps).collect()
+    }
+    # python replay
+    by_user = {}
+    for u, ts, et in rows:
+        by_user.setdefault(u, []).append((ts, et))
+    want = {s: 0 for s in steps}
+    for u, evs in by_user.items():
+        t = None
+        for i, s in enumerate(steps):
+            cand = [
+                ts
+                for ts, et in evs
+                if et == s and (i == 0 or (t is not None and ts > t))
+            ]
+            if not cand:
+                break
+            t = min(cand)
+            want[s] += 1
+    assert got == want
+    counts = [got[s] for s in steps]
+    assert counts == sorted(counts, reverse=True)
+
+
+@st.composite
+def _doc_rows(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    return [
+        (
+            i,
+            " ".join(
+                draw(st.sampled_from(words))
+                for _ in range(draw(st.integers(3, 10)))
+            ),
+        )
+        for i in range(n)
+    ]
+
+
+@given(rows=_doc_rows())
+@settings(**SETTINGS)
+def test_containment_bounds_and_dominates_jaccard(spark, rows):
+    """For every emitted pair: containment ∈ (0, 1], and max-direction
+    containment >= the pair's Jaccard (set algebra: |∩|/min(|A|,|B|) >=
+    |∩|/|∪|) — checked against plain-Python set arithmetic."""
+    from airflow_etl_finance_market_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    )
+    out = ngram_containment_pairs(df, threshold=0.0).collect()
+
+    def grams(t):
+        toks = t.split()
+        k = max(len(toks) - 2, 1)
+        return {" ".join(toks[i : i + 3]) for i in range(k)}
+
+    g = {i: grams(t) for i, t in rows}
+    for r in out:
+        a, b = g[r.id_contained], g[r.id_container]
+        inter = len(a & b)
+        assert 0.0 <= r.containment <= 1.0
+        assert abs(r.containment - round(inter / len(a), 6)) <= 1e-9
+        jac = inter / len(a | b) if a | b else 0.0
+        assert r.containment >= jac - 1e-9 or inter == 0
