@@ -26,6 +26,16 @@ multi-second entries only above +20%. Anything inside those bands is host
 noise, not a plan change — r03 measured volume_leaders +29%, ticker_metrics
 +14%, csv_ingest +13% with byte-identical plans. Apply the rule before
 filing any perf task off a BENCH_r{N} diff.
+
+r04 notes: the host's noise band widened under shared load — solo 3-trial
+reruns are the arbiter (r04 saw minhash_full read 23.9s in one run and
+6.3-6.9s solo; dedup_clusters wanders 8.4-12.6s across solo runs with an
+unchanged plan). Deliberate r04 deltas to expect vs r03: winnow_fps ≈ -35%
+(array-side sliding min, no Window sort), edit_dist_dups ≈ 1.3-1.8s
+(threshold-bounded Levenshtein; was 6.1s at introduction), four NEW
+entries (inverted_index, bigram_lp, pmi_pairs, edit_dist_dups), and the
+two streaming hard gates run ~20x faster wall-clock (state partitions
+bounded to 8 for the gate queries — semantics unchanged).
 """
 
 from __future__ import annotations
