@@ -238,3 +238,26 @@ def redact_pii(col: Column | str) -> Column:
     """
     no_email = F.regexp_replace(_c(col), PII_EMAIL_PATTERN, "<EMAIL>")
     return F.regexp_replace(no_email, PII_PHONE_PATTERN, "<PHONE>")
+
+
+def token_entropy_from(toks: Column | str) -> Column:
+    """Shannon entropy (nats) of the WITHIN-document token distribution —
+    the degenerate-text detector on the opposite flank from repetition
+    stats: near-zero entropy = one token repeated (boilerplate loops),
+    maximum ln(n_tokens) = no token repeats. Pure array expressions
+    (aggregate over the distinct tokens of the doc's own histogram), no
+    explode, no shuffle — a per-row map-side computation.
+    """
+    t = _c(toks)
+    n = F.size(t)
+    distinct = F.array_distinct(t)
+    # -sum over distinct tokens of p*ln(p), p = count(tok)/n
+    return F.aggregate(
+        distinct,
+        F.lit(0.0),
+        lambda acc, tok: acc
+        - (
+            F.size(F.filter(t, lambda x: x == tok)) / n
+        )
+        * F.log(F.size(F.filter(t, lambda x: x == tok)) / n),
+    )

@@ -146,6 +146,16 @@ _WINDOW_DEMOTED = [
     # class) takes the slot of thrice-green brand_scores (A10 min-max
     # scoring keeps tests/test_quality.py::scoring coverage).
     "brand_scores",
+    # third round-4 wave (doc_token_entropy, corpus_lang_source_chi2,
+    # top_event_trigrams) takes three thrice-green slots: doc_token_stats
+    # (token stats stay in-window via doc_token_entropy's n_tokens and the
+    # lang-ID entry), doc_exact_dedup (fingerprint family: the md5
+    # fingerprint kernel also underpins in-window stratified sampling +
+    # minhash portable mode), and distinct_counts (COUNT DISTINCT shape
+    # rides doc_token_entropy's n_distinct and inverted_index's df).
+    "doc_token_stats",
+    "doc_exact_dedup",
+    "distinct_counts",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -3412,4 +3422,124 @@ def q_trailing_7d_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "l_partkey",
         F.round(F.avg("l_extendedprice").over(w), 6).alias("avg_7d"),
+    )
+
+
+@register(
+    "doc_token_entropy",
+    f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       ROUND(-list_sum(list_transform(list_distinct(toks), tok ->
+           (len(list_filter(toks, x -> x = tok))::DOUBLE / len(toks))
+           * ln(len(list_filter(toks, x -> x = tok))::DOUBLE / len(toks))
+       )), 6) AS entropy
+FROM t
+""",
+)
+def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document token Shannon entropy + distinct count
+    (functions/text.token_entropy_from): the degenerate-text detector —
+    near-zero = one token looping, ln(n) = all-distinct. Entirely
+    map-side array expressions; no explode, no shuffle."""
+    from .functions.text import token_entropy_from, tokens
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(token_entropy_from(toks), 6).alias("entropy"),
+    )
+
+
+@register(
+    "corpus_lang_source_chi2",
+    """
+WITH obs AS (
+    SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+), margins AS (
+    SELECT o.lang, o.source, o.o,
+           SUM(o.o) OVER (PARTITION BY o.lang) AS row_tot,
+           SUM(o.o) OVER (PARTITION BY o.source) AS col_tot,
+           SUM(o.o) OVER () AS n
+    FROM obs o
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(SUM(
+           (o - row_tot * col_tot / n) * (o - row_tot * col_tot / n)
+           / (row_tot * col_tot / n)
+       ), 6) AS chi2
+FROM margins
+""",
+)
+def q_corpus_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency audit of lang x source: detects crawl-source
+    language skew (a source whose language mix diverges from the corpus).
+    One (lang, source) aggregate; margins ride window functions over the
+    CELL frame (|langs| x |sources| rows — tiny at any corpus size), and
+    only observed cells contribute, identically on both engines."""
+    from pyspark.sql import Window
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    m = (
+        obs.withColumn("row_tot", F.sum("o").over(Window.partitionBy("lang")))
+        .withColumn("col_tot", F.sum("o").over(Window.partitionBy("source")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias(
+            "chi2"
+        ),
+    )
+
+
+@register(
+    "top_event_trigrams",
+    """
+WITH seq AS (
+    SELECT event_type AS c,
+           lag(event_type, 1) OVER w AS b,
+           lag(event_type, 2) OVER w AS a
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT a || '>' || b || '>' || c AS trigram, COUNT(*) AS n
+FROM seq WHERE a IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, trigram
+LIMIT 15
+""",
+)
+def q_top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 per-user event-type trigrams (sequential pattern mining
+    lite): two LAGs over ONE per-user window pass — both offsets share the
+    single (ts, event_id) sort — then a trigram-keyed aggregate and a
+    TakeOrderedAndProject with a deterministic tiebreak."""
+    from pyspark.sql import Window
+
+    ev = fan_out(load_fixture(spark, sf_dir, "events"), "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("c"),
+        F.lag("event_type", 1).over(w).alias("b"),
+        F.lag("event_type", 2).over(w).alias("a"),
+    )
+    return (
+        seq.filter(F.col("a").isNotNull())
+        .select(
+            F.concat_ws(">", "a", "b", "c").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(15)
     )
