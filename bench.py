@@ -194,6 +194,11 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         "edit_dist_dups": lambda: _noop(
             _ed_dups(spark.read.parquet(f"{x10}/documents.parquet"))
         ),
+        # containment semantics through the SAME LSH candidate machinery
+        # as minhash_full — the unblocked scale path for subset dedup
+        "containment_lsh": lambda: _noop(
+            D.minhash_containment_pairs(docs, threshold=0.5)
+        ),
     }
 
     def best_of_2(thunk, *, cold: bool = False) -> float:

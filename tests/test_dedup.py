@@ -258,3 +258,35 @@ class TestIncrementalProbe:
         assert got == expect
         # every planted near-dup found, the gibberish doc matched nothing
         assert {n for n, _ in got} == {1_000_000 + i for i in base}
+
+
+class TestMinhashContainment:
+    def test_values_exact_and_recalls_planted_subset(self, spark):
+        """Every emitted containment equals the exact set computation, and
+        a planted doc sharing most of its text with a larger doc (high
+        Jaccard AND high containment) is recalled through LSH."""
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            minhash_containment_pairs,
+            ngram_containment_pairs,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+        docs = spark.createDataFrame(
+            [
+                (1, base + "iota kappa"),
+                (2, base + "iota kappa lambda"),   # near-identical superset
+                (3, "totally different words entirely " * 8),
+            ],
+            "doc_id long, text string",
+        ).withColumn("lang", F.lit("en"))
+        lsh = {
+            (r.id_contained, r.id_container): r.containment
+            for r in minhash_containment_pairs(docs, threshold=0.5).collect()
+        }
+        exact = {
+            (r.id_contained, r.id_container): r.containment
+            for r in ngram_containment_pairs(docs, threshold=0.5).collect()
+        }
+        assert (1, 2) in lsh
+        for pair, v in lsh.items():
+            assert pair in exact and abs(v - exact[pair]) < 1e-9
