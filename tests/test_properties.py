@@ -245,4 +245,5 @@ def test_containment_bounds_and_dominates_jaccard(spark, rows):
         assert 0.0 <= r.containment <= 1.0
         assert abs(r.containment - round(inter / len(a), 6)) <= 1e-9
         jac = inter / len(a | b) if a | b else 0.0
-        assert r.containment >= jac - 1e-9 or inter == 0
+        # emitted containment is ROUND(...,6): allow the rounding quantum
+        assert r.containment >= jac - 5e-7 or inter == 0
