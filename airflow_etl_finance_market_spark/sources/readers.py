@@ -89,3 +89,37 @@ def load_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_fixtures(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Several fixture tables at once: ``load_fixtures(spark, d, 'lineitem', 'orders')``."""
     return {n: load_fixture(spark, sf_dir, n) for n in (names or FIXTURES)}
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """Schema-first JSON-Lines corpus reader — the wire format text
+    corpora actually ship in (one JSON document per line; The Pile,
+    Dolma, Common Crawl derivatives all distribute this way).
+
+    Same contract as the CSV reader: an EXPLICIT schema (never inferred —
+    schema inference reads the data twice and silently widens types
+    between crawls) and FAILFAST by default so a malformed line stops the
+    load instead of nulling through the quality gate. Pass
+    ``mode="PERMISSIVE"`` plus a ``_corrupt_record`` field in the schema
+    to quarantine bad lines instead. JSONL splits by newline, so a single
+    large file still parallelizes across executors — no fan_out needed
+    for ingest itself.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("mode", mode)
+        .json(path)
+    )
+
+
+def write_jsonl_corpus(df: DataFrame, path: str) -> None:
+    """JSONL sink (one JSON object per line, overwrite) — the export half
+    of the corpus interchange contract; column order follows the schema
+    so round-trips are stable."""
+    df.write.mode("overwrite").json(path)

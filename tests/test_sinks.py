@@ -88,3 +88,46 @@ def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
     mean_day = sum(r["day_span"] for r in per_file) / len(per_file)
     assert mean_pk < 0.75 * glob["pk"], (mean_pk, glob["pk"])
     assert mean_day < 0.75 * glob["d"], (mean_day, glob["d"])
+
+
+class TestJsonlCorpus:
+    def test_roundtrip_and_failfast(self, spark, sf_dir, tmp_path):
+        """JSONL roundtrip preserves every document byte-for-byte, and a
+        malformed line fails the FAILFAST read instead of nulling
+        through."""
+        import pytest
+        from pyspark.sql import types as T
+
+        from airflow_etl_finance_market_spark.sources.readers import (
+            load_fixture,
+            read_jsonl_corpus,
+            write_jsonl_corpus,
+        )
+
+        docs = load_fixture(spark, sf_dir, "documents")
+        out = str(tmp_path / "corpus_jsonl")
+        write_jsonl_corpus(docs, out)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+        back = read_jsonl_corpus(spark, out, schema)
+        orig = {r.doc_id: r for r in docs.collect()}
+        got = {r.doc_id: r for r in back.collect()}
+        assert set(got) == set(orig)
+        assert all(
+            got[k].text == orig[k].text and got[k].lang == orig[k].lang
+            for k in orig
+        )
+        # FAILFAST: corrupt line raises at action time
+        bad = str(tmp_path / "bad.jsonl")
+        with open(bad, "w") as f:
+            f.write('{"doc_id": 1, "text": "ok"}\n')
+            f.write("{not json at all\n")
+        with pytest.raises(Exception):
+            read_jsonl_corpus(spark, bad, schema).count()
