@@ -32,6 +32,8 @@ NAMES = [
     "event_transition_matrix", "event_value_outliers", "doc_length_deciles",
     "view_click_attribution", "embedding_quantization",
     "doc_near_dup_triangles", "price_trend_regression", "customer_tier_scd2",
+    "trailing_7d_avg_price", "doc_token_entropy", "corpus_lang_source_chi2",
+    "top_event_trigrams", "doc_containment_pairs",
 ]
 
 
