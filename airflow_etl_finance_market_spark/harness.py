@@ -156,6 +156,11 @@ _WINDOW_DEMOTED = [
     "doc_token_stats",
     "doc_exact_dedup",
     "distinct_counts",
+    # multimodal_frame_sample (1→N mapInPandas generator shape — a new
+    # plumbing contract next to the demoted multimodal_features) takes the
+    # slot of thrice-green user_sessions (session_window keeps its
+    # gaps-and-islands pytest oracle + streaming session tests).
+    "user_sessions",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -3543,3 +3548,31 @@ def q_top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "trigram")
         .limit(15)
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+WITH p AS (
+    SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+), frames AS (
+    SELECT doc_id, nb,
+           CAST((i - 1) * 2 AS INT) AS frame_idx
+    FROM p, unnest(generate_series(
+        1, (CAST(ceil(nb / 256.0) AS BIGINT) + 1) // 2)) AS g(i)
+)
+SELECT doc_id, frame_idx,
+       CAST(least(256, nb - frame_idx * 256) AS BIGINT) AS frame_bytes
+FROM frames
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing gate (multimodal/binary.sample_frames):
+    every 2nd 256-byte 'frame' of each fake payload — the 1→N mapInPandas
+    generator shape. The oracle mirrors the fake codec's chunk
+    arithmetic; frame hashes stay pytest-covered (DuckDB blob hashing is
+    not mirrored)."""
+    from .multimodal.binary import attach_fake_payload, sample_frames
+
+    media = attach_fake_payload(load_fixture(spark, sf_dir, "documents"))
+    return sample_frames(media).select("doc_id", "frame_idx", "frame_bytes")

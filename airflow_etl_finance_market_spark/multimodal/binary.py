@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -121,3 +122,123 @@ def extract_binary_features(
             )
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+#: Output schema of the frame-sampling stage (1 -> N rows per video).
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_sha16", StringType()),
+    ]
+)
+
+#: Output schema of the resize stage (payload-in, payload-out).
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    *,
+    frame_bytes: int = 256,
+    every_n: int = 2,
+    use_fake_codec: bool = True,
+) -> DataFrame:
+    """Video frame sampling as 1→N ``mapInPandas``: each payload yields one
+    output row per SAMPLED frame (every ``every_n``-th), the shape a
+    vision-LM data pipeline needs for frame-level captioning/filtering.
+
+    The REAL codec seam (libav/ffmpeg keyframe iteration) is absent in
+    this container; the fake codec treats the payload as a concatenation
+    of fixed-size ``frame_bytes`` chunks — deterministic and mirrorable in
+    the SQL oracle (harness ``multimodal_frame_sample``). The Spark-side
+    contract is what's being tested: Arrow batch in, MORE rows out (output
+    row count ≠ input row count — the generator-shaped mapInPandas case),
+    map-only, partitioning preserved, so a 100 TB video table samples with
+    zero data movement.
+    """
+    if not use_fake_codec:
+        raise NotImplementedError(
+            "video decoding requires libav/ffmpeg, not present in this "
+            "container"
+        )
+    fb, step = frame_bytes, every_n
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, sizes, shas = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, -(-len(payload) // fb))
+                for k in range(0, n_frames, step):
+                    chunk = payload[k * fb : (k + 1) * fb]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    sizes.append(len(chunk))
+                    shas.append(hashlib.sha256(chunk).hexdigest()[:16])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_sha16": pd.Series(shas, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame,
+    *,
+    target_w: int = 32,
+    target_h: int = 32,
+    use_fake_codec: bool = True,
+) -> DataFrame:
+    """Image resize as payload-in/payload-out ``mapInPandas`` — the
+    normalize-before-embed stage of an image pipeline.
+
+    Fake codec: the "resized" payload is the input cycled/truncated to
+    exactly ``target_w * target_h`` bytes (deterministic, size-exact);
+    the real seam is a Pillow ``Image.resize`` call in the same closure.
+    Map-only; output partitioning preserved.
+    """
+    if not use_fake_codec:
+        raise NotImplementedError(
+            "image resizing requires an image library not present in this "
+            "container"
+        )
+    w, h = target_w, target_h
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = w * h
+        out_payloads, ids = [], []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                reps = -(-size // max(len(payload), 1))
+                out_payloads.append((payload * reps)[:size])
+                ids.append(doc_id)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series([w] * len(ids), dtype="int32"),
+                    "height": pd.Series([h] * len(ids), dtype="int32"),
+                    "n_bytes": pd.Series(
+                        [len(p) for p in out_payloads], dtype="int64"
+                    ),
+                    "payload": pd.Series(out_payloads, dtype="object"),
+                }
+            )
+            out_payloads, ids = [], []
+
+    return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)

@@ -179,3 +179,62 @@ class TestQuantization:
         rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
         assert rows[1].qvec == [0, 0] and rows[1].scale == 0.0
         assert rows[2].qvec == [64, -127]
+
+
+class TestMultimodalPlumbing:
+    def test_frame_sampling_one_to_many(self, spark, sf_dir):
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            attach_fake_payload,
+            sample_frames,
+        )
+        from airflow_etl_finance_market_spark.sources.readers import (
+            load_fixture,
+        )
+
+        docs = load_fixture(spark, sf_dir, "documents")
+        media = attach_fake_payload(docs)
+        frames = sample_frames(media, frame_bytes=64, every_n=3)
+        n_docs = docs.count()
+        rows = frames.collect()
+        assert len(rows) > n_docs  # genuinely 1 -> N
+        # per-doc replay: sampled indices are 0,3,6,... and chunk sizes add up
+        import hashlib
+
+        payloads = {
+            r.doc_id: bytes(r.payload) for r in media.collect()
+        }
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, rs in by_doc.items():
+            p = payloads[doc_id]
+            n_frames = max(1, -(-len(p) // 64))
+            want_idx = list(range(0, n_frames, 3))
+            assert sorted(r.frame_idx for r in rs) == want_idx
+            for r in rs:
+                chunk = p[r.frame_idx * 64 : (r.frame_idx + 1) * 64]
+                assert r.frame_bytes == len(chunk)
+                assert r.frame_sha16 == hashlib.sha256(chunk).hexdigest()[:16]
+
+    def test_resize_exact_size_and_deterministic(self, spark, sf_dir):
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            attach_fake_payload,
+            resize_images,
+        )
+        from airflow_etl_finance_market_spark.sources.readers import (
+            load_fixture,
+        )
+
+        media = attach_fake_payload(
+            load_fixture(spark, sf_dir, "documents").limit(20)
+        )
+        out = resize_images(media, target_w=8, target_h=4).collect()
+        assert len(out) == 20
+        for r in out:
+            assert (r.width, r.height) == (8, 4)
+            assert r.n_bytes == 32 and len(bytes(r.payload)) == 32
+        again = {
+            r.doc_id: bytes(r.payload)
+            for r in resize_images(media, target_w=8, target_h=4).collect()
+        }
+        assert all(bytes(r.payload) == again[r.doc_id] for r in out)
