@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .plans.volatility import daily_pct_change, top_avg_volatility, weekly_volatility
-from .sources.readers import load_fixture
+from .sources.readers import load_fixture, load_fixtures
 from .util import fan_out
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -161,6 +161,11 @@ _WINDOW_DEMOTED = [
     # slot of thrice-green user_sessions (session_window keeps its
     # gaps-and-islands pytest oracle + streaming session tests).
     "user_sessions",
+    # regional_supplier_volume (TPC-H Q5-shape six-table join) takes the
+    # slot of thrice-green embedding_topk; the brute-force cosine kernel
+    # stays covered by the in-window LSH/IVF audits (which score against
+    # it) and tests/test_similarity.py.
+    "embedding_topk",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -3576,3 +3581,57 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_fake_payload(load_fixture(spark, sf_dir, "documents"))
     return sample_frames(media).select("doc_id", "frame_idx", "frame_bytes")
+
+
+@register(
+    "regional_supplier_volume",
+    """
+SELECT n.n_name AS nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+             AND c.c_nationkey = s.s_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = (SELECT MIN(r_name) FROM region)
+GROUP BY n.n_name
+""",
+)
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join (lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region) with local-supplier matching (customer and
+    supplier share a nation) and a region filter, revenue per nation.
+    Declared as plain joins — Catalyst reorders them and broadcasts every
+    dim (region's filter prunes nation, which semi-prunes the fact scans);
+    the one first-class region row makes the filter deterministic."""
+    t = load_fixtures(
+        spark,
+        sf_dir,
+        "lineitem",
+        "orders",
+        "customer",
+        "supplier",
+        "nation",
+        "region",
+    )
+    region = t["region"].agg(F.min("r_name").alias("r_name"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(region), "r_name", "left_semi")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -409,3 +409,13 @@ def test_edit_distance_blocking_is_equi_join(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q5_star_join_no_cartesian_all_dims_broadcast(spark, sf_dir):
+    """The six-table Q5 shape must plan without any nested-loop/cartesian
+    join, with the small side broadcast at fixture scale — evidence that
+    declaring plain joins and letting Catalyst reorder is sufficient."""
+    plan = plan_of(harness.queries()["regional_supplier_volume"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
