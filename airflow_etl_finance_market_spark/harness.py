@@ -166,6 +166,21 @@ _WINDOW_DEMOTED = [
     # stays covered by the in-window LSH/IVF audits (which score against
     # it) and tests/test_similarity.py.
     "embedding_topk",
+    # fourth round-4 wave (ohlcv_weekly_bars, ticker_max_drawdown,
+    # ticker_beta, doc_source_quota_sample) takes four thrice-green slots:
+    # star_revenue (the J1-J2 broadcast-star family stays in-window via
+    # regional_supplier_volume's six-table star, and its broadcast plan
+    # pin stays in tests/test_plan_shapes.py), pricing_summary (the A4-A7
+    # multi-agg family stays in-window via ticker_metrics, and the Q1
+    # shape keeps its pytest oracle), curated_corpus (its three composed
+    # stages each stay in-window: quality_gate, doc_lang_id, and the
+    # minhash_lsh dedup entries), and train_test_split (the salted-md5
+    # split family stays in-window via doc_stratified_sample, which uses
+    # the same hash_bucket kernel).
+    "star_revenue",
+    "pricing_summary",
+    "curated_corpus",
+    "train_test_split",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -3634,4 +3649,179 @@ def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market time-series tier (operators/markets.py): OHLCV bars, drawdown, beta
+# ---------------------------------------------------------------------------
+
+_BARS_SERIES_SQL = """
+    SELECT l_partkey AS ticker,
+           l_shipdate AS ts,
+           l_extendedprice AS px,
+           l_quantity AS qty,
+           l_orderkey AS ok,
+           l_linenumber AS ln
+    FROM lineitem
+"""
+
+
+@register(
+    "ohlcv_weekly_bars",
+    f"""
+WITH s AS ({_BARS_SERIES_SQL})
+, w AS (
+    SELECT ticker,
+           DATE_TRUNC('week', ts)::DATE AS week,
+           px, qty,
+           FIRST_VALUE(px) OVER (
+               PARTITION BY ticker, DATE_TRUNC('week', ts)
+               ORDER BY ts, ok, ln) AS open_px,
+           LAST_VALUE(px) OVER (
+               PARTITION BY ticker, DATE_TRUNC('week', ts)
+               ORDER BY ts, ok, ln
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING) AS close_px
+    FROM s
+)
+SELECT ticker, week,
+       MIN(open_px) AS open,
+       MAX(px) AS high,
+       MIN(px) AS low,
+       MIN(close_px) AS close,
+       ROUND(SUM(qty), 2) AS volume,
+       CAST((SUM(CAST(ROUND(px * 100) AS BIGINT)
+                 * CAST(ROUND(qty) AS BIGINT)) * 10000)
+            // SUM(CAST(ROUND(qty) AS BIGINT)) AS BIGINT) AS vwap_micro
+FROM w
+GROUP BY ticker, week
+""",
+)
+def q_ohlcv_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLCV+VWAP bars over the lineitem tick series — the bar
+    resample every charting/backtest consumer of the reference's price
+    table wants. Spark side is ONE hash-agg (min_by/max_by on the total
+    (ts, orderkey, linenumber) ordering struct — no Window sort); the
+    oracle spells first/last with window functions, which is the
+    equivalent but non-scalable form."""
+    from .operators.markets import ohlcv_resample
+
+    series = load_fixture(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("ticker"),
+        F.col("l_shipdate").alias("ts"),
+        F.col("l_extendedprice").alias("px"),
+        F.col("l_quantity").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return ohlcv_resample(
+        series,
+        key="ticker",
+        ts="ts",
+        price="px",
+        qty="qty",
+        bucket="week",
+        tiebreak=_SERIES_TIEBREAK,
+    )
+
+
+@register(
+    "ticker_max_drawdown",
+    f"""
+WITH s AS ({_BARS_SERIES_SQL})
+, d AS (
+    SELECT ticker,
+           (px - MAX(px) OVER pw) / MAX(px) OVER pw AS dd
+    FROM s
+    WINDOW pw AS (
+        PARTITION BY ticker ORDER BY ts, ok, ln
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT ticker, ROUND(MIN(dd), 6) AS max_drawdown
+FROM d
+GROUP BY ticker
+""",
+)
+def q_ticker_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak maximum drawdown per instrument (operators/markets.py).
+    One window shuffle (per-ticker prefix max) + map-side min; the
+    division is exact per-row IEEE on both engines, so only the
+    presentation-edge round appears."""
+    from .operators.markets import max_drawdown
+
+    series = load_fixture(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("ticker"),
+        F.col("l_shipdate").alias("ts"),
+        F.col("l_extendedprice").alias("px"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return max_drawdown(
+        series, key="ticker", ts="ts", price="px", tiebreak=_SERIES_TIEBREAK
+    )
+
+
+@register(
+    "ticker_beta",
+    _CHANGES_CTE
+    + """
+, daily AS (
+    SELECT ticker, ts::DATE AS d, AVG(variacao_diaria) AS r
+    FROM changes
+    WHERE variacao_diaria IS NOT NULL
+    GROUP BY 1, 2
+)
+, market AS (
+    SELECT d, AVG(r) AS rm FROM daily GROUP BY 1
+)
+SELECT daily.ticker,
+       ROUND(COVAR_POP(r, rm) / NULLIF(VAR_POP(rm), 0), 6) AS beta,
+       COUNT(*) AS n_days
+FROM daily JOIN market USING (d)
+GROUP BY daily.ticker
+""",
+)
+def q_ticker_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM beta vs the equal-weight market return (operators/markets.py):
+    daily per-ticker returns, a one-row-per-day market frame broadcast
+    back onto the fact, covariance/variance as mergeable aggregates.
+    Extends the reference's %-change measure into its standard risk
+    decomposition."""
+    from .operators.markets import market_beta
+
+    return market_beta(
+        _lineitem_changes(spark, sf_dir),
+        key="ticker",
+        ts="ts",
+        ret="variacao_diaria",
+    )
+
+
+@register(
+    "doc_source_quota_sample",
+    """
+SELECT source, doc_id, lang, n_chars, sample_rank
+FROM (
+    SELECT source, doc_id, lang, n_chars,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY MD5('seed42:' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS INT) AS sample_rank
+    FROM documents
+)
+WHERE sample_rank <= 40
+""",
+)
+def q_doc_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (operators/sampling.py per_group_quota): at
+    most 40 docs per source, chosen by salted-md5 order — the per-domain
+    cap of web-corpus curation, deterministic across engines/runs."""
+    from .operators.sampling import per_group_quota
+
+    docs = load_fixture(spark, sf_dir, "documents").select(
+        "source", "doc_id", "lang", "n_chars"
+    )
+    return per_group_quota(
+        docs, group="source", id_col="doc_id", quota=40, seed="seed42"
     )

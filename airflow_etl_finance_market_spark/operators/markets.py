@@ -1,0 +1,154 @@
+"""Market time-series operators: OHLCV bar resampling, max drawdown, beta.
+
+The reference's pipeline derives one measure from its price series — the
+daily %-change (reference: dags/financial_pipeline.py:192-193) — and leaves
+richer market analytics to notebooks. These operators extend that series
+into the standard quant toolkit, each as a single declarative plan:
+
+* :func:`ohlcv_resample` — tick/row series → OHLCV bars per (key, bucket):
+  open/close via ``min_by``/``max_by`` on a total (ts, tiebreak) ordering
+  struct, high/low/volume/vwap as plain aggregates. ONE shuffle on
+  (key, bucket); every aggregate combines map-side, so at 100 TB the
+  exchange carries only partial aggregates, never raw ticks. No Window —
+  a windowed first/last would sort every partition; ``min_by`` is a pure
+  hash-agg.
+
+* :func:`max_drawdown` — running-peak drawdown. The running max needs the
+  per-key ordered prefix, so this IS a Window (one shuffle + per-key sort,
+  bounded by the longest single series, not the corpus); the trough then
+  folds map-side in the follow-up hash-agg.
+
+* :func:`market_beta` — per-instrument CAPM beta against the equal-weight
+  market return. Daily returns aggregate per (key, day); the market frame
+  collapses to ONE ROW PER DAY and is broadcast back (hint pinned), so the
+  join never shuffles the fact side; covariance/variance partials merge
+  like any sum. Driver holds nothing.
+
+All arithmetic stays in whole-stage codegen; rounding only at the
+presentation edge so both engines agree to the printed digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ord_struct(ts: str, tiebreak: tuple[str, ...]) -> Column:
+    """Total ordering key for first/last semantics: (ts, *tiebreak) must be
+    unique per key or open/close are nondeterministic."""
+    return F.struct(F.col(ts), *[F.col(c) for c in tiebreak])
+
+
+def ohlcv_resample(
+    series: DataFrame,
+    *,
+    key: str = "ticker",
+    ts: str = "ts",
+    price: str = "close",
+    qty: str = "qty",
+    bucket: str = "week",
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Resample a row-level price/quantity series into OHLCV+VWAP bars.
+
+    Output: (key, bucket, open, high, low, close, volume, vwap); bucket is
+    the ``date_trunc(bucket, ts)`` date (Monday-start weeks, matching the
+    reference's weekly rollup convention).
+    """
+    o = _ord_struct(ts, tiebreak)
+    # VWAP in EXACT integer space: prices carry 2 decimals and quantities
+    # are integral, so cents x units sums are bit-identical on any engine
+    # and any partial-aggregation order — a double SUM(px*qty)/SUM(qty)
+    # lands ON round-off ties whenever the volume is a power of two
+    # (x/64 terminates at the 6th decimal), and Spark's valueOf-HALF_UP
+    # vs C-library rounding then disagree in the last digit. Integer DIV
+    # (like operators/packing.py's seq arithmetic) is tie-free. Units:
+    # micro-dollars; overflow bound ~9.2e18 micro-dollar-units per bar.
+    cents = F.round(F.col(price) * 100).cast("long")
+    units = F.round(F.col(qty)).cast("long")
+    return (
+        series.groupBy(
+            F.col(key),
+            F.date_trunc(bucket, F.col(ts)).cast("date").alias(bucket),
+        )
+        .agg(
+            F.min_by(price, o).alias("open"),
+            F.max(price).alias("high"),
+            F.min(price).alias("low"),
+            F.max_by(price, o).alias("close"),
+            F.round(F.sum(qty), 2).alias("volume"),
+            F.sum(cents * units).alias("_pv_cents"),
+            F.sum(units).alias("_units"),
+        )
+        .withColumn(
+            "vwap_micro",
+            F.expr("CAST((_pv_cents * 10000) DIV _units AS BIGINT)"),
+        )
+        .drop("_pv_cents", "_units")
+    )
+
+
+def max_drawdown(
+    series: DataFrame,
+    *,
+    key: str = "ticker",
+    ts: str = "ts",
+    price: str = "close",
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-key maximum drawdown: min over t of (p_t - peak_t) / peak_t.
+
+    Output: (key, max_drawdown) — ≤ 0, rounded at the edge. Assumes
+    positive prices (peak > 0), which the lineitem series guarantees.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max(price).over(w)
+    dd = (F.col(price) - peak) / peak
+    return (
+        series.withColumn("_dd", dd)
+        .groupBy(key)
+        .agg(F.round(F.min("_dd"), 6).alias("max_drawdown"))
+    )
+
+
+def market_beta(
+    changes: DataFrame,
+    *,
+    key: str = "ticker",
+    ts: str = "ts",
+    ret: str = "variacao_diaria",
+) -> DataFrame:
+    """CAPM beta per instrument vs the equal-weight market daily return.
+
+    r_i(d) = avg %-change of instrument i on day d; r_m(d) = avg of r_i(d)
+    across instruments; beta_i = covar_pop(r_i, r_m) / var_pop(r_m) over
+    the days i traded. Output: (key, beta, n_days).
+
+    Scale: the market frame is one row per calendar day (~10k rows for
+    decades of history) — broadcast, so the per-(key, day) fact never
+    reshuffles for the join; the covariance partials then combine map-side
+    on the existing (key)-compatible layout.
+    """
+    daily = (
+        changes.filter(F.col(ret).isNotNull())
+        .groupBy(F.col(key), F.col(ts).cast("date").alias("_d"))
+        .agg(F.avg(ret).alias("_r"))
+    )
+    market = daily.groupBy("_d").agg(F.avg("_r").alias("_rm"))
+    return (
+        daily.join(F.broadcast(market), "_d")
+        .groupBy(key)
+        .agg(
+            F.round(
+                F.covar_pop("_r", "_rm")
+                / F.nullif(F.var_pop("_rm"), F.lit(0.0)),
+                6,
+            ).alias("beta"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

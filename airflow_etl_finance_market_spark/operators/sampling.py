@@ -24,7 +24,7 @@ tier per the §7.5 north star.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -112,3 +112,40 @@ def stratified_sample(
         F.lit(int(round(default_rate * 10_000))),
     )
     return df.filter(b < thr)
+
+
+def per_group_quota(
+    df: DataFrame,
+    *,
+    group: str,
+    id_col: str,
+    quota: int,
+    seed: str = "seed42",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic per-group quota cap: keep at most ``quota`` rows per
+    ``group``, chosen by salted-md5 order of ``id_col`` — the per-domain
+    document cap of web-corpus curation (C4/RefinedWeb-style "no domain
+    dominates the corpus"), as one declarative plan.
+
+    Unlike :func:`stratified_sample` (Bernoulli, rate-exact in expectation)
+    this is an EXACT cap: a 10M-page domain and a 200-page domain both
+    contribute ≤ quota, and membership is a pure function of (seed, id),
+    so re-runs, engine migrations, and late-arriving rows agree on the
+    kept set as long as the md5 order of present rows is unchanged.
+
+    Scale: one shuffle on ``group`` + per-group sort. Domain skew is the
+    known hazard — a single domain with 10^8 pages makes one task sort
+    10^8 rows to keep ``quota``. At that shape, pre-reduce with a salted
+    two-level top-k (group ⊕ salt → local quota, then exact quota over the
+    ≤ salt·quota survivors) — same trick as operators/topk.py; the exact
+    window here is the right plan while per-group cardinality is bounded.
+    """
+    h = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= quota)
+    )

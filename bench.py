@@ -35,7 +35,10 @@ unchanged plan). Deliberate r04 deltas to expect vs r03: winnow_fps ≈ -35%
 (threshold-bounded Levenshtein; was 6.1s at introduction), four NEW
 entries (inverted_index, bigram_lp, pmi_pairs, edit_dist_dups), and the
 two streaming hard gates run ~20x faster wall-clock (state partitions
-bounded to 8 for the gate queries — semantics unchanged).
+bounded to 8 for the gate queries — semantics unchanged). Wave-4 adds four
+NEW headline entries (ohlcv_weekly_bars, ticker_max_drawdown, ticker_beta,
+doc_source_quota_sample): the headline sum grows by their cost; per-query
+deltas remain the comparison basis.
 """
 
 from __future__ import annotations
@@ -78,6 +81,12 @@ BENCH_QUERIES = [
     "curated_corpus",
     "minhash_lsh_near_dups",
     "embedding_topk",
+    # r04 wave-4 (market tier): NEW entries — the headline total therefore
+    # grows vs r03 by construction; compare per-query, not the sum.
+    "ohlcv_weekly_bars",
+    "ticker_max_drawdown",
+    "ticker_beta",
+    "doc_source_quota_sample",
 ]
 
 

@@ -419,3 +419,39 @@ def test_q5_star_join_no_cartesian_all_dims_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_ohlcv_bars_is_pure_hash_agg_no_window(spark, sf_dir):
+    """OHLCV resample must plan as ONE exchange + partial/final hash-agg:
+    min_by/max_by replace the windowed first/last, so no per-partition
+    Sort and no Window operator may appear."""
+    plan = plan_of(harness.queries()["ohlcv_weekly_bars"](spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
+    assert "partial_min_by" in plan or "partial_minby" in plan.lower()
+
+
+def test_max_drawdown_single_exchange(spark, sf_dir):
+    """The running-peak window partitions by ticker and the trough groupBy
+    keys on ticker too — the follow-up aggregate must REUSE the window's
+    hash(ticker) layout, not re-shuffle."""
+    plan = plan_of(harness.queries()["ticker_max_drawdown"](spark, sf_dir))
+    assert "Window" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_ticker_beta_market_frame_broadcasts(spark, sf_dir):
+    """The one-row-per-day market frame must broadcast back onto the
+    per-(ticker, day) fact — a shuffle join would move the fact twice."""
+    plan = plan_of(harness.queries()["ticker_beta"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_quota_single_exchange(spark, sf_dir):
+    """Per-source quota = one shuffle on source; the rank filter keeps
+    running-window form (row_number, no full materialized sort beyond the
+    per-group one)."""
+    plan = plan_of(harness.queries()["doc_source_quota_sample"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan

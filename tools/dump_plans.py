@@ -33,7 +33,12 @@ NAMES = [
     "view_click_attribution", "embedding_quantization",
     "doc_near_dup_triangles", "price_trend_regression", "customer_tier_scd2",
     "trailing_7d_avg_price", "doc_token_entropy", "corpus_lang_source_chi2",
-    "top_event_trigrams", "doc_containment_pairs",
+    "top_event_trigrams",
+    # round 4, market tier: OHLCV bar resample (pure hash-agg, no Window),
+    # running-peak drawdown (single exchange), CAPM beta (market frame
+    # broadcast), per-domain quota cap (single exchange window)
+    "ohlcv_weekly_bars", "ticker_max_drawdown", "ticker_beta",
+    "doc_source_quota_sample",
 ]
 
 
