@@ -181,6 +181,13 @@ _WINDOW_DEMOTED = [
     "pricing_summary",
     "curated_corpus",
     "train_test_split",
+    # part_supplier_pagerank (first ORACLE row for a fixed-iteration
+    # ranking algorithm — integer fixed-point, so the iterative tier is
+    # hash-checkable beyond CC's label propagation) takes the slot of
+    # thrice-green ticker_metrics: its A4-A7 multi-agg shape stays
+    # in-window via ohlcv_weekly_bars' six-aggregate bar build and the
+    # W1-W2 %-change chain via weekly_volatility/ticker_beta.
+    "ticker_metrics",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -3825,3 +3832,61 @@ def q_doc_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group_quota(
         docs, group="source", id_col="doc_id", quota=40, seed="seed42"
     )
+
+
+def _pagerank_round_sql(i: int) -> str:
+    """One unrolled PageRank round (oracle side), exact integer arithmetic
+    mirroring operators/graph.py pagerank_fixed_point."""
+    return f"""
+, c{i} AS (
+    SELECT e.dst AS node,
+           SUM((s.score * 85) // (100 * d.deg)) AS c
+    FROM e
+    JOIN s{i - 1} s ON e.src = s.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+)
+, s{i} AS (
+    SELECT n.node,
+           CAST(150000 + COALESCE(c.c, 0) AS BIGINT) AS score
+    FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)"""
+
+
+@register(
+    "part_supplier_pagerank",
+    """
+WITH e0 AS (
+    SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM lineitem
+)
+, e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)
+, nodes AS (SELECT DISTINCT src AS node FROM e)
+, deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)
+, s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes)
+"""
+    + "".join(_pagerank_round_sql(i) for i in (1, 2, 3))
+    + """
+SELECT node, score FROM s3
+ORDER BY score DESC, node ASC
+LIMIT 50
+""",
+)
+def q_part_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part↔supplier co-occurrence graph (3 synchronous
+    rounds, operators/graph.py pagerank_fixed_point): which suppliers and
+    parts sit at the center of the supply network. Integer fixed-point
+    micro-units make the iterative float-free and bit-identical to the
+    oracle's unrolled-CTE replay; top-50 with a deterministic tiebreak."""
+    from .operators.graph import pagerank_fixed_point
+
+    li = load_fixture(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank_fixed_point(
+        edges, iterations=3, damping_pct=85, scale=1_000_000
+    )
+    return pr.orderBy(F.col("score").desc(), F.col("node").asc()).limit(50)

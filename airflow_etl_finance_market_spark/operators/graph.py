@@ -260,3 +260,77 @@ def triangles(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFr
         (F.col("u") == F.col("_cu")) & (F.col("w") == F.col("_cv")),
         "leftsemi",
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Synchronous PageRank, ``iterations`` rounds, in EXACT integer
+    fixed-point arithmetic — every engine reproduces bit-identical scores.
+
+    Floating-point PageRank is not cross-engine comparable: per-node sums
+    of neighbor contributions depend on addition order, which differs by
+    partitioning. Here mass is integer micro-units (``scale`` per node),
+    each round computes
+
+        s'(v) = ((100 - damping_pct) * scale) DIV 100
+                + SUM over in-edges (u, v) of
+                  (s(u) * damping_pct) DIV (100 * out_deg(u))
+
+    with integer DIV throughout (same floor semantics in Spark's ``DIV``
+    and DuckDB's ``//`` for the non-negative values here), so the result
+    is a pure function of the edge set. The DIV's dropped remainder means
+    total mass decays slightly per round — acceptable for RANKING, which
+    is what PageRank is for; it is not a probability distribution.
+
+    Dangling nodes contribute nothing (their mass leaks); symmetrize the
+    edge list first for undirected graphs, which also removes dangling
+    nodes entirely.
+
+    Scale shape: per round, one join of the edge list against the |V|-row
+    score frame + one sum-aggregate on the destination — the same
+    edges⋈labels shape as :func:`connected_components`, so the same
+    bucketed-edge-table trick (``symmetrize_edges_bucketed``) removes the
+    per-round edge-side Exchange at 100 TB. Unlike CC, the round count is
+    FIXED, so the plan is finitely nested and needs no per-round
+    checkpoint below ~5 iterations; persist ``deg``/``nodes`` (reused
+    every round) when the loop grows past that.
+    """
+    base = ((100 - damping_pct) * scale) // 100
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy(F.col(src).alias("_u")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    scores = nodes.withColumn("score", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(
+                scores.select(F.col("node").alias(src), "score"), src
+            )
+            .join(deg, F.col(src) == F.col("_u"))
+            .select(
+                F.col(dst).alias("node"),
+                F.expr(
+                    f"(score * {damping_pct}) DIV (100 * _deg)"
+                ).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_c"))
+        )
+        scores = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("_c"), F.lit(0)))
+            .cast("long")
+            .alias("score"),
+        )
+    return scores

@@ -122,6 +122,7 @@ def per_group_quota(
     quota: int,
     seed: str = "seed42",
     rank_col: str = "sample_rank",
+    pre_salt: int | None = None,
 ) -> DataFrame:
     """Deterministic per-group quota cap: keep at most ``quota`` rows per
     ``group``, chosen by salted-md5 order of ``id_col`` — the per-domain
@@ -136,14 +137,28 @@ def per_group_quota(
 
     Scale: one shuffle on ``group`` + per-group sort. Domain skew is the
     known hazard — a single domain with 10^8 pages makes one task sort
-    10^8 rows to keep ``quota``. At that shape, pre-reduce with a salted
-    two-level top-k (group ⊕ salt → local quota, then exact quota over the
-    ≤ salt·quota survivors) — same trick as operators/topk.py; the exact
-    window here is the right plan while per-group cardinality is bounded.
+    10^8 rows to keep ``quota``. ``pre_salt=S`` enables the two-level
+    salted form for that shape: round 1 ranks within (group, hash mod S)
+    — S-way parallel, each subgroup ~1/S of the domain — and keeps the
+    LOCAL top-``quota``; round 2 runs the exact window over the ≤ S·quota
+    survivors per group. The result is IDENTICAL to the exact form (every
+    globally-kept row is also in its salt bucket's local top-``quota``,
+    since a bucket holds a subset of its group's competitors), so the salt
+    function never affects output — only parallelism.
     """
     h = F.md5(
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
     )
+    if pre_salt is not None and pre_salt > 1:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(pre_salt))
+        wl = Window.partitionBy(F.col(group), salt).orderBy(
+            h.asc(), F.col(id_col).asc()
+        )
+        df = (
+            df.withColumn("_lr", F.row_number().over(wl))
+            .filter(F.col("_lr") <= quota)
+            .drop("_lr")
+        )
     w = Window.partitionBy(group).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn(rank_col, F.row_number().over(w))

@@ -38,7 +38,12 @@ two streaming hard gates run ~20x faster wall-clock (state partitions
 bounded to 8 for the gate queries — semantics unchanged). Wave-4 adds four
 NEW headline entries (ohlcv_weekly_bars, ticker_max_drawdown, ticker_beta,
 doc_source_quota_sample): the headline sum grows by their cost; per-query
-deltas remain the comparison basis.
+deltas remain the comparison basis. Late-r04 deliberate deltas: the
+word-ngram kernel moved from transform(sequence, slice-per-shingle) to a
+zip_with chain (4.4x faster shingling, byte-identical output), cutting the
+whole n-gram tier — solo x10 minimums: minhash_full ~4.3s (was 8.0-8.6),
+minhash portable ~5.7 (8.2), winnow_fps ~1.9 (5.1), containment_lsh ~3.2
+(6.9), contamination ~1.4 (3.1), dedup_clusters ~7.0 (10.5).
 """
 
 from __future__ import annotations

@@ -136,3 +136,49 @@ class TestTriangles:
         df = spark.createDataFrame(edges, "src long, dst long")
         got = [(r.u, r.v, r.w) for r in triangles(df).collect()]
         assert got == [(1, 2, 3)]
+
+
+class TestPageRank:
+    def _pr(self, spark, edges, **kw):
+        from airflow_etl_finance_market_spark.operators.graph import (
+            pagerank_fixed_point,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r.node: r.score for r in pagerank_fixed_point(df, **kw).collect()
+        }
+
+    def test_matches_python_replay(self, spark):
+        # star (0 center) + a 2-cycle off to the side, symmetrized
+        base = [(0, 1), (0, 2), (0, 3), (4, 5)]
+        edges = base + [(b, a) for a, b in base]
+        got = self._pr(spark, edges, iterations=3)
+
+        # exact integer replay
+        from collections import defaultdict
+
+        out = defaultdict(list)
+        for a, b in edges:
+            out[a].append(b)
+        nodes = sorted(out)
+        s = {n: 1_000_000 for n in nodes}
+        for _ in range(3):
+            nxt = {n: 150_000 for n in nodes}
+            for u in nodes:
+                share = (s[u] * 85) // (100 * len(out[u]))
+                for v in out[u]:
+                    nxt[v] += share
+            s = nxt
+        assert got == s
+        # the hub outranks leaves; the 2-cycle keeps its mass symmetric
+        assert got[0] > got[1] == got[2] == got[3]
+        assert got[4] == got[5]
+
+    def test_dangling_nodes_keep_base_only(self, spark):
+        # directed 1->2: node 2 is dangling (never contributes)
+        got = self._pr(spark, [(1, 2)], iterations=2)
+        # round 1: s(2) = base + (1e6*85)//100 ; s(1) = base
+        # round 2: s(2) = base + (s1(1)*85)//100
+        assert got[1] == 150_000
+        assert got[2] == 150_000 + (150_000 * 85) // 100

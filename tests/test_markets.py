@@ -159,3 +159,19 @@ def test_per_group_quota_keeps_small_groups_whole(spark):
         for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
     }
     assert counts == {"tiny": 5, "big": 10}
+
+
+def test_per_group_quota_salted_two_level_identical(spark):
+    """pre_salt changes only parallelism: the kept set and ranks must be
+    byte-identical to the exact single-window form."""
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+    )
+    exact = per_group_quota(df, group="source", id_col="doc_id", quota=30)
+    salted = per_group_quota(
+        df, group="source", id_col="doc_id", quota=30, pre_salt=8
+    )
+    a = {(r["source"], r["doc_id"], r["sample_rank"]) for r in exact.collect()}
+    b = {(r["source"], r["doc_id"], r["sample_rank"]) for r in salted.collect()}
+    assert a == b
