@@ -39,6 +39,10 @@ NAMES = [
     # broadcast), per-domain quota cap (single exchange window)
     "ohlcv_weekly_bars", "ticker_max_drawdown", "ticker_beta",
     "doc_source_quota_sample",
+    # integer fixed-point PageRank (3 unrolled rounds over the
+    # part-supplier graph; the printed plan nests the per-round
+    # edges⋈scores join + dst-sum three deep)
+    "part_supplier_pagerank",
 ]
 
 
