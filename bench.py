@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "ticker_max_drawdown",
     "ticker_beta",
     "doc_source_quota_sample",
+    "part_supplier_pagerank",
 ]
 
 
