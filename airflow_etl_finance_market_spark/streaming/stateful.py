@@ -136,39 +136,54 @@ def pct_change_reordered(
     out_schema = (
         f"{key} long, {ts} timestamp, {value} double, variacao_diaria double"
     )
-    state_schema = "last_value double, buf_ts array<long>, buf_val array<double>"
+    state_schema = (
+        "last_value double, buf_ts array<long>, buf_naive array<long>, "
+        "buf_val array<double>"
+    )
     k_col, ts_col, v_col = key, ts, value
 
     def fn(key_tuple, pdf_iter, state):
         import pandas as pd
 
-        last, buf_ts, buf_val = (
-            state.get if state.exists else (None, [], [])
+        last, buf_ts, buf_naive, buf_val = (
+            state.get if state.exists else (None, [], [], [])
         )
-        buf = list(zip(buf_ts or [], buf_val or []))
+        buf = list(zip(buf_ts or [], buf_naive or [], buf_val or []))
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
-            # normalize to epoch MICROS whatever datetime64 unit pandas
-            # chose (ns by default — .astype(int64) alone would be 1000x
-            # off and no row would ever pass the watermark)
-            micros = (
+            # Watermark/ordering logic runs on the JVM-computed EPOCH
+            # micros (_ts_us): Arrow delivers the timestamp column as
+            # SESSION-LOCAL naive wall clock, while getCurrentWatermarkMs
+            # is epoch — comparing wall clock to epoch shifts every row by
+            # the TZ offset (e.g. 5 h under America/New_York: rows emit
+            # early and the finalized set diverges from the contract), and
+            # no constant correction works across a DST boundary. The
+            # naive micros are kept ONLY to rebuild the output column,
+            # which Spark symmetric-converts back from session-local.
+            naive = (
                 pdf[ts_col].values.astype("datetime64[us]").astype("int64")
             )
-            buf.extend(zip(micros.tolist(), pdf[v_col].tolist()))
+            buf.extend(
+                zip(
+                    pdf["_ts_us"].tolist(),
+                    naive.tolist(),
+                    pdf[v_col].tolist(),
+                )
+            )
         buf.sort()
         wm_us = state.getCurrentWatermarkMs() * 1000
-        emit = [(t, v) for t, v in buf if t <= wm_us]
-        hold = [(t, v) for t, v in buf if t > wm_us]
+        emit = [e for e in buf if e[0] <= wm_us]
+        hold = [e for e in buf if e[0] > wm_us]
         if emit:
             out_ts, out_v, out_pct = [], [], []
-            for t, v in emit:
+            for _, nt, v in emit:
                 pct = (
                     None
                     if last is None or last == 0
                     else (v - last) / last * 100.0
                 )
-                out_ts.append(t)
+                out_ts.append(nt)
                 out_v.append(v)
                 out_pct.append(pct)
                 last = v
@@ -181,14 +196,21 @@ def pct_change_reordered(
                 }
             )
         state.update(
-            (last, [t for t, _ in hold], [v for _, v in hold])
+            (
+                last,
+                [e[0] for e in hold],
+                [e[1] for e in hold],
+                [e[2] for e in hold],
+            )
         )
         if hold:
             # wake this key when the watermark passes its oldest held row
+            # (epoch ms, matching the event-time timeout clock)
             state.setTimeoutTimestamp(hold[0][0] // 1000 + 1)
 
     return (
         events.select(key, ts, value)
+        .withColumn("_ts_us", F.unix_micros(F.col(ts)))
         .withWatermark(ts, delay)
         .groupBy(key)
         .applyInPandasWithState(
