@@ -261,13 +261,16 @@ def token_entropy_from(toks: Column | str) -> Column:
     t = _c(toks)
     n = F.size(t)
     distinct = F.array_distinct(t)
-    # -sum over distinct tokens of p*ln(p), p = count(tok)/n
+    # -sum over distinct tokens of p*ln(p), p = count(tok)/n. The O(n)
+    # histogram filter runs ONCE per distinct token (counts materialized
+    # first); folding it into the aggregate lambda would evaluate it twice
+    # per token — interpreted HOFs re-evaluate shared subtrees (the same
+    # pitfall the minhash signature docstring documents).
+    counts = F.transform(
+        distinct, lambda tok: F.size(F.filter(t, lambda x: x == tok))
+    )
     return F.aggregate(
-        distinct,
+        counts,
         F.lit(0.0),
-        lambda acc, tok: acc
-        - (
-            F.size(F.filter(t, lambda x: x == tok)) / n
-        )
-        * F.log(F.size(F.filter(t, lambda x: x == tok)) / n),
+        lambda acc, c: acc - (c / n) * F.log(c / n),
     )

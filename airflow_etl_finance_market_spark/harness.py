@@ -3125,13 +3125,15 @@ WITH d AS (
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
-FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+FROM d a JOIN d b
+  ON b.blk BETWEEN a.blk - 1 AND a.blk + 1 AND a.doc_id < b.doc_id
 WHERE levenshtein(a.p, b.p) <= 5
 """,
 )
 def q_doc_edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level near-dup pairs: Levenshtein ≤ 5 over 32-char
-    lowercased prefixes, blocked on exact length//64 buckets
+    lowercased prefixes, blocked on length//64 buckets with adjacent-bucket
+    probing so boundary-straddling lengths still meet
     (operators/dedup.edit_distance_near_dups)."""
     from .operators.dedup import edit_distance_near_dups
 
@@ -3243,7 +3245,8 @@ WITH d AS (
     FROM documents
 ), e AS (
     SELECT a.doc_id AS u, b.doc_id AS v
-    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    FROM d a JOIN d b
+      ON b.blk BETWEEN a.blk - 1 AND a.blk + 1 AND a.doc_id < b.doc_id
     WHERE levenshtein(a.p, b.p) <= 5
 )
 SELECT e1.u AS u, e1.v AS v, e2.v AS w

@@ -107,16 +107,30 @@ def extract_binary_features(
 
         for pdf in batches:
             payloads = pdf["payload"]
-            dims = [decode(p) for p in payloads]
+            # NULL payloads keep their row with NULL features (matching
+            # the oracle's octet_length(NULL)/sha256(NULL) semantics)
+            # instead of crashing the worker on len(None).
+            dims = [None if p is None else decode(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "sha16": payloads.map(
-                        lambda p: hashlib.sha256(p).hexdigest()[:16]
+                    "n_bytes": pd.array(
+                        [None if p is None else len(p) for p in payloads],
+                        dtype="Int64",
                     ),
-                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
-                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "sha16": payloads.map(
+                        lambda p: None
+                        if p is None
+                        else hashlib.sha256(p).hexdigest()[:16]
+                    ),
+                    "width": pd.array(
+                        [None if d is None else d[0] for d in dims],
+                        dtype="Int32",
+                    ),
+                    "height": pd.array(
+                        [None if d is None else d[1] for d in dims],
+                        dtype="Int32",
+                    ),
                     "mime": "image/fake",
                 }
             )
@@ -179,7 +193,13 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, sizes, shas = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = max(1, -(-len(payload) // fb))
+                # NULL payloads (undecodable media) contribute no frames;
+                # an EMPTY payload has zero frames, not one — both mirror
+                # the harness oracle's generate_series(1, ceil(nb/fb))
+                # arithmetic, which emits nothing for nb IN (0, NULL).
+                if payload is None:
+                    continue
+                n_frames = -(-len(payload) // fb)
                 for k in range(0, n_frames, step):
                     chunk = payload[k * fb : (k + 1) * fb]
                     ids.append(doc_id)
@@ -225,6 +245,8 @@ def resize_images(
         out_payloads, ids = [], []
         for pdf in batches:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # undecodable media: dropped, not crash
+                    continue
                 reps = -(-size // max(len(payload), 1))
                 out_payloads.append((payload * reps)[:size])
                 ids.append(doc_id)

@@ -811,13 +811,20 @@ def edit_distance_near_dups(
     with one edited field) and is the classic entity-resolution primitive.
 
     Blocking is the scale story: Levenshtein is O(p²) per PAIR, so
-    candidates are restricted to docs whose lengths fall in the same
-    ``len_bucket``-wide bucket (integer `div` — exact at any magnitude) —
-    an equi-join, never a cross join. A production corpus adds a second
-    cheap key (e.g. a winnowing fingerprint band from
-    :func:`winnow_fingerprints`, or the source/domain) to keep bucket
-    populations bounded under skew; the verify stays pairwise either way.
-    Pairs emit once (``id_a < id_b``).
+    candidates are restricted to docs whose lengths fall in the same OR an
+    ADJACENT ``len_bucket``-wide bucket (integer `div` — exact at any
+    magnitude): one side probes {blk−1, blk, blk+1}, so a pair whose
+    lengths straddle a bucket boundary (63 vs 64 — exactly the
+    one-field-edited documents this operator exists for) still meets,
+    while the join stays an equi-join, never a cross join. Any pair within
+    ±``len_bucket`` of each other in length is guaranteed a meeting;
+    length gaps beyond that are out of blocking scope by design. A
+    production corpus adds a second cheap key (e.g. a winnowing
+    fingerprint band from :func:`winnow_fingerprints`, or the
+    source/domain) to keep bucket populations bounded under skew; the
+    verify stays pairwise either way. Pairs emit once (``id_a < id_b`` —
+    unique because only the id_a side probes, so a cross-bucket pair
+    meets at exactly one probe value).
     """
     d = docs.select(
         F.col(id_col),
@@ -827,7 +834,9 @@ def edit_distance_near_dups(
     a = d.select(
         F.col(id_col).alias("id_a"),
         F.col("_p").alias("_pa"),
-        "_blk",
+        F.explode(
+            F.array(*[F.col("_blk") + F.lit(o) for o in (-1, 0, 1)])
+        ).alias("_blk"),
     )
     b = d.select(
         F.col(id_col).alias("id_b"),
@@ -849,6 +858,35 @@ def edit_distance_near_dups(
         )
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
     )
+
+
+
+def _directed_containment(joined: DataFrame, threshold: float) -> DataFrame:
+    """Both containment directions from ONE (_ida, _idb, _inter, _na, _nb)
+    joined row via a two-struct explode (a unionAll of two selects would
+    plan the upstream join twice). Shared by the blocked-oracle and
+    LSH-candidate containment paths so their semantics cannot drift."""
+    both = joined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_ida").alias("id_contained"),
+                    F.col("_idb").alias("id_container"),
+                    F.round(F.col("_inter") / F.col("_na"), 6).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("_idb").alias("id_contained"),
+                    F.col("_ida").alias("id_container"),
+                    F.round(F.col("_inter") / F.col("_nb"), 6).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("_d")
+    )
+    return both.select("_d.*").filter(F.col("containment") >= threshold)
 
 
 def ngram_containment_pairs(
@@ -894,27 +932,7 @@ def ngram_containment_pairs(
         F.size("a.grams").alias("_na"),
         F.size("b.grams").alias("_nb"),
     )
-    both = joined.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("_ida").alias("id_contained"),
-                    F.col("_idb").alias("id_container"),
-                    F.round(F.col("_inter") / F.col("_na"), 6).alias(
-                        "containment"
-                    ),
-                ),
-                F.struct(
-                    F.col("_idb").alias("id_contained"),
-                    F.col("_ida").alias("id_container"),
-                    F.round(F.col("_inter") / F.col("_nb"), 6).alias(
-                        "containment"
-                    ),
-                ),
-            )
-        ).alias("_d")
-    )
-    return both.select("_d.*").filter(F.col("containment") >= threshold)
+    return _directed_containment(joined, threshold)
 
 
 def minhash_containment_pairs(
@@ -971,24 +989,9 @@ def minhash_containment_pairs(
             F.size("grams_b").alias("_nb"),
         )
     )
-    both = joined.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("id_a").alias("id_contained"),
-                    F.col("id_b").alias("id_container"),
-                    F.round(F.col("_inter") / F.col("_na"), 6).alias(
-                        "containment"
-                    ),
-                ),
-                F.struct(
-                    F.col("id_b").alias("id_contained"),
-                    F.col("id_a").alias("id_container"),
-                    F.round(F.col("_inter") / F.col("_nb"), 6).alias(
-                        "containment"
-                    ),
-                ),
-            )
-        ).alias("_d")
+    return _directed_containment(
+        joined.withColumnRenamed("id_a", "_ida").withColumnRenamed(
+            "id_b", "_idb"
+        ),
+        threshold,
     )
-    return both.select("_d.*").filter(F.col("containment") >= threshold)

@@ -149,10 +149,18 @@ def connected_components(
         if rnd == 0:
             # Round 1's labels are the identity map — pointer jumping
             # through it is a no-op, so skip the lookup join entirely.
+            # A vertex with NO self-message (an edge endpoint missing from
+            # a caller-supplied vertices_complete frame) has _old = NULL;
+            # it must count as CHANGED, not NULL-propagate into the
+            # convergence observation and allow an early exit with its
+            # labels unpropagated.
             cand = stepped.select(
                 stepped[id_col],
                 F.col("_step").alias("component"),
-                (F.col("_step") < F.col("_old")).alias("_changed"),
+                (
+                    F.col("_old").isNull()
+                    | (F.col("_step") < F.col("_old"))
+                ).alias("_changed"),
             )
         else:
             # pointer jump (path halving): follow the adopted label's OWN
@@ -172,8 +180,14 @@ def connected_components(
                         F.col("_step"), F.coalesce("_lcomp", "_step")
                     ).alias("component"),
                     (
-                        F.least(F.col("_step"), F.coalesce("_lcomp", "_step"))
-                        < F.col("_old")
+                        F.col("_old").isNull()
+                        | (
+                            F.least(
+                                F.col("_step"),
+                                F.coalesce("_lcomp", "_step"),
+                            )
+                            < F.col("_old")
+                        )
                     ).alias("_changed"),
                 )
             )

@@ -246,6 +246,7 @@ def compact_parquet(
     directory (data_id=...) so only cold partitions rewrite.
     """
     import math
+    import os as _os
 
     df = spark.read.parquet(path)
     # in_memory_size estimates decompressed bytes; file sizes are what
@@ -255,18 +256,24 @@ def compact_parquet(
     for f in jvm_files:
         local = f.removeprefix("file:")
         try:
-            import os as _os
-
             total_bytes += _os.path.getsize(local)
         except OSError:
             total_bytes += target_file_mb * 1024 * 1024  # conservative
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
-    # write to a sibling then swap: overwrite-in-place of the path being
-    # read would delete the input mid-scan
+    # Write to a sibling then swap: overwrite-in-place of the path being
+    # read would delete the input mid-scan. The swap sequence is
+    # rename-old-aside -> rename-new-in -> delete-old, so a crash at any
+    # point leaves a complete copy of the table at `path` or at the
+    # `__old` sibling — never "data only in an undocumented temp dir"
+    # (an rmtree-before-move window would do exactly that).
     tmp = path.rstrip("/") + "__compacting"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     import shutil
 
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    old = path.rstrip("/") + "__old"
+    if _os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a previous crashed swap
+    _os.rename(path.rstrip("/"), old)
+    _os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(old)
     return n_files

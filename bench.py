@@ -43,7 +43,11 @@ word-ngram kernel moved from transform(sequence, slice-per-shingle) to a
 zip_with chain (4.4x faster shingling, byte-identical output), cutting the
 whole n-gram tier — solo x10 minimums: minhash_full ~4.3s (was 8.0-8.6),
 minhash portable ~5.7 (8.2), winnow_fps ~1.9 (5.1), containment_lsh ~3.2
-(6.9), contamination ~1.4 (3.1), dedup_clusters ~7.0 (10.5).
+(6.9), contamination ~1.4 (3.1), dedup_clusters ~7.0 (10.5). Opposite
+direction, also deliberate: edit_dist_dups ~3x (1.2 -> 4-7s solo) — the
+blocking now probes adjacent length buckets so boundary-straddling
+near-dups are no longer silently missed; ~3x the candidate pairs is the
+recall price, amplified by the bench's deliberately narrow 4-char buckets.
 """
 
 from __future__ import annotations

@@ -551,3 +551,35 @@ class TestEditDistanceNearDups:
         assert all(a < b for a, b in out)
         assert not any(5 in p for p in out)
         assert not any(4 in p for p in out)
+
+    def test_boundary_straddling_lengths_still_meet(self, spark):
+        """Lengths 63 vs 66 sit in adjacent len//64 buckets; the adjacent-
+        bucket probe must still surface the pair (one edited field changing
+        total length is the operator's core use case)."""
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            edit_distance_near_dups,
+        )
+
+        t63 = "a" * 63
+        t66 = "aaa" + "a" * 63  # same 32-char prefix, dist 0
+        docs = spark.createDataFrame(
+            [(1, t63), (2, t66)], "doc_id long, text string"
+        )
+        out = {
+            (r.id_a, r.id_b): r.edit_dist
+            for r in edit_distance_near_dups(docs).collect()
+        }
+        assert out == {(1, 2): 0}
+
+    def test_no_duplicate_pairs_from_probing(self, spark):
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            edit_distance_near_dups,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x" * (60 + i)) for i in range(8)],
+            "doc_id long, text string",
+        )
+        rows = edit_distance_near_dups(docs).collect()
+        pairs = [(r.id_a, r.id_b) for r in rows]
+        assert len(pairs) == len(set(pairs))

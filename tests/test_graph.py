@@ -182,3 +182,25 @@ class TestPageRank:
         # round 2: s(2) = base + (s1(1)*85)//100
         assert got[1] == 150_000
         assert got[2] == 150_000 + (150_000 * 85) // 100
+
+
+def test_cc_stray_edge_ids_still_converge(spark):
+    """An edge endpoint missing from a vertices_complete frame must still
+    propagate labels fully (counted as changed every round it moves), not
+    NULL-out of the convergence observation and stop early."""
+    from airflow_etl_finance_market_spark.operators.graph import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4-5 but the vertices frame omits 3 and 5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(1,), (2,), (4,)], "id long")
+    got = {
+        r.id: r.component
+        for r in connected_components(
+            edges, vertices=verts, vertices_complete=True
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}

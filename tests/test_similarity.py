@@ -238,3 +238,55 @@ class TestMultimodalPlumbing:
             for r in resize_images(media, target_w=8, target_h=4).collect()
         }
         assert all(bytes(r.payload) == again[r.doc_id] for r in out)
+
+
+class TestMultimodalEdgeCases:
+    """NULL and empty payloads: NULL features keep their row (features) or
+    contribute nothing (frames/resize) — mirroring the oracle's
+    octet_length(NULL)/generate_series(1, 0) semantics — never a worker
+    TypeError."""
+
+    def _media(self, spark):
+        return spark.createDataFrame(
+            [(1, b"x" * 600), (2, b""), (3, None)],
+            "doc_id long, payload binary",
+        )
+
+    def test_features_null_payload_keeps_row_with_nulls(self, spark):
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            extract_binary_features,
+        )
+
+        rows = {
+            r["doc_id"]: r
+            for r in extract_binary_features(self._media(spark)).collect()
+        }
+        assert rows[1]["n_bytes"] == 600 and rows[1]["sha16"] is not None
+        assert rows[2]["n_bytes"] == 0
+        assert rows[3]["n_bytes"] is None and rows[3]["sha16"] is None
+        assert rows[3]["width"] is None and rows[3]["height"] is None
+
+    def test_frames_empty_and_null_payloads_emit_nothing(self, spark):
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            sample_frames,
+        )
+
+        got = sample_frames(self._media(spark)).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # 600 bytes -> 3 frames of 256 -> sampled idx {0, 2}
+        assert sorted(r["frame_idx"] for r in by_doc[1]) == [0, 2]
+        assert 2 not in by_doc and 3 not in by_doc
+
+    def test_resize_null_payload_dropped_empty_kept(self, spark):
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            resize_images,
+        )
+
+        rows = {
+            r["doc_id"]: r for r in resize_images(self._media(spark)).collect()
+        }
+        assert rows[1]["n_bytes"] == 32 * 32
+        assert rows[2]["n_bytes"] == 0  # empty source cycles to empty
+        assert 3 not in rows
