@@ -48,6 +48,9 @@ direction, also deliberate: edit_dist_dups ~3x (1.2 -> 4-7s solo) — the
 blocking now probes adjacent length buckets so boundary-straddling
 near-dups are no longer silently missed; ~3x the candidate pairs is the
 recall price, amplified by the bench's deliberately narrow 4-char buckets.
+punct_ratio moved from regexp_replace to translate() (same count, 4x
+faster) — expect token_stats ~0.9s (2.0), repetition ~1.5 (3.4),
+curated_corpus ~1.0 (2.3) at x10.
 """
 
 from __future__ import annotations
