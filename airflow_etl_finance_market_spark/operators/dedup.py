@@ -982,16 +982,11 @@ def minhash_containment_pairs(
             "id_b",
         )
         .select(
-            "id_a",
-            "id_b",
+            F.col("id_a").alias("_ida"),
+            F.col("id_b").alias("_idb"),
             F.size(F.array_intersect("grams_a", "grams_b")).alias("_inter"),
             F.size("grams_a").alias("_na"),
             F.size("grams_b").alias("_nb"),
         )
     )
-    return _directed_containment(
-        joined.withColumnRenamed("id_a", "_ida").withColumnRenamed(
-            "id_b", "_idb"
-        ),
-        threshold,
-    )
+    return _directed_containment(joined, threshold)

@@ -82,6 +82,13 @@ def connected_components(
     ``vertices_complete=True`` the caller asserts ``vertices`` is unique
     AND covers every edge endpoint (true for any dedup pipeline: pairs
     come from the corpus), skipping the edge-endpoint distinct entirely.
+    The assertion is load-bearing: endpoints missing from ``vertices`` are
+    only PARTIALLY tolerated (a stray endpoint adjacent to a labeled
+    vertex is adopted and counted as changed, never silently converged
+    past) — a component containing NO listed vertex emits no rows at all.
+    If the pair frame can span ids outside ``vertices`` (e.g. an
+    incremental probe joining a new batch against an old corpus), pass
+    ``vertices_complete=False`` and pay the endpoint distinct.
     ``sym`` supplies a pre-symmetrized (u, v) frame — e.g. the bucketed
     table from :func:`symmetrize_edges_bucketed` — bypassing the internal
     checkpoint. Edges are symmetrized internally otherwise; self-loops and
@@ -153,7 +160,11 @@ def connected_components(
             # a caller-supplied vertices_complete frame) has _old = NULL;
             # it must count as CHANGED, not NULL-propagate into the
             # convergence observation and allow an early exit with its
-            # labels unpropagated.
+            # labels unpropagated. Partial tolerance only: such a vertex
+            # enters the label frame when some neighbor IS labeled; a
+            # component with NO labeled vertex at all emits no messages and
+            # is silently absent (see the vertices_complete contract in the
+            # docstring).
             cand = stepped.select(
                 stepped[id_col],
                 F.col("_step").alias("component"),
@@ -322,6 +333,13 @@ def pagerank_fixed_point(
     all rounds + nodes + degrees instead of once per reference — measured
     -26% at sf0.1. Checkpointing nodes/deg as well measured SLOWER (the
     extra materializations serialize stages that otherwise overlap).
+    Pass ``reuse_edges=False`` when the edge list is ALREADY materialized
+    (a parquet/bucketed table, e.g. via ``symmetrize_edges_bucketed``):
+    localCheckpoint would copy the entire edge list into non-reliable
+    executor-local storage — wasted at any size, and at the 100 TB shape
+    it also trades table-recomputable recovery for job-fatal block loss.
+    The default serves DERIVED edge frames, where evaluating the
+    derivation once is the win.
     """
     base = ((100 - damping_pct) * scale) // 100
     if reuse_edges:

@@ -133,75 +133,59 @@ def pct_change_reordered(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # Everything time-valued inside the operator — buffer, state, watermark
+    # compare, timeout, OUTPUT — is EPOCH micros from the JVM-computed
+    # _ts_us column: Arrow delivers the timestamp column as SESSION-LOCAL
+    # naive wall clock while getCurrentWatermarkMs is epoch, so comparing
+    # wall clock to epoch shifts every row by the TZ offset (5 h under
+    # America/New_York; no constant correction survives a DST boundary).
+    # The worker therefore never touches the timestamp column at all; the
+    # epoch output converts back via timestamp_micros JVM-side, which also
+    # keeps CHECKPOINTED state TZ-free — persisting wall-clock micros would
+    # shift rows buffered across a restart whose session TZ changed.
     out_schema = (
-        f"{key} long, {ts} timestamp, {value} double, variacao_diaria double"
+        f"{key} long, _ts_us long, {value} double, variacao_diaria double"
     )
-    state_schema = (
-        "last_value double, buf_ts array<long>, buf_naive array<long>, "
-        "buf_val array<double>"
-    )
-    k_col, ts_col, v_col = key, ts, value
+    state_schema = "last_value double, buf_ts array<long>, buf_val array<double>"
+    k_col, v_col = key, value
 
     def fn(key_tuple, pdf_iter, state):
         import pandas as pd
 
-        last, buf_ts, buf_naive, buf_val = (
-            state.get if state.exists else (None, [], [], [])
+        last, buf_ts, buf_val = (
+            state.get if state.exists else (None, [], [])
         )
-        buf = list(zip(buf_ts or [], buf_naive or [], buf_val or []))
+        buf = list(zip(buf_ts or [], buf_val or []))
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
-            # Watermark/ordering logic runs on the JVM-computed EPOCH
-            # micros (_ts_us): Arrow delivers the timestamp column as
-            # SESSION-LOCAL naive wall clock, while getCurrentWatermarkMs
-            # is epoch — comparing wall clock to epoch shifts every row by
-            # the TZ offset (e.g. 5 h under America/New_York: rows emit
-            # early and the finalized set diverges from the contract), and
-            # no constant correction works across a DST boundary. The
-            # naive micros are kept ONLY to rebuild the output column,
-            # which Spark symmetric-converts back from session-local.
-            naive = (
-                pdf[ts_col].values.astype("datetime64[us]").astype("int64")
-            )
-            buf.extend(
-                zip(
-                    pdf["_ts_us"].tolist(),
-                    naive.tolist(),
-                    pdf[v_col].tolist(),
-                )
-            )
+            buf.extend(zip(pdf["_ts_us"].tolist(), pdf[v_col].tolist()))
         buf.sort()
         wm_us = state.getCurrentWatermarkMs() * 1000
         emit = [e for e in buf if e[0] <= wm_us]
         hold = [e for e in buf if e[0] > wm_us]
         if emit:
             out_ts, out_v, out_pct = [], [], []
-            for _, nt, v in emit:
+            for t, v in emit:
                 pct = (
                     None
                     if last is None or last == 0
                     else (v - last) / last * 100.0
                 )
-                out_ts.append(nt)
+                out_ts.append(t)
                 out_v.append(v)
                 out_pct.append(pct)
                 last = v
             yield pd.DataFrame(
                 {
                     k_col: key_tuple[0],
-                    ts_col: pd.to_datetime(out_ts, unit="us"),
+                    "_ts_us": pd.Series(out_ts, dtype="int64"),
                     v_col: out_v,
                     "variacao_diaria": pd.array(out_pct, dtype="Float64"),
                 }
             )
         state.update(
-            (
-                last,
-                [e[0] for e in hold],
-                [e[1] for e in hold],
-                [e[2] for e in hold],
-            )
+            (last, [e[0] for e in hold], [e[1] for e in hold])
         )
         if hold:
             # wake this key when the watermark passes its oldest held row
@@ -219,5 +203,11 @@ def pct_change_reordered(
             state_schema,
             "append",
             GroupStateTimeout.EventTimeTimeout,
+        )
+        .select(
+            key,
+            F.timestamp_micros(F.col("_ts_us")).alias(ts),
+            value,
+            "variacao_diaria",
         )
     )
