@@ -181,6 +181,13 @@ _WINDOW_DEMOTED = [
     "pricing_summary",
     "curated_corpus",
     "train_test_split",
+    # doc_lang_rebalance (corpus-derived integer-rate mixing — the
+    # dynamic-rates sibling of doc_stratified_sample) takes the slot of
+    # thrice-green top_avg_volatility: the O1 TakeOrderedAndProject family
+    # stays in-window via doc_bm25_topk and top_event_trigrams, and the
+    # avg-of-weekly-vol chain keeps weekly_volatility in-window plus its
+    # pytest oracle.
+    "top_avg_volatility",
     # part_supplier_pagerank (first ORACLE row for a fixed-iteration
     # ranking algorithm — integer fixed-point, so the iterative tier is
     # hash-checkable beyond CC's label propagation) takes the slot of
@@ -3893,3 +3900,38 @@ def q_part_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, iterations=3, damping_pct=85, scale=1_000_000
     )
     return pr.orderBy(F.col("score").desc(), F.col("node").asc()).limit(50)
+
+
+@register(
+    "doc_lang_rebalance",
+    """
+WITH counts AS (
+    SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+), m AS (
+    SELECT MIN(cnt) AS mn FROM counts
+), thr AS (
+    SELECT lang, CAST((mn * 10000) // cnt AS BIGINT) AS t
+    FROM counts, m
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN thr USING (lang)
+WHERE CAST(('0x' || substr(md5('seed42:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 10000 < thr.t
+""",
+)
+def q_doc_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform language rebalancing (operators/sampling.rebalance_sample):
+    every language downsampled to ~the smallest language's count, with the
+    keep thresholds derived from the corpus itself in exact integer
+    arithmetic ((min*10000) DIV count vs the salted-md5 bucket) — the
+    pretraining data-mixing step, reproducible row-for-row cross-engine.
+    The one-row-per-language threshold frame broadcasts; the corpus never
+    shuffles."""
+    from .operators.sampling import rebalance_sample
+
+    docs = load_fixture(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return rebalance_sample(
+        docs, strata_col="lang", id_col="doc_id", seed="seed42"
+    ).select("doc_id", "lang", "source")

@@ -164,3 +164,43 @@ def per_group_quota(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= quota)
     )
+
+
+def rebalance_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    id_col: str,
+    seed: str = "seed42",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Rebalance a corpus to a UNIFORM stratum mix by deterministic
+    downsampling: every stratum keeps ~min_count rows — the data-mixing
+    step of a pretraining pipeline (cap the dominant language/source so
+    the mixture matches the target weights) with the rates derived from
+    the CORPUS ITSELF rather than passed in like
+    :func:`stratified_sample`.
+
+    Exactness contract: the keep threshold per stratum is the INTEGER
+    ``(min_count * scale) DIV count`` against the salted-md5 bucket in
+    [0, scale) — no float rates, so any engine derives the identical kept
+    set from the same rows (float division would round differently at the
+    ulp and flip boundary rows). Expected kept size per stratum is
+    min_count to within 1/scale relative error.
+
+    Scale: one count aggregate over the stratum column (tiny result: one
+    row per stratum), broadcast back as the threshold side of a map-side
+    join + filter — the corpus itself never shuffles.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    min_cnt = counts.agg(F.min("_cnt").alias("_min"))
+    thresholds = counts.crossJoin(F.broadcast(min_cnt)).select(
+        F.col(strata_col),
+        F.expr(f"(_min * {scale}) DIV _cnt").alias("_thr"),
+    )
+    b = hash_bucket(F.col(id_col).cast("string"), seed=seed, buckets=scale)
+    return (
+        df.join(F.broadcast(thresholds), strata_col)
+        .filter(b < F.col("_thr"))
+        .drop("_thr")
+    )

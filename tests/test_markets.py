@@ -175,3 +175,30 @@ def test_per_group_quota_salted_two_level_identical(spark):
     a = {(r["source"], r["doc_id"], r["sample_rank"]) for r in exact.collect()}
     b = {(r["source"], r["doc_id"], r["sample_rank"]) for r in salted.collect()}
     assert a == b
+
+
+def test_rebalance_sample_uniformizes_and_is_deterministic(spark):
+    from airflow_etl_finance_market_spark.operators.sampling import (
+        rebalance_sample,
+    )
+
+    df = spark.range(0, 11000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10000, "en").otherwise("zh").alias("lang"),
+    )
+    out = rebalance_sample(df, strata_col="lang", id_col="doc_id")
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # zh is the floor (1000 rows, threshold 10000 -> keep all); en
+    # downsamples to ~1000 within the 1/scale + binomial tolerance
+    assert counts["zh"] == 1000
+    assert abs(counts["en"] - 1000) < 150
+    # pure function of (seed, id): physical layout cannot change the set
+    out2 = rebalance_sample(
+        df.repartition(7), strata_col="lang", id_col="doc_id"
+    )
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in out2.collect()
+    }

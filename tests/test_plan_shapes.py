@@ -455,3 +455,11 @@ def test_source_quota_single_exchange(spark, sf_dir):
     plan = plan_of(harness.queries()["doc_source_quota_sample"](spark, sf_dir))
     assert plan.count("Exchange") == 1
     assert "Window" in plan
+
+
+def test_rebalance_thresholds_broadcast_corpus_never_shuffles(spark, sf_dir):
+    """The one-row-per-stratum threshold frame must broadcast onto the
+    corpus; the corpus side may not exchange (map-side join + filter)."""
+    plan = plan_of(harness.queries()["doc_lang_rebalance"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
