@@ -43,6 +43,9 @@ NAMES = [
     # part-supplier graph; the printed plan nests the per-round
     # edges⋈scores join + dst-sum three deep)
     "part_supplier_pagerank",
+    # corpus-derived integer-rate rebalancing (broadcast thresholds,
+    # shuffle-free corpus side)
+    "doc_lang_rebalance",
 ]
 
 
