@@ -188,6 +188,12 @@ _WINDOW_DEMOTED = [
     # avg-of-weekly-vol chain keeps weekly_volatility in-window plus its
     # pytest oracle.
     "top_avg_volatility",
+    # ticker_stats_unpivot (UNPIVOT/melt — closes the pivot family's
+    # inverse direction) takes the slot of twice-green embedding_topk_lsh:
+    # the ANN family keeps embedding_topk_ivf in-window (its audit scores
+    # against the brute-force kernel) and the LSH path its recall +
+    # index-equivalence pytest coverage and bench rows.
+    "embedding_topk_lsh",
     # part_supplier_pagerank (first ORACLE row for a fixed-iteration
     # ranking algorithm — integer fixed-point, so the iterative tier is
     # hash-checkable beyond CC's label propagation) takes the slot of
@@ -3935,3 +3941,46 @@ def q_doc_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebalance_sample(
         docs, strata_col="lang", id_col="doc_id", seed="seed42"
     ).select("doc_id", "lang", "source")
+
+
+@register(
+    "ticker_stats_unpivot",
+    """
+WITH s AS (
+    SELECT l_partkey AS ticker,
+           CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) AS notional_cents,
+           MAX(l_extendedprice) AS max_close,
+           MIN(l_extendedprice) AS min_close
+    FROM lineitem GROUP BY 1
+)
+SELECT ticker, 'max_close' AS metric, max_close AS value FROM s
+UNION ALL SELECT ticker, 'min_close', min_close FROM s
+UNION ALL SELECT ticker, 'notional_cents', notional_cents FROM s
+""",
+)
+def q_ticker_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of status_flag_pivot's wide form: the
+    per-ticker stat columns become (ticker, metric, value) rows via
+    DataFrame.unpivot, a PROJECTION over one aggregate pass (3 output rows
+    per input row, no shuffle, no re-scan) where the SQL spelling is three
+    UNION ALL scans of the CTE. The long format is what metric stores and
+    chart sinks ingest."""
+    li = load_fixture(spark, sf_dir, "lineitem")
+    # all three stats are EXACT cross-engine: max/min pick existing data
+    # values; the notional sums integer cents (< 2^53, so the double cast
+    # for the melt's common value type is lossless). An AVG here would sit
+    # on round-off ties (partial-average merge order differs per engine).
+    s = li.groupBy(F.col("l_partkey").alias("ticker")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("double")
+        .alias("notional_cents"),
+        F.max("l_extendedprice").alias("max_close"),
+        F.min("l_extendedprice").alias("min_close"),
+    )
+    return s.unpivot(
+        ["ticker"],
+        ["max_close", "min_close", "notional_cents"],
+        "metric",
+        "value",
+    )

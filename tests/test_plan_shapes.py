@@ -463,3 +463,11 @@ def test_rebalance_thresholds_broadcast_corpus_never_shuffles(spark, sf_dir):
     plan = plan_of(harness.queries()["doc_lang_rebalance"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_unpivot_is_single_pass_no_extra_scan(spark, sf_dir):
+    """DataFrame.unpivot must melt as a projection over ONE aggregate pass
+    — the SQL spelling (3x UNION ALL over the CTE) would scan it thrice."""
+    plan = plan_of(harness.queries()["ticker_stats_unpivot"](spark, sf_dir))
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
+    assert "Expand" in plan or "Generate" in plan  # the melt operator
