@@ -46,6 +46,8 @@ NAMES = [
     # corpus-derived integer-rate rebalancing (broadcast thresholds,
     # shuffle-free corpus side)
     "doc_lang_rebalance",
+    # UNPIVOT/melt as a one-pass projection (Expand over one aggregate)
+    "ticker_stats_unpivot",
 ]
 
 
