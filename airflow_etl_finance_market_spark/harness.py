@@ -3916,7 +3916,7 @@ WITH counts AS (
 ), m AS (
     SELECT MIN(cnt) AS mn FROM counts
 ), thr AS (
-    SELECT lang, CAST((mn * 10000) // cnt AS BIGINT) AS t
+    SELECT lang, CAST(GREATEST(1, (mn * 10000) // cnt) AS BIGINT) AS t
     FROM counts, m
 )
 SELECT d.doc_id, d.lang, d.source
@@ -3929,7 +3929,9 @@ def q_doc_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniform language rebalancing (operators/sampling.rebalance_sample):
     every language downsampled to ~the smallest language's count, with the
     keep thresholds derived from the corpus itself in exact integer
-    arithmetic ((min*10000) DIV count vs the salted-md5 bucket) — the
+    arithmetic (max(1, (min*10000) DIV count) vs the salted-md5 bucket,
+    floored so a >10000×-skewed stratum is down-weighted, never silently
+    dropped) — the
     pretraining data-mixing step, reproducible row-for-row cross-engine.
     The one-row-per-language threshold frame broadcasts; the corpus never
     shuffles."""

@@ -182,11 +182,19 @@ def rebalance_sample(
     :func:`stratified_sample`.
 
     Exactness contract: the keep threshold per stratum is the INTEGER
-    ``(min_count * scale) DIV count`` against the salted-md5 bucket in
-    [0, scale) — no float rates, so any engine derives the identical kept
-    set from the same rows (float division would round differently at the
-    ulp and flip boundary rows). Expected kept size per stratum is
-    min_count to within 1/scale relative error.
+    ``max(1, (min_count * scale) DIV count)`` against the salted-md5
+    bucket in [0, scale) — no float rates, so any engine derives the
+    identical kept set from the same rows (float division would round
+    differently at the ulp and flip boundary rows). Expected kept size
+    per stratum is min_count to within 1/scale relative error, PROVIDED
+    the stratum ratio max_count/min_count stays below ``scale``. The
+    floor-at-1 matters under heavier skew: integer DIV would truncate the
+    threshold to 0 for any stratum more than ``scale``× larger than the
+    smallest — silently dropping that stratum from the mix entirely,
+    exactly the dominant-language case the operator exists for. With the
+    floor such a stratum instead keeps ~count/scale rows (an OVER-sample
+    of up to count/(scale·min_count)× its target); raise ``scale``
+    toward max_count/min_count when that bound matters.
 
     Scale: one count aggregate over the stratum column (tiny result: one
     row per stratum), broadcast back as the threshold side of a map-side
@@ -196,7 +204,7 @@ def rebalance_sample(
     min_cnt = counts.agg(F.min("_cnt").alias("_min"))
     thresholds = counts.crossJoin(F.broadcast(min_cnt)).select(
         F.col(strata_col),
-        F.expr(f"(_min * {scale}) DIV _cnt").alias("_thr"),
+        F.expr(f"GREATEST(1, (_min * {scale}) DIV _cnt)").alias("_thr"),
     )
     b = hash_bucket(F.col(id_col).cast("string"), seed=seed, buckets=scale)
     return (

@@ -248,6 +248,15 @@ def compact_parquet(
     import math
     import os as _os
 
+    # Crash recovery for the swap below: a crash between
+    # rename(path -> __old) and rename(tmp -> path) leaves nothing at
+    # `path` with the only complete copy at the `__old` sibling. Heal on
+    # entry — restore `__old` before reading — so the next run (or a plain
+    # spark.read.parquet) never needs manual intervention.
+    old = path.rstrip("/") + "__old"
+    if not _os.path.exists(path.rstrip("/")) and _os.path.exists(old):
+        _os.rename(old, path.rstrip("/"))
+
     df = spark.read.parquet(path)
     # in_memory_size estimates decompressed bytes; file sizes are what
     # the scan planner sees — sum the actual parquet part sizes.
@@ -270,7 +279,6 @@ def compact_parquet(
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     import shutil
 
-    old = path.rstrip("/") + "__old"
     if _os.path.exists(old):
         shutil.rmtree(old)  # leftover from a previous crashed swap
     _os.rename(path.rstrip("/"), old)

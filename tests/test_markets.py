@@ -202,3 +202,27 @@ def test_rebalance_sample_uniformizes_and_is_deterministic(spark):
     assert {r["doc_id"] for r in out.collect()} == {
         r["doc_id"] for r in out2.collect()
     }
+
+
+def test_rebalance_sample_extreme_skew_never_drops_stratum(spark):
+    """A stratum more than `scale`x larger than the smallest used to get
+    threshold (min*scale) DIV cnt == 0 — silently dropped from the mix.
+    The floor-at-1 keeps ~cnt/scale of it instead (ADVICE r04)."""
+    from airflow_etl_finance_market_spark.operators.sampling import (
+        rebalance_sample,
+    )
+
+    df = spark.range(0, 201).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1, "tiny").otherwise("huge").alias("lang"),
+    )
+    # huge/tiny = 200 > scale=10 -> un-floored threshold would be 0
+    out = rebalance_sample(df, strata_col="lang", id_col="doc_id", scale=10)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["tiny"] == 1
+    # threshold floors at 1 -> keeps bucket-0 rows, ~cnt/scale = ~20;
+    # md5 buckets are deterministic, so the exact kept count is stable
+    assert counts.get("huge", 0) == 13

@@ -159,6 +159,36 @@ class TestCompaction:
         )
         assert got == want
 
+    def test_heals_crashed_swap_on_entry(self, spark, sf_dir, tmp_path):
+        """Crash window between rename(path -> __old) and
+        rename(tmp -> path): `path` is gone and the only complete copy
+        sits at `__old`. The next compaction run must restore it before
+        reading rather than fail and demand manual recovery (ADVICE r04).
+        """
+        import os
+
+        from airflow_etl_finance_market_spark.sources.readers import (
+            load_fixture,
+        )
+        from airflow_etl_finance_market_spark.sources.sinks import (
+            compact_parquet,
+        )
+
+        docs = load_fixture(spark, sf_dir, "documents")
+        path = str(tmp_path / "crashed")
+        docs.repartition(4).write.parquet(path)
+        want = sorted((r.doc_id, r.text) for r in docs.collect())
+        # simulate the mid-swap crash state
+        os.rename(path, path + "__old")
+        assert not os.path.exists(path)
+        n = compact_parquet(spark, path, target_file_mb=128)
+        assert n == 1
+        assert not os.path.exists(path + "__old")
+        got = sorted(
+            (r.doc_id, r.text) for r in spark.read.parquet(path).collect()
+        )
+        assert got == want
+
     def test_schema_evolution_merge(self, spark, sf_dir, tmp_path):
         """mergeSchema read over partitions written before/after a column
         was added: old partitions surface the new column as NULL — the
