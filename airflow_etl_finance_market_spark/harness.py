@@ -201,6 +201,10 @@ _WINDOW_DEMOTED = [
     # in-window via ohlcv_weekly_bars' six-aggregate bar build and the
     # W1-W2 %-change chain via weekly_volatility/ticker_beta.
     "ticker_metrics",
+    # round-5 placeholder: doc_near_dup_triangles_degree (never
+    # driver-verified) takes the slot of r04-green qty_cube until the
+    # round-5 full-window re-verification rotation below lands.
+    "qty_cube",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -3278,6 +3282,26 @@ def q_doc_near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = edit_distance_near_dups(load_fixture(spark, sf_dir, "documents"))
     return triangles(pairs, src="id_a", dst="id_b")
+
+
+@register(
+    "doc_near_dup_triangles_degree",
+    _ORACLES["doc_near_dup_triangles"],
+)
+def q_doc_near_dup_triangles_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration under DEGREE-ordered orientation
+    (operators/graph.triangles orient="degree"): the same triangle set as
+    doc_near_dup_triangles — orientation never changes the answer, only
+    the wedge fan-out — via edges pointed lower-(degree, id) →
+    higher, capping per-vertex 2-path work at O(sqrt(|E|)) on power-law
+    near-dup graphs (template families = hubs). The oracle is therefore
+    the identical unrolled SQL; the hash match IS the cross-orientation
+    equivalence check at driver level."""
+    from .operators.dedup import edit_distance_near_dups
+    from .operators.graph import triangles
+
+    pairs = edit_distance_near_dups(load_fixture(spark, sf_dir, "documents"))
+    return triangles(pairs, src="id_a", dst="id_b", orient="degree")
 
 
 @register(

@@ -250,22 +250,34 @@ def dedup_clusters(
     )
 
 
-def triangles(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFrame:
-    """(u, v, w) with u < v < w — every triangle in the undirected graph of
-    ``edges``. On a near-dup graph a triangle is mutually-confirming
-    evidence (three pairwise-similar documents — almost always one
-    template family), the signal that separates systematic boilerplate
-    from one-off pair noise; it is also the building block of clustering
-    coefficients.
+def oriented_wedges(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    orient: str = "id",
+) -> DataFrame:
+    """The 2-path (wedge) frame ``(a, b, c, _cb, _cc)`` of the chosen
+    orientation: for every vertex ``a``, every ordered pair of its
+    out-neighbors ``b < c`` (by the orientation's total order), carrying
+    the CANONICAL ids (``_cb``/``_cc`` = min/max of b, c by plain id) the
+    closure join probes against. Wedge cardinality is the whole cost of
+    distributed triangle enumeration — sum over vertices of
+    C(out_degree, 2) — which is exactly what orientation controls, so
+    this frame is exposed for fan-out audits (tests assert the
+    degree-oriented wedge count stays bounded on skewed graphs).
 
-    Physical shape: edges canonicalize to the ascending orientation
-    (u < v), then ONE 2-path join (v = u') plus ONE closure semi-join —
-    the textbook distributed triangle enumeration. The ascending
-    orientation alone bounds work on skew-free graphs; a production run
-    on a skewed graph orients each edge from the LOWER-degree endpoint
-    instead (degree-ordered orientation caps per-vertex join fan-out at
-    O(sqrt(|E|)) — same plan shape, one extra degree join to build the
-    orientation).
+    ``orient="id"``: edges point low id → high id. Zero extra joins; fine
+    when ids are uncorrelated with degree, but a LOW-id hub of degree d
+    generates C(d, 2) wedges — the quadratic blow-up.
+
+    ``orient="degree"``: edges point lower (degree, id) → higher — the
+    classic result (Cohen / Suri-Vassilvitskii MR triangle counting) that
+    caps out-degree at O(sqrt(|E|)): a vertex's out-neighbors all have
+    degree ≥ its own, and only sqrt-many vertices can exceed sqrt(|E|)
+    degree, so per-vertex wedge fan-out is bounded by |E| regardless of
+    hub skew. Costs one degree aggregate (|V| rows) + one broadcast-sized
+    join to stamp both endpoints.
     """
     e = (
         edges.select(
@@ -275,15 +287,110 @@ def triangles(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFr
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    paths = e.alias("e1").join(
-        e.alias("e2"), F.col("e1.v") == F.col("e2.u")
-    ).select(
-        F.col("e1.u").alias("u"), F.col("e1.v").alias("v"), F.col("e2.v").alias("w")
+    if orient == "id":
+        o = e.select(
+            F.col("u").alias("a"),
+            F.col("v").alias("b"),
+            F.struct(F.lit(0).alias("d"), F.col("v").alias("i")).alias("_ob"),
+        )
+    elif orient == "degree":
+        deg = (
+            e.select(F.col("u").alias("x"))
+            .unionAll(e.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        ej = e.join(
+            deg.select(F.col("x").alias("u"), F.col("d").alias("_du")), "u"
+        ).join(
+            deg.select(F.col("x").alias("v"), F.col("d").alias("_dv")), "v"
+        )
+        ou = F.struct(F.col("_du").alias("d"), F.col("u").alias("i"))
+        ov = F.struct(F.col("_dv").alias("d"), F.col("v").alias("i"))
+        fwd = ou < ov  # total order: ties in degree break by id
+        o = ej.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(fwd, ov).otherwise(ou).alias("_ob"),
+        )
+    else:
+        raise ValueError(f"orient must be 'id' or 'degree', got {orient!r}")
+    return (
+        o.alias("o1")
+        .join(o.alias("o2"), F.col("o1.a") == F.col("o2.a"))
+        .filter(F.col("o1._ob") < F.col("o2._ob"))
+        .select(
+            F.col("o1.a").alias("a"),
+            F.col("o1.b").alias("b"),
+            F.col("o2.b").alias("c"),
+            F.least(F.col("o1.b"), F.col("o2.b")).alias("_cb"),
+            F.greatest(F.col("o1.b"), F.col("o2.b")).alias("_cc"),
+        )
     )
-    return paths.join(
-        e.select(F.col("u").alias("_cu"), F.col("v").alias("_cv")),
-        (F.col("u") == F.col("_cu")) & (F.col("w") == F.col("_cv")),
+
+
+def triangles(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    orient: str = "id",
+) -> DataFrame:
+    """(u, v, w) with u < v < w — every triangle in the undirected graph of
+    ``edges``. On a near-dup graph a triangle is mutually-confirming
+    evidence (three pairwise-similar documents — almost always one
+    template family), the signal that separates systematic boilerplate
+    from one-off pair noise; it is also the building block of clustering
+    coefficients.
+
+    Physical shape: edges canonicalize once (u < v, distinct), then ONE
+    wedge self-join on the orientation's source vertex plus ONE closure
+    join back to the canonical edge set — the textbook distributed
+    enumeration, with the orientation deciding the wedge count (the whole
+    cost; see :func:`oriented_wedges`). ``orient="id"`` (default) is join
+    -free; ``orient="degree"`` pays one degree aggregate + stamp join to
+    cap per-vertex fan-out at O(sqrt(|E|)) on power-law graphs — use it
+    whenever hub skew is possible. Both produce the identical triangle
+    set (every triangle has exactly one vertex with two out-edges under
+    ANY total-order orientation — equivalence-tested).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if orient == "id":
+        # id orientation: wedge (u; v, w) always has u < v < w already,
+        # so the classic 2-path formulation needs no re-sort of the triple
+        paths = e.alias("e1").join(
+            e.alias("e2"), F.col("e1.v") == F.col("e2.u")
+        ).select(
+            F.col("e1.u").alias("u"), F.col("e1.v").alias("v"), F.col("e2.v").alias("w")
+        )
+        return paths.join(
+            e.select(F.col("u").alias("_cu"), F.col("v").alias("_cv")),
+            (F.col("u") == F.col("_cu")) & (F.col("w") == F.col("_cv")),
+            "leftsemi",
+        )
+    wedges = oriented_wedges(edges, src=src, dst=dst, orient=orient)
+    closed = wedges.join(
+        e.select(F.col("u").alias("_cb"), F.col("v").alias("_cc")),
+        ["_cb", "_cc"],
         "leftsemi",
+    )
+    # the orientation's (a, b, c) is ordered by (degree, id); re-sort by
+    # plain id so the output triple matches the id-orientation contract
+    return closed.select(
+        F.array_sort(
+            F.array(F.col("a"), F.col("b"), F.col("c"))
+        ).alias("_t")
+    ).select(
+        F.col("_t")[0].alias("u"),
+        F.col("_t")[1].alias("v"),
+        F.col("_t")[2].alias("w"),
     )
 
 

@@ -137,6 +137,77 @@ class TestTriangles:
         got = [(r.u, r.v, r.w) for r in triangles(df).collect()]
         assert got == [(1, 2, 3)]
 
+    def test_degree_orientation_equivalent(self, spark):
+        """Both orientations enumerate the identical triangle set — every
+        triangle has exactly one vertex with two out-edges under ANY
+        total-order orientation."""
+        from airflow_etl_finance_market_spark.operators.graph import triangles
+
+        # hub 0 (low id, high degree) fanned to 1..12, triangles planted
+        # through the hub (0-k-(k+1)) and off-hub (20-21-22, 21-22-23),
+        # plus K4 on {30,31,32,33} and noise paths
+        edges = (
+            [(0, k) for k in range(1, 13)]
+            + [(1, 2), (5, 6), (9, 10)]  # hub triangles 0-1-2, 0-5-6, 0-9-10
+            + [(20, 21), (21, 22), (20, 22), (22, 23), (21, 23)]
+            + [(30, 31), (30, 32), (30, 33), (31, 32), (31, 33), (32, 33)]
+            + [(40, 41), (41, 42), (42, 43)]
+        )
+        df = spark.createDataFrame(edges, "src long, dst long")
+        by_id = {(r.u, r.v, r.w) for r in triangles(df, orient="id").collect()}
+        by_deg = {
+            (r.u, r.v, r.w) for r in triangles(df, orient="degree").collect()
+        }
+        assert by_id == by_deg
+        assert {(0, 1, 2), (0, 5, 6), (20, 21, 22), (30, 31, 32)} <= by_id
+
+    def test_degree_orientation_bounds_hub_fanout(self, spark):
+        """The skew case the degree orientation exists for: a LOW-id hub of
+        degree d emits C(d, 2) wedges under id orientation (quadratic in
+        the hub degree) but ZERO under degree orientation (every leaf has
+        lower degree, so all edges point INTO the hub)."""
+        from airflow_etl_finance_market_spark.operators.graph import (
+            oriented_wedges,
+        )
+
+        n = 200
+        star = spark.createDataFrame(
+            [(0, k) for k in range(1, n + 1)], "src long, dst long"
+        )
+        assert oriented_wedges(star, orient="id").count() == n * (n - 1) // 2
+        assert oriented_wedges(star, orient="degree").count() == 0
+
+    def test_degree_wedges_bounded_on_powerlaw_fixture(self, spark):
+        """Two hubs sharing all leaves (the near-dup template-family shape):
+        id orientation puts both wedge fans on the low-id hub; degree
+        orientation spreads wedges to the leaves — bounded per-vertex
+        fan-out (each leaf: C(2,2)=1 wedge) at a tiny total."""
+        from airflow_etl_finance_market_spark.operators.graph import (
+            oriented_wedges,
+            triangles,
+        )
+
+        n = 100
+        # hubs 0 and 1 each connected to leaves 2..n+1, plus the hub-hub edge
+        edges = (
+            [(0, k) for k in range(2, n + 2)]
+            + [(1, k) for k in range(2, n + 2)]
+            + [(0, 1)]
+        )
+        df = spark.createDataFrame(edges, "src long, dst long")
+        # id orientation: hub 0 out-degree n+1 and hub 1 out-degree n ->
+        # C(n+1, 2) + C(n, 2) wedges, quadratic in hub degree
+        assert (
+            oriented_wedges(df, orient="id").count()
+            == (n + 1) * n // 2 + n * (n - 1) // 2
+        )
+        # degree orientation: each leaf (degree 2) points at both hubs ->
+        # one wedge per leaf, plus nothing from the hubs themselves
+        assert oriented_wedges(df, orient="degree").count() == n
+        # and the triangle answer is identical (all n triangles 0-1-k)
+        assert triangles(df, orient="degree").count() == n
+        assert triangles(df, orient="id").count() == n
+
 
 class TestPageRank:
     def _pr(self, spark, edges, **kw):

@@ -10,12 +10,11 @@ from airflow_etl_finance_market_spark import harness
 
 DRIVER_WINDOW = 50
 
-#: Entries with no driver correctness row as of CORRECTNESS_r03.json — they
-#: MUST be in-window now (qty_cube was registered pre-demoted in round 3;
-#: the reorder gate is new this round).
+#: Entries with no driver correctness row as of CORRECTNESS_r04.json — they
+#: MUST be in-window now (qty_cube and the reorder gate earned their rows
+#: in r04; the degree-oriented triangle entry is new in round 5).
 NEVER_DRIVER_VERIFIED = [
-    "qty_cube",
-    "streaming_pct_change_reordered",
+    "doc_near_dup_triangles_degree",
 ]
 
 
