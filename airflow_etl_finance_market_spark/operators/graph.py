@@ -211,11 +211,110 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if obs.get["changed"] == 0:
             return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iterations} "
-        "rounds — pathological graph diameter; switch to "
-        "large-star/small-star"
+    # Primary loop exhausted: pathological diameter for min-label
+    # propagation even with path halving. Finish with the worst-case-safe
+    # alternating large-star/small-star contraction on the graph
+    # CONTRACTED through the labels earned so far (|contracted| ≤ |E|,
+    # usually far smaller), then compose the two mappings. The fallback
+    # is O(log² n) rounds on ANY graph shape (Kiveris et al.), so the
+    # combined algorithm keeps the fast-typical path AND a bounded tail.
+    lu = labels.select(F.col(id_col).alias("_u"), F.col("component").alias("_cu"))
+    lv = labels.select(F.col(id_col).alias("_v"), F.col("component").alias("_cv"))
+    contracted = (
+        sym.join(lu, sym["u"] == lu["_u"])
+        .join(lv, sym["v"] == lv["_v"])
+        .filter(F.col("_cu") != F.col("_cv"))
+        .select(
+            F.least("_cu", "_cv").alias("u"),
+            F.greatest("_cu", "_cv").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
     )
+    star = _alternating_star_components(contracted).select(
+        F.col("id").alias("_sid"), F.col("component").alias("_scomp")
+    )
+    # old-component roots absent from the star frame map to themselves
+    return labels.join(
+        star, labels["component"] == star["_sid"], "left"
+    ).select(
+        id_col,
+        F.coalesce("_scomp", "component").alias("component"),
+    )
+
+
+def _alternating_star_components(
+    e: DataFrame, *, max_rounds: int = 60
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — the
+    O(log² n)-rounds-on-ANY-graph algorithm :func:`connected_components`
+    falls back to when min-label propagation stalls on a pathological
+    diameter.
+
+    ``e`` is the canonical undirected edge set (u < v, distinct, no
+    self-loops, lineage already truncated). Per round:
+
+    - **large-star**: every node u connects each LARGER neighbor v to
+      m = min(Γ(u) ∪ {u});
+    - **small-star**: every node u connects its SMALLER neighbors and
+      itself to its minimum smaller neighbor.
+
+    Both steps preserve connectivity and monotonically pull nodes toward
+    their component minimum; the fixpoint (edge set unchanged by both) is
+    a disjoint union of stars rooted at each component's min. Returns
+    (id, component) for every NON-ROOT vertex — roots map to themselves
+    by construction (callers coalesce), and vertices isolated in ``e``
+    never appear.
+
+    Scale shape per round: two grouped min-aggregates over the edge list
+    + the emit joins — the same edges⋈per-node-min pattern as the primary
+    loop, no new primitive. The fixpoint check is a distinct-set compare
+    (anti-join), two extra jobs per round — acceptable for a fallback
+    that runs only after the primary loop's budget is spent.
+    """
+    for _ in range(max_rounds):
+        # -- large-star: (v, min(Γ⁺(u))) for every larger neighbor v of u --
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = F.least(F.col("u"), F.col("_mn"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), m.alias("y"))
+        )
+        e1 = (
+            large.filter(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+            )
+            .distinct()
+        )
+        # -- small-star: smaller neighbors ∪ {u} connect to their min --
+        sym1 = e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        smaller = sym1.filter(F.col("v") < F.col("u"))
+        mins1 = smaller.groupBy("u").agg(F.min("v").alias("_mn"))
+        small = (
+            smaller.join(mins1, "u")
+            .filter(F.col("v") != F.col("_mn"))
+            .select(F.col("v").alias("x"), F.col("_mn").alias("y"))
+            .union(mins1.select(F.col("u").alias("x"), F.col("_mn").alias("y")))
+        )
+        e_new = (
+            small.filter(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint: the canonical distinct edge sets are equal
+        if e_new.count() == e.count() and e_new.subtract(e).isEmpty():
+            e = e_new
+            break
+        e = e_new
+    # fixpoint edge set is a star forest: (root=u, member=v) per edge
+    return e.select(F.col("v").alias("id"), F.col("u").alias("component"))
 
 
 def dedup_clusters(

@@ -116,6 +116,71 @@ def test_empty_inputs_yield_empty_not_crash(spark):
     assert got == {1: 1, 2: 2}
 
 
+class TestStarFallback:
+    """Large-star/small-star — the worst-case-safe completion that kicks in
+    when the primary min-label loop exhausts max_iterations."""
+
+    def test_star_algorithm_matches_union_find(self, spark):
+        from airflow_etl_finance_market_spark.operators.graph import (
+            _alternating_star_components,
+        )
+
+        rng = random.Random(7)
+        n = 120
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+                )
+                if a != b
+            }
+        )
+        expect = _union_find(n, edges)
+        e = spark.createDataFrame(edges, "u long, v long").localCheckpoint()
+        got = {
+            r["id"]: r["component"]
+            for r in _alternating_star_components(e).collect()
+        }
+        # star frame holds non-roots only; roots map to themselves
+        endpoints = {x for ab in edges for x in ab}
+        for v in endpoints:
+            assert got.get(v, v) == expect[v]
+
+    def test_long_path_fallback_converges(self, spark):
+        """The pathological-diameter case the old code raised on: a long
+        path with a tiny primary budget must now fall through to the star
+        contraction and still return the exact union-find answer."""
+        n = 64
+        path = [(i, i + 1) for i in range(n - 1)]
+        expect = _union_find(n, path)
+        edf = spark.createDataFrame(path, "src long, dst long")
+        vdf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                edf, vertices=vdf, max_iterations=2
+            ).collect()
+        }
+        assert got == expect  # every node labeled 0
+
+    def test_fallback_respects_isolated_vertices(self, spark):
+        """Singletons and already-converged components must pass through
+        the star composition unchanged (no star row -> coalesce to the
+        primary label)."""
+        edges = [(10, 11)] + [(i, i + 1) for i in range(8)]  # path 0..8
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        vdf = spark.createDataFrame([(i,) for i in list(range(12)) + [99]], "id long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                edf, vertices=vdf, max_iterations=1
+            ).collect()
+        }
+        expect = {i: 0 for i in range(9)} | {9: 9, 10: 10, 11: 10, 99: 99}
+        assert got == expect
+
+
 class TestTriangles:
     def test_enumerates_known_triangles(self, spark):
         from airflow_etl_finance_market_spark.operators.graph import triangles
