@@ -94,6 +94,24 @@ def pct_change_stateful(
     )
 
 
+def _duration_us(spec: str) -> int:
+    """Parse a '<n> <unit>' duration (second/minute/hour/day, plural ok)
+    to epoch microseconds — the subset of Spark's interval syntax the
+    streaming operators accept."""
+    n_str, _, unit = spec.strip().partition(" ")
+    mult = {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }.get(unit.strip().rstrip("s").lower())
+    if mult is None or not n_str.isdigit():
+        raise ValueError(
+            f"duration must be '<n> second|minute|hour|day(s)', got {spec!r}"
+        )
+    return int(n_str) * mult
+
+
 def pct_change_reordered(
     events: DataFrame,
     *,
@@ -101,6 +119,7 @@ def pct_change_reordered(
     ts: str = "ts",
     value: str = "value",
     delay: str = "1 hour",
+    retire_after: str | None = None,
 ) -> DataFrame:
     """Out-of-order-tolerant streaming pct-change: the reorder-buffer
     variant :func:`pct_change_stateful`'s docstring promises.
@@ -114,17 +133,24 @@ def pct_change_reordered(
     watermarked aggregate). Rows whose timestamp the final watermark never
     passes stay buffered (append-mode semantics: unfinalized = unemitted).
 
-    State per key = last emitted value + the buffered (ts, value) arrays —
-    bounded by the key's arrival rate times ``delay``, the same bound a
-    windowed aggregate's state carries. Event-time timeouts flush a key's
-    newly-eligible rows even in micro-batches where the key receives no
-    new data. A drained key retains its (last_value, [], []) row
-    indefinitely: last_value is the diff base for that key's NEXT arrival,
-    so it can only be dropped when the key is known retired — total state
-    therefore also grows with LIVE key cardinality (like any keyed
-    streaming aggregate). A deployment with unbounded churn-and-die keys
-    should wrap this with a TTL policy (e.g. re-key by (key, day) so dead
-    keys age out with the watermark) rather than keep every key forever.
+    State per key = last emitted value + timestamp + the buffered
+    (ts, value) arrays — bounded by the key's arrival rate times
+    ``delay``, the same bound a windowed aggregate's state carries.
+    Event-time timeouts flush a key's newly-eligible rows even in
+    micro-batches where the key receives no new data.
+
+    ``retire_after`` bounds total state by key LIVENESS, not just key
+    cardinality: a drained key (empty buffer) whose last emitted
+    timestamp the watermark has passed by more than the horizon is
+    REMOVED from the state store — the event-time timeout doubles as the
+    retirement alarm, so a key retires even if it never receives another
+    row. The trade is explicit and standard for keyed-state TTLs: a key
+    that reappears AFTER retiring lost its diff base, so its first new
+    row emits NULL pct-change, exactly like a brand-new key. With the
+    default ``retire_after=None`` every key's last value is kept forever
+    (diff bases never lost; state grows with distinct-key cardinality,
+    like any keyed streaming aggregate) — choose the horizon to match the
+    deployment's key-churn profile.
 
     Batch frames take the LAG-window path (identical semantics, no state).
     """
@@ -146,14 +172,18 @@ def pct_change_reordered(
     out_schema = (
         f"{key} long, _ts_us long, {value} double, variacao_diaria double"
     )
-    state_schema = "last_value double, buf_ts array<long>, buf_val array<double>"
+    state_schema = (
+        "last_value double, last_ts long, "
+        "buf_ts array<long>, buf_val array<double>"
+    )
     k_col, v_col = key, value
+    retire_us = _duration_us(retire_after) if retire_after is not None else None
 
     def fn(key_tuple, pdf_iter, state):
         import pandas as pd
 
-        last, buf_ts, buf_val = (
-            state.get if state.exists else (None, [], [])
+        last, last_ts, buf_ts, buf_val = (
+            state.get if state.exists else (None, None, [], [])
         )
         buf = list(zip(buf_ts or [], buf_val or []))
         for pdf in pdf_iter:
@@ -176,6 +206,7 @@ def pct_change_reordered(
                 out_v.append(v)
                 out_pct.append(pct)
                 last = v
+            last_ts = out_ts[-1]
             yield pd.DataFrame(
                 {
                     k_col: key_tuple[0],
@@ -184,13 +215,30 @@ def pct_change_reordered(
                     "variacao_diaria": pd.array(out_pct, dtype="Float64"),
                 }
             )
+        if (
+            not hold
+            and retire_us is not None
+            and (last_ts is None or wm_us >= last_ts + retire_us)
+        ):
+            # drained past the retention horizon (or vacuous state):
+            # drop the key entirely — its diff base is forfeited, so a
+            # reappearance starts like a brand-new key
+            state.remove()
+            return
         state.update(
-            (last, [e[0] for e in hold], [e[1] for e in hold])
+            (last, last_ts, [e[0] for e in hold], [e[1] for e in hold])
         )
         if hold:
             # wake this key when the watermark passes its oldest held row
             # (epoch ms, matching the event-time timeout clock)
             state.setTimeoutTimestamp(hold[0][0] // 1000 + 1)
+        elif retire_us is not None:
+            # drained but not yet past the horizon: alarm at retirement
+            # time so the key is dropped even if no row ever arrives
+            # again (timeout must sit strictly past the watermark)
+            state.setTimeoutTimestamp(
+                max((last_ts + retire_us) // 1000 + 1, wm_us // 1000 + 1)
+            )
 
     return (
         events.select(key, ts, value)

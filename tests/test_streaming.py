@@ -298,6 +298,79 @@ def test_reorder_buffer_handles_out_of_order_arrival(spark, sf_dir, tmp_path):
             assert abs(x[3] - y[3]) < 1e-9
 
 
+def test_reorder_buffer_retires_drained_keys(spark, tmp_path):
+    """retire_after drops a key's state row once its buffer is drained and
+    the watermark has passed its last emitted timestamp by the horizon —
+    state is bounded by key LIVENESS, not all-time key cardinality. The
+    event-time timeout doubles as the retirement alarm, so the key
+    retires without ever receiving another row; emitted output is
+    identical with and without retirement."""
+    import os
+
+    from airflow_etl_finance_market_spark.streaming.stateful import (
+        pct_change_reordered,
+    )
+
+    out = str(tmp_path / "retire_src")
+    # timestamps start well past epoch 0: a row AT the initial watermark
+    # (0) is dropped by Spark's late filter before reaching the operator
+    batches = [
+        # key 1 lives only in batch 0, then goes silent forever
+        [(1, 1000, 10.0), (1, 1010, 11.0), (2, 1060, 5.0)],
+        [(2, 1200, 6.0)],
+        [(2, 1400, 7.0)],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts_s long, value double"
+        ).select(
+            "user_id", F.timestamp_seconds("ts_s").alias("ts"), "value"
+        )
+        pdir = f"{out}/b{i}"
+        df.coalesce(1).write.parquet(pdir)
+        for f in os.listdir(pdir):
+            if f.endswith(".parquet"):
+                os.utime(f"{pdir}/{f}", (1_700_000_000 + i,) * 2)
+
+    def drain(name, retire):
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{out}/b*")
+        )
+        q = (
+            pct_change_reordered(
+                stream, delay="60 seconds", retire_after=retire
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_state = [
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in q.recentProgress
+                if p.get("stateOperators")
+            ][-1]
+        finally:
+            q.stop()
+        rows = sorted(
+            (r["user_id"], r["ts"], r["value"], r["variacao_diaria"])
+            for r in spark.table(name).collect()
+        )
+        return n_state, rows
+
+    # final watermark = 1400s - 60s = 1340s: key 1 drained at ts=1010s,
+    # horizon 120s long passed -> retired; key 2 still holds its 1400s row
+    n_retire, rows_retire = drain("retire_on", "120 seconds")
+    n_keep, rows_keep = drain("retire_off", None)
+    assert n_retire == 1
+    assert n_keep == 2  # both keys keep a state row forever without TTL
+    assert rows_retire == rows_keep and len(rows_retire) == 4
+
+
 def test_stream_stream_join_equals_batch(spark, sf_dir, split_events_dir):
     """Stream-stream interval join (click_attribution_join): two watermarked
     file streams over the same micro-batched fixture must emit exactly the
