@@ -471,3 +471,38 @@ def test_unpivot_is_single_pass_no_extra_scan(spark, sf_dir):
     plan = plan_of(harness.queries()["ticker_stats_unpivot"](spark, sf_dir))
     assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
     assert "Expand" in plan or "Generate" in plan  # the melt operator
+
+
+def test_ngram_kernel_stays_zip_with_chain(spark):
+    """Regression guard for the round-4 shingle-kernel rewrite: the word
+    n-gram expression must plan as the zip_with chain over n pre-shifted
+    slices — NOT transform(sequence(...), i -> concat_ws(slice(...))),
+    which allocates one slice array PER SHINGLE inside an interpreted
+    lambda and measured 4.4x slower at 50k docs. The old formulation's
+    fingerprint is a transform over a sequence(); fail on any
+    reintroduction."""
+    from airflow_etl_finance_market_spark.functions.text import word_ngrams
+
+    df = spark.createDataFrame([("a b c d e",)], "text string").select(
+        word_ngrams("text").alias("shingles")
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "zip_with" in plan
+    assert "transform(sequence" not in plan
+
+
+def test_punct_ratio_kernel_stays_translate(spark):
+    """Regression guard for the round-4 punct_ratio rewrite: character
+    counting must plan as a translate() table lookup, not a
+    regexp_replace over a negated character class (4x slower: the regex
+    engine re-matches the class per char). normalize_text's \\s+
+    collapse legitimately uses regexp_replace, so the guard keys on the
+    char-class negation fingerprint rather than banning the function."""
+    from airflow_etl_finance_market_spark.functions.text import punct_ratio
+
+    df = spark.createDataFrame([("Hi, there!",)], "text string").select(
+        punct_ratio("text").alias("p")
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "translate(" in plan
+    assert "[^" not in plan
