@@ -290,3 +290,174 @@ class TestMultimodalEdgeCases:
         assert rows[1]["n_bytes"] == 32 * 32
         assert rows[2]["n_bytes"] == 0  # empty source cycles to empty
         assert 3 not in rows
+
+
+class TestRealPngCodec:
+    """The real codec seam: PNG decode/resize over ACTUAL pixels via the
+    self-contained stdlib codec (Pillow's C path replaces it when
+    installed — see the gated parity test)."""
+
+    def _codec(self):
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            _stdlib_png_codec,
+        )
+
+        return _stdlib_png_codec()
+
+    def test_roundtrip_all_channel_counts(self):
+        import random
+
+        png_size, png_decode, png_encode, _ = self._codec()
+        rng = random.Random(3)
+        for ch in (1, 3, 4):
+            w, h = 5, 4
+            pix = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            b = png_encode(w, h, ch, pix)
+            assert png_size(b) == (w, h)
+            assert png_decode(b) == (w, h, ch, pix)
+
+    def test_unfilters_every_filter_type(self):
+        """Hand-filter one row with each of the spec's 5 filter types and
+        check reconstruction against the unfiltered reference — a real
+        decoder property no header sniff can fake."""
+        import random
+        import struct
+        import zlib
+
+        _, png_decode, _, _ = self._codec()
+        w, h, ch = 4, 5, 3
+        rng = random.Random(9)
+        pix = [
+            [rng.randrange(256) for _ in range(w * ch)] for _ in range(h)
+        ]
+
+        def filt(y, ftype):
+            cur = pix[y]
+            prev = pix[y - 1] if y else [0] * (w * ch)
+            out = [ftype]
+            for i, x in enumerate(cur):
+                a = cur[i - ch] if i >= ch else 0
+                b_ = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if ftype == 0:
+                    out.append(x)
+                elif ftype == 1:
+                    out.append((x - a) & 255)
+                elif ftype == 2:
+                    out.append((x - b_) & 255)
+                elif ftype == 3:
+                    out.append((x - (a + b_) // 2) & 255)
+                else:
+                    p = a + b_ - c
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+                    out.append((x - pr) & 255)
+            return bytes(out)
+
+        raw = b"".join(filt(y, y % 5) for y in range(h))
+
+        def chunk(t, d):
+            body = t + d
+            return (
+                struct.pack(">I", len(d))
+                + body
+                + struct.pack(">I", zlib.crc32(body))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        flat = bytes(v for row in pix for v in row)
+        assert png_decode(png) == (w, h, ch, flat)
+
+    def test_decodes_charts_encoder_output(self):
+        """Cross-component check: the repo's from-scratch chart encoder
+        produces PNGs the codec reads back pixel-exact (tEXt chunks and
+        all get skipped properly)."""
+        import numpy as np
+
+        from airflow_etl_finance_market_spark.plans.charts import encode_png
+
+        rgb = np.zeros((6, 7, 3), np.uint8)
+        rgb[..., 0] = 10
+        rgb[2, 3] = [1, 2, 3]
+        b = encode_png(rgb, text_meta={"title": "t"})
+        png_size, png_decode, _, _ = self._codec()
+        assert png_size(b) == (7, 6)
+        assert png_decode(b) == (7, 6, 3, rgb.tobytes())
+
+    def test_decode_image_real_png(self):
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            decode_image,
+        )
+
+        _, _, png_encode, _ = self._codec()
+        b = png_encode(9, 3, 3, bytes(9 * 3 * 3))
+        assert decode_image(b) == (9, 3)
+
+    def test_real_resize_on_spark_preserves_quadrants(self, spark):
+        """resize_images(use_fake_codec=False) round-trips a REAL PNG
+        through the Arrow stage: 2x2 quadrant colors survive a
+        nearest-neighbor 8x8 upscale."""
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            resize_images,
+        )
+
+        png_size, png_decode, png_encode, _ = self._codec()
+        quad = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 0])
+        media = spark.createDataFrame(
+            [(1, bytearray(png_encode(2, 2, 3, quad)))],
+            "doc_id long, payload binary",
+        )
+        rows = resize_images(
+            media, target_w=8, target_h=8, use_fake_codec=False
+        ).collect()
+        assert len(rows) == 1 and (rows[0].width, rows[0].height) == (8, 8)
+        w, h, ch, pix = png_decode(bytes(rows[0].payload))
+        assert (w, h, ch) == (8, 8, 3)
+
+        def px(x, y):
+            i = (y * 8 + x) * 3
+            return tuple(pix[i : i + 3])
+
+        assert px(0, 0) == px(3, 3) == (255, 0, 0)
+        assert px(4, 0) == px(7, 3) == (0, 255, 0)
+        assert px(0, 4) == px(3, 7) == (0, 0, 255)
+        assert px(4, 4) == px(7, 7) == (255, 255, 0)
+
+    def test_real_features_on_spark(self, spark):
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            extract_binary_features,
+        )
+
+        _, _, png_encode, _ = self._codec()
+        media = spark.createDataFrame(
+            [(1, bytearray(png_encode(5, 4, 3, bytes(5 * 4 * 3))))],
+            "doc_id long, payload binary",
+        )
+        r = extract_binary_features(media, use_fake_codec=False).collect()[0]
+        assert (r.width, r.height, r.mime) == (5, 4, "image/png")
+
+    def test_pillow_path_parity_when_installed(self):
+        """Gated on Pillow: the C path must agree with the stdlib codec on
+        size and (filter-0 input) pixels. Skips in bare containers."""
+        import importlib.util
+
+        import pytest
+
+        if importlib.util.find_spec("PIL") is None:
+            pytest.skip("Pillow not installed")
+        import io
+
+        from PIL import Image
+
+        _, png_decode, png_encode, _ = self._codec()
+        pix = bytes(range(48))  # 4x4 RGB
+        b = png_encode(4, 4, 3, pix)
+        im = Image.open(io.BytesIO(b))
+        assert im.size == (4, 4)
+        assert im.convert("RGB").tobytes() == pix
