@@ -152,3 +152,62 @@ def market_beta(
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+def pairwise_return_correlation(
+    changes: DataFrame,
+    *,
+    key: str = "ticker",
+    ts: str = "ts",
+    ret: str = "variacao_diaria",
+    top_tickers: int = 20,
+    min_days: int = 3,
+) -> DataFrame:
+    """Pearson correlation of daily returns for every pair of the
+    ``top_tickers`` most-active instruments — the correlation-matrix
+    corner every risk/pairs-trading consumer asks of a price warehouse,
+    extending the reference's %-change measure (W1/W2) the same way
+    :func:`market_beta` does.
+
+    Output: (ticker_a, ticker_b, corr_returns, n_days) with
+    ticker_a < ticker_b, over days both traded; pairs below ``min_days``
+    common observations are dropped (a 2-point correlation is always ±1).
+
+    Scale shape: an all-pairs correlation over the full universe is
+    O(|tickers|²) and not a 100 TB plan; the standard formulation gates
+    to a top-N active set first, and N is the explicit cost dial
+    (C(N, 2) pairs). The N-row gate frame BROADCASTS — the daily-returns
+    fact never shuffles for the gate — then the gated frame self-joins
+    per DAY (one shuffle keyed on the date, fan-out bounded by C(N, 2)
+    per day) and the correlation co-moments combine map-side. Top-N
+    selection is deterministic: (active-day count DESC, key ASC).
+    """
+    daily = (
+        changes.filter(F.col(ret).isNotNull())
+        .groupBy(F.col(key), F.col(ts).cast("date").alias("_d"))
+        .agg(F.avg(ret).alias("_r"))
+    )
+    active = (
+        daily.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col(key).asc())
+        .limit(top_tickers)
+        .select(key)
+    )
+    gated = daily.join(F.broadcast(active), key)
+    a = gated.select(
+        F.col(key).alias("ticker_a"), "_d", F.col("_r").alias("_ra")
+    )
+    b = gated.select(
+        F.col(key).alias("ticker_b"), "_d", F.col("_r").alias("_rb")
+    )
+    return (
+        a.join(b, "_d")
+        .filter(F.col("ticker_a") < F.col("ticker_b"))
+        .groupBy("ticker_a", "ticker_b")
+        .agg(
+            F.round(F.corr("_ra", "_rb"), 6).alias("corr_returns"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .filter(F.col("n_days") >= min_days)
+    )

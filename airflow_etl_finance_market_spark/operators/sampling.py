@@ -212,3 +212,58 @@ def rebalance_sample(
         .filter(b < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    key: str,
+    weight_col: str,
+    group: str,
+    k: int,
+    seed: str = "seed42",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Efraimidis–Spirakis (A-ES) weighted sampling WITHOUT replacement:
+    keep the ``k`` rows per ``group`` with the smallest exponential race
+    key ``-ln(u) / w`` — the quality-weighted corpus-selection step of a
+    pretraining pipeline (sample documents proportionally to a quality or
+    length weight, reproducibly), as a pure declarative plan.
+
+    Each row draws its uniform u = (bucket + 0.5) / 2³² from the salted
+    md5 of its ``key`` (the same engine-portable trick as
+    :func:`hash_bucket`, at full 32-bit resolution), so membership is a
+    pure function of (seed, key, weight): no RNG state, identical across
+    engines and re-runs, and P(row drawn first in its group) = wᵢ/Σw —
+    the textbook A-ES guarantee. Requires w > 0.
+
+    Float caveat (stated, not hand-waved): ln() may differ in the last
+    ulp across libm implementations, so two rows whose race keys agree
+    to ~1e-16 relative could rank differently cross-engine. Keys are
+    continuous draws — ulp-scale collisions have negligible probability
+    and none occur in the parity fixtures; the deterministic
+    (key ASC) tiebreak guards exact duplicates (same u AND same w).
+
+    Scale: map-side key expression + ONE shuffle on ``group`` with a
+    per-group rank — the same shape as :func:`per_group_quota` (whose
+    ``pre_salt`` two-level trick applies unchanged if a group is hot,
+    since a bucket's local top-k superset property holds for any
+    per-row ordering key).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(key).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    race = -F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(group).orderBy(race.asc(), F.col(key).asc())
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )

@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     "ticker_beta",
     "doc_source_quota_sample",
     "part_supplier_pagerank",
+    # r05: NEW entries (headline total grows by construction; compare
+    # per-query, not the sum)
+    "ticker_pair_correlation",
+    "doc_weighted_sample",
 ]
 
 
@@ -151,6 +155,65 @@ def build_x10_fixture(spark, tmp: str) -> str:
         .parquet(f"{x10}/embeddings.parquet")
     )
     return x10
+
+
+def build_x10_market_fixture(spark, tmp: str) -> str:
+    """10x lineitem (6M rows at sf0.1): same tickers (l_partkey), so each
+    instrument's series is 10x deeper — the dimension that stresses the
+    market tier's per-key window sorts and daily aggregates. l_orderkey
+    shifts per copy to keep the (ts, ok, ln) total order unique, and each
+    copy's price shifts +copy% so bars/returns stay non-degenerate."""
+    from pyspark.sql import functions as F
+
+    x10m = f"{tmp}/x10m"
+    copies = spark.range(10).withColumnRenamed("id", "copy")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    (
+        li.crossJoin(copies)
+        .withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.col("copy") * X10_LIFT
+        )
+        .withColumn(
+            "l_extendedprice",
+            F.round(
+                F.col("l_extendedprice") * (1 + F.col("copy") / 100.0), 2
+            ),
+        )
+        .drop("copy")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{x10m}/lineitem.parquet")
+    )
+    return x10m
+
+
+#: Market-tier entries timed against the 10x lineitem fixture — the same
+#: scaling evidence the dedup tier has had since r02 (VERDICT r04 #6).
+MARKETS_X10 = [
+    "ohlcv_weekly_bars",
+    "ticker_max_drawdown",
+    "ticker_beta",
+    "ticker_pair_correlation",
+]
+
+
+def markets_x10_section(
+    spark, qs, tmp: str
+) -> tuple[dict[str, float], int]:
+    import time as _time
+
+    x10m = build_x10_market_fixture(spark, tmp)
+    n_rows = spark.read.parquet(f"{x10m}/lineitem.parquet").count()
+    out: dict[str, float] = {}
+    for name in MARKETS_X10:
+        best = float("inf")
+        for _ in range(2):
+            df = qs[name](spark, x10m)
+            t0 = _time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, _time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out, n_rows
 
 
 def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
@@ -333,6 +396,10 @@ def main() -> None:
         with tempfile.TemporaryDirectory() as tmp:
             payload["corpus_x10"] = corpus_x10_section(spark, qs, tmp)
             payload["corpus_x10_rows"] = {"documents": 50000, "embeddings": 20000}
+        with tempfile.TemporaryDirectory() as tmp:
+            mx, n_li = markets_x10_section(spark, qs, tmp)
+            payload["markets_x10"] = mx
+            payload["markets_x10_rows"] = {"lineitem": n_li}
 
     print(json.dumps(payload))
 

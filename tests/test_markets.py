@@ -226,3 +226,99 @@ def test_rebalance_sample_extreme_skew_never_drops_stratum(spark):
     # threshold floors at 1 -> keeps bucket-0 rows, ~cnt/scale = ~20;
     # md5 buckets are deterministic, so the exact kept count is stable
     assert counts.get("huge", 0) == 13
+
+
+def test_pairwise_return_correlation_matches_python(spark):
+    """Known 3-ticker fixture: Pearson replayed in Python, the min_days
+    gate, the deterministic top-N cut, and a < b pair canonicalization."""
+    import math
+    from datetime import date
+
+    from airflow_etl_finance_market_spark.operators.markets import (
+        pairwise_return_correlation,
+    )
+
+    rows = []
+    # tickers 1 and 2 trade 6 shared days; ticker 3 only 2 days (cut by
+    # top_tickers=2) — returns chosen non-degenerate
+    r1 = [1.0, 2.0, -1.0, 3.0, 0.5, -2.0]
+    r2 = [0.5, 1.5, -0.5, 2.0, 1.0, -1.5]
+    for i, (a, b) in enumerate(zip(r1, r2)):
+        d = date(2024, 1, i + 1)
+        rows += [(1, d, a), (2, d, b)]
+    rows += [(3, date(2024, 1, 1), 9.0), (3, date(2024, 1, 2), -9.0)]
+    changes = spark.createDataFrame(
+        rows, "ticker long, ts date, variacao_diaria double"
+    )
+    got = pairwise_return_correlation(
+        changes, top_tickers=2, min_days=3
+    ).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row.ticker_a, row.ticker_b, row.n_days) == (1, 2, 6)
+    n = len(r1)
+    ma, mb = sum(r1) / n, sum(r2) / n
+    cov = sum((x - ma) * (y - mb) for x, y in zip(r1, r2))
+    va = sum((x - ma) ** 2 for x in r1)
+    vb = sum((y - mb) ** 2 for y in r2)
+    want = cov / math.sqrt(va * vb)
+    assert abs(row.corr_returns - round(want, 6)) < 1e-9
+
+
+def test_weighted_sample_replays_python_race_keys(spark):
+    """A-ES selection replayed in Python from the identical md5-derived
+    uniforms; k per group; determinism under repartitioning."""
+    import hashlib
+    import math
+
+    from airflow_etl_finance_market_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    data = [
+        (i, "g1" if i < 40 else "g2", float(10 + (i * 37) % 90))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(data, "doc_id long, lang string, w double")
+
+    def race(doc_id, w):
+        b = int(
+            hashlib.md5(f"seed42:{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        u = (b + 0.5) / 4294967296.0
+        return -math.log(u) / w
+
+    expect = {}
+    for g in ("g1", "g2"):
+        members = sorted(
+            (r for r in data if r[1] == g),
+            key=lambda r: (race(r[0], r[2]), r[0]),
+        )
+        expect[g] = [r[0] for r in members[:7]]
+
+    for parts in (1, 8):
+        out = weighted_sample(
+            df.repartition(parts), key="doc_id", weight_col="w",
+            group="lang", k=7,
+        ).collect()
+        got = {}
+        for r in sorted(out, key=lambda r: (r.lang, r.sample_rank)):
+            got.setdefault(r.lang, []).append(r.doc_id)
+        assert got == expect
+
+
+def test_weighted_sample_heavy_weight_dominates(spark):
+    """P(first pick) = w/sum(w): a weight 10^9 above the field is chosen
+    rank 1 for any seed that doesn't hit a ~1e-9 uniform."""
+    from airflow_etl_finance_market_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", 1.0 if i else 1e9) for i in range(50)],
+        "doc_id long, lang string, w double",
+    )
+    top = weighted_sample(
+        df, key="doc_id", weight_col="w", group="lang", k=1
+    ).collect()
+    assert [(r.doc_id, r.sample_rank) for r in top] == [(0, 1)]

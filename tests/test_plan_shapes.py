@@ -506,3 +506,21 @@ def test_punct_ratio_kernel_stays_translate(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "translate(" in plan
     assert "[^" not in plan
+
+
+def test_weighted_sample_single_exchange(spark, sf_dir):
+    """A-ES weighted sampling = map-side race-key expression + ONE shuffle
+    on the group with a per-group rank — same shape contract as the
+    quota sampler."""
+    plan = plan_of(harness.queries()["doc_weighted_sample"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_pair_correlation_gate_broadcasts(spark, sf_dir):
+    """The top-N active-ticker gate must broadcast onto the daily-returns
+    fact (the fact never shuffles for the gate); no cartesian anywhere —
+    the pair fan-out rides the day-keyed equi-join."""
+    plan = plan_of(harness.queries()["ticker_pair_correlation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
