@@ -51,6 +51,18 @@ recall price, amplified by the bench's deliberately narrow 4-char buckets.
 punct_ratio moved from regexp_replace to translate() (same count, 4x
 faster) — expect token_stats ~0.9s (2.0), repetition ~1.5 (3.4),
 curated_corpus ~1.0 (2.3) at x10.
+
+r05 notes: ARBITRATION of the r04 ingest_overwrite +51% (1.051 -> 1.586,
+past the +20% rule, flagged by the r04 verdict): solo best-of-3 x3 sets
+measured 0.870 / 0.826 / 0.803 s best — FASTER than both recorded
+rounds, so the 1.586 was host noise, not a plan or commit-protocol
+change (plans byte-identical per the r04 method). Root-cause fix: the
+ingest block ran best-of-2 while every other tier runs best-of-3; both
+ingest paths now take 3 trials, closing the one place a single stall
+could still print as a regression. Two NEW headline entries
+(ticker_pair_correlation, doc_weighted_sample) grow the headline total
+by construction, and a markets_x10 section (10x lineitem, ~6M rows)
+gives the market tier the same scaling evidence as the corpus tier.
 """
 
 from __future__ import annotations
@@ -362,7 +374,7 @@ def main() -> None:
         ).write.option("header", "true").mode("overwrite").csv(f"{tmp}/quotes_csv")
 
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             csv_df = (
                 spark.read.schema(
@@ -377,7 +389,7 @@ def main() -> None:
         timings["csv_ingest"] = round(best, 3)
 
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             li.write.mode("overwrite").parquet(f"{tmp}/staging")
             best = min(best, time.perf_counter() - t0)
