@@ -48,6 +48,12 @@ NAMES = [
     "doc_lang_rebalance",
     # UNPIVOT/melt as a one-pass projection (Expand over one aggregate)
     "ticker_stats_unpivot",
+    # round 5: degree-oriented triangle enumeration (wedge self-join with
+    # the degree stamp bounding per-vertex fan-out), A-ES weighted
+    # sampling (map-side race key + one group exchange), and pairwise
+    # return correlation (broadcast top-N gate + day-keyed self-join)
+    "doc_near_dup_triangles_degree", "doc_weighted_sample",
+    "ticker_pair_correlation",
 ]
 
 
