@@ -124,6 +124,10 @@ _WINDOW_DEMOTED = [
     "simhash_near_dups",
     "term_frequencies",
     "user_sessions",
+    # doc_duplicate_spans (new, never verified -> must be live) takes the
+    # slot of r03-green embedding_centroids (untouched code, pytest +
+    # oracle-parity coverage; staleness 2 at r05 -> r06 must rotate).
+    "embedding_centroids",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -4009,4 +4013,41 @@ def q_ticker_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["max_close", "min_close", "notional_cents"],
         "metric",
         "value",
+    )
+
+
+@register(
+    "doc_duplicate_spans",
+    f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), s AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 9, 1)),
+               i -> array_to_string(toks[i:i+9], ' '))) AS span
+    FROM t
+), d AS (
+    SELECT span FROM s GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_spans,
+       COUNT(d.span) AS n_dup_spans,
+       ROUND(COUNT(d.span)::DOUBLE / COUNT(*), 6) AS dup_ratio
+FROM s LEFT JOIN d USING (span)
+GROUP BY s.doc_id
+""",
+)
+def q_doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact duplicate-span statistics
+    (operators/dedup.duplicate_span_stats): the Lee-et-al. substring-level
+    dedup signal — a 10-token span is duplicated when >= 2 distinct docs
+    contain it. Spans travel as md5 hashes on the Spark side (32-byte
+    exchange keys; the oracle groups the raw strings — identical counts
+    under md5's collision-free regime); distinct-doc partials combine
+    map-side and the duplicated set gates positions via a hash semi-join."""
+    from .operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(
+        load_fixture(spark, sf_dir, "documents"), span_tokens=10, min_docs=2
     )

@@ -290,3 +290,61 @@ class TestMinhashContainment:
         assert (1, 2) in lsh
         for pair, v in lsh.items():
             assert pair in exact and abs(v - exact[pair]) < 1e-9
+
+
+class TestDuplicateSpans:
+    def test_matches_python_replay(self, spark):
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            duplicate_span_stats,
+        )
+
+        boiler = "all rights reserved contact the publisher for permission"
+        docs = [
+            (1, f"alpha beta gamma {boiler} one two three"),
+            (2, f"delta epsilon {boiler} four five six seven"),
+            (3, "entirely unique text with no shared spans at all here"),
+            (4, "short doc"),  # shorter than the span -> one whole-text span
+            (5, "short doc"),  # exact twin of 4: its single span duplicates
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        k = 5
+        got = {
+            r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_ratio)
+            for r in duplicate_span_stats(df, span_tokens=k).collect()
+        }
+
+        # python reference
+        def spans(text):
+            toks = text.lower().split()
+            if len(toks) < k:
+                return [" ".join(toks)]
+            return [
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            ]
+
+        all_spans = {i: spans(t) for i, t in docs}
+        from collections import defaultdict
+
+        owners = defaultdict(set)
+        for i, ss in all_spans.items():
+            for s in ss:
+                owners[s].add(i)
+        expect = {}
+        for i, ss in all_spans.items():
+            dup = sum(1 for s in ss if len(owners[s]) >= 2)
+            expect[i] = (len(ss), dup, round(dup / len(ss), 6))
+        assert got == expect
+        # the boilerplate-sharing docs are flagged, the unique doc is not
+        assert got[3][1] == 0 and got[1][1] > 0 and got[5] == (1, 1, 1.0)
+
+    def test_spans_travel_hashed_and_gate_is_semi_join(self, spark, sf_dir):
+        """Scale contract: the span-keyed exchange must carry md5 hashes
+        (no raw span strings in the exchange), and the duplicated-set
+        gate must be a semi join."""
+        from airflow_etl_finance_market_spark import harness
+
+        df = harness.queries()["doc_duplicate_spans"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "md5" in opt
