@@ -123,3 +123,31 @@ def write_jsonl_corpus(df: DataFrame, path: str) -> None:
     of the corpus interchange contract; column order follows the schema
     so round-trips are stable."""
     df.write.mode("overwrite").json(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+) -> DataFrame:
+    """ORC reader — the other columnar interchange format a warehouse
+    migration actually encounters (Hive/Trino estates ship ORC the way
+    lakehouses ship parquet). Schema-first like every reader here when a
+    schema is given (no inference pass, early type mismatch); ORC stripes
+    split like parquet row groups, so a single large file parallelizes,
+    and predicate pushdown reaches the stripe/row-group indexes the same
+    way (`PushedFilters` in the scan — pinned in tests)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, partition_by: tuple[str, ...] = ()) -> None:
+    """ORC sink (overwrite, snappy default) — the export half for
+    Hive/Trino consumers; partition_by mirrors the parquet sink's layout
+    contract."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -214,3 +214,63 @@ class TestCompaction:
         by_batch = {r.batch: (r.n, r.n_quality) for r in rows}
         assert by_batch[1] == (10, 0)   # old files: column NULL
         assert by_batch[2] == (10, 10)
+
+
+class TestOrcInterchange:
+    def test_roundtrip_preserves_values_and_schema(self, spark, sf_dir, tmp_path):
+        from airflow_etl_finance_market_spark.sources.readers import (
+            load_fixture,
+            read_orc,
+            write_orc,
+        )
+
+        docs = load_fixture(spark, sf_dir, "documents")
+        path = str(tmp_path / "docs_orc")
+        write_orc(docs, path)
+        back = read_orc(spark, path, schema=docs.schema)
+        assert back.schema == docs.schema
+        want = sorted((r.doc_id, r.text, r.lang) for r in docs.collect())
+        got = sorted((r.doc_id, r.text, r.lang) for r in back.collect())
+        assert got == want
+
+    def test_predicate_pushdown_reaches_orc_scan(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from airflow_etl_finance_market_spark.sources.readers import (
+            load_fixture,
+            read_orc,
+            write_orc,
+        )
+
+        li = load_fixture(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+        path = str(tmp_path / "li_orc")
+        write_orc(li, path)
+        df = read_orc(spark, path).filter(F.col("l_quantity") > 40.0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
+            "PushedFilters"
+        )[1].split("]")[0]
+
+    def test_partitioned_orc_prunes_partitions(self, spark, sf_dir, tmp_path):
+        """lang=... directory partitioning must prune at planning time:
+        the scan's partition count reflects ONE lang, not all."""
+        from pyspark.sql import functions as F
+
+        from airflow_etl_finance_market_spark.sources.readers import (
+            load_fixture,
+            read_orc,
+            write_orc,
+        )
+
+        docs = load_fixture(spark, sf_dir, "documents")
+        path = str(tmp_path / "docs_part_orc")
+        write_orc(docs, path, partition_by=("lang",))
+        df = read_orc(spark, path).filter(F.col("lang") == "en")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # partition filters are applied at the file index, not as a
+        # post-scan Filter on the partition column
+        assert "lang" in plan
+        n_en = docs.filter(F.col("lang") == "en").count()
+        assert df.count() == n_en
