@@ -162,6 +162,7 @@ def pairwise_return_correlation(
     ret: str = "variacao_diaria",
     top_tickers: int = 20,
     min_days: int = 3,
+    reuse_daily: bool = True,
 ) -> DataFrame:
     """Pearson correlation of daily returns for every pair of the
     ``top_tickers`` most-active instruments — the correlation-matrix
@@ -181,12 +182,23 @@ def pairwise_return_correlation(
     per DAY (one shuffle keyed on the date, fan-out bounded by C(N, 2)
     per day) and the correlation co-moments combine map-side. Top-N
     selection is deterministic: (active-day count DESC, key ASC).
+
+    ``reuse_daily`` (default on) lazily localCheckpoints the daily-return
+    frame: it is referenced THREE times (the active-set gate and both
+    self-join sides), and without the checkpoint its derivation — a full
+    LAG-window pass over the tick fact — would evaluate three times (the
+    same derived-frame-reuse trade as pagerank_fixed_point's
+    ``reuse_edges``; the checkpointed frame is |tickers × days| rows, far
+    smaller than the ticks). Pass ``reuse_daily=False`` when ``changes``
+    is already a materialized daily table.
     """
     daily = (
         changes.filter(F.col(ret).isNotNull())
         .groupBy(F.col(key), F.col(ts).cast("date").alias("_d"))
         .agg(F.avg(ret).alias("_r"))
     )
+    if reuse_daily:
+        daily = daily.localCheckpoint(eager=False)
     active = (
         daily.groupBy(key)
         .agg(F.count(F.lit(1)).alias("_n"))
