@@ -1015,38 +1015,49 @@ def duplicate_span_stats(
     degenerate contract as every n-gram kernel here).
 
     Scale shape: the heavy frame is the exploded span list (~1 row per
-    corpus token). Spans travel as md5 HASHES, not 100+-byte strings —
-    the span-keyed aggregate's exchange carries 32-byte keys and its
-    distinct-doc count partials combine map-side; the duplicated-hash
-    set then gates the per-position frame with a semi-join (hash-keyed,
-    no payload), and the final per-doc count rides a doc-keyed
-    aggregate. Two exchanges over the span frame + one over doc ids —
-    nothing quadratic, no driver-side state; collision risk of md5 at
-    128 bits is negligible at any corpus size.
+    corpus token) and it is evaluated ONCE — the plan pins a single
+    Generate. Spans travel as md5 HASHES, not 100+-byte strings, so
+    every exchange carries 32-byte keys; the one pass collapses to
+    per-(hash, doc) occurrence counts (map-side-combined — the frame
+    shrinks to distinct spans per doc before it ever shuffles), a
+    hash-partitioned count-over-window marks each span's distinct-doc
+    cardinality without a join, and a final doc-keyed aggregate folds
+    both statistics. Three exchanges total (hash+doc, hash, doc),
+    nothing quadratic, no driver-side state; md5 collision risk at 128
+    bits is negligible at any corpus size.
     """
-    spans = docs.select(
-        F.col(id_col),
-        F.explode(
-            word_ngrams(F.col(text_col), n=span_tokens)
-        ).alias("_span"),
-    ).select(id_col, F.md5(F.col("_span")).alias("_h"))
-    dup = (
-        spans.groupBy("_h")
-        .agg(F.countDistinct(id_col).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_h")
+    from pyspark.sql.window import Window
+
+    per_hash_doc = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                word_ngrams(F.col(text_col), n=span_tokens)
+            ).alias("_span"),
+        )
+        .select(id_col, F.md5(F.col("_span")).alias("_h"))
+        .groupBy("_h", id_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
-    per_doc = (
-        spans.join(dup, "_h", "leftsemi")
+    # rows of per_hash_doc are (hash, doc) pairs, so a count over the
+    # hash partition IS the distinct-doc cardinality of that span
+    nd = F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    return (
+        per_hash_doc.withColumn("_nd", nd)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
-    )
-    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
-    return totals.join(per_doc, id_col, "left").select(
-        id_col,
-        "n_spans",
-        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-        F.round(
-            F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 6
-        ).alias("dup_ratio"),
+        .agg(
+            F.sum("_c").alias("n_spans"),
+            F.coalesce(
+                F.sum(F.when(F.col("_nd") >= min_docs, F.col("_c"))),
+                F.lit(0),
+            ).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias(
+                "dup_ratio"
+            ),
+        )
     )

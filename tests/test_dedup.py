@@ -337,14 +337,17 @@ class TestDuplicateSpans:
         # the boilerplate-sharing docs are flagged, the unique doc is not
         assert got[3][1] == 0 and got[1][1] > 0 and got[5] == (1, 1, 1.0)
 
-    def test_spans_travel_hashed_and_gate_is_semi_join(self, spark, sf_dir):
-        """Scale contract: the span-keyed exchange must carry md5 hashes
-        (no raw span strings in the exchange), and the duplicated-set
-        gate must be a semi join."""
+    def test_one_pass_hashed_span_plan(self, spark, sf_dir):
+        """Scale contract: the span explode (the heavy ~1-row-per-token
+        frame) is evaluated ONCE — exactly one Generate in the plan —
+        spans travel as md5 hashes, and the distinct-doc cardinality
+        rides a window, not a join back over the span frame."""
         from airflow_etl_finance_market_spark import harness
 
         df = harness.queries()["doc_duplicate_spans"](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "LeftSemi" in plan
+        assert plan.count("Generate") == 1
+        assert "Window" in plan
+        assert "Join" not in plan
         opt = df._jdf.queryExecution().optimizedPlan().toString()
         assert "md5" in opt
