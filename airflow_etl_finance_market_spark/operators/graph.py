@@ -7,13 +7,16 @@ graph tier at all (its dedup is Postgres ON CONFLICT, reference:
 dags/financial_pipeline.py:105-118); this is the (a)-tier composition
 Spark lacks natively.
 
-Algorithm: hash-min label propagation. Every vertex starts labeled with
-its own id; each round, every vertex adopts the minimum label among itself
-and its neighbors; converged when no label changes. Rounds needed = graph
-diameter — for near-dup families (small, dense clusters) that is 2-3, and
-the classic worst-case fix (large-star/small-star, Kiveris et al., which
-contracts paths in O(log n) rounds) is a drop-in upgrade of the loop body
-if a pathological chain-shaped graph ever shows up.
+Algorithm: hash-min label propagation with pointer jumping (path
+halving). Every vertex starts labeled with its own id; each round, every
+vertex adopts the minimum label among itself and its neighbors, then
+follows the adopted label's own label one hop — O(log diameter) rounds
+for near-dup families (small, dense clusters converge in 2-3). If the
+primary loop exhausts its budget on a pathological shape, the graph
+contracts through the labels earned so far and the alternating
+large-star/small-star algorithm (Kiveris et al.,
+:func:`_alternating_star_components` — O(log² n) rounds on ANY graph)
+finishes the job.
 
 Scale shape per round: ONE action (the label checkpoint — the convergence
 count rides it as an `observe` metric, not a second job), one shuffle of
