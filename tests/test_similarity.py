@@ -461,3 +461,75 @@ class TestRealPngCodec:
         im = Image.open(io.BytesIO(b))
         assert im.size == (4, 4)
         assert im.convert("RGB").tobytes() == pix
+
+
+class TestProductQuantization:
+    """PQ + exact refine: the memory-bounded ANN tier."""
+
+    def test_recall_and_exact_scores_vs_bruteforce(self, spark, sf_dir):
+        from airflow_etl_finance_market_spark.operators.similarity import (
+            cosine_topk_pq,
+        )
+
+        emb = load_fixture(spark, sf_dir, "embeddings")
+        exact = cosine_topk_bruteforce(emb, QUERIES, k=5).collect()
+        approx = cosine_topk_pq(emb, QUERIES, k=5).collect()
+        exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.6, f"PQ recall collapsed: {recall:.2f}"
+        # the refine step re-ranks on RAW vectors with the same cosine
+        # kernel, so overlapping pairs' scores are bit-equal
+        exact_map = {
+            (r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact
+        }
+        for r in approx:
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact_map:
+                assert r["cosine_sim"] == exact_map[key]
+
+    def test_codes_compress_and_are_deterministic(self, spark, sf_dir):
+        from airflow_etl_finance_market_spark.operators.similarity import (
+            pq_index,
+        )
+
+        emb = load_fixture(spark, sf_dir, "embeddings")
+        books, codes = pq_index(emb, m=16, ksub=16)
+        assert len(books) == 16 and all(len(cb) <= 16 for cb in books)
+        rows = codes.collect()
+        assert all(len(r.codes) == 16 for r in rows)
+        assert all(0 <= c < 16 for r in rows for c in r.codes)
+        # pure function of (corpus, params): a rebuild over a different
+        # physical layout yields identical codes
+        _, codes2 = pq_index(emb.repartition(7), m=16, ksub=16)
+        a = {r.id: tuple(r.codes) for r in rows}
+        b = {r.id: tuple(r.codes) for r in codes2.collect()}
+        assert a == b
+
+    def test_unrefined_adc_is_the_scale_scan(self, spark, sf_dir):
+        """The ADC candidate stage must scan CODES (no raw vector column
+        in the scored frame) — the whole point of the compression."""
+        from airflow_etl_finance_market_spark.operators.similarity import (
+            pq_index,
+        )
+
+        emb = load_fixture(spark, sf_dir, "embeddings")
+        _, codes = pq_index(emb)
+        assert set(codes.columns) == {"id", "norm", "codes"}
+
+    def test_arrow_encoder_matches_sql_reference(self, spark, sf_dir):
+        """The vectorized Arrow encoder must agree with the pure-Catalyst
+        reference encoder code-for-code on the fixture corpus (both are
+        deterministic L2 argmins over the same codebooks)."""
+        from airflow_etl_finance_market_spark.operators.similarity import (
+            pq_codebooks,
+            pq_index,
+        )
+
+        emb = load_fixture(spark, sf_dir, "embeddings")
+        books = pq_codebooks(emb)
+        _, sql_codes = pq_index(emb, codebooks=books, encoder="sql")
+        _, arw_codes = pq_index(emb, codebooks=books, encoder="arrow")
+        a = {r.id: tuple(r.codes) for r in sql_codes.collect()}
+        b = {r.id: tuple(r.codes) for r in arw_codes.collect()}
+        assert a == b
