@@ -533,3 +533,31 @@ class TestProductQuantization:
         a = {r.id: tuple(r.codes) for r in sql_codes.collect()}
         b = {r.id: tuple(r.codes) for r in arw_codes.collect()}
         assert a == b
+
+    def test_ivfpq_composition_recall_and_exact_scores(self, spark, sf_dir):
+        """IVF pruning + PQ codes + exact refine: recall above the floor
+        and bit-equal overlap scores — the FAISS IVFPQ recipe composed
+        from the two audited quantizers."""
+        from airflow_etl_finance_market_spark.operators.similarity import (
+            cosine_topk_ivfpq,
+            ivfpq_index,
+        )
+
+        emb = load_fixture(spark, sf_dir, "embeddings")
+        cents, books, frame = ivfpq_index(emb)
+        assert set(frame.columns) == {"id", "norm", "codes", "_cell"}
+        approx = cosine_topk_ivfpq(
+            emb, QUERIES, k=5, index=(cents, books, frame)
+        ).collect()
+        exact = cosine_topk_bruteforce(emb, QUERIES, k=5).collect()
+        exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.3, f"IVFPQ recall collapsed: {recall:.2f}"
+        exact_map = {
+            (r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact
+        }
+        for r in approx:
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact_map:
+                assert r["cosine_sim"] == exact_map[key]
