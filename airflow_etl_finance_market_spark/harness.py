@@ -133,6 +133,12 @@ _WINDOW_DEMOTED = [
     # window-ranking shape stays in-window via doc_tfidf_top_terms;
     # staleness 2 at r05 -> r06 must rotate).
     "top_docs_per_lang",
+    # user_funnel_times + streaming_funnel_ooo (new, never verified ->
+    # must be live) take the slots of r03-green split_balance and
+    # brand_scores (both untouched; split/scoring families keep their
+    # pytest + sibling-entry coverage; staleness 2 -> r06 must rotate).
+    "split_balance",
+    "brand_scores",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -4130,4 +4136,173 @@ def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         [tuple(row)],
         "n_queries long, n_exact_pairs long, "
         "recall_ok boolean, scores_exact boolean",
+    )
+
+
+@register(
+    "user_funnel_times",
+    """
+WITH u1 AS (
+    SELECT user_id, MIN(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), u2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN u1 ON e.user_id = u1.user_id
+    WHERE e.event_type = 'click' AND e.ts > u1.t GROUP BY e.user_id
+), u3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN u2 ON e.user_id = u2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > u2.t GROUP BY e.user_id
+)
+SELECT user_id, CAST(1 AS INTEGER) AS step_idx, 'view' AS step,
+       t AS reached_at FROM u1
+UNION ALL
+SELECT user_id, CAST(2 AS INTEGER), 'click', t FROM u2
+UNION ALL
+SELECT user_id, CAST(3 AS INTEGER), 'purchase', t FROM u3
+""",
+)
+def q_user_funnel_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel reach TIMES (streaming/stateful.funnel_stateful,
+    batch path): the row-level frame whose per-step counts are
+    event_funnel — (user, step_idx, step, earliest qualifying time),
+    strict-after chaining. This is the differential base of the
+    streaming funnel gate; user-keyed shrinking-frame joins, the same
+    physical shape as the funnel counts."""
+    from .streaming.stateful import funnel_stateful
+
+    return funnel_stateful(
+        load_fixture(spark, sf_dir, "events"),
+        ("view", "click", "purchase"),
+    )
+
+
+@register(
+    "streaming_funnel_ooo",
+    """
+WITH b AS (
+    SELECT epoch_us(min(ts)) AS lo_us, epoch_us(max(ts)) AS hi_us FROM events
+), p AS (
+    SELECT hi_us,
+           ((hi_us - lo_us) // 3 + 1) // 1000000 + 3600 AS delay_s
+    FROM b
+), fe AS (
+    SELECT e.* FROM events e, p
+    WHERE epoch_us(e.ts) <= (p.hi_us // 1000) * 1000 - p.delay_s * 1000000
+), u1 AS (
+    SELECT user_id, MIN(ts) AS t FROM fe
+    WHERE event_type = 'view' GROUP BY user_id
+), u2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM fe e JOIN u1 ON e.user_id = u1.user_id
+    WHERE e.event_type = 'click' AND e.ts > u1.t GROUP BY e.user_id
+), u3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM fe e JOIN u2 ON e.user_id = u2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > u2.t GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM u1) + (SELECT COUNT(*) FROM u2)
+       + (SELECT COUNT(*) FROM u3) AS n_rows,
+       true AS rows_match_batch,
+       true AS emitted_set_exact
+""",
+)
+def q_streaming_funnel_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel HARD GATE: funnel_stateful run as a REAL streaming
+    query over 3 file micro-batches with every 7th event displaced one
+    batch late (inside the watermark), audited against the batch twin
+    over the finalized prefix. UNLIKE the constant-boolean gates, the
+    oracle PREDICTS n_rows from first principles: it replays the
+    watermark arithmetic in SQL (ms-floored max ts minus the delay) and
+    runs the chained funnel CTEs over exactly that prefix — so a buffer
+    that drops, duplicates, reorders, or double-advances on a late
+    arrival breaks the count itself, not just the join booleans."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import (
+        read_events_batch,
+        read_events_stream,
+        run_available_now,
+    )
+    from .streaming.io import EVENTS_STREAM_SCHEMA
+    from .streaming.stateful import funnel_stateful
+
+    global _STREAM_GATE_SEQ
+    _STREAM_GATE_SEQ += 1
+    seq = _STREAM_GATE_SEQ
+
+    tmp = tempfile.mkdtemp(prefix="finmarket_funnel_gate_")
+    try:
+        raw = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(
+            f"{sf_dir}/events.parquet"
+        )
+        lo, hi = raw.selectExpr("min(ts)", "max(ts)").first()
+        unit = 1 if hi < 10**17 else 1000
+        lo_us, hi_us = lo // unit, hi // unit
+        batch_us = (hi_us - lo_us) // 3 + 1
+        delay_s = batch_us // 1_000_000 + 3600
+
+        for i in range(3):
+            b_lo = lo + i * batch_us * unit
+            b_hi = lo + (i + 1) * batch_us * unit
+            part = raw.filter((raw.ts >= b_lo) & (raw.ts < b_hi))
+            keep = part.filter((part.event_id % 7 != 0) | (F.lit(i) == 2))
+            if i > 0:
+                prev_lo = lo + (i - 1) * batch_us * unit
+                late = raw.filter(
+                    (raw.ts >= prev_lo)
+                    & (raw.ts < b_lo)
+                    & (raw.event_id % 7 == 0)
+                )
+                keep = keep.unionByName(late)
+            pdir = f"{tmp}/in/b{i}"
+            keep.coalesce(1).write.mode("overwrite").parquet(pdir)
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    os.utime(f"{pdir}/{f}", (1_700_000_000 + i,) * 2)
+
+        with _bounded_stream_shuffle(spark):
+            streamed = run_available_now(
+                funnel_stateful(
+                    read_events_stream(
+                        spark, f"{tmp}/in/b*", max_files_per_trigger=1
+                    ),
+                    ("view", "click", "purchase"),
+                    delay=f"{delay_s} seconds",
+                ),
+                f"_gate_funnel_{seq}",
+                output_mode="append",
+            )
+
+        wm_final_us = (hi_us // 1000) * 1000 - delay_s * 1_000_000
+        finalized = read_events_batch(
+            spark, f"{sf_dir}/events.parquet"
+        ).filter(
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")) <= wm_final_us
+        )
+        expect = funnel_stateful(finalized, ("view", "click", "purchase"))
+
+        n_stream = streamed.count()
+        n_expect = expect.count()
+        s_us = F.unix_micros(F.col("s.reached_at").cast("timestamp_ltz"))
+        b_us = F.unix_micros(F.col("b.reached_at").cast("timestamp_ltz"))
+        bad = (
+            streamed.alias("s")
+            .join(expect.alias("b"), ["user_id", "step_idx"], "full_outer")
+            .filter(
+                F.col("s.step").isNull()
+                | F.col("b.step").isNull()
+                | (F.col("s.step") != F.col("b.step"))
+                | (s_us != b_us)
+            )
+            .count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [(n_stream, bad == 0, n_stream == n_expect and n_stream > 0)],
+        "n_rows long, rows_match_batch boolean, emitted_set_exact boolean",
     )

@@ -259,3 +259,150 @@ def pct_change_reordered(
             "variacao_diaria",
         )
     )
+
+
+def funnel_stateful(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Ordered-funnel progression as a custom stateful streaming operator
+    — the CEP-shaped query Spark has no MATCH_RECOGNIZE for: emit
+    (key, step_idx, step, reached_at) the moment a user's FINALIZED
+    event history first satisfies step k strictly after step k-1's
+    reach time (earliest-event chaining, the exact batch semantics of
+    operators/funnel.event_funnel, which counts these rows per step).
+
+    Streaming semantics mirror :func:`pct_change_reordered`: events
+    buffer per key until the watermark passes them, then replay in
+    event-time order through the per-key step machine, so ANY arrival
+    order within the ``delay`` horizon yields exactly the batch answer.
+    Non-step event types are dropped BEFORE the state store (map-side
+    filter — they can never advance the machine). A completed user
+    keeps a one-row tombstone so late duplicates can't restart the
+    funnel; state per live key = machine position + the ≤ delay-horizon
+    buffer, the same bound as every watermarked operator here.
+
+    Batch frames compute the identical frame declaratively (chained
+    earliest-event user-keyed joins over a monotonically shrinking
+    frame) — the differential oracle for the streaming path.
+    """
+    step_list = list(steps)
+    if not step_list:
+        raise ValueError("steps must be non-empty")
+    if not events.isStreaming:
+        ev = events.select(key, ts, type_col)
+        reached = (
+            ev.filter(F.col(type_col) == step_list[0])
+            .groupBy(key)
+            .agg(F.min(ts).alias("_t"))
+        )
+        frames = [
+            reached.select(
+                key,
+                F.lit(1).alias("step_idx"),
+                F.lit(step_list[0]).alias("step"),
+                F.col("_t").alias("reached_at"),
+            )
+        ]
+        for i, step in enumerate(step_list[1:], start=2):
+            reached = (
+                ev.filter(F.col(type_col) == step)
+                .join(reached, key)
+                .filter(F.col(ts) > F.col("_t"))
+                .groupBy(key)
+                .agg(F.min(ts).alias("_t"))
+            )
+            frames.append(
+                reached.select(
+                    key,
+                    F.lit(i).alias("step_idx"),
+                    F.lit(step).alias("step"),
+                    F.col("_t").alias("reached_at"),
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionAll(f)
+        return out
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # epoch-micros discipline throughout (see pct_change_reordered's TZ
+    # note): the worker never touches the timestamp column.
+    out_schema = f"{key} long, step_idx int, step string, _ts_us long"
+    state_schema = (
+        "cur_idx int, last_t long, buf_ts array<long>, buf_type array<string>"
+    )
+    k_col, t_col = key, type_col
+    steps_local = step_list
+
+    def fn(key_tuple, pdf_iter, state):
+        import pandas as pd
+
+        cur, last_t, buf_ts, buf_type = (
+            state.get if state.exists else (0, None, [], [])
+        )
+        buf = list(zip(buf_ts or [], buf_type or []))
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            buf.extend(zip(pdf["_ts_us"].tolist(), pdf[t_col].tolist()))
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        emit_idx, emit_step, emit_ts = [], [], []
+        hold = []
+        for t, et in buf:
+            if t > wm_us:
+                hold.append((t, et))
+                continue
+            if cur < len(steps_local) and et == steps_local[cur] and (
+                cur == 0 or t > last_t
+            ):
+                cur += 1
+                last_t = t
+                emit_idx.append(cur)
+                emit_step.append(et)
+                emit_ts.append(t)
+        if emit_idx:
+            yield pd.DataFrame(
+                {
+                    k_col: key_tuple[0],
+                    "step_idx": pd.Series(emit_idx, dtype="int32"),
+                    "step": emit_step,
+                    "_ts_us": pd.Series(emit_ts, dtype="int64"),
+                }
+            )
+        state.update(
+            (cur, last_t, [e[0] for e in hold], [e[1] for e in hold])
+        )
+        if hold:
+            state.setTimeoutTimestamp(hold[0][0] // 1000 + 1)
+
+    return (
+        events.select(key, ts, type_col)
+        .filter(F.col(type_col).isin(steps_local))
+        .withColumn("_ts_us", F.unix_micros(F.col(ts)))
+        # the watermarked ts column must survive to the stateful operator
+        # (projecting it away drops the watermark and EventTimeTimeout
+        # refuses to plan); fn simply ignores it
+        .withWatermark(ts, delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+        .select(
+            key,
+            "step_idx",
+            "step",
+            F.timestamp_micros(F.col("_ts_us")).alias("reached_at"),
+        )
+    )

@@ -586,3 +586,112 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir, split_events_dir):
     assert _rows(got) == _rows(batch)
     # the join is genuinely enriching: at least one non-NULL segment
     assert got.filter(F.col("c_mktsegment").isNotNull()).count() > 0
+
+
+def test_funnel_stateful_batch_matches_python_replay(spark):
+    """Earliest-event chaining incl. the strict-after equal-timestamp edge:
+    a 'click' AT the view's exact reach time must NOT advance."""
+    from airflow_etl_finance_market_spark.streaming.stateful import (
+        funnel_stateful,
+    )
+
+    rows = [
+        # user 1: clean view -> click -> purchase
+        (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+        # user 2: click BEFORE view, then click again after -> reaches 2
+        (2, 50, "click"), (2, 100, "view"), (2, 150, "click"),
+        # user 3: click AT the same ts as view (strict > fails) -> only 1
+        (3, 100, "view"), (3, 100, "click"),
+        # user 4: never views -> no rows at all
+        (4, 10, "click"), (4, 20, "purchase"),
+        # noise types are ignored
+        (1, 150, "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s long, event_type string"
+    ).select("user_id", F.timestamp_seconds("ts_s").alias("ts"), "event_type")
+    got = {
+        (r.user_id, r.step_idx, r.step, int(r.reached_at.timestamp()))
+        for r in funnel_stateful(df).collect()
+    }
+    assert got == {
+        (1, 1, "view", 100), (1, 2, "click", 200), (1, 3, "purchase", 300),
+        (2, 1, "view", 100), (2, 2, "click", 150),
+        (3, 1, "view", 100),
+    }
+
+
+def test_funnel_stateful_stream_equals_batch_out_of_order(spark, tmp_path):
+    """The streaming funnel over displaced (late-but-within-watermark)
+    micro-batches must emit exactly the batch chain over the finalized
+    prefix — the reorder-buffer contract applied to the step machine."""
+    import os
+
+    from airflow_etl_finance_market_spark.streaming.stateful import (
+        funnel_stateful,
+    )
+
+    rng_rows = []
+    # 30 users x 6 events across 3 'days'; types cycle so most users
+    # produce partial funnels, some full
+    types = ["view", "click", "purchase", "error", "view", "click"]
+    for u in range(30):
+        for i in range(6):
+            t = 1000 + i * 500 + (u * 37 + i * 13) % 400
+            rng_rows.append((u, t, types[(u + i) % len(types)]))
+    df = spark.createDataFrame(
+        rng_rows, "user_id long, ts_s long, event_type string"
+    ).select("user_id", F.timestamp_seconds("ts_s").alias("ts"), "event_type")
+
+    out = str(tmp_path / "funnel_src")
+    lo, hi = 1000, 1000 + 5 * 500 + 400
+    span = (hi - lo) // 3 + 1
+    for i in range(3):
+        b_lo, b_hi = lo + i * span, lo + (i + 1) * span
+        part = df.filter(
+            (F.unix_timestamp("ts") >= b_lo) & (F.unix_timestamp("ts") < b_hi)
+        )
+        keep = part.filter((F.col("user_id") % 5 != 0) | (F.lit(i) == 2))
+        if i > 0:
+            late = df.filter(
+                (F.unix_timestamp("ts") >= lo + (i - 1) * span)
+                & (F.unix_timestamp("ts") < b_lo)
+                & (F.col("user_id") % 5 == 0)
+            )
+            keep = keep.unionByName(late)
+        pdir = f"{out}/b{i}"
+        keep.coalesce(1).write.mode("overwrite").parquet(pdir)
+        for f in os.listdir(pdir):
+            if f.endswith(".parquet"):
+                os.utime(f"{pdir}/{f}", (1_700_000_000 + i,) * 2)
+
+    delay_s = span + 60
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{out}/b*")
+    )
+    q = (
+        funnel_stateful(stream, delay=f"{delay_s} seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_ooo")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.step_idx, r.step, r.reached_at)
+        for r in spark.table("funnel_ooo").collect()
+    }
+    wm_final_us = hi * 1_000_000 // 1000 * 1000 - delay_s * 1_000_000
+    finalized = df.filter(
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")) <= wm_final_us
+    )
+    expect = {
+        (r.user_id, r.step_idx, r.step, r.reached_at)
+        for r in funnel_stateful(finalized).collect()
+    }
+    assert got == expect and len(got) > 10
