@@ -139,6 +139,11 @@ _WINDOW_DEMOTED = [
     # pytest + sibling-entry coverage; staleness 2 -> r06 must rotate).
     "split_balance",
     "brand_scores",
+    # events_daily_ffill (new, never verified -> must be live) takes the
+    # slot of r03-green market_overview (untouched; its single-row
+    # multi-agg shape stays in-window via pricing_summary and
+    # ticker_metrics; staleness 2 -> r06 must rotate).
+    "market_overview",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -4306,3 +4311,35 @@ def q_streaming_funnel_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_stream, bad == 0, n_stream == n_expect and n_stream > 0)],
         "n_rows long, rows_match_batch boolean, emitted_set_exact boolean",
     )
+
+
+@register(
+    "events_daily_ffill",
+    """
+WITH daily AS (
+    SELECT user_id, ts::DATE AS d, AVG(value) AS v
+    FROM events GROUP BY 1, 2
+), spine AS (
+    SELECT user_id,
+           unnest(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY))::DATE AS d
+    FROM daily GROUP BY user_id
+)
+SELECT s.user_id, s.d,
+       ROUND(LAST_VALUE(daily.v IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS value_filled,
+       daily.v IS NOT NULL AS is_observed
+FROM spine s
+LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+""",
+)
+def q_events_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill (operators/asof.resample_daily_ffill): one row
+    per (user, day) over each user's own span, gap days forward-filled
+    from the last observed daily average — the null-skipping
+    last_value(IGNORE NULLS) window frame, per-key calendar spine from
+    sequence(), spine⋈daily equi-join."""
+    from .operators.asof import resample_daily_ffill
+
+    return resample_daily_ffill(load_fixture(spark, sf_dir, "events"))

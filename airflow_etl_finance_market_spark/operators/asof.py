@@ -103,3 +103,66 @@ def asof_join(
             ],
         )
     )
+
+
+def resample_daily_ffill(
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    filled_col: str = "value_filled",
+) -> DataFrame:
+    """Calendar resample with forward fill: one row per (key, day) over
+    each key's OWN observed span, carrying the last observed daily value
+    across gap days — the align-before-model step every time-series
+    consumer needs (a price/metric panel with no holes), which the
+    reference's daily feed sidesteps only because Postgres receives one
+    row per day by construction.
+
+    Output: (key, d, value_filled, is_observed); gap days carry the
+    previous observed day's value, and the first day per key is always
+    observed (the spine starts at the key's first event), so no leading
+    NULLs exist. Daily value = AVG of the day's events, rounded at the
+    presentation edge AFTER the fill so both engines round the same
+    carried number.
+
+    Physical shape: one (key, day)-keyed aggregate; one key-keyed
+    min/max aggregate whose per-key calendar explodes from a sequence()
+    — spine rows = Σ per-key span, never |keys| × global-span; one
+    equi-join spine⋈daily on (key, day); and the fill itself is
+    last_value(IGNORE NULLS) over the per-key date order — a window
+    capability class (null-skipping frames) nothing else in the repo
+    exercises. No driver-side state, no cross joins.
+    """
+    daily = (
+        df.groupBy(
+            F.col(key), F.col(ts).cast("date").alias("d")
+        ).agg(F.avg(value).alias("_v"))
+    )
+    spine = (
+        daily.groupBy(key)
+        .agg(F.min("d").alias("_lo"), F.max("d").alias("_hi"))
+        .select(
+            key,
+            F.explode(
+                F.expr("sequence(_lo, _hi, interval 1 day)")
+            ).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, [key, "d"], "left")
+        .select(
+            key,
+            "d",
+            F.round(
+                F.last("_v", ignorenulls=True).over(w), 6
+            ).alias(filled_col),
+            F.col("_v").isNotNull().alias("is_observed"),
+        )
+    )

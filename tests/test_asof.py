@@ -102,3 +102,39 @@ def test_no_tiebreak_duplicates_resolve_by_payload(spark):
         ).collect()
         outs.add(out[0]["asof_px"])
     assert outs == {9.0}
+
+
+class TestResampleDailyFfill:
+    def test_gaps_filled_per_key_span(self, spark):
+        from airflow_etl_finance_market_spark.operators.asof import (
+            resample_daily_ffill,
+        )
+
+        rows = [
+            # user 1: days 1, 4 observed -> 2,3 carry day-1's avg
+            (1, "2024-01-01 10:00:00", 10.0),
+            (1, "2024-01-01 12:00:00", 20.0),  # day avg 15.0
+            (1, "2024-01-04 09:00:00", 40.0),
+            # user 2: single day -> single spine row, no fills
+            (2, "2024-02-10 00:00:00", 7.0),
+        ]
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            rows, "user_id long, ts_s string, value double"
+        ).select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        )
+        got = {
+            (r.user_id, str(r.d)): (r.value_filled, r.is_observed)
+            for r in resample_daily_ffill(df).collect()
+        }
+        assert got == {
+            (1, "2024-01-01"): (15.0, True),
+            (1, "2024-01-02"): (15.0, False),
+            (1, "2024-01-03"): (15.0, False),
+            (1, "2024-01-04"): (40.0, True),
+            (2, "2024-02-10"): (7.0, True),
+        }
+        # per-key span: user 2 contributes exactly one row, not Jan-Feb
+        assert len(got) == 5
