@@ -3827,6 +3827,7 @@ FROM (
                         / n_chars ASC,
                         doc_id ASC) AS INT) AS sample_rank
     FROM documents
+    WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
 )
 WHERE sample_rank <= 5
 """,

@@ -276,6 +276,7 @@ def _alternating_star_components(
     (anti-join), two extra jobs per round — acceptable for a fallback
     that runs only after the primary loop's budget is spent.
     """
+    converged = False
     for _ in range(max_rounds):
         # -- large-star: (v, min(Γ⁺(u))) for every larger neighbor v of u --
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -314,8 +315,18 @@ def _alternating_star_components(
         # fixpoint: the canonical distinct edge sets are equal
         if e_new.count() == e.count() and e_new.subtract(e).isEmpty():
             e = e_new
+            converged = True
             break
         e = e_new
+    if not converged:
+        # a non-star-forest edge set would map vertices to intermediate
+        # labels — SILENT under-merging; fail loudly instead (the bound
+        # is O(log² n), so hitting it means a bug, not a big graph)
+        raise RuntimeError(
+            f"large-star/small-star did not reach its fixpoint in "
+            f"{max_rounds} rounds — this exceeds the algorithm's "
+            "O(log² n) bound; inspect the edge frame"
+        )
     # fixpoint edge set is a star forest: (root=u, member=v) per edge
     return e.select(F.col("v").alias("id"), F.col("u").alias("component"))
 

@@ -235,7 +235,11 @@ def weighted_sample(
     :func:`hash_bucket`, at full 32-bit resolution), so membership is a
     pure function of (seed, key, weight): no RNG state, identical across
     engines and re-runs, and P(row drawn first in its group) = wᵢ/Σw —
-    the textbook A-ES guarantee. Requires w > 0.
+    the textbook A-ES guarantee. Rows with NULL key, NULL weight, or
+    weight ≤ 0 are EXCLUDED up front: they have no defined race key, and
+    leaving them in would diverge cross-engine (Spark sorts NULL race
+    keys FIRST — silently winning rank 1 — where DuckDB sorts them
+    last).
 
     Float caveat (stated, not hand-waved): ln() may differ in the last
     ulp across libm implementations, so two rows whose race keys agree
@@ -250,20 +254,21 @@ def weighted_sample(
     since a bucket's local top-k superset property holds for any
     per-row ordering key).
     """
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:"), F.col(key).cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        + F.lit(0.5)
-    ) / F.lit(4294967296.0)
+    # hash_bucket at 2^32 buckets IS the raw 32-bit salted hash (the
+    # modulo is the identity there) — reuse it so a portability fix to
+    # the module's one hash kernel reaches every sampler
+    b = hash_bucket(
+        F.col(key).cast("string"), seed=seed, buckets=4294967296
+    )
+    u = (b + F.lit(0.5)) / F.lit(4294967296.0)
     race = -F.log(u) / F.col(weight_col)
     w = Window.partitionBy(group).orderBy(race.asc(), F.col(key).asc())
-    return df.withColumn(rank_col, F.row_number().over(w)).filter(
-        F.col(rank_col) <= k
+    return (
+        df.filter(
+            F.col(key).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
     )

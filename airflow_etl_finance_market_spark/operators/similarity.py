@@ -348,6 +348,42 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
     )
 
+def _hash_sample(
+    embeddings: DataFrame,
+    *,
+    cap: int,
+    seed_mod: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Bounded deterministic training sample shared by every quantizer
+    trainer (IVF centroids, PQ codebooks): ONE narrow Spark pass —
+    TakeOrderedAndProject on ``xxhash64(id)`` (partial top-k map-side, no
+    full sort) pulls ≤ ``cap`` vectors to the driver, with k-means seed
+    labels from ``pmod(xxhash64(id), seed_mod)``. Returns
+    ``(sample, seeds)`` numpy arrays (empty when the corpus is). The
+    driver-side state is parameter-bounded, never corpus-sized."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(
+            F.xxhash64(F.col(id_col)).alias("_h"),
+            F.col(id_col).alias("id"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(seed_mod)).alias("_seed"),
+            as_double(vec_col).alias("v"),
+        )
+        .orderBy("_h", "id")
+        .limit(cap)
+        .collect()
+    )
+    if not rows:
+        return np.empty((0, 0)), np.empty((0,), dtype=np.int64)
+    rows.sort(key=lambda r: (r["_h"], r["id"]))
+    sample = np.array([r["v"] for r in rows], dtype=np.float64)
+    seeds = np.array([r["_seed"] for r in rows], dtype=np.int64)
+    return sample, seeds
+
+
 def _ivf_centroids(
     embeddings: DataFrame,
     *,
@@ -378,23 +414,15 @@ def _ivf_centroids(
     """
     import numpy as np
 
-    cap = sample_per_cell * nlist
-    rows = (
-        embeddings.select(
-            F.xxhash64(F.col(id_col)).alias("_h"),
-            F.col(id_col).alias("id"),
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(nlist)).alias("_seed"),
-            as_double(vec_col).alias("v"),
-        )
-        .orderBy("_h", "id")
-        .limit(cap)
-        .collect()
+    sample, seeds = _hash_sample(
+        embeddings,
+        cap=sample_per_cell * nlist,
+        seed_mod=nlist,
+        id_col=id_col,
+        vec_col=vec_col,
     )
-    if not rows:
+    if not len(sample):
         return []
-    rows.sort(key=lambda r: (r["_h"], r["id"]))
-    sample = np.array([r["v"] for r in rows], dtype=np.float64)
-    seeds = np.array([r["_seed"] for r in rows], dtype=np.int64)
 
     live = sorted({int(s) for s in seeds})
     cents = np.stack([sample[seeds == c].mean(axis=0) for c in live])
@@ -702,34 +730,24 @@ def pq_codebooks(
 ) -> list[list[list[float]]]:
     """Deterministic PQ codebooks: the vector splits into ``m`` subspaces
     of dim/m dims; each subspace trains ``ksub`` L2 k-means codewords on
-    the SAME bounded hash-sample convention as :func:`_ivf_centroids`
-    (TakeOrderedAndProject on xxhash64(id), Lloyd iterations driver-local
-    in numpy, seeds from pmod(xxhash64(id), ksub), no RNG anywhere) — so
-    the codebooks are a pure function of the corpus and parameters,
-    reproducible across runs, sessions, and executor counts.
-
-    Driver-side state is parameter-bounded (``sample_per_code * ksub``
-    vectors + the m×ksub×dsub codebook floats), never corpus-sized.
+    the shared :func:`_hash_sample` convention (bounded deterministic
+    sample, Lloyd iterations driver-local in numpy, seeds from
+    pmod(xxhash64(id), ksub), no RNG anywhere) — a pure function of the
+    corpus and parameters, reproducible across runs, sessions, and
+    executor counts. Driver-side state is parameter-bounded
+    (``sample_per_code·ksub`` vectors + the m×ksub×dsub codebook floats).
     """
     import numpy as np
 
-    cap = sample_per_code * ksub
-    rows = (
-        embeddings.select(
-            F.xxhash64(F.col(id_col)).alias("_h"),
-            F.col(id_col).alias("id"),
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(ksub)).alias("_seed"),
-            as_double(vec_col).alias("v"),
-        )
-        .orderBy("_h", "id")
-        .limit(cap)
-        .collect()
+    sample, seeds = _hash_sample(
+        embeddings,
+        cap=sample_per_code * ksub,
+        seed_mod=ksub,
+        id_col=id_col,
+        vec_col=vec_col,
     )
-    if not rows:
+    if not len(sample):
         return []
-    rows.sort(key=lambda r: (r["_h"], r["id"]))
-    sample = np.array([r["v"] for r in rows], dtype=np.float64)
-    seeds = np.array([r["_seed"] for r in rows], dtype=np.int64)
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -798,8 +816,10 @@ def pq_index(
     iterations: int = 3,
     codebooks: list[list[list[float]]] | None = None,
     encoder: str = "arrow",
+    coarse_centroids: list[list[float]] | None = None,
 ) -> tuple[list[list[list[float]]], DataFrame]:
-    """Build the PQ index: (codebooks, codes frame (id, norm, codes)).
+    """Build the PQ index: (codebooks, codes frame (id, norm, codes[,
+    _cell])).
 
     THE 100 TB payoff: the scanned frame carries ``m`` small ints + one
     float per vector (~17 bytes at m=16) instead of dim×4 raw floats —
@@ -807,26 +827,32 @@ def pq_index(
     fits where the raw vectors never would. The exact norm is computed
     once here from the raw vector (it is the cosine denominator at query
     time and the raw vecs are NOT in the index frame). Persist the codes
-    frame or write it as a table; at scale compose with IVF (store
-    ``_cell`` from :func:`assign_cells_frame` alongside the codes and
-    partition by it) so queries prune to nprobe cells AND scan codes.
+    frame or write it as a table; ``coarse_centroids`` additionally
+    stamps each row's IVF cell IN THE SAME PASS (argmax dot,
+    smallest-cell tie-break — identical to
+    :func:`nearest_centroid_col`), which is how :func:`ivfpq_index`
+    builds the composed layout with ONE corpus scan; partition the
+    persisted table by that ``_cell``.
 
     ``encoder``: the one-off encode pass is m·ksub L2 argmins per row —
     batch linear algebra, exactly the shape Catalyst HOFs pay an
     interpreted-lambda constant for. ``"arrow"`` (default) runs it as a
     vectorized numpy ``mapInPandas`` stage (map-only, partitioning
-    preserved, self-contained closure; ~10× the HOF throughput — the
+    preserved, self-contained closure; ~7× the HOF throughput — the
     same (b)-tier justification as the multimodal codecs). ``"sql"`` is
-    the pure-Catalyst reference used differentially in tests. Both are
-    deterministic; a near-tie broken differently by summation order
-    cannot change refined RESULTS (the query path re-ranks candidates
-    on raw vectors), only candidate-set membership at the margin.
+    the pure-Catalyst reference used differentially in tests (its
+    ``_cell`` stamp composes :func:`assign_cells_frame` via an id join —
+    reference semantics, not the scale path). Both are deterministic;
+    a near-tie broken differently by summation order cannot change
+    refined RESULTS (the query path re-ranks candidates on raw
+    vectors), only candidate-set membership at the margin.
     """
     if codebooks is None:
         codebooks = pq_codebooks(
             embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
             iterations=iterations,
         )
+    id_type = dict(embeddings.dtypes)[id_col]
     if encoder == "sql":
         vec = as_double(vec_col)
         codes = fan_out(embeddings, id_col).select(
@@ -834,18 +860,34 @@ def pq_index(
             l2_norm(vec).alias("norm"),
             _pq_codes_col(vec, codebooks).alias("codes"),
         )
+        if coarse_centroids is not None:
+            cells = assign_cells_frame(
+                embeddings, coarse_centroids, id_col=id_col, vec_col=vec_col
+            ).select("id", "_cell")
+            codes = codes.join(cells, "id")
         return codebooks, codes
     if encoder != "arrow":
         raise ValueError(f"encoder must be 'arrow' or 'sql', got {encoder!r}")
     # plain nested lists: the closure must be self-contained (workers
     # unpickle without this repo on sys.path; locals pickle by value)
     books = [[list(map(float, c)) for c in cb] for cb in codebooks]
+    coarse = (
+        [list(map(float, c)) for c in coarse_centroids]
+        if coarse_centroids is not None
+        else None
+    )
+    out_schema = f"id {id_type}, norm double, codes array<int>"
+    if coarse is not None:
+        out_schema += ", _cell int"
 
     def _encode(batches):
         import numpy as np
         import pandas as pd
 
         cbs = [np.array(cb, dtype=np.float64) for cb in books]
+        cents = (
+            np.array(coarse, dtype=np.float64) if coarse is not None else None
+        )
         n_sub = len(cbs)
         d_sub = cbs[0].shape[1]
         for pdf in batches:
@@ -867,22 +909,105 @@ def pq_index(
                 ],
                 axis=1,
             )
-            yield pd.DataFrame(
-                {
-                    "id": pdf["_id"],
-                    "norm": norms,
-                    "codes": [r.tolist() for r in codes.astype("int32")],
-                }
-            )
+            out = {
+                "id": pdf["_id"],
+                "norm": norms,
+                "codes": [r.tolist() for r in codes.astype("int32")],
+            }
+            if cents is not None:
+                # argmax dot, first-index tie-break — matches
+                # nearest_centroid_col / assign_cells_frame
+                out["_cell"] = (X @ cents.T).argmax(axis=1).astype("int32")
+            yield pd.DataFrame(out)
 
     codes = (
         fan_out(embeddings, id_col)
         .select(
             F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
         )
-        .mapInPandas(_encode, "id long, norm double, codes array<int>")
+        .mapInPandas(_encode, out_schema)
     )
     return codebooks, codes
+
+
+def _pq_query_frame(qraw: DataFrame, codebooks: list[list[list[float]]]):
+    """(query_id, qvec, _tab, qnorm): the per-query ADC dot-tables (one
+    m×ksub array) + norm — the broadcast side of every PQ scan."""
+    dsub = len(codebooks[0][0])
+
+    def _table_for(j: int, cb: list[list[float]]):
+        # closure factory, NOT a default-arg lambda: F.transform treats a
+        # 2-arg callable as (element, index) and would hijack the default
+        sub = F.slice(F.col("qvec"), j * dsub + 1, dsub)
+        cb_lit = F.array(
+            *[F.array(*[F.lit(float(w)) for w in c]) for c in cb]
+        )
+        return F.transform(cb_lit, lambda c: dot(sub, c))
+
+    return qraw.select(
+        "query_id",
+        "qvec",
+        F.array(
+            *[_table_for(j, cb) for j, cb in enumerate(codebooks)]
+        ).alias("_tab"),
+        l2_norm(F.col("qvec")).alias("qnorm"),
+    )
+
+
+#: ADC score: Σⱼ table[j][code_j], normalized to approximate cosine.
+def _adc_sim():
+    lookup = F.zip_with(
+        F.col("codes"), F.col("_tab"), lambda c, t: F.element_at(t, c + 1)
+    )
+    adc = F.aggregate(lookup, F.lit(0.0), lambda acc, v: acc + v)
+    return adc / F.nullif(F.col("qnorm") * F.col("norm"), F.lit(0.0))
+
+
+def _adc_topk_refined(
+    scored: DataFrame,
+    embeddings: DataFrame,
+    qraw: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    refine: int,
+) -> DataFrame:
+    """Shared tail of every PQ query path: window-top-(refine·k) on the
+    ADC score, then the EXACT re-rank — candidates join back to the raw
+    vectors by id (refine·k·|queries| rows, never corpus-scale) and the
+    final cosine goes through the same kernel as brute force, so
+    returned scores are bit-equal to it."""
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("_adc_sim"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    raw = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nvec")
+    )
+    exact = (
+        cand.join(raw, "neighbor_id")
+        .join(F.broadcast(qraw), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
 
 
 def cosine_topk_pq(
@@ -905,93 +1030,36 @@ def cosine_topk_pq(
     corpus vector then scores as Σⱼ table[j][code_j] — an array lookup
     per subspace over the ~17-byte code rows, no raw vectors touched.
     The ADC top-``refine × k`` candidates per query are re-ranked EXACTLY
-    (join back to the raw vectors by id — refine·k·|queries| rows, never
-    corpus-scale), so the returned cosine values are bit-equal to the
-    brute-force kernel and only RECALL is approximate (0.92 at the
-    default parameters on the fixture corpus vs 0.16 un-refined — the
-    refine join is what makes PQ usable at this dimensionality).
+    (:func:`_adc_topk_refined`), so the returned cosine values are
+    bit-equal to the brute-force kernel and only RECALL is approximate
+    (0.96 at the default parameters on the fixture corpus vs 0.16
+    un-refined — the refine join is what makes PQ usable at this
+    dimensionality).
 
     Scale shape: codes scan is map-side against the broadcast query
     tables; one window top-R on the ADC score; the refine join touches
     R·|queries| corpus rows by id. Compose with IVF partitioning for
-    sub-linear scans (see :func:`pq_index`).
+    sub-linear scans (:func:`cosine_topk_ivfpq`).
     """
     if index is None:
         index = pq_index(
             embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
         )
     codebooks, codes = index
-    dsub = len(codebooks[0][0])
-    qraw = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
-    )
-
-    def _table_for(j: int, cb: list[list[float]]):
-        # closure factory, NOT a default-arg lambda: F.transform treats a
-        # 2-arg callable as (element, index) and would hijack the default
-        sub = F.slice(F.col("qvec"), j * dsub + 1, dsub)
-        cb_lit = F.array(
-            *[F.array(*[F.lit(float(w)) for w in c]) for c in cb]
-        )
-        return F.transform(cb_lit, lambda c: dot(sub, c))
-
-    tables = F.array(
-        *[_table_for(j, cb) for j, cb in enumerate(codebooks)]
-    )
-    q = qraw.select(
-        "query_id",
-        tables.alias("_tab"),
-        l2_norm(F.col("qvec")).alias("qnorm"),
-    )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("_tab"),
-            lambda c, t: F.element_at(t, c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    qraw = _queries(embeddings, query_ids, id_col, vec_col)
+    q = _pq_query_frame(qraw, codebooks)
     scored = (
-        codes.crossJoin(F.broadcast(q))
+        codes.crossJoin(F.broadcast(q.drop("qvec")))
         .filter(F.col("id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            (adc / F.nullif(F.col("qnorm") * F.col("norm"), F.lit(0.0))).alias(
-                "_adc_sim"
-            ),
+            _adc_sim().alias("_adc_sim"),
         )
     )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.desc("_adc_sim"), F.asc("neighbor_id")
-    )
-    cand = (
-        scored.withColumn("_r", F.row_number().over(w_adc))
-        .filter(F.col("_r") <= refine * k)
-        .select("query_id", "neighbor_id")
-    )
-    raw = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nvec")
-    )
-    exact = (
-        cand.join(raw, "neighbor_id")
-        .join(F.broadcast(qraw), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias(
-                "cosine_sim"
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    return _adc_topk_refined(
+        scored, embeddings, qraw, id_col=id_col, vec_col=vec_col,
+        k=k, refine=refine,
     )
 
 
@@ -1009,29 +1077,29 @@ def ivfpq_index(
     ``_cell`` column is the index table's partition key, so probing is
     partition pruning) and PQ bounds WHAT each scanned row costs (~17
     bytes of codes instead of raw floats). Returns
-    (centroids, codebooks, frame(_cell, id, norm, codes)).
+    (centroids, codebooks, frame(id, norm, codes, _cell)).
 
-    Both quantizers train on the same bounded deterministic hash-sample
-    machinery; the cell assignment reuses :func:`assign_cells_frame`'s
-    codegen kernel and the codes ride the default Arrow encoder. One
-    corpus pass builds the whole frame (cells and codes are both
-    map-side stamps over the same scan).
+    Both quantizers train on the shared bounded hash-sample machinery
+    (one sampling scan each, parameter-bounded driver state), and the
+    corpus is scanned ONCE: the Arrow encoder stamps cells and codes in
+    the same map-only pass (:func:`pq_index` ``coarse_centroids``).
     """
     centroids = _ivf_centroids(
         embeddings, nlist=nlist, id_col=id_col, vec_col=vec_col,
         iterations=2, sample_per_cell=256,
     )
-    codebooks = pq_codebooks(
-        embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+    codebooks, frame = pq_index(
+        embeddings,
+        m=m,
+        ksub=ksub,
+        id_col=id_col,
+        vec_col=vec_col,
+        codebooks=pq_codebooks(
+            embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+        ),
+        coarse_centroids=centroids,
     )
-    _, codes = pq_index(
-        embeddings, id_col=id_col, vec_col=vec_col, codebooks=codebooks
-    )
-    cells = fan_out(embeddings, id_col).select(
-        F.col(id_col).alias("id"),
-        nearest_centroid_col(as_double(vec_col), centroids).alias("_cell"),
-    )
-    return centroids, codebooks, codes.join(cells, "id")
+    return centroids, codebooks, frame
 
 
 def cosine_topk_ivfpq(
@@ -1050,30 +1118,20 @@ def cosine_topk_ivfpq(
     """Approximate top-k through the composed IVF+PQ index: prune to the
     ``nprobe`` nearest cells per query, ADC-score only those cells'
     code rows, exact-re-rank the top ``refine·k`` — the FAISS IVFPQ
-    recipe as three declarative stages. Same output schema and the same
-    exactness contract as :func:`cosine_topk_pq` (returned cosines are
-    bit-equal to brute force; recall is the approximation — 0.88 at
-    nprobe=8 on the fixture corpus vs PQ-flat's 0.96, the price of
-    scanning half the cells; nprobe is the recall/cost dial exactly as
-    in FAISS).
+    recipe as three declarative stages (probe-cell explode + the shared
+    :func:`_pq_query_frame` / :func:`_adc_topk_refined` machinery of
+    the flat PQ path). Same output schema and the same exactness
+    contract as :func:`cosine_topk_pq` (returned cosines are bit-equal
+    to brute force; recall is the approximation — 0.88 at nprobe=8 on
+    the fixture corpus vs PQ-flat's 0.96, the price of scanning half
+    the cells; nprobe is the recall/cost dial exactly as in FAISS).
     """
     if index is None:
         index = ivfpq_index(
             embeddings, id_col=id_col, vec_col=vec_col
         )
     centroids, codebooks, frame = index
-    dsub = len(codebooks[0][0])
-    qraw = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
-    )
-
-    def _table_for(j: int, cb: list[list[float]]):
-        sub = F.slice(F.col("qvec"), j * dsub + 1, dsub)
-        cb_lit = F.array(
-            *[F.array(*[F.lit(float(w)) for w in c]) for c in cb]
-        )
-        return F.transform(cb_lit, lambda c: dot(sub, c))
-
+    qraw = _queries(embeddings, query_ids, id_col, vec_col)
     clits = F.array(
         *[F.array(*[F.lit(float(w)) for w in c]) for c in centroids]
     )
@@ -1089,62 +1147,20 @@ def cosine_topk_ivfpq(
         1,
         nprobe,
     )
-    q = qraw.select(
-        "query_id",
-        F.array(
-            *[_table_for(j, cb) for j, cb in enumerate(codebooks)]
-        ).alias("_tab"),
-        l2_norm(F.col("qvec")).alias("qnorm"),
-        F.explode(probe_cells.getField("cell")).alias("_cell"),
-    )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("_tab"),
-            lambda c, t: F.element_at(t, c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    q = _pq_query_frame(qraw, codebooks).withColumn(
+        "_cell", F.explode(probe_cells.getField("cell"))
     )
     scored = (
-        F.broadcast(q)
+        F.broadcast(q.drop("qvec"))
         .join(frame, "_cell")
         .filter(F.col("id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            (adc / F.nullif(F.col("qnorm") * F.col("norm"), F.lit(0.0))).alias(
-                "_adc_sim"
-            ),
+            _adc_sim().alias("_adc_sim"),
         )
     )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.desc("_adc_sim"), F.asc("neighbor_id")
-    )
-    cand = (
-        scored.withColumn("_r", F.row_number().over(w_adc))
-        .filter(F.col("_r") <= refine * k)
-        .select("query_id", "neighbor_id")
-    )
-    raw = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nvec")
-    )
-    exact = (
-        cand.join(raw, "neighbor_id")
-        .join(F.broadcast(qraw), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias(
-                "cosine_sim"
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    return _adc_topk_refined(
+        scored, embeddings, qraw, id_col=id_col, vec_col=vec_col,
+        k=k, refine=refine,
     )

@@ -322,3 +322,22 @@ def test_weighted_sample_heavy_weight_dominates(spark):
         df, key="doc_id", weight_col="w", group="lang", k=1
     ).collect()
     assert [(r.doc_id, r.sample_rank) for r in top] == [(0, 1)]
+
+
+def test_weighted_sample_excludes_null_and_nonpositive_weights(spark):
+    """NULL race keys would sort FIRST in Spark and LAST in DuckDB — the
+    operator must exclude undefined-weight rows up front rather than
+    silently hand them rank 1."""
+    from airflow_etl_finance_market_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g", None), (2, "g", 0.0), (3, "g", -4.0), (4, "g", 5.0),
+         (5, "g", 1.0), (None, "g", 9.0)],
+        "doc_id long, lang string, w double",
+    )
+    out = weighted_sample(
+        df, key="doc_id", weight_col="w", group="lang", k=10
+    ).collect()
+    assert sorted(r.doc_id for r in out) == [4, 5]

@@ -561,3 +561,32 @@ class TestProductQuantization:
             key = (r["query_id"], r["neighbor_id"])
             if key in exact_map:
                 assert r["cosine_sim"] == exact_map[key]
+
+    def test_arrow_encoder_supports_non_long_ids(self, spark, sf_dir):
+        """The Arrow encoder's output schema derives the id type from the
+        input — a string id corpus must encode, not fail at Arrow
+        conversion."""
+        from airflow_etl_finance_market_spark.operators.similarity import (
+            pq_index,
+        )
+
+        emb = load_fixture(spark, sf_dir, "embeddings").select(
+            F.concat(F.lit("v"), F.col("vec_id")).alias("vec_id"),
+            "embedding",
+        )
+        _, codes = pq_index(emb, m=16, ksub=16)
+        rows = codes.limit(5).collect()
+        assert all(isinstance(r.id, str) and r.id.startswith("v") for r in rows)
+
+    def test_ivfpq_build_is_single_corpus_pass(self, spark, sf_dir):
+        """Cells and codes must be stamped in ONE map-only Arrow stage:
+        no join in the build plan, exactly one Python worker stage."""
+        from airflow_etl_finance_market_spark.operators.similarity import (
+            ivfpq_index,
+        )
+
+        emb = load_fixture(spark, sf_dir, "embeddings")
+        _, _, frame = ivfpq_index(emb)
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert plan.count("MapInPandas") == 1
