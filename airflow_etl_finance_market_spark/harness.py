@@ -144,6 +144,13 @@ _WINDOW_DEMOTED = [
     # multi-agg shape stays in-window via pricing_summary and
     # ticker_metrics; staleness 2 -> r06 must rotate).
     "market_overview",
+    # hll_user_rollup + order_price_percent_rank (new, never verified ->
+    # must be live) take the slots of r03-green ticker_report_stats and
+    # recent_extract (both untouched; the A4-A7 multi-agg family stays
+    # in-window via ticker_metrics, sort/LIMIT via top_avg_volatility;
+    # staleness 2 -> r06 must rotate).
+    "ticker_report_stats",
+    "recent_extract",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -4344,3 +4351,82 @@ def q_events_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.asof import resample_daily_ffill
 
     return resample_daily_ffill(load_fixture(spark, sf_dir, "events"))
+
+
+@register(
+    "hll_user_rollup",
+    """
+SELECT COUNT(DISTINCT ts::DATE) AS n_days,
+       COUNT(DISTINCT user_id) AS exact_users,
+       true AS merged_ok,
+       true AS daily_ok
+FROM events
+""",
+)
+def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup HARD GATE (plans/analytics.py
+    hll_daily_user_sketches + hll_rollup_estimate): per-day DataSketches
+    HLL sketches are the stored intermediate; the all-time distinct-user
+    estimate comes from MERGING the daily sketches — never rescanning
+    events — and must land within 5% (3×rse at lgK=12) of the exact
+    count, per-day estimates too. The oracle PREDICTS n_days and
+    exact_users from first principles; sketch-accuracy drift flips the
+    booleans red. At 100 TB only the daily sketch build touches raw
+    data, once."""
+    from .plans.analytics import hll_daily_user_sketches, hll_rollup_estimate
+
+    ev = load_fixture(spark, sf_dir, "events")
+    sketches = hll_daily_user_sketches(ev).persist()
+    try:
+        merged = hll_rollup_estimate(sketches).first()["users_est"]
+        exact = ev.select(
+            F.countDistinct("user_id").alias("n"),
+            F.countDistinct(F.col("ts").cast("date")).alias("d"),
+        ).first()
+        daily_exact = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+            F.countDistinct("user_id").alias("n")
+        )
+        worst = (
+            sketches.join(daily_exact, "d")
+            .select(
+                (F.abs(F.col("users_est") - F.col("n")) / F.col("n")).alias(
+                    "err"
+                )
+            )
+            .agg(F.max("err"))
+            .first()[0]
+        )
+    finally:
+        sketches.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                exact["d"],
+                exact["n"],
+                abs(merged - exact["n"]) / exact["n"] <= 0.05,
+                worst <= 0.05,
+            )
+        ],
+        "n_days long, exact_users long, merged_ok boolean, daily_ok boolean",
+    )
+
+
+@register(
+    "order_price_percent_rank",
+    """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_order_price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions (plans/analytics.py
+    price_rank_distribution): percent_rank + cume_dist per priority
+    class — the distribution-position family no other entry exercises,
+    deterministic under the (price, orderkey) tiebreak, one window
+    shuffle for both functions."""
+    from .plans.analytics import price_rank_distribution
+
+    return price_rank_distribution(load_fixture(spark, sf_dir, "orders"))

@@ -10,7 +10,7 @@ plan below is fully inside WholeStageCodegen between exchanges.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.scoring import minmax_scale, weighted_score
@@ -345,4 +345,54 @@ def qty_cube(lineitem: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
         )
+    )
+
+
+def hll_daily_user_sketches(
+    events: DataFrame, *, key: str = "user_id", ts: str = "ts", lgk: int = 12
+) -> DataFrame:
+    """(d, sketch, users_est) — one Apache DataSketches HLL per day: the
+    STORED mergeable intermediate of the distinct-count rollup pattern.
+    approx_count_distinct gives a one-shot estimate; this materializes
+    the sketch itself (a ≤ 2^lgk-byte binary), so a 100 TB event history
+    aggregates to one tiny sketch row per (day) ONCE, and every coarser
+    rollup — weekly, monthly, all-time, any ad-hoc slice union — merges
+    stored sketches via :func:`hll_rollup_estimate` WITHOUT rescanning
+    raw events. lgK=12 ⇒ relative standard error ~1.6%.
+    """
+    return (
+        events.groupBy(F.col(ts).cast("date").alias("d"))
+        .agg(F.hll_sketch_agg(key, F.lit(lgk)).alias("sketch"))
+        .withColumn("users_est", F.hll_sketch_estimate("sketch"))
+    )
+
+
+def hll_rollup_estimate(
+    sketches: DataFrame, *, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge stored HLL sketches to any coarser grain — the rollup that
+    never touches raw data. Union of sketches = sketch of the union
+    (the algebraic property that makes pre-aggregation sound for
+    DISTINCT, which plain counts famously lack)."""
+    agg = F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("users_est")
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(agg)
+    return sketches.agg(agg)
+
+
+def price_rank_distribution(orders: DataFrame) -> DataFrame:
+    """Relative standing of every order's price within its priority class:
+    percent_rank ((rank-1)/(n-1) — identical closed form in every
+    engine) and cume_dist, deterministic under the (price, orderkey)
+    tiebreak, rounded at the presentation edge. One window shuffle on
+    the priority key; both functions ride the SAME sort."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
