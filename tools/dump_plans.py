@@ -50,10 +50,15 @@ NAMES = [
     "ticker_stats_unpivot",
     # round 5: degree-oriented triangle enumeration (wedge self-join with
     # the degree stamp bounding per-vertex fan-out), A-ES weighted
-    # sampling (map-side race key + one group exchange), and pairwise
-    # return correlation (broadcast top-N gate + day-keyed self-join)
+    # sampling (map-side race key + one group exchange), pairwise return
+    # correlation (broadcast top-N gate + day-keyed self-join),
+    # one-pass duplicate-span detection (single Generate + window, no
+    # joins), per-user funnel reach times (user-keyed shrinking joins),
+    # calendar gap-fill (sequence spine + IGNORE NULLS last_value), and
+    # percent_rank/cume_dist (one shared window sort)
     "doc_near_dup_triangles_degree", "doc_weighted_sample",
-    "ticker_pair_correlation",
+    "ticker_pair_correlation", "doc_duplicate_spans", "user_funnel_times",
+    "events_daily_ffill", "order_price_percent_rank",
 ]
 
 
