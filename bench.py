@@ -275,6 +275,11 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         # twin — the gate's full cost); the amortized per-query number is
         # ann_pq_query below
         "ann_pq": lambda: _noop(qs["embedding_topk_pq"](spark, x10)),
+        # composed IVF+PQ cold: both quantizer trainings + the one-pass
+        # cell+code encode + nprobe-pruned ADC + exact refine
+        "ann_ivfpq": lambda: _noop(
+            S.cosine_topk_ivfpq(emb, list(range(5)), k=5)
+        ),
         # round-3 corpus operators at x10
         "tfidf_top_terms": lambda: _noop(qs["doc_tfidf_top_terms"](spark, x10)),
         "seq_packing": lambda: _noop(qs["doc_seq_packing"](spark, x10)),
