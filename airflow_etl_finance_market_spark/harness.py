@@ -4398,15 +4398,16 @@ def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         sketches.unpersist()
+    # degenerate inputs (empty fixture, all-NULL user ids) must flip the
+    # gate RED, not crash it with a ZeroDivision/None comparison
+    merged_ok = (
+        merged is not None
+        and bool(exact["n"])
+        and abs(merged - exact["n"]) / exact["n"] <= 0.05
+    )
+    daily_ok = worst is not None and worst <= 0.05
     return spark.createDataFrame(
-        [
-            (
-                exact["d"],
-                exact["n"],
-                abs(merged - exact["n"]) / exact["n"] <= 0.05,
-                worst <= 0.05,
-            )
-        ],
+        [(exact["d"], exact["n"], merged_ok, daily_ok)],
         "n_days long, exact_users long, merged_ok boolean, daily_ok boolean",
     )
 

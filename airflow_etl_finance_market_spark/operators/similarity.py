@@ -477,12 +477,13 @@ def assign_cells_frame(
     )
 
 
-def nearest_centroid_col(vec_col, centroids: list[list[float]]):
-    """argmax-dot cell id against broadcast-literal centroids (map-only).
+def nearest_cells(vec_col, centroids: list[list[float]], n: int = 1):
+    """Top-``n`` nearest cell ids (argmax dot, smallest-cell tie-break)
+    as an array — the ONE centroid-ranking kernel behind single-cell
+    assignment (n=1) and every nprobe probe side.
 
     Dot (not L2) is the IVF-flat-IP convention and matches the cosine
     re-rank after per-vector normalization is folded into the score.
-
     The argmax is a sort-of-structs over ONE dots array — a chained
     when(d > best, ...) fold would nest each step's tree inside the next
     (2^nlist expression blowup; the analyzer hangs before the job starts).
@@ -496,7 +497,12 @@ def nearest_centroid_col(vec_col, centroids: list[list[float]]):
             lambda d, i: F.struct((-d).alias("negd"), i.alias("cell")),
         )
     )
-    return F.element_at(ranked, 1).getField("cell")
+    return F.slice(ranked, 1, n).getField("cell")
+
+
+def nearest_centroid_col(vec_col, centroids: list[list[float]]):
+    """argmax-dot cell id (:func:`nearest_cells` at n=1, unwrapped)."""
+    return F.element_at(nearest_cells(vec_col, centroids, 1), 1)
 
 
 def ivf_index(
@@ -569,27 +575,16 @@ def cosine_topk_ivf(
     # Query side is a filtered branch of the index (cache/pushdown-friendly,
     # like the LSH query path); the handful of centroid dots per query row
     # stay in single-expression HOF form — interpreted, but O(queries).
-    clits = F.array(*[F.array(*[F.lit(float(w)) for w in c]) for c in centroids])
     q = assigned.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
     )
-    cell_dots = F.transform(clits, lambda c: dot(c, F.col("qvec")))
-    probe_cells = F.slice(
-        F.array_sort(
-            F.zip_with(
-                cell_dots,
-                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                lambda d, i: F.struct((-d).alias("negd"), i.alias("cell")),
-            )
-        ),
-        1,
-        nprobe,
-    )
     q = q.select(
         "query_id", "qvec", "qnorm",
-        F.explode(probe_cells.getField("cell")).alias("_cell"),
+        F.explode(
+            nearest_cells(F.col("qvec"), centroids, nprobe)
+        ).alias("_cell"),
     )
     scored = (
         F.broadcast(q)
@@ -1094,9 +1089,6 @@ def ivfpq_index(
         ksub=ksub,
         id_col=id_col,
         vec_col=vec_col,
-        codebooks=pq_codebooks(
-            embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
-        ),
         coarse_centroids=centroids,
     )
     return centroids, codebooks, frame
@@ -1132,23 +1124,8 @@ def cosine_topk_ivfpq(
         )
     centroids, codebooks, frame = index
     qraw = _queries(embeddings, query_ids, id_col, vec_col)
-    clits = F.array(
-        *[F.array(*[F.lit(float(w)) for w in c]) for c in centroids]
-    )
-    cell_dots = F.transform(clits, lambda c: dot(c, F.col("qvec")))
-    probe_cells = F.slice(
-        F.array_sort(
-            F.zip_with(
-                cell_dots,
-                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                lambda d, i: F.struct((-d).alias("negd"), i.alias("cell")),
-            )
-        ),
-        1,
-        nprobe,
-    )
     q = _pq_query_frame(qraw, codebooks).withColumn(
-        "_cell", F.explode(probe_cells.getField("cell"))
+        "_cell", F.explode(nearest_cells(F.col("qvec"), centroids, nprobe))
     )
     scored = (
         F.broadcast(q.drop("qvec"))
