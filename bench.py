@@ -305,6 +305,11 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         "containment_lsh": lambda: _noop(
             D.minhash_containment_pairs(docs, threshold=0.5)
         ),
+        # r05: one-pass duplicate-span stats (md5-hashed spans, window
+        # cardinality — the substring-dedup signal) at 50k docs
+        "dup_spans": lambda: _noop(
+            D.duplicate_span_stats(docs, span_tokens=10)
+        ),
     }
 
     def best_of_2(thunk, *, cold: bool = False) -> float:

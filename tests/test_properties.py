@@ -247,3 +247,108 @@ def test_containment_bounds_and_dominates_jaccard(spark, rows):
         jac = inter / len(a | b) if a | b else 0.0
         # emitted containment is ROUND(...,6): allow the rounding quantum
         assert r.containment >= jac - 5e-7 or inter == 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 5),           # user
+            st.integers(0, 50),          # ts seconds
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_funnel_batch_matches_python_state_machine(spark, events):
+    """Property: for ANY event multiset (duplicate timestamps included),
+    the declarative chained-join funnel equals a per-user earliest-event
+    state machine replayed in Python with strict-after semantics."""
+    from airflow_etl_finance_market_spark.streaming.stateful import (
+        funnel_stateful,
+    )
+
+    steps = ["view", "click", "purchase"]
+    df = spark.createDataFrame(
+        [(u, t, e) for u, t, e in events] or [(99, 0, "noop")],
+        "user_id long, ts_s long, event_type string",
+    ).select(
+        "user_id", F.timestamp_seconds("ts_s").alias("ts"), "event_type"
+    )
+    got = {
+        (r.user_id, r.step_idx, int(r.reached_at.timestamp()))
+        for r in funnel_stateful(df, tuple(steps)).collect()
+    }
+
+    expect = set()
+    by_user = {}
+    for u, t, e in sorted(events, key=lambda x: (x[0], x[1])):
+        by_user.setdefault(u, []).append((t, e))
+    for u, evs in by_user.items():
+        # chained earliest-event semantics: step k's reach time is the
+        # MIN ts of a step-k event strictly after step k-1's reach time
+        last = None
+        for i, step in enumerate(steps, start=1):
+            cands = [
+                t
+                for t, e in evs
+                if e == step and (last is None or t > last)
+            ]
+            if not cands:
+                break
+            last = min(cands)
+            expect.add((u, i, last))
+    assert got == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 200),                    # doc id
+            st.sampled_from(["a", "b"]),            # group
+            st.integers(1, 1000),                   # weight
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+    k=st.integers(1, 6),
+)
+def test_weighted_sample_matches_python_replay(spark, rows, k):
+    """Property: A-ES selection equals the Python replay of the identical
+    md5-derived race keys for any id/weight mix."""
+    import hashlib
+    import math
+
+    from airflow_etl_finance_market_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, float(w)) for i, g, w in rows],
+        "doc_id long, g string, w double",
+    )
+    got = {
+        (r.g, r.doc_id, r.sample_rank)
+        for r in weighted_sample(
+            df, key="doc_id", weight_col="w", group="g", k=k
+        ).collect()
+    }
+
+    def race(doc_id, w):
+        b = int(
+            hashlib.md5(f"seed42:{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        return -math.log((b + 0.5) / 4294967296.0) / w
+
+    expect = set()
+    for g in {r[1] for r in rows}:
+        members = sorted(
+            (r for r in rows if r[1] == g),
+            key=lambda r: (race(r[0], r[2]), r[0]),
+        )
+        for i, r in enumerate(members[:k], start=1):
+            expect.add((g, r[0], i))
+    assert got == expect
