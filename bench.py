@@ -61,8 +61,12 @@ ingest block ran best-of-2 while every other tier runs best-of-3; both
 ingest paths now take 3 trials, closing the one place a single stall
 could still print as a regression. Two NEW headline entries
 (ticker_pair_correlation, doc_weighted_sample) grow the headline total
-by construction, and a markets_x10 section (10x lineitem, ~6M rows)
-gives the market tier the same scaling evidence as the corpus tier.
+by construction, and markets_x10 (10x lineitem, ~6M rows) + events_x10
+(10x USER cardinality, 1M rows — the dimension the user-keyed
+funnel/retention/ffill shuffles scale on; all five entries 0.5-1.2 s)
+give the market and event tiers the same scaling evidence as the
+corpus tier. corpus_x10 additionally gains ann_pq / ann_ivfpq /
+ann_pq_query / dup_spans.
 """
 
 from __future__ import annotations
@@ -221,6 +225,55 @@ def markets_x10_section(
         best = float("inf")
         for _ in range(2):
             df = qs[name](spark, x10m)
+            t0 = _time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, _time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out, n_rows
+
+
+#: Event-tier entries timed against a 10x events fixture: 10x the USER
+#: cardinality (each copy shifts user_id), the dimension that stresses the
+#: user-keyed shuffles funnels/retention/ffill are built on.
+EVENTS_X10 = [
+    "user_funnel_times",
+    "user_retention_cohorts",
+    "event_transition_matrix",
+    "top_event_trigrams",
+    "events_daily_ffill",
+]
+
+
+def build_x10_events_fixture(spark, tmp: str) -> tuple[str, int]:
+    from pyspark.sql import functions as F
+
+    from airflow_etl_finance_market_spark.sources.readers import load_fixture
+
+    x10e = f"{tmp}/x10e"
+    copies = spark.range(10).withColumnRenamed("id", "copy")
+    ev = load_fixture(spark, SF_DIR, "events")  # nanos handled -> NTZ ts
+    (
+        ev.crossJoin(copies)
+        .withColumn("user_id", F.col("user_id") + F.col("copy") * X10_LIFT)
+        .withColumn("event_id", F.col("event_id") + F.col("copy") * X10_LIFT)
+        .drop("copy")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{x10e}/events.parquet")
+    )
+    n = spark.read.parquet(f"{x10e}/events.parquet").count()
+    return x10e, n
+
+
+def events_x10_section(spark, qs, tmp: str) -> tuple[dict[str, float], int]:
+    import time as _time
+
+    x10e, n_rows = build_x10_events_fixture(spark, tmp)
+    out: dict[str, float] = {}
+    for name in EVENTS_X10:
+        best = float("inf")
+        for _ in range(2):
+            df = qs[name](spark, x10e)
             t0 = _time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, _time.perf_counter() - t0)
@@ -433,6 +486,10 @@ def main() -> None:
             mx, n_li = markets_x10_section(spark, qs, tmp)
             payload["markets_x10"] = mx
             payload["markets_x10_rows"] = {"lineitem": n_li}
+        with tempfile.TemporaryDirectory() as tmp:
+            ex, n_ev = events_x10_section(spark, qs, tmp)
+            payload["events_x10"] = ex
+            payload["events_x10_rows"] = {"events": n_ev}
 
     print(json.dumps(payload))
 
