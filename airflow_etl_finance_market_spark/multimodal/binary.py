@@ -9,7 +9,12 @@ Spark-side plumbing here is real and tested — schema, Arrow-batched
   full filter-0–4 unfiltering, nearest-neighbor resize, re-encode), so
   decode/resize round-trip actual pixels even in this bare container.
 - **Other formats** (JPEG/WebP/audio/video) need Pillow/libav — detected
-  at call time; absent, they raise NotImplementedError (the honest seam).
+  at call time. The single-payload probe :func:`decode_image` raises
+  NotImplementedError without them (the honest seam, loud for a caller
+  holding one payload); the FRAME-level real paths instead QUARANTINE —
+  corrupt, truncated, or unsupported payloads become NULL-featured /
+  dropped rows, because one bad byte string in a media crawl must never
+  fail the task.
 - The deterministic FAKE codec (``use_fake_codec=True``, default for the
   harness entries) stays available because its arithmetic is mirrorable
   in a SQL oracle — the driver-checkable twin the real codec can't be.
@@ -258,7 +263,12 @@ def extract_binary_features(
     else:
         _png_size, *_ = _stdlib_png_codec()
 
-        def decode(payload: bytes) -> tuple[int, int]:
+        def decode(payload: bytes):
+            # QUARANTINE posture, not job death: a 100 TB media crawl
+            # always contains truncated/corrupt payloads, and one bad
+            # byte string must yield a NULL-featured row (filterable
+            # downstream), never fail the task. Unsupported formats
+            # (non-PNG without Pillow) quarantine the same way.
             try:
                 import io
 
@@ -267,11 +277,14 @@ def extract_binary_features(
                 return Image.open(io.BytesIO(payload)).size
             except ImportError:
                 pass
-            if payload[:8] == b"\x89PNG\r\n\x1a\n":
-                return _png_size(payload)
-            raise NotImplementedError(
-                "non-PNG image decoding requires Pillow on the workers"
-            )
+            except Exception:
+                return None
+            try:
+                if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    return _png_size(payload)
+            except Exception:
+                return None
+            return None
 
         def sniff(payload: bytes) -> str:
             return (
@@ -448,7 +461,14 @@ def resize_images(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:  # undecodable media: dropped, not crash
                     continue
-                out_payloads.append(resize_one(payload))
+                try:
+                    resized = resize_one(payload)
+                except Exception:
+                    # corrupt/truncated/unsupported payloads quarantine
+                    # (row dropped) — one bad byte string in a media
+                    # crawl must never fail the task
+                    continue
+                out_payloads.append(resized)
                 ids.append(doc_id)
             yield pd.DataFrame(
                 {

@@ -442,6 +442,42 @@ class TestRealPngCodec:
         r = extract_binary_features(media, use_fake_codec=False).collect()[0]
         assert (r.width, r.height, r.mime) == (5, 4, "image/png")
 
+    def test_real_path_quarantines_corrupt_payloads(self, spark):
+        """A media crawl always contains garbage: corrupt/truncated/
+        unsupported payloads must become NULL-featured rows (features) or
+        dropped rows (resize) — never a task failure."""
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            extract_binary_features,
+            resize_images,
+        )
+
+        _, _, png_encode, _ = self._codec()
+        good = png_encode(3, 3, 3, bytes(27))
+        truncated = good[: len(good) // 2]
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(good)),
+                (2, bytearray(truncated)),
+                (3, bytearray(b"GIF89a not a png")),
+                (4, None),
+            ],
+            "doc_id long, payload binary",
+        )
+        feats = {
+            r.doc_id: (r.width, r.mime)
+            for r in extract_binary_features(
+                media, use_fake_codec=False
+            ).collect()
+        }
+        assert feats[1] == (3, "image/png")
+        assert feats[2][0] is None or feats[2][0] == 3  # header may parse
+        assert feats[3] == (None, "application/octet-stream")
+        assert feats[4] == (None, None)
+        resized = resize_images(
+            media, target_w=4, target_h=4, use_fake_codec=False
+        ).collect()
+        assert [r.doc_id for r in resized] == [1]  # garbage quarantined
+
     def test_pillow_path_parity_when_installed(self):
         """Gated on Pillow: the C path must agree with the stdlib codec on
         size and (filter-0 input) pixels. Skips in bare containers."""
