@@ -60,97 +60,98 @@ def register(name: str, oracle: str | None = None):
 #: test_demoted_entries_within_staleness_budget, so a forgotten rotation
 #: fails the suite, not the judge.
 #:
-#: Round-5 rotation: ALL 46 entries whose last row was r01-r03 (including
-#: the three behind round-4 kernel rewrites: doc_jaccard_near_dups,
-#: doc_token_stats, curated_corpus) re-enter the window. Demoted: 45 of
-#: the 50 freshly-r04-green entries — the five r04 entries staying live
-#: are the two streaming hard gates plus the three whose code changed
-#: this round (doc_lang_rebalance: threshold floor; doc_dedup_clusters:
-#: CC star fallback; doc_near_dup_triangles: orientation refactor) — and
-#: 4 r03-green held-overs (purchase_attribution, simhash_near_dups,
-#: term_frequencies, user_sessions: untouched code, strong pytest
-#: coverage, staleness 2 at r05 -> MUST rotate in by r06) freeing slots
-#: for the three new round-5 entries (doc_near_dup_triangles_degree,
-#: doc_weighted_sample, ticker_pair_correlation).
+#: Round-6 rotation (per the r05 verdict's #1): the 11 r03-green entries
+#: at the staleness boundary (market_overview, ticker_report_stats,
+#: recent_extract, brand_scores, purchase_attribution, user_sessions,
+#: simhash_near_dups, top_docs_per_lang, term_frequencies,
+#: embedding_centroids, split_balance) ALL re-enter the window — with the
+#: fixed trail->budget condition they are legal today (trail 2 at r05)
+#: but become offenders the moment CORRECTNESS_r06.json lands. Four
+#: r05-green entries re-enter under rule 2 (depended-on code changed
+#: this round): streaming_funnel_ooo + user_funnel_times (funnel
+#: completed-key retirement, streaming/stateful.py), embedding_topk_pq
+#: (empty-corpus guard in pq_index, operators/similarity.py),
+#: multimodal_features (JPEG support in the decode_image codec factory,
+#: multimodal/binary.py). streaming_pct_change_reordered stays demoted:
+#: the stateful.py change is confined to funnel_stateful (function-level
+#: granularity; pct_change code path untouched, its retirement test
+#: still pins behavior). The remaining 35 live slots go to the oldest
+#: cohort: 35 of the 45 r04-green entries. Demoted: the other 46
+#: r05-green entries (trail 1 at r06 — due r07/r08) plus 10 r04-green
+#: holdovers (trail 2 at r06 -> MUST rotate by r07; each has untouched
+#: code, pytest coverage, and an in-window family sibling — e.g.
+#: qty_cube via qty_rollup's r05 row, trailing_7d_avg_price via
+#: rolling_close_avg, doc_pii_redaction via the text-function tier).
 _WINDOW_DEMOTED = [
-    # --- r04-green, rotated out for re-verification cadence (45) ---
-    "weekly_volatility",
-    "customers_without_big_orders",
-    "quality_gate",
-    "doc_lang_id",
-    "minhash_lsh_near_dups",
-    "embedding_topk_ivf",
-    "doc_chunks",
-    "doc_repetition_stats",
-    "doc_contamination",
-    "doc_tfidf_top_terms",
-    "doc_seq_packing",
-    "doc_winnow_fingerprints",
-    "doc_stratified_sample",
-    "reorder_within_30d",
-    "doc_unigram_logprob",
-    "doc_incremental_probe",
-    "doc_bm25_topk",
-    "doc_pii_redaction",
-    "qty_cube",
-    "event_funnel",
-    "user_retention_cohorts",
-    "event_value_outliers",
-    "doc_inverted_index",
-    "term_pmi_pairs",
-    "doc_bigram_logprob",
-    "doc_edit_distance_near_dups",
-    "view_click_attribution",
+    # --- r05-green, rotated out for re-verification cadence (46) ---
+    "top_avg_volatility",
+    "pricing_summary",
+    "ticker_metrics",
+    "volume_leaders",
+    "segment_balance",
+    "distinct_counts",
+    "star_revenue",
+    "customers_with_big_orders",
+    "dim_instrumento",
+    "dim_tempo",
+    "quality_gate_exact",
+    "fk_orphan_check",
+    "returnflag_correlation",
+    "latest_event_per_user",
+    "events_json_kpi",
+    "doc_exact_dedup",
+    "doc_token_stats",
+    "doc_jaccard_near_dups",
+    "embedding_topk",
+    "embedding_near_dups",
+    "sql_api_nation_rank",
+    "rolling_close_avg",
+    "qty_rollup",
+    "customer_set_ops",
+    "price_percentiles",
+    "status_flag_pivot",
+    "windowed_event_kpis",
+    "embedding_topk_lsh",
+    "approx_event_stats",
+    "pricey_parts_vs_brand_avg",
+    "customer_order_coverage",
+    "top_performers",
+    "curated_corpus",
+    "train_test_split",
+    "streaming_pct_change_vol",
+    "streaming_pct_change_reordered",
+    "doc_dedup_clusters",
+    "doc_near_dup_triangles",
+    "doc_lang_rebalance",
+    "doc_near_dup_triangles_degree",
+    "doc_weighted_sample",
+    "ticker_pair_correlation",
+    "doc_duplicate_spans",
+    "events_daily_ffill",
+    "hll_user_rollup",
+    "order_price_percent_rank",
+    # --- r04-green held over ONE round (trail 2 at r06; r07 must rotate) ---
+    # doc_length_deciles frees the slot for the NEW embedding_topk_ivfpq
+    # audit gate (never driver-verified -> must be live); its ntile shape
+    # keeps in-window coverage via order_price_percent_rank's window tier.
     "doc_length_deciles",
-    "embedding_quantization",
-    "price_trend_regression",
-    "doc_containment_pairs",
-    "event_transition_matrix",
-    "customer_tier_scd2",
-    "trailing_7d_avg_price",
-    "doc_token_entropy",
-    "corpus_lang_source_chi2",
-    "top_event_trigrams",
+    # multimodal_frame_sample frees the slot for the NEW
+    # weekly_activity_panel composition entry (never driver-verified ->
+    # must be live); the frame sampler's video path is untouched this
+    # round and the 1->N Arrow generator contract keeps pytest coverage,
+    # while the CHANGED image-codec path re-enters via
+    # multimodal_features above.
     "multimodal_frame_sample",
-    "regional_supplier_volume",
-    "ohlcv_weekly_bars",
-    "ticker_max_drawdown",
-    "ticker_beta",
-    "doc_source_quota_sample",
-    "part_supplier_pagerank",
+    "qty_cube",
+    "customer_tier_scd2",
+    "view_click_attribution",
+    "event_value_outliers",
+    "price_trend_regression",
+    "corpus_lang_source_chi2",
     "ticker_stats_unpivot",
-    # --- r03-green held over ONE round (staleness 2; r06 must rotate) ---
-    "purchase_attribution",
-    "simhash_near_dups",
-    "term_frequencies",
-    "user_sessions",
-    # doc_duplicate_spans (new, never verified -> must be live) takes the
-    # slot of r03-green embedding_centroids (untouched code, pytest +
-    # oracle-parity coverage; staleness 2 at r05 -> r06 must rotate).
-    "embedding_centroids",
-    # embedding_topk_pq (new audit gate, never verified -> must be live)
-    # takes the slot of r03-green top_docs_per_lang (untouched code;
-    # window-ranking shape stays in-window via doc_tfidf_top_terms;
-    # staleness 2 at r05 -> r06 must rotate).
-    "top_docs_per_lang",
-    # user_funnel_times + streaming_funnel_ooo (new, never verified ->
-    # must be live) take the slots of r03-green split_balance and
-    # brand_scores (both untouched; split/scoring families keep their
-    # pytest + sibling-entry coverage; staleness 2 -> r06 must rotate).
-    "split_balance",
-    "brand_scores",
-    # events_daily_ffill (new, never verified -> must be live) takes the
-    # slot of r03-green market_overview (untouched; its single-row
-    # multi-agg shape stays in-window via pricing_summary and
-    # ticker_metrics; staleness 2 -> r06 must rotate).
-    "market_overview",
-    # hll_user_rollup + order_price_percent_rank (new, never verified ->
-    # must be live) take the slots of r03-green ticker_report_stats and
-    # recent_extract (both untouched; the A4-A7 multi-agg family stays
-    # in-window via ticker_metrics, sort/LIMIT via top_avg_volatility;
-    # staleness 2 -> r06 must rotate).
-    "ticker_report_stats",
-    "recent_extract",
+    "doc_pii_redaction",
+    "reorder_within_30d",
+    "trailing_7d_avg_price",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -4153,6 +4154,85 @@ def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_topk_ivfpq",
+    """
+SELECT CAST(5 AS BIGINT) AS n_queries,
+       CAST(25 AS BIGINT) AS n_exact_pairs,
+       true AS recall_ok,
+       true AS scores_exact
+""",
+)
+def q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF∘PQ composed approximate top-k with exact refine
+    (operators/similarity.cosine_topk_ivfpq) — the self-described
+    PRODUCTION ANN layout: the coarse quantizer prunes WHICH rows are
+    scanned (nprobe/nlist of the corpus; ``_cell`` is the partition key
+    at scale) and PQ bounds WHAT each scanned row costs (~17-byte code
+    rows); cells + codes are stamped in ONE corpus pass.
+
+    Same HARD audit-gate shape as ``embedding_topk_pq`` (the composed
+    quantizers are not SQL-expressible): runs the IVF∘PQ pipeline AND
+    the brute-force twin and pins one row — every query answered,
+    recall >= 0.6 vs exact (0.88 measured at nprobe=8 on the fixture
+    corpus; the pytest floor matches), and every overlapping pair's
+    cosine bit-equal (the refine re-ranks on raw vectors through the
+    brute-force kernel). Recall collapse, a broken cell probe, or score
+    drift flips the hash red in CORRECTNESS_r{N}.json.
+    """
+    from .operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivfpq,
+        ivfpq_index,
+    )
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    cents, books, frame = ivfpq_index(emb)
+    frame.persist()
+    ivfpq = cosine_topk_ivfpq(
+        emb, qids, k=5, nprobe=8, index=(cents, books, frame)
+    ).select("query_id", "neighbor_id", "cosine_sim").cache()
+    bf = cosine_topk_bruteforce(emb, qids, k=5).select(
+        "query_id", "neighbor_id", F.col("cosine_sim").alias("bf_sim")
+    ).cache()
+    try:
+        hits = ivfpq.join(bf, ["query_id", "neighbor_id"])
+        row = (
+            bf.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+            .crossJoin(
+                ivfpq.agg(F.countDistinct("query_id").alias("n_queries"))
+            )
+            .crossJoin(
+                hits.agg(
+                    F.count(F.lit(1)).alias("n_hits"),
+                    F.max(
+                        F.abs(F.col("cosine_sim") - F.col("bf_sim"))
+                    ).alias("max_diff"),
+                )
+            )
+            .select(
+                "n_queries",
+                "n_exact_pairs",
+                (
+                    F.col("n_hits") >= F.lit(0.6) * F.col("n_exact_pairs")
+                ).alias("recall_ok"),
+                (
+                    F.coalesce(F.col("max_diff"), F.lit(0.0)) < F.lit(1e-12)
+                ).alias("scores_exact"),
+            )
+            .first()
+        )
+    finally:
+        for f in (ivfpq, bf, frame):
+            f.unpersist()
+    return spark.createDataFrame(
+        [tuple(row)],
+        "n_queries long, n_exact_pairs long, "
+        "recall_ok boolean, scores_exact boolean",
+    )
+
+
+@register(
     "user_funnel_times",
     """
 WITH u1 AS (
@@ -4409,6 +4489,107 @@ def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(exact["d"], exact["n"], merged_ok, daily_ok)],
         "n_days long, exact_users long, merged_ok boolean, daily_ok boolean",
+    )
+
+
+@register(
+    "weekly_activity_panel",
+    """
+WITH daily AS (
+    SELECT user_id, ts::DATE AS d, AVG(value) AS v
+    FROM events GROUP BY 1, 2
+), spine AS (
+    SELECT user_id,
+           unnest(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY))::DATE AS d
+    FROM daily GROUP BY user_id
+), panel AS (
+    SELECT s.user_id, s.d,
+           ROUND(LAST_VALUE(daily.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS value_filled,
+           daily.v IS NOT NULL AS is_observed
+    FROM spine s
+    LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+), wp AS (
+    SELECT user_id, DATE_TRUNC('week', d)::DATE AS week,
+           MAX_BY(value_filled, d) AS eow_value,
+           CAST(SUM(CASE WHEN is_observed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_observed,
+           COUNT(*) AS n_days
+    FROM panel GROUP BY 1, 2
+), ws AS (
+    SELECT week,
+           COUNT(*) AS n_user_weeks,
+           ROUND(SUM(eow_value), 2) AS sum_eow,
+           CAST(SUM(n_observed) AS BIGINT) AS sum_observed,
+           CAST(SUM(n_days) AS BIGINT) AS sum_days
+    FROM wp GROUP BY week
+), ex AS (
+    SELECT DATE_TRUNC('week', ts::DATE)::DATE AS week,
+           COUNT(DISTINCT user_id) AS n_active_exact
+    FROM events GROUP BY 1
+)
+SELECT ws.week, ws.n_user_weeks, ws.sum_eow, ws.sum_observed, ws.sum_days,
+       ex.n_active_exact, true AS users_ok
+FROM ws JOIN ex USING (week)
+""",
+)
+def q_weekly_activity_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The E2E activity-rollup composition (plans/pipeline.py
+    run_activity_rollup, r05 verdict #7): the gap-free WEEKLY panel a
+    consumer of the reference's star reads — resample_daily_ffill rolled
+    to Monday weeks (end-of-week carried value via max_by, observed-day
+    counts) — PLUS the distinct-user counts from the mergeable-HLL
+    rollup. The panel arithmetic is fully SQL-mirrored; the sketch side
+    is the same HARD-gate convention as ``hll_user_rollup``: the oracle
+    predicts the exact weekly actives and ``users_ok`` pins every weekly
+    sketch-merged estimate within 5% (3×rse at lgK=12) of it. Weeks are
+    joined inner on both sides (panel-only gap weeks with zero events
+    drop identically in both engines)."""
+    from .functions.datetime import week_start
+    from .operators.asof import resample_daily_ffill
+    from .plans.analytics import hll_daily_user_sketches, hll_rollup_estimate
+
+    ev = load_fixture(spark, sf_dir, "events")
+    panel = resample_daily_ffill(ev)
+    wp = panel.groupBy("user_id", week_start("d").alias("week")).agg(
+        F.max_by("value_filled", "d").alias("eow_value"),
+        F.sum(F.col("is_observed").cast("int")).alias("n_observed"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    ws = wp.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_user_weeks"),
+        F.round(F.sum("eow_value"), 2).alias("sum_eow"),
+        F.sum("n_observed").alias("sum_observed"),
+        F.sum("n_days").alias("sum_days"),
+    )
+    ex = ev.groupBy(
+        week_start(F.col("ts").cast("date")).alias("week")
+    ).agg(F.countDistinct("user_id").alias("n_active_exact"))
+    est = hll_rollup_estimate(
+        hll_daily_user_sketches(ev).withColumn("week", week_start("d")),
+        group_cols=("week",),
+    )
+    return (
+        ws.join(ex, "week")
+        .join(est, "week")
+        .select(
+            "week",
+            "n_user_weeks",
+            "sum_eow",
+            "sum_observed",
+            "sum_days",
+            "n_active_exact",
+            (
+                (F.col("n_active_exact") > 0)
+                & (
+                    F.abs(F.col("users_est") - F.col("n_active_exact"))
+                    / F.col("n_active_exact")
+                    <= 0.05
+                )
+            ).alias("users_ok"),
+        )
     )
 
 

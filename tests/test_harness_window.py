@@ -71,12 +71,22 @@ def test_never_verified_entries_inside_driver_window():
 
 
 def test_demoted_entries_within_staleness_budget():
-    """Rule 3, derived: demotion is only legal on a recent green row."""
+    """Rule 3, derived: demotion is only legal on a recent green row.
+
+    "Trails by at most STALENESS_BUDGET rounds" means ``last_green >=
+    latest - STALENESS_BUDGET`` (trail > budget flags). The r05 verdict
+    caught the previous ``< latest - STALENESS_BUDGET + 1`` form (trail
+    >= budget flags): it outlawed the harness's own documented plan
+    ("staleness 2 at r05 -> rotate by r06") the moment each round's
+    ledger landed, and with >100 registered entries a 3-round cycle
+    REQUIRES trail-2 demoted entries, so the budget became structurally
+    unsatisfiable. Condition now matches the docstring above.
+    """
     latest, last_green = _driver_ledger()
     offenders = {
         n: last_green.get(n)
         for n in harness._WINDOW_DEMOTED
-        if last_green.get(n, 0) < latest - STALENESS_BUDGET + 1
+        if last_green.get(n, 0) < latest - STALENESS_BUDGET
     }
     assert not offenders, (
         "demoted entries whose last green driver row is older than "
