@@ -269,6 +269,7 @@ def funnel_stateful(
     ts: str = "ts",
     type_col: str = "event_type",
     delay: str = "1 hour",
+    retire_after: str | None = None,
 ) -> DataFrame:
     """Ordered-funnel progression as a custom stateful streaming operator
     — the CEP-shaped query Spark has no MATCH_RECOGNIZE for: emit
@@ -286,6 +287,22 @@ def funnel_stateful(
     keeps a one-row tombstone so late duplicates can't restart the
     funnel; state per live key = machine position + the ≤ delay-horizon
     buffer, the same bound as every watermarked operator here.
+
+    ``retire_after`` bounds total state by key LIVENESS exactly as in
+    :func:`pct_change_reordered` — without it the completed-user
+    tombstone (and the machine position of a user who stalls mid-funnel
+    forever) lives as long as the query, i.e. state grows with ALL-TIME
+    user cardinality, the defect ``retire_after`` was built to kill.
+    A DRAINED key (empty reorder buffer) whose last machine-advance
+    timestamp the watermark has passed by more than the horizon is
+    removed from the state store; the event-time timeout doubles as the
+    retirement alarm so an idle key retires even if it never receives
+    another row. The trade is the standard keyed-TTL one, stated
+    explicitly: a user who reappears past the horizon restarts from
+    step 0 — a late duplicate arriving that long after completion can
+    re-emit funnel rows, so choose the horizon longer than any
+    plausible duplicate/retry window (it only needs to be shorter than
+    the all-time stream to bound state).
 
     Batch frames compute the identical frame declaratively (chained
     earliest-event user-keyed joins over a monotonically shrinking
@@ -340,6 +357,7 @@ def funnel_stateful(
     )
     k_col, t_col = key, type_col
     steps_local = step_list
+    retire_us = _duration_us(retire_after) if retire_after is not None else None
 
     def fn(key_tuple, pdf_iter, state):
         import pandas as pd
@@ -377,11 +395,29 @@ def funnel_stateful(
                     "_ts_us": pd.Series(emit_ts, dtype="int64"),
                 }
             )
+        if (
+            not hold
+            and retire_us is not None
+            and (last_t is None or wm_us >= last_t + retire_us)
+        ):
+            # drained past the retention horizon (or never advanced the
+            # machine at all): drop the key — completed-user tombstones
+            # and stalled machine positions are forfeited, so a
+            # reappearance starts from step 0 like a brand-new user
+            state.remove()
+            return
         state.update(
             (cur, last_t, [e[0] for e in hold], [e[1] for e in hold])
         )
         if hold:
             state.setTimeoutTimestamp(hold[0][0] // 1000 + 1)
+        elif retire_us is not None:
+            # drained but inside the horizon: alarm at retirement time so
+            # the key is dropped even if no row ever arrives again (the
+            # timeout must sit strictly past the current watermark)
+            state.setTimeoutTimestamp(
+                max((last_t + retire_us) // 1000 + 1, wm_us // 1000 + 1)
+            )
 
     return (
         events.select(key, ts, type_col)

@@ -695,3 +695,90 @@ def test_funnel_stateful_stream_equals_batch_out_of_order(spark, tmp_path):
         for r in funnel_stateful(finalized).collect()
     }
     assert got == expect and len(got) > 10
+
+
+def test_funnel_retires_completed_and_idle_keys(spark, tmp_path):
+    """funnel_stateful(retire_after=...) drops a key's state row once its
+    buffer is drained and the watermark has passed its last machine
+    advance by the horizon — completed-user tombstones (and stalled
+    mid-funnel positions) are bounded by key LIVENESS, not all-time user
+    cardinality (the r05 verdict's structural streaming risk). The
+    event-time timeout doubles as the retirement alarm; emitted output is
+    identical with and without retirement."""
+    import os
+
+    from airflow_etl_finance_market_spark.streaming.stateful import (
+        funnel_stateful,
+    )
+
+    out = str(tmp_path / "funnel_retire_src")
+    # user 1 COMPLETES the funnel in batch 0 (last advance ts=1020s) and
+    # then goes silent forever; user 2 stays live into batch 2 with an
+    # unfinalized row that must keep its state
+    batches = [
+        [
+            (1, 1000, "view"), (1, 1010, "click"), (1, 1020, "purchase"),
+            (2, 1060, "view"),
+        ],
+        [(2, 1200, "click")],
+        [(2, 1400, "view")],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts_s long, event_type string"
+        ).select(
+            "user_id", F.timestamp_seconds("ts_s").alias("ts"), "event_type"
+        )
+        pdir = f"{out}/b{i}"
+        df.coalesce(1).write.parquet(pdir)
+        for f in os.listdir(pdir):
+            if f.endswith(".parquet"):
+                os.utime(f"{pdir}/{f}", (1_700_000_000 + i,) * 2)
+
+    def drain(name, retire):
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{out}/b*")
+        )
+        q = (
+            funnel_stateful(
+                stream, delay="60 seconds", retire_after=retire
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_state = [
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in q.recentProgress
+                if p.get("stateOperators")
+            ][-1]
+        finally:
+            q.stop()
+        rows = sorted(
+            (r["user_id"], r["step_idx"], r["step"], r["reached_at"])
+            for r in spark.table(name).collect()
+        )
+        return n_state, rows
+
+    # final watermark = 1400s - 60s = 1340s; user 1's last advance 1020s
+    # + 100s horizon = 1120s long passed -> retired. user 2 still buffers
+    # its unfinalized 1400s view -> state row kept either way.
+    n_retire, rows_retire = drain("funnel_retire_on", "100 seconds")
+    n_keep, rows_keep = drain("funnel_retire_off", None)
+    assert n_retire == 1
+    assert n_keep == 2  # completed user 1 keeps a tombstone forever
+    assert rows_retire == rows_keep
+    # user 1's full funnel + user 2's finalized prefix (view@1060,
+    # click@1200 — both past the final 1340s watermark; the 1400s view
+    # stays buffered/unfinalized)
+    assert [(u, i, s) for u, i, s, _ in rows_retire] == [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        (2, 1, "view"), (2, 2, "click"),
+    ]
