@@ -4,17 +4,21 @@ Images/audio/video are opaque ``binary`` columns with typed metadata. The
 Spark-side plumbing here is real and tested — schema, Arrow-batched
 ``mapInPandas`` decode stage, partition-safe batch shape. The codec tiers:
 
-- **PNG is REAL everywhere**: Pillow's C path when installed, else the
-  self-contained stdlib codec (:func:`_stdlib_png_codec` — zlib inflate,
-  full filter-0–4 unfiltering, nearest-neighbor resize, re-encode), so
-  decode/resize round-trip actual pixels even in this bare container.
-- **Other formats** (JPEG/WebP/audio/video) need Pillow/libav — detected
-  at call time. The single-payload probe :func:`decode_image` raises
-  NotImplementedError without them (the honest seam, loud for a caller
-  holding one payload); the FRAME-level real paths instead QUARANTINE —
-  corrupt, truncated, or unsupported payloads become NULL-featured /
-  dropped rows, because one bad byte string in a media crawl must never
-  fail the task.
+- **PNG and baseline JPEG are REAL everywhere**: Pillow's C path when
+  installed, else the self-contained stdlib codecs
+  (:func:`_stdlib_png_codec` — zlib inflate, full filter-0–4
+  unfiltering, nearest-neighbor resize, re-encode; and
+  :func:`.jpeg._stdlib_jpeg_codec` — full Huffman entropy decode,
+  dequantize, IDCT, chroma upsample, YCbCr→RGB), so the two formats a
+  media crawl actually contains decode/resize actual pixels even in
+  this bare container.
+- **Other formats** (WebP/progressive JPEG/audio/video) need
+  Pillow/libav — detected at call time. The single-payload probe
+  :func:`decode_image` raises NotImplementedError without them (the
+  honest seam, loud for a caller holding one payload); the FRAME-level
+  real paths instead QUARANTINE — corrupt, truncated, or unsupported
+  payloads become NULL-featured / dropped rows, because one bad byte
+  string in a media crawl must never fail the task.
 - The deterministic FAKE codec (``use_fake_codec=True``, default for the
   harness entries) stays available because its arithmetic is mirrorable
   in a SQL oracle — the driver-checkable twin the real codec can't be.
@@ -44,6 +48,7 @@ from pyspark.sql.types import (
 )
 
 from ..util import fan_out
+from .jpeg import JPEG_MAGIC, _stdlib_jpeg_codec
 
 #: Output schema of the feature-extraction stage.
 FEATURE_SCHEMA = StructType(
@@ -200,9 +205,11 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     """REAL codec: (width, height) of an image payload.
 
     Pillow when installed (any format it knows); otherwise the stdlib
-    PNG parser — a real IHDR read, so PNG works in bare containers.
-    Non-PNG payloads without Pillow raise NotImplementedError (the
-    honest seam that remains: JPEG/WebP need a codec library)."""
+    codecs — a real PNG IHDR read, and a real baseline-JPEG marker walk
+    (:func:`.jpeg._stdlib_jpeg_codec`), so the two formats a media
+    crawl actually contains both work in bare containers. Other formats
+    without Pillow raise NotImplementedError (the honest seam that
+    remains: WebP/AVIF/… need a codec library)."""
     try:
         import io
 
@@ -214,9 +221,12 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     if payload[:8] == PNG_MAGIC:
         png_size, *_ = _stdlib_png_codec()
         return png_size(payload)
+    if payload[:2] == JPEG_MAGIC:
+        jpeg_size, *_ = _stdlib_jpeg_codec()
+        return jpeg_size(payload)
     raise NotImplementedError(
-        "non-PNG image decoding requires Pillow, not present in this "
-        "container; use fake_decode for deterministic testing"
+        "non-PNG/JPEG image decoding requires Pillow, not present in "
+        "this container; use fake_decode for deterministic testing"
     )
 
 
@@ -262,13 +272,14 @@ def extract_binary_features(
             return "image/fake"
     else:
         _png_size, *_ = _stdlib_png_codec()
+        _jpeg_size, *_ = _stdlib_jpeg_codec()
 
         def decode(payload: bytes):
             # QUARANTINE posture, not job death: a 100 TB media crawl
             # always contains truncated/corrupt payloads, and one bad
             # byte string must yield a NULL-featured row (filterable
             # downstream), never fail the task. Unsupported formats
-            # (non-PNG without Pillow) quarantine the same way.
+            # (non-PNG/JPEG without Pillow) quarantine the same way.
             try:
                 import io
 
@@ -282,16 +293,18 @@ def extract_binary_features(
             try:
                 if payload[:8] == b"\x89PNG\r\n\x1a\n":
                     return _png_size(payload)
+                if payload[:2] == b"\xff\xd8":
+                    return _jpeg_size(payload)
             except Exception:
                 return None
             return None
 
         def sniff(payload: bytes) -> str:
-            return (
-                "image/png"
-                if payload[:8] == b"\x89PNG\r\n\x1a\n"
-                else "application/octet-stream"
-            )
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                return "image/png"
+            if payload[:2] == b"\xff\xd8":
+                return "image/jpeg"
+            return "application/octet-stream"
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib  # stdlib import inside the closure: worker-safe
@@ -427,9 +440,15 @@ def resize_images(
     (``use_fake_codec=False``): Pillow's C-accelerated open/resize/save
     when installed, else the self-contained stdlib PNG codec
     (:func:`_stdlib_png_codec` — full unfilter, nearest-neighbor resize,
-    re-encode), so PNG media resizes for real even in a bare container;
-    non-PNG payloads without Pillow raise on the worker. Map-only;
-    output partitioning preserved either way.
+    re-encode) plus the stdlib baseline-JPEG decoder
+    (:func:`.jpeg._stdlib_jpeg_codec`; JPEG in, PNG out — the stage
+    normalizes decoded pixels to PNG, as the Pillow path does), so PNG
+    and baseline-JPEG media resize for real even in a bare container.
+    Payloads no available codec can handle (corrupt, truncated, or a
+    format Pillow would be needed for) are QUARANTINED — the row is
+    dropped, never a task failure — matching the module-header posture
+    and pinned by ``test_real_path_quarantines_corrupt_payloads``.
+    Map-only; output partitioning preserved either way.
     """
     w, h = target_w, target_h
     if use_fake_codec:
@@ -439,6 +458,7 @@ def resize_images(
             return (payload * reps)[:size]
     else:
         _, _png_decode, _png_encode, _resize_nn = _stdlib_png_codec()
+        _, _jpeg_decode, _ = _stdlib_jpeg_codec()
 
         def resize_one(payload: bytes) -> bytes:
             try:
@@ -452,7 +472,13 @@ def resize_images(
                 return buf.getvalue()
             except ImportError:
                 pass
-            pw, ph, ch, pix = _png_decode(payload)
+            if payload[:2] == b"\xff\xd8":
+                # baseline JPEG in, PNG out — the stage NORMALIZES to
+                # PNG (lossless container for already-decoded pixels),
+                # exactly what the Pillow path above emits too
+                pw, ph, ch, pix = _jpeg_decode(payload)
+            else:
+                pw, ph, ch, pix = _png_decode(payload)
             return _png_encode(w, h, ch, _resize_nn(pw, ph, ch, pix, w, h))
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -848,6 +848,17 @@ def pq_index(
             iterations=iterations,
         )
     id_type = dict(embeddings.dtypes)[id_col]
+    if not codebooks:
+        # Degenerate-data posture (cf. _hash_sample / _ivf_centroids
+        # returning empty): an EMPTY corpus trains no codebooks, and
+        # both encoders would otherwise raise IndexError on cbs[0] in
+        # every task. Empty corpus -> empty index, same schema.
+        empty_schema = f"id {id_type}, norm double, codes array<int>"
+        if coarse_centroids is not None:
+            empty_schema += ", _cell int"
+        return codebooks, embeddings.sparkSession.createDataFrame(
+            [], empty_schema
+        )
     if encoder == "sql":
         vec = as_double(vec_col)
         codes = fan_out(embeddings, id_col).select(
