@@ -56,6 +56,108 @@ class PipelineResult:
     report_message: str
 
 
+@dataclass
+class ActivityRollupResult:
+    """Row counts + the deterministic summary of ``run_activity_rollup``."""
+
+    daily_panel_rows: int
+    weekly_panel_rows: int
+    weekly_user_rows: int
+    users_alltime_est: int
+    summary_text: str
+
+
+def run_activity_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    warehouse_dir: str,
+    *,
+    summary_path: str | None = None,
+) -> ActivityRollupResult:
+    """The event-side daily run composed from the oracle-green operators
+    (r05 verdict #7): what a consumer of the reference's star actually
+    reads — a GAP-FREE panel and distinct-user counts — wired E2E
+    instead of existing only as registry entries.
+
+    Four written tables, all overwrite-idempotent like the main chain:
+
+    - ``activity_panel_daily``: resample_daily_ffill over events — one
+      row per (user, day) of the user's own span, gap days carrying the
+      last observed daily average;
+    - ``activity_panel_weekly``: the daily panel rolled to Monday weeks
+      (end-of-week carried value via max_by(value_filled, d), observed-
+      day counts) — the gap-free WEEKLY panel; derived from the STORED
+      daily panel, so the window fill never recomputes;
+    - ``user_sketches_daily``: one DataSketches HLL binary per day (the
+      mergeable intermediate, hll_daily_user_sketches);
+    - ``user_counts_weekly``: weekly distinct-user estimates obtained by
+      MERGING the STORED daily sketches (hll_rollup_estimate) — the
+      100 TB point of the pattern: coarser rollups never rescan events.
+
+    The returned ``summary_text`` (optionally written to
+    ``summary_path``) is a pure function of the data — byte-stable
+    across re-runs, like the executive report (S9 discipline).
+    """
+    from ..functions.datetime import week_start
+    from ..operators.asof import resample_daily_ffill
+    from .analytics import hll_daily_user_sketches, hll_rollup_estimate
+
+    panel_path = f"{warehouse_dir}/activity_panel_daily"
+    weekly_panel_path = f"{warehouse_dir}/activity_panel_weekly"
+    sketch_path = f"{warehouse_dir}/user_sketches_daily"
+    weekly_users_path = f"{warehouse_dir}/user_counts_weekly"
+
+    panel = resample_daily_ffill(
+        events, key="user_id", ts="ts", value="value"
+    )
+    overwrite_parquet(panel, panel_path)
+    panel = spark.read.parquet(panel_path)  # stored panel feeds the rollup
+    weekly_panel = (
+        panel.groupBy("user_id", week_start("d").alias("week"))
+        .agg(
+            F.max_by("value_filled", "d").alias("eow_value"),
+            F.sum(F.col("is_observed").cast("int")).alias("n_observed"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    overwrite_parquet(weekly_panel, weekly_panel_path)
+
+    sketches = hll_daily_user_sketches(events)
+    overwrite_parquet(sketches, sketch_path)
+    stored = spark.read.parquet(sketch_path)  # rollup merges STORED sketches
+    weekly_users = hll_rollup_estimate(
+        stored.withColumn("week", week_start("d")), group_cols=("week",)
+    )
+    overwrite_parquet(weekly_users, weekly_users_path)
+
+    daily_rows = spark.read.parquet(panel_path).count()
+    weekly_rows = spark.read.parquet(weekly_panel_path).count()
+    user_rows = spark.read.parquet(weekly_users_path).count()
+    alltime = int(hll_rollup_estimate(stored).first()["users_est"])
+    summary = "\n".join(
+        [
+            "ACTIVITY ROLLUP",
+            f"daily panel rows: {daily_rows}",
+            f"weekly panel rows: {weekly_rows}",
+            f"weekly user-count rows: {user_rows}",
+            f"all-time distinct users (sketch-merged): {alltime}",
+            "",
+        ]
+    )
+    if summary_path:
+        with open(summary_path, "w", encoding="utf-8") as fh:
+            fh.write(summary)
+    log.info("activity rollup ok: %s/%s/%s rows", daily_rows, weekly_rows,
+             user_rows)
+    return ActivityRollupResult(
+        daily_panel_rows=daily_rows,
+        weekly_panel_rows=weekly_rows,
+        weekly_user_rows=user_rows,
+        users_alltime_est=alltime,
+        summary_text=summary,
+    )
+
+
 def build_fact(staging: DataFrame) -> DataFrame:
     """staging → fact_movimentacao_diaria (P1, W1, W2, F7 + surrogate id).
 

@@ -161,3 +161,53 @@ def test_gate_trips_on_wrong_count(spark, ohlcv_csv, tmp_path):
 def test_missing_csv_fails_fast(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         run_pipeline(spark, str(tmp_path / "nope.csv"), str(tmp_path / "wh3"))
+
+
+def test_activity_rollup_composes_ffill_and_hll(spark, sf_dir, tmp_path):
+    """run_activity_rollup (r05 verdict #7): the gap-free weekly panel and
+    the sketch-merged distinct-user counts land as warehouse tables from
+    ONE composed run; re-running overwrites idempotently and the summary
+    artifact is byte-stable."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_finance_market_spark.plans.pipeline import (
+        run_activity_rollup,
+    )
+    from airflow_etl_finance_market_spark.sources.readers import load_fixture
+
+    ev = load_fixture(spark, sf_dir, "events")
+    wh = str(tmp_path / "wh_activity")
+    s1 = str(tmp_path / "activity1.txt")
+    r1 = run_activity_rollup(spark, ev, wh, summary_path=s1)
+
+    # the weekly panel is GAP-FREE: per (user, week) day coverage sums to
+    # the daily panel, and every daily row carries a non-null fill
+    daily = spark.read.parquet(f"{wh}/activity_panel_daily")
+    weekly = spark.read.parquet(f"{wh}/activity_panel_weekly")
+    assert r1.daily_panel_rows == daily.count() > 0
+    assert weekly.agg(F.sum("n_days")).first()[0] == r1.daily_panel_rows
+    assert daily.filter(F.col("value_filled").isNull()).count() == 0
+
+    # distinct-user counts come from MERGED STORED sketches and must sit
+    # within the lgK=12 error bar of the exact count, week by week
+    wk_users = spark.read.parquet(f"{wh}/user_counts_weekly")
+    exact = ev.groupBy(
+        F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias(
+            "week"
+        )
+    ).agg(F.countDistinct("user_id").alias("n"))
+    bad = (
+        wk_users.join(exact, "week")
+        .filter(
+            F.abs(F.col("users_est") - F.col("n")) / F.col("n") > 0.05
+        )
+        .count()
+    )
+    assert bad == 0 and wk_users.count() == r1.weekly_user_rows > 0
+
+    # idempotent re-run, byte-stable summary artifact
+    s2 = str(tmp_path / "activity2.txt")
+    r2 = run_activity_rollup(spark, ev, wh, summary_path=s2)
+    assert r1 == r2
+    with open(s1, "rb") as a, open(s2, "rb") as b:
+        assert a.read() == b.read()
