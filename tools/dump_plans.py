@@ -59,6 +59,9 @@ NAMES = [
     "doc_near_dup_triangles_degree", "doc_weighted_sample",
     "ticker_pair_correlation", "doc_duplicate_spans", "user_funnel_times",
     "events_daily_ffill", "order_price_percent_rank",
+    # round 6: the ffill + mergeable-HLL weekly composition (the E2E
+    # activity-rollup surface; panel window + sketch-merge join)
+    "weekly_activity_panel",
 ]
 
 
