@@ -142,6 +142,10 @@ _WINDOW_DEMOTED = [
     # while the CHANGED image-codec path re-enters via
     # multimodal_features above.
     "multimodal_frame_sample",
+    # doc_token_entropy frees the slot for the NEW multimodal_audio_features
+    # hard gate (never driver-verified -> must be live); its token-stats
+    # shape keeps in-window coverage via doc_token_stats' r05 row.
+    "doc_token_entropy",
     "qty_cube",
     "customer_tier_scd2",
     "view_click_attribution",
@@ -4590,6 +4594,90 @@ def q_weekly_activity_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("users_ok"),
         )
+    )
+
+
+@register(
+    "multimodal_audio_features",
+    """
+SELECT COUNT(*) AS n_docs,
+       true AS all_decoded,
+       true AS durations_exact,
+       true AS amplitude_sane
+FROM documents
+""",
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-WAV audio feature extraction HARD GATE
+    (multimodal/audio.extract_audio_features + _stdlib_wav_codec): each
+    document's utf-8 bytes become full-scale PCM16 samples (b·257−32768),
+    encoded to a real RIFF/WAVE payload and pushed through the REAL
+    decode path — so the gate exercises encoder, chunk walk, PCM decode,
+    and the amplitude stats end to end on every fixture row. The oracle
+    PREDICTS n_docs from first principles and pins three booleans:
+    every payload decoded (no quarantines on well-formed WAV), every
+    duration exactly octet_length(text)/8000 s, and 0 ≤ rms ≤ peak ≤ 1.
+    A codec regression (mis-parsed fmt, dropped samples, broken RMS)
+    flips the hash red in CORRECTNESS_r{N}.json. Both stages are
+    map-only Arrow passes — zero data movement at any scale."""
+    from .multimodal.audio import _stdlib_wav_codec, extract_audio_features
+
+    _, _, _enc, _ = _stdlib_wav_codec()
+
+    def _attach(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                _enc(
+                    8000,
+                    [[b * 257 - 32768 for b in t.encode("utf-8")]],
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "expect_samples": pd.Series(
+                        [len(t.encode("utf-8")) for t in pdf["text"]],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    docs = fan_out(load_fixture(spark, sf_dir, "documents"), "doc_id")
+    media = docs.select("doc_id", "text").mapInPandas(
+        _attach, "doc_id long, payload binary, expect_samples long"
+    )
+    feats = extract_audio_features(media.select("doc_id", "payload"))
+    joined = feats.join(
+        media.select("doc_id", "expect_samples"), "doc_id"
+    )
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.count(F.lit(1)) == F.count("sample_rate")
+        ).alias("all_decoded"),
+        F.min(
+            (F.col("n_samples") == F.col("expect_samples"))
+            & (
+                F.col("duration_s")
+                == F.round(F.col("expect_samples") / 8000.0, 6)
+            )
+            & (F.col("sample_rate") == 8000)
+            & (F.col("channels") == 1)
+        ).alias("durations_exact"),
+        F.min(
+            (F.col("rms") >= 0)
+            & (F.col("rms") <= F.col("peak"))
+            & (F.col("peak") <= 1.0)
+        ).alias("amplitude_sane"),
+    ).first()
+    return spark.createDataFrame(
+        [tuple(row)],
+        "n_docs long, all_decoded boolean, "
+        "durations_exact boolean, amplitude_sane boolean",
     )
 
 

@@ -1,0 +1,304 @@
+"""Pure-stdlib WAV (RIFF/PCM) audio codec — the REAL audio tier.
+
+Audio joins PNG and baseline JPEG as a format that decodes for real in a
+bare container: RIFF/WAVE PCM (the interchange format every audio
+pipeline can emit) needs only ``struct`` — no libav. The same honesty
+boundary as the image codecs applies: compressed audio (MP3/AAC/OGG,
+or non-PCM WAV encodings like IEEE float / A-law) raises
+NotImplementedError from the single-payload probe, and the FRAME-level
+Spark path QUARANTINES those rows (NULL features), because one bad byte
+string in a media crawl must never fail the task.
+
+Scope:
+
+- **Decode**: RIFF/WAVE with 8-bit unsigned or 16-bit signed PCM
+  (``audio_decode`` returns per-channel int sample arrays), any channel
+  count and sample rate, chunk-walk tolerant of extra chunks (LIST,
+  fact, …).
+- **Features** (``audio_features``): duration, sample rate, channels,
+  per-payload RMS and peak amplitude normalized to [0, 1] — the
+  loudness/clipping signals an audio-quality filter gates on.
+- **Downmix/resample** (``resample_nearest``): mono downmix + nearest-
+  neighbor rate conversion — the normalize-before-embed stage; nearest
+  is deterministic and engine-portable (no windowed sinc), which is
+  what a correctness-gated pipeline wants from a fixture-tier DSP.
+- **Encode** (``audio_encode``): PCM16 writer for fixtures/tests.
+
+Everything nests inside :func:`_stdlib_wav_codec` so cloudpickle ships
+the codec BY VALUE into mapInPandas closures (Spark workers unpickle
+without this repo on sys.path) — the same factory pattern as
+``binary._stdlib_png_codec`` and ``jpeg._stdlib_jpeg_codec``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+#: RIFF file magic — the sniff for the stdlib WAV path.
+WAV_MAGIC = b"RIFF"
+
+#: Output schema of the audio feature-extraction stage.
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+    ]
+)
+
+
+def _stdlib_wav_codec():
+    """Build the self-contained WAV codec namespace.
+
+    Returns ``(wav_info, wav_decode, wav_encode, resample_nearest)``:
+
+    - ``wav_info(b) -> (sample_rate, channels, bits, n_samples)``;
+    - ``wav_decode(b) -> (sample_rate, [ch0_samples, ch1_samples, ...])``
+      with samples as signed ints at the source bit depth;
+    - ``wav_encode(sample_rate, channels_samples) -> bytes`` (PCM16);
+    - ``resample_nearest(rate, chans, out_rate) -> (out_rate, [mono])``.
+    """
+    import struct
+
+    def _chunks(b: bytes):
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos = 12
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            ln = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            yield cid, b[pos + 8 : pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+
+    def _fmt_and_data(b: bytes):
+        fmt = data = None
+        for cid, payload in _chunks(b):
+            if cid == b"fmt ":
+                fmt = payload
+            elif cid == b"data":
+                data = payload
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        (tag, ch, rate, _bps, _align, bits) = struct.unpack(
+            "<HHIIHH", fmt[:16]
+        )
+        if tag != 1:  # PCM only; float/A-law/mu-law/extensible need codecs
+            raise NotImplementedError(
+                f"WAV format tag {tag} (non-PCM) not supported by the "
+                "stdlib codec"
+            )
+        if bits not in (8, 16):
+            raise NotImplementedError(f"{bits}-bit PCM not supported")
+        return ch, rate, bits, data
+
+    def wav_info(b: bytes) -> tuple[int, int, int, int]:
+        ch, rate, bits, data = _fmt_and_data(b)
+        n = len(data) // (ch * (bits // 8))
+        return rate, ch, bits, n
+
+    def wav_decode(b: bytes) -> tuple[int, list[list[int]]]:
+        ch, rate, bits, data = _fmt_and_data(b)
+        width = bits // 8
+        n = len(data) // (ch * width)
+        data = data[: n * ch * width]  # drop a trailing partial frame
+        if bits == 16:
+            flat = struct.unpack(f"<{n * ch}h", data)
+        else:  # 8-bit WAV is UNSIGNED; center to signed
+            flat = [v - 128 for v in data]
+        return rate, [list(flat[c :: ch]) for c in range(ch)]
+
+    def wav_encode(sample_rate: int, channels: list[list[int]]) -> bytes:
+        ch = len(channels)
+        if ch == 0 or not all(
+            len(c) == len(channels[0]) for c in channels
+        ):
+            raise ValueError("need >=1 equal-length channels")
+        n = len(channels[0])
+        clamp = lambda v: -32768 if v < -32768 else (32767 if v > 32767 else v)
+        flat = [
+            clamp(int(channels[c][i]))
+            for i in range(n)
+            for c in range(ch)
+        ]
+        data = struct.pack(f"<{n * ch}h", *flat)
+        fmt = struct.pack(
+            "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+        )
+        out = b"WAVE"
+        out += b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        out += b"data" + len(data).to_bytes(4, "little") + data
+        return b"RIFF" + len(out).to_bytes(4, "little") + out
+
+    def resample_nearest(
+        rate: int, channels: list[list[int]], out_rate: int
+    ) -> tuple[int, list[list[int]]]:
+        """Mono downmix (mean) + nearest-neighbor rate conversion."""
+        n = len(channels[0])
+        mono = (
+            channels[0]
+            if len(channels) == 1
+            else [
+                sum(c[i] for c in channels) // len(channels)
+                for i in range(n)
+            ]
+        )
+        if rate == out_rate or n == 0:
+            return out_rate, [mono]
+        m = max(1, (n * out_rate) // rate)
+        return out_rate, [[mono[(i * rate) // out_rate] for i in range(m)]]
+
+    return wav_info, wav_decode, wav_encode, resample_nearest
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, int]:
+    """REAL single-payload probe: (sample_rate, channels, n_samples).
+
+    RIFF/PCM parses via the stdlib codec; anything else raises
+    NotImplementedError (the loud seam — MP3/AAC need a codec library;
+    the frame-level path quarantines instead)."""
+    if payload[:4] == WAV_MAGIC:
+        wav_info, *_ = _stdlib_wav_codec()
+        rate, ch, _bits, n = wav_info(payload)
+        return rate, ch, n
+    raise NotImplementedError(
+        "non-WAV audio decoding requires an audio codec library, not "
+        "present in this container"
+    )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched ``mapInPandas`` audio feature extraction — REAL codec.
+
+    One output row per input row: byte length plus decoded sample rate,
+    channel count, sample count, duration, RMS, and peak (both amplitude
+    stats normalized to [0, 1] full scale). Corrupt / truncated /
+    non-PCM payloads yield NULL-featured rows (quarantine posture, same
+    as the image path); NULL payloads keep their row with NULLs. Map-only
+    — a 100 TB audio table featurizes with zero data movement.
+    """
+    _wav_info, _wav_decode, _, _ = _stdlib_wav_codec()
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_bytes", "sample_rate", "channels",
+                "n_samples", "duration_s", "rms", "peak",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(
+                    None if payload is None else len(payload)
+                )
+                feats = None
+                if payload is not None:
+                    try:
+                        rate, chans = _wav_decode(bytes(payload))
+                        n = len(chans[0])
+                        flat = [v for c in chans for v in c]
+                        full = 32768.0
+                        rms = (
+                            math.sqrt(
+                                sum(v * v for v in flat) / len(flat)
+                            ) / full
+                            if flat
+                            else 0.0
+                        )
+                        peak = (
+                            max(abs(v) for v in flat) / full if flat else 0.0
+                        )
+                        feats = (
+                            rate,
+                            len(chans),
+                            n,
+                            round(n / rate, 6) if rate else None,
+                            round(rms, 6),
+                            round(peak, 6),
+                        )
+                    except Exception:
+                        feats = None  # quarantine: NULL-featured row
+                vals = feats or (None,) * 6
+                for k, v in zip(
+                    ("sample_rate", "channels", "n_samples",
+                     "duration_s", "rms", "peak"),
+                    vals,
+                ):
+                    out[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_bytes": pd.Series(out["n_bytes"], dtype="Int64"),
+                    "sample_rate": pd.Series(
+                        out["sample_rate"], dtype="Int32"
+                    ),
+                    "channels": pd.Series(out["channels"], dtype="Int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="Int64"),
+                    "duration_s": pd.Series(
+                        out["duration_s"], dtype="Float64"
+                    ),
+                    "rms": pd.Series(out["rms"], dtype="Float64"),
+                    "peak": pd.Series(out["peak"], dtype="Float64"),
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def resample_audio(
+    media: DataFrame, *, target_rate: int = 8000
+) -> DataFrame:
+    """Mono-downmix + nearest resample as payload-in/payload-out
+    ``mapInPandas`` — the audio twin of ``binary.resize_images``'s real
+    path: WAV in, PCM16 mono WAV at ``target_rate`` out; payloads the
+    codec can't handle are QUARANTINED (row dropped). Map-only."""
+    _, _wav_decode, _wav_encode, _resample = _stdlib_wav_codec()
+    out_rate = target_rate
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, payloads = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    rate, chans = _wav_decode(bytes(payload))
+                    r2, mono = _resample(rate, chans, out_rate)
+                    enc = _wav_encode(r2, mono)
+                except Exception:
+                    continue  # quarantine
+                ids.append(doc_id)
+                rates.append(r2)
+                ns.append(len(mono[0]))
+                payloads.append(enc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(
+        _go,
+        schema=(
+            "doc_id long, sample_rate int, n_samples long, payload binary"
+        ),
+    )

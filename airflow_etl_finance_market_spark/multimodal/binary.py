@@ -12,7 +12,10 @@ Spark-side plumbing here is real and tested — schema, Arrow-batched
   dequantize, IDCT, chroma upsample, YCbCr→RGB), so the two formats a
   media crawl actually contains decode/resize actual pixels even in
   this bare container.
-- **Other formats** (WebP/progressive JPEG/audio/video) need
+- **WAV audio is REAL too** (:mod:`.audio` — RIFF chunk walk, PCM 8/16
+  decode, feature extraction, mono resample; same factory/quarantine
+  pattern).
+- **Other formats** (WebP/progressive JPEG/compressed audio/video) need
   Pillow/libav — detected at call time. The single-payload probe
   :func:`decode_image` raises NotImplementedError without them (the
   honest seam, loud for a caller holding one payload); the FRAME-level

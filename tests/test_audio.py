@@ -1,0 +1,146 @@
+"""Stdlib WAV codec + Spark audio feature/resample stages
+(multimodal/audio.py) — the REAL audio tier next to the PNG/JPEG image
+codecs: exact PCM round-trip, quarantine posture, map-only contracts."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+
+from airflow_etl_finance_market_spark.multimodal.audio import (
+    _stdlib_wav_codec,
+    decode_audio,
+    extract_audio_features,
+    resample_audio,
+)
+
+
+def _sine_wav(enc, rate=16000, n=8000, amp=12000):
+    left = [int(amp * math.sin(2 * math.pi * 440 * i / rate)) for i in range(n)]
+    right = [int(amp / 2 * math.sin(2 * math.pi * 220 * i / rate)) for i in range(n)]
+    return enc(rate, [left, right]), left, right
+
+
+class TestStdlibWavCodec:
+    def _codec(self):
+        return _stdlib_wav_codec()
+
+    def test_pcm16_roundtrip_exact(self):
+        """PCM is lossless: encode -> decode must reproduce every sample
+        bit-exactly (unlike the lossy JPEG tier)."""
+        info, dec, enc, _ = self._codec()
+        b, left, right = _sine_wav(enc)
+        assert info(b) == (16000, 2, 16, 8000)
+        rate, chans = dec(b)
+        assert rate == 16000 and chans == [left, right]
+
+    def test_8bit_unsigned_centering(self):
+        """8-bit WAV stores UNSIGNED samples; decode centers to signed."""
+        _, dec, _, _ = self._codec()
+        data8 = bytes([128, 255, 0, 128])
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body = (
+            b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data8).to_bytes(4, "little") + data8
+        )
+        wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+        assert dec(wav) == (8000, [[0, 127, -128, 0]])
+
+    def test_chunk_walk_skips_extra_chunks(self):
+        """Real WAV files carry LIST/fact chunks between fmt and data —
+        the walker must skip them (word-aligned) and still find data."""
+        info, dec, enc, _ = self._codec()
+        b, left, right = _sine_wav(enc, n=100)
+        # splice an odd-length LIST chunk after fmt
+        fmt_end = b.index(b"data")
+        extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+        spliced = b[:fmt_end] + extra + b[fmt_end:]
+        spliced = (
+            spliced[:4]
+            + (len(spliced) - 8).to_bytes(4, "little")
+            + spliced[8:]
+        )
+        rate, chans = dec(spliced)
+        assert rate == 16000 and chans[0] == left
+
+    def test_resample_downmixes_and_halves(self):
+        _, dec, enc, rs = self._codec()
+        b, left, right = _sine_wav(enc)
+        rate, chans = dec(b)
+        orate, mono = rs(rate, chans, 8000)
+        assert orate == 8000 and len(mono) == 1
+        assert len(mono[0]) == 4000
+        # downmix is the channel mean; spot-check the nearest mapping
+        assert mono[0][0] == (left[0] + right[0]) // 2
+        assert mono[0][1] == (left[2] + right[2]) // 2
+
+    def test_probe_decodes_wav_and_raises_on_compressed(self):
+        _, _, enc, _ = self._codec()
+        b, *_ = _sine_wav(enc)
+        assert decode_audio(b) == (16000, 2, 8000)
+        with pytest.raises(NotImplementedError):
+            decode_audio(b"\xff\xfb\x90\x00 mp3 frame-ish")
+
+    def test_non_pcm_tag_raises_loudly(self):
+        """IEEE-float WAV (tag 3) is outside the PCM scope — the probe
+        must say so, not mis-decode."""
+        _, dec, _, _ = self._codec()
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        body = (
+            b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + (4).to_bytes(4, "little") + b"\x00" * 4
+        )
+        wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+        with pytest.raises(NotImplementedError):
+            dec(wav)
+
+
+class TestAudioOnSpark:
+    def test_features_real_and_quarantined(self, spark):
+        """extract_audio_features over a mixed frame: real WAV rows carry
+        exact duration and sane amplitude stats; truncated/compressed
+        payloads quarantine to NULL features; NULL payloads keep their
+        row."""
+        _, _, enc, _ = self._enc()
+        good, *_ = _sine_wav(enc)
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(good)),
+                (2, bytearray(good[:40])),       # truncated: dies mid-fmt
+                (3, bytearray(b"\xff\xfbmp3ish")),
+                (4, None),
+            ],
+            "doc_id long, payload binary",
+        )
+        rows = {
+            r.doc_id: r for r in extract_audio_features(media).collect()
+        }
+        assert len(rows) == 4
+        g = rows[1]
+        assert (g.sample_rate, g.channels, g.n_samples) == (16000, 2, 8000)
+        assert g.duration_s == 0.5
+        assert 0 < g.rms < g.peak <= 1.0
+        for bad in (2, 3):
+            assert rows[bad].sample_rate is None and rows[bad].rms is None
+        assert rows[4].n_bytes is None
+
+    def test_resample_stage_emits_decodable_mono(self, spark):
+        _, dec, enc, _ = _stdlib_wav_codec()
+        good, *_ = _sine_wav(enc)
+        media = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"garbage"))],
+            "doc_id long, payload binary",
+        )
+        rows = resample_audio(media, target_rate=8000).collect()
+        assert [r.doc_id for r in rows] == [1]  # garbage quarantined
+        assert (rows[0].sample_rate, rows[0].n_samples) == (8000, 4000)
+        rate, chans = dec(bytes(rows[0].payload))
+        assert rate == 8000 and len(chans) == 1 and len(chans[0]) == 4000
+
+    @staticmethod
+    def _enc():
+        return _stdlib_wav_codec()
