@@ -14,9 +14,11 @@ Spark-side plumbing here is real and tested — schema, Arrow-batched
   this bare container.
 - **WAV audio is REAL too** (:mod:`.audio` — RIFF chunk walk, PCM 8/16
   decode, feature extraction, mono resample; same factory/quarantine
-  pattern).
-- **Other formats** (WebP/progressive JPEG/compressed audio/video) need
-  Pillow/libav — detected at call time. The single-payload probe
+  pattern), and so is **MJPEG-in-AVI video** (:mod:`.video` — movi walk,
+  byte-exact frame extraction feeding the JPEG codec; truncated files
+  yield their intact frame prefix).
+- **Other formats** (WebP/progressive JPEG/compressed audio, H.264+
+  video) need Pillow/libav — detected at call time. The single-payload probe
   :func:`decode_image` raises NotImplementedError without them (the
   honest seam, loud for a caller holding one payload); the FRAME-level
   real paths instead QUARANTINE — corrupt, truncated, or unsupported
@@ -380,21 +382,57 @@ def sample_frames(
     output row per SAMPLED frame (every ``every_n``-th), the shape a
     vision-LM data pipeline needs for frame-level captioning/filtering.
 
-    The REAL codec seam (libav/ffmpeg keyframe iteration) is absent in
-    this container; the fake codec treats the payload as a concatenation
-    of fixed-size ``frame_bytes`` chunks — deterministic and mirrorable in
-    the SQL oracle (harness ``multimodal_frame_sample``). The Spark-side
-    contract is what's being tested: Arrow batch in, MORE rows out (output
-    row count ≠ input row count — the generator-shaped mapInPandas case),
-    map-only, partitioning preserved, so a 100 TB video table samples with
-    zero data movement.
+    REAL codec (``use_fake_codec=False``): MJPEG-in-AVI payloads walk the
+    RIFF container for real (:func:`.video._stdlib_avi_codec`) and every
+    ``every_n``-th ``..dc`` frame — an actual baseline JPEG — is emitted
+    with its true byte length and sha; payloads the walker can't parse
+    (H.264/VP9 in MP4, corrupt bytes) QUARANTINE to zero rows, never a
+    task failure. The fake codec (default for the harness entry) treats
+    the payload as a concatenation of fixed-size ``frame_bytes`` chunks —
+    deterministic and mirrorable in the SQL oracle (harness
+    ``multimodal_frame_sample``). Either way the Spark-side contract is
+    the same: Arrow batch in, MORE rows out (output row count ≠ input row
+    count — the generator-shaped mapInPandas case), map-only,
+    partitioning preserved, so a 100 TB video table samples with zero
+    data movement.
     """
-    if not use_fake_codec:
-        raise NotImplementedError(
-            "video decoding requires libav/ffmpeg, not present in this "
-            "container"
-        )
     fb, step = frame_bytes, every_n
+    if not use_fake_codec:
+        from .video import _stdlib_avi_codec
+
+        _, _avi_frames, _ = _stdlib_avi_codec()
+
+        def _sample(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import hashlib
+
+            for pdf in batches:
+                ids, idxs, sizes, shas = [], [], [], []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    if payload is None:
+                        continue
+                    try:
+                        frames = _avi_frames(bytes(payload))
+                    except Exception:
+                        continue  # quarantine: unparseable container
+                    for k in range(0, len(frames), step):
+                        ids.append(doc_id)
+                        idxs.append(k)
+                        sizes.append(len(frames[k]))
+                        shas.append(
+                            hashlib.sha256(frames[k]).hexdigest()[:16]
+                        )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "frame_idx": pd.Series(idxs, dtype="int32"),
+                        "frame_bytes": pd.Series(sizes, dtype="int64"),
+                        "frame_sha16": pd.Series(shas, dtype="object"),
+                    }
+                )
+
+        return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
