@@ -89,7 +89,18 @@ decade of scaling the 100 TB story rests on; x100/x10 wall-clock ratios
 arbitration note. events_x10 additionally gains weekly_activity_panel
 (the new ffill+HLL composition entry); ann_ivfpq's audit-gate twin
 (embedding_topk_ivfpq) is registry-gated, its bench cost is the
-existing ann_ivfpq row.
+existing ann_ivfpq row. An ann_x100 section (200k vectors, indexes
+built OUTSIDE the timers) measures the per-query decade: probed
+x100/x10 ratios are ~2.6x brute / ~1.5x ivf / ~1.7x pq for 10x data —
+every tier is far from its asymptote because 200k x 64-dim is only
+~51 MB, so fixed per-query costs (broadcast of the query tables, the
+top-k window, the refine join) dominate the scan term; at this scale
+PQ's refine-join overhead actually exceeds its scan savings (pq_query
+> brute_query), which is the honest local reading — the PQ/IVFPQ win
+is the ~15x smaller scan working set and the cell-pruned partition
+reads, terms that only dominate once the corpus stops fitting in page
+cache. The numbers are reported so the crossover claim stays measured,
+not asserted.
 """
 
 from __future__ import annotations
@@ -370,6 +381,107 @@ def build_x100_docs_fixture(spark, tmp: str) -> str:
     return x100
 
 
+def build_x100_embeddings_fixture(spark, tmp: str) -> str:
+    """200k vectors: 100 copies with a copy-and-dimension-dependent
+    additive perturbation. Cosine is SCALE-invariant, so a multiplicative
+    copy factor would leave every copy at distance 0 from its source
+    (degenerate ties, an unfairly easy index); the sin-based offset moves
+    each copy in a different direction instead, so neighborhoods are
+    non-trivial at every copy depth. Deterministic, JVM-side."""
+    from pyspark.sql import functions as F
+
+    x100e = f"{tmp}/x100e"
+    copies = spark.range(100).withColumnRenamed("id", "copy")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("copy") * X10_LIFT).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x
+                    + F.col("copy").cast("double") * 0.003
+                    * F.sin(
+                        (i + 1).cast("double")
+                        * (F.col("copy") + 1).cast("double")
+                    )
+                ).cast("double"),
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{x100e}/embeddings.parquet")
+    )
+    return x100e
+
+
+def ann_x100_section(spark, tmp: str) -> tuple[dict[str, float], int]:
+    """ANN decade point: query-path cost at 200k vectors, brute vs the
+    index tiers. Index builds happen OUTSIDE the timers (at scale they
+    are written tables; build cost is reported once, untimed trials
+    excluded) — what's measured is the per-query scan each layout pays,
+    the quantity the IVF/PQ sub-linearity claim is about: brute must
+    scale ~10x over the x10 numbers while the pruned/compact tiers hold
+    materially below that."""
+    import time as _time
+
+    from airflow_etl_finance_market_spark.operators import similarity as S
+
+    x100e = build_x100_embeddings_fixture(spark, tmp)
+    emb = spark.read.parquet(f"{x100e}/embeddings.parquet")
+    n_vecs = emb.count()
+    qids = list(range(5))
+
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, float] = {}
+
+    def best2(name, thunk):
+        best = float("inf")
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            thunk()
+            best = min(best, _time.perf_counter() - t0)
+        out[name] = round(best, 3)
+
+    best2("ann_brute_query", lambda: _noop(
+        S.cosine_topk_bruteforce(emb, qids, k=5)
+    ))
+    t0 = _time.perf_counter()
+    centroids, ivf_frame = S.ivf_index(emb)
+    ivf_frame = ivf_frame.persist()
+    ivf_frame.count()
+    out["ivf_index_build"] = round(_time.perf_counter() - t0, 3)
+    best2("ann_ivf_query", lambda: _noop(
+        S.cosine_topk_ivf(emb, qids, k=5, index=(centroids, ivf_frame))
+    ))
+    t0 = _time.perf_counter()
+    books, pq_codes = S.pq_index(emb)
+    pq_codes = pq_codes.persist()
+    pq_codes.count()
+    out["pq_index_build"] = round(_time.perf_counter() - t0, 3)
+    best2("ann_pq_query", lambda: _noop(
+        S.cosine_topk_pq(emb, qids, k=5, index=(books, pq_codes))
+    ))
+    t0 = _time.perf_counter()
+    ivfpq_idx = S.ivfpq_index(emb)
+    ivfpq_frame = ivfpq_idx[2].persist()
+    ivfpq_frame.count()
+    out["ivfpq_index_build"] = round(_time.perf_counter() - t0, 3)
+    best2("ann_ivfpq_query", lambda: _noop(
+        S.cosine_topk_ivfpq(
+            emb, qids, k=5,
+            index=(ivfpq_idx[0], ivfpq_idx[1], ivfpq_frame),
+        )
+    ))
+    for f in (ivf_frame, pq_codes, ivfpq_frame):
+        f.unpersist()
+    return out, n_vecs
+
+
 def corpus_x100_section(
     spark, qs, tmp: str
 ) -> tuple[dict[str, float], int]:
@@ -620,6 +732,10 @@ def main() -> None:
             cx, n_docs = corpus_x100_section(spark, qs, tmp)
             payload["corpus_x100"] = cx
             payload["corpus_x100_rows"] = {"documents": n_docs}
+        with tempfile.TemporaryDirectory() as tmp:
+            ax, n_vecs = ann_x100_section(spark, tmp)
+            payload["ann_x100"] = ax
+            payload["ann_x100_rows"] = {"embeddings": n_vecs}
 
     print(json.dumps(payload))
 
