@@ -4650,6 +4650,11 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select("doc_id", "text").mapInPandas(
         _attach, "doc_id long, payload binary, expect_samples long"
     )
+    # the derived frame feeds TWO consumers (feature input + the
+    # expect_samples join) — checkpoint so the per-document WAV encode
+    # runs once, not once per reference (the house fix for derived-frame
+    # reuse; see the round-5 pagerank/pair-correlation findings)
+    media = media.localCheckpoint(eager=False)
     feats = extract_audio_features(media.select("doc_id", "payload"))
     joined = feats.join(
         media.select("doc_id", "expect_samples"), "doc_id"

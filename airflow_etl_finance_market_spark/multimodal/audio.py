@@ -70,7 +70,8 @@ def _stdlib_wav_codec():
 
     - ``wav_info(b) -> (sample_rate, channels, bits, n_samples)``;
     - ``wav_decode(b) -> (sample_rate, [ch0_samples, ch1_samples, ...])``
-      with samples as signed ints at the source bit depth;
+      with samples as signed ints at PCM16 scale (8-bit input is
+      centered and shifted left 8);
     - ``wav_encode(sample_rate, channels_samples) -> bytes`` (PCM16);
     - ``resample_nearest(rate, chans, out_rate) -> (out_rate, [mono])``.
     """
@@ -83,6 +84,12 @@ def _stdlib_wav_codec():
         while pos + 8 <= len(b):
             cid = b[pos : pos + 4]
             ln = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            if pos + 8 + ln > len(b):
+                # truncated chunk (cut-off download): REFUSE rather than
+                # clamp — a silently-shortened decode would report wrong
+                # duration/RMS as if valid; the frame path quarantines
+                # (same complete-chunk rule as the AVI walker)
+                raise ValueError("truncated RIFF chunk")
             yield cid, b[pos + 8 : pos + 8 + ln]
             pos += 8 + ln + (ln & 1)  # chunks are word-aligned
 
@@ -113,14 +120,20 @@ def _stdlib_wav_codec():
         return rate, ch, bits, n
 
     def wav_decode(b: bytes) -> tuple[int, list[list[int]]]:
+        """Samples are returned at PCM16 SCALE regardless of source
+        depth: 8-bit input is centered and shifted left 8 bits, so every
+        consumer (RMS/peak normalized by 32768, PCM16 re-encode) treats
+        one scale — returning 8-bit samples at +/-128 made the feature
+        stage report full-scale 8-bit audio as near-silence and the
+        resampler emit 48 dB-quiet output (round-6 review findings)."""
         ch, rate, bits, data = _fmt_and_data(b)
         width = bits // 8
         n = len(data) // (ch * width)
         data = data[: n * ch * width]  # drop a trailing partial frame
         if bits == 16:
             flat = struct.unpack(f"<{n * ch}h", data)
-        else:  # 8-bit WAV is UNSIGNED; center to signed
-            flat = [v - 128 for v in data]
+        else:  # 8-bit WAV is UNSIGNED; center, then scale to PCM16
+            flat = [(v - 128) << 8 for v in data]
         return rate, [list(flat[c :: ch]) for c in range(ch)]
 
     def wav_encode(sample_rate: int, channels: list[list[int]]) -> bytes:

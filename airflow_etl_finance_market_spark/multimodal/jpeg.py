@@ -454,8 +454,16 @@ def _stdlib_jpeg_codec():
             raise ValueError("jpeg_encode supports 1 or 3 channels")
         if len(pixels) != w * h * channels:
             raise ValueError("pixel buffer size mismatch")
+        # DQT bytes are ZIGZAG-ordered per spec (the decoder above reads
+        # qt[k] as the step for zigzag position k); the Annex-K matrices
+        # are specified in natural 8x8 layout, so they must be permuted
+        # through the scan before being used or emitted — writing them
+        # natural-order silently applies a zigzag-scrambled matrix
+        # (round-6 review finding).
         qy = _scaled(q_luma, quality)
         qc = _scaled(q_chroma, quality)
+        qy_z = [qy[zigzag[k]] for k in range(64)]
+        qc_z = [qc[zigzag[k]] for k in range(64)]
         # component planes, padded to 8 by edge replication
         pw, ph = -(-w // 8) * 8, -(-h // 8) * 8
         if channels == 1:
@@ -490,7 +498,7 @@ def _stdlib_jpeg_codec():
             for bx in range(pw // 8):
                 for ci in range(channels):
                     plane = planes[ci]
-                    qt = qy if ci == 0 else qc
+                    qt = qy_z if ci == 0 else qc_z
                     px = []
                     for yy in range(8):
                         sy = min(by * 8 + yy, h - 1)
@@ -541,9 +549,9 @@ def _stdlib_jpeg_codec():
             out.extend(payload)
 
         seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        seg(0xDB, bytes([0x00]) + bytes(qy))
+        seg(0xDB, bytes([0x00]) + bytes(qy_z))
         if channels == 3:
-            seg(0xDB, bytes([0x01]) + bytes(qc))
+            seg(0xDB, bytes([0x01]) + bytes(qc_z))
         sof = bytearray(struct.pack(">BHHB", 8, h, w, channels))
         for ci in range(channels):
             sof.extend(bytes([ci + 1, 0x11, 0 if ci == 0 else 1]))

@@ -293,8 +293,9 @@ def funnel_stateful(
     tombstone (and the machine position of a user who stalls mid-funnel
     forever) lives as long as the query, i.e. state grows with ALL-TIME
     user cardinality, the defect ``retire_after`` was built to kill.
-    A DRAINED key (empty reorder buffer) whose last machine-advance
-    timestamp the watermark has passed by more than the horizon is
+    A DRAINED key (empty reorder buffer) whose last FINALIZED event —
+    advancing or not, so a user streaming duplicate/early step events
+    stays live — the watermark has passed by more than the horizon is
     removed from the state store; the event-time timeout doubles as the
     retirement alarm so an idle key retires even if it never receives
     another row. The trade is the standard keyed-TTL one, stated
@@ -353,7 +354,8 @@ def funnel_stateful(
     # note): the worker never touches the timestamp column.
     out_schema = f"{key} long, step_idx int, step string, _ts_us long"
     state_schema = (
-        "cur_idx int, last_t long, buf_ts array<long>, buf_type array<string>"
+        "cur_idx int, last_t long, last_seen long, "
+        "buf_ts array<long>, buf_type array<string>"
     )
     k_col, t_col = key, type_col
     steps_local = step_list
@@ -362,8 +364,8 @@ def funnel_stateful(
     def fn(key_tuple, pdf_iter, state):
         import pandas as pd
 
-        cur, last_t, buf_ts, buf_type = (
-            state.get if state.exists else (0, None, [], [])
+        cur, last_t, last_seen, buf_ts, buf_type = (
+            state.get if state.exists else (0, None, None, [], [])
         )
         buf = list(zip(buf_ts or [], buf_type or []))
         for pdf in pdf_iter:
@@ -378,6 +380,11 @@ def funnel_stateful(
             if t > wm_us:
                 hold.append((t, et))
                 continue
+            # the RETIREMENT clock is the last FINALIZED event, advancing
+            # or not — keying it on machine advances alone would retire a
+            # user who keeps sending non-advancing (duplicate/early) step
+            # events well inside the horizon (caught in round-6 review)
+            last_seen = t if last_seen is None else max(last_seen, t)
             if cur < len(steps_local) and et == steps_local[cur] and (
                 cur == 0 or t > last_t
             ):
@@ -398,7 +405,7 @@ def funnel_stateful(
         if (
             not hold
             and retire_us is not None
-            and (last_t is None or wm_us >= last_t + retire_us)
+            and (last_seen is None or wm_us >= last_seen + retire_us)
         ):
             # drained past the retention horizon (or never advanced the
             # machine at all): drop the key — completed-user tombstones
@@ -407,7 +414,8 @@ def funnel_stateful(
             state.remove()
             return
         state.update(
-            (cur, last_t, [e[0] for e in hold], [e[1] for e in hold])
+            (cur, last_t, last_seen,
+             [e[0] for e in hold], [e[1] for e in hold])
         )
         if hold:
             state.setTimeoutTimestamp(hold[0][0] // 1000 + 1)
@@ -416,7 +424,7 @@ def funnel_stateful(
             # the key is dropped even if no row ever arrives again (the
             # timeout must sit strictly past the current watermark)
             state.setTimeoutTimestamp(
-                max((last_t + retire_us) // 1000 + 1, wm_us // 1000 + 1)
+                max((last_seen + retire_us) // 1000 + 1, wm_us // 1000 + 1)
             )
 
     return (

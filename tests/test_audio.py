@@ -36,8 +36,11 @@ class TestStdlibWavCodec:
         rate, chans = dec(b)
         assert rate == 16000 and chans == [left, right]
 
-    def test_8bit_unsigned_centering(self):
-        """8-bit WAV stores UNSIGNED samples; decode centers to signed."""
+    def test_8bit_unsigned_centering_scales_to_pcm16(self):
+        """8-bit WAV stores UNSIGNED samples; decode centers AND scales to
+        PCM16 range so downstream amplitude math treats one scale — a
+        full-scale 8-bit payload must read as near-full-scale, not
+        1/256th of it (round-6 review finding)."""
         _, dec, _, _ = self._codec()
         data8 = bytes([128, 255, 0, 128])
         fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
@@ -47,7 +50,39 @@ class TestStdlibWavCodec:
             + b"data" + len(data8).to_bytes(4, "little") + data8
         )
         wav = b"RIFF" + len(body).to_bytes(4, "little") + body
-        assert dec(wav) == (8000, [[0, 127, -128, 0]])
+        assert dec(wav) == (8000, [[0, 127 << 8, -(128 << 8), 0]])
+
+    def test_8bit_full_scale_reads_near_full_amplitude(self, spark):
+        """End to end: an 8-bit square wave at full scale must report
+        peak/rms near 1.0 through the Spark feature stage."""
+        from airflow_etl_finance_market_spark.multimodal.audio import (
+            extract_audio_features,
+        )
+
+        data8 = bytes([255, 0] * 50)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body = (
+            b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data8).to_bytes(4, "little") + data8
+        )
+        wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+        media = spark.createDataFrame(
+            [(1, bytearray(wav))], "doc_id long, payload binary"
+        )
+        r = extract_audio_features(media).collect()[0]
+        assert r.peak > 0.9 and r.rms > 0.9
+
+    def test_truncated_data_chunk_refuses_not_clamps(self):
+        """A WAV cut off mid-data must raise (and so quarantine on the
+        frame path), never decode to a shorter 'valid' file with wrong
+        duration/RMS (round-6 review finding)."""
+        import pytest as _pytest
+
+        _, dec, enc, _ = self._codec()
+        b, *_ = _sine_wav(enc)
+        with _pytest.raises(ValueError):
+            dec(b[: len(b) // 3])
 
     def test_chunk_walk_skips_extra_chunks(self):
         """Real WAV files carry LIST/fact chunks between fmt and data —

@@ -715,13 +715,17 @@ def test_funnel_retires_completed_and_idle_keys(spark, tmp_path):
     # user 1 COMPLETES the funnel in batch 0 (last advance ts=1020s) and
     # then goes silent forever; user 2 stays live into batch 2 with an
     # unfinalized row that must keep its state
+    # user 3 advances once (view@1050) then keeps sending NON-advancing
+    # views — the machine never moves, but the user is LIVE: the
+    # retirement clock must run on the last finalized event, not the
+    # last machine advance (round-6 review finding)
     batches = [
         [
             (1, 1000, "view"), (1, 1010, "click"), (1, 1020, "purchase"),
-            (2, 1060, "view"),
+            (2, 1060, "view"), (3, 1050, "view"),
         ],
-        [(2, 1200, "click")],
-        [(2, 1400, "view")],
+        [(2, 1200, "click"), (3, 1150, "view")],
+        [(2, 1400, "view"), (3, 1250, "view")],
     ]
     for i, rows in enumerate(batches):
         df = spark.createDataFrame(
@@ -767,18 +771,21 @@ def test_funnel_retires_completed_and_idle_keys(spark, tmp_path):
         )
         return n_state, rows
 
-    # final watermark = 1400s - 60s = 1340s; user 1's last advance 1020s
-    # + 100s horizon = 1120s long passed -> retired. user 2 still buffers
-    # its unfinalized 1400s view -> state row kept either way.
+    # final watermark = 1400s - 60s = 1340s; user 1's last finalized
+    # event 1020s + 100s horizon = 1120s long passed -> retired. user 2
+    # still buffers its unfinalized 1400s view -> kept. user 3's last
+    # FINALIZED (non-advancing) view is 1250s -> 1350s > 1340s -> kept,
+    # even though its last machine ADVANCE was back at 1050s.
     n_retire, rows_retire = drain("funnel_retire_on", "100 seconds")
     n_keep, rows_keep = drain("funnel_retire_off", None)
-    assert n_retire == 1
-    assert n_keep == 2  # completed user 1 keeps a tombstone forever
+    assert n_retire == 2
+    assert n_keep == 3  # completed user 1 keeps a tombstone forever
     assert rows_retire == rows_keep
     # user 1's full funnel + user 2's finalized prefix (view@1060,
-    # click@1200 — both past the final 1340s watermark; the 1400s view
-    # stays buffered/unfinalized)
+    # click@1200) + user 3's single advance; the 1400s view stays
+    # buffered/unfinalized and duplicate views never re-emit
     assert [(u, i, s) for u, i, s, _ in rows_retire] == [
         (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
         (2, 1, "view"), (2, 2, "click"),
+        (3, 1, "view"),
     ]
