@@ -4,14 +4,16 @@ Images/audio/video are opaque ``binary`` columns with typed metadata. The
 Spark-side plumbing here is real and tested — schema, Arrow-batched
 ``mapInPandas`` decode stage, partition-safe batch shape. The codec tiers:
 
-- **PNG and baseline JPEG are REAL everywhere**: Pillow's C path when
-  installed, else the self-contained stdlib codecs
+- **PNG, baseline JPEG, and GIF are REAL everywhere**: Pillow's C path
+  when installed, else the self-contained stdlib codecs
   (:func:`_stdlib_png_codec` — zlib inflate, full filter-0–4
   unfiltering, nearest-neighbor resize, re-encode; and
   :func:`.jpeg._stdlib_jpeg_codec` — full Huffman entropy decode,
-  dequantize, IDCT, chroma upsample, YCbCr→RGB), so the two formats a
-  media crawl actually contains decode/resize actual pixels even in
-  this bare container.
+  dequantize, IDCT, chroma upsample, YCbCr→RGB;
+  :func:`.gif._stdlib_gif_codec` — variable-width LZW, interlace,
+  local/global palettes, transparency→RGBA), so the formats a media
+  crawl actually contains decode/resize actual pixels even in this
+  bare container.
 - **WAV audio is REAL too** (:mod:`.audio` — RIFF chunk walk, PCM 8/16
   decode, feature extraction, mono resample; same factory/quarantine
   pattern), and so is **MJPEG-in-AVI video** (:mod:`.video` — movi walk,
@@ -53,6 +55,7 @@ from pyspark.sql.types import (
 )
 
 from ..util import fan_out
+from .gif import GIF_MAGIC, _stdlib_gif_codec
 from .jpeg import JPEG_MAGIC, _stdlib_jpeg_codec
 
 #: Output schema of the feature-extraction stage.
@@ -229,9 +232,12 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     if payload[:2] == JPEG_MAGIC:
         jpeg_size, *_ = _stdlib_jpeg_codec()
         return jpeg_size(payload)
+    if payload[:4] == GIF_MAGIC:
+        gif_size, *_ = _stdlib_gif_codec()
+        return gif_size(payload)
     raise NotImplementedError(
-        "non-PNG/JPEG image decoding requires Pillow, not present in "
-        "this container; use fake_decode for deterministic testing"
+        "non-PNG/JPEG/GIF image decoding requires Pillow, not present "
+        "in this container; use fake_decode for deterministic testing"
     )
 
 
@@ -278,6 +284,7 @@ def extract_binary_features(
     else:
         _png_size, *_ = _stdlib_png_codec()
         _jpeg_size, *_ = _stdlib_jpeg_codec()
+        _gif_size, *_ = _stdlib_gif_codec()
 
         def decode(payload: bytes):
             # QUARANTINE posture, not job death: a 100 TB media crawl
@@ -300,6 +307,8 @@ def extract_binary_features(
                     return _png_size(payload)
                 if payload[:2] == b"\xff\xd8":
                     return _jpeg_size(payload)
+                if payload[:4] == b"GIF8":
+                    return _gif_size(payload)
             except Exception:
                 return None
             return None
@@ -309,6 +318,8 @@ def extract_binary_features(
                 return "image/png"
             if payload[:2] == b"\xff\xd8":
                 return "image/jpeg"
+            if payload[:4] == b"GIF8":
+                return "image/gif"
             return "application/octet-stream"
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -500,6 +511,7 @@ def resize_images(
     else:
         _, _png_decode, _png_encode, _resize_nn = _stdlib_png_codec()
         _, _jpeg_decode, _ = _stdlib_jpeg_codec()
+        _, _gif_decode, _ = _stdlib_gif_codec()
 
         def resize_one(payload: bytes) -> bytes:
             try:
@@ -514,10 +526,12 @@ def resize_images(
             except ImportError:
                 pass
             if payload[:2] == b"\xff\xd8":
-                # baseline JPEG in, PNG out — the stage NORMALIZES to
-                # PNG (lossless container for already-decoded pixels),
+                # JPEG/GIF in, PNG out — the stage NORMALIZES to PNG
+                # (lossless container for already-decoded pixels),
                 # exactly what the Pillow path above emits too
                 pw, ph, ch, pix = _jpeg_decode(payload)
+            elif payload[:4] == b"GIF8":
+                pw, ph, ch, pix = _gif_decode(payload)
             else:
                 pw, ph, ch, pix = _png_decode(payload)
             return _png_encode(w, h, ch, _resize_nn(pw, ph, ch, pix, w, h))

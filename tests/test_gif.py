@@ -1,0 +1,154 @@
+"""Stdlib GIF codec (multimodal/gif.py) + its wiring through the real
+image paths: LZW round-trip, interlace, transparency, quarantine."""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_etl_finance_market_spark.multimodal.gif import (
+    _stdlib_gif_codec,
+)
+
+_PAL4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+
+
+def _quad_gif(enc, w=6, h=4):
+    idx = bytes((x + y) % 4 for y in range(h) for x in range(w))
+    return enc(w, h, idx, _PAL4), idx
+
+
+class TestStdlibGifCodec:
+    def _codec(self):
+        return _stdlib_gif_codec()
+
+    def test_lzw_roundtrip_exact(self):
+        """GIF is palette-lossless: encode -> decode must reproduce every
+        pixel's palette color exactly (the degenerate clear-per-literal
+        LZW stream is still a spec-valid stream the standard decoder
+        algorithm must accept)."""
+        size, dec, enc = self._codec()
+        b, idx = _quad_gif(enc)
+        assert size(b) == (6, 4)
+        w, h, ch, pix = dec(b)
+        assert (w, h, ch) == (6, 4, 3)
+        assert pix == b"".join(bytes(_PAL4[v]) for v in idx)
+
+    def test_256_color_palette(self):
+        _, dec, enc = self._codec()
+        pal = [(i, i, i) for i in range(256)]
+        idx = bytes(range(256))
+        _, _, _, pix = dec(enc(16, 16, idx, pal))
+        assert pix == b"".join(bytes((v, v, v)) for v in idx)
+
+    def test_interlaced_rows_reordered(self):
+        """Hand-interlace a 9-row image (permute rows into pass order and
+        set the interlace flag): the decoder must hand back the rows in
+        display order — a property a sequential-only reader fails."""
+        _, dec, enc = self._codec()
+        w, h = 3, 9
+        idx = bytes(r % 4 for r in range(h) for _ in range(w))
+        b = bytearray(enc(w, h, idx, _PAL4))
+        # rewrite the image data: rows permuted into interlace pass order
+        passes = [r for first, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                  for r in range(first, h, step)]
+        perm = bytes(v for r in passes for v in idx[r * w : (r + 1) * w])
+        b2 = bytearray(enc(w, h, perm, _PAL4))
+        # set the interlace bit in the image descriptor's flag byte
+        desc = bytes(b2).index(b"\x2c")
+        b2[desc + 9] |= 0x40
+        _, _, _, pix = dec(bytes(b2))
+        assert pix == b"".join(bytes(_PAL4[v]) for v in idx)
+
+    def test_transparency_yields_rgba(self):
+        """A GIF89a GCE with a transparency index must surface as a 4th
+        channel with alpha 0 exactly on that index."""
+        _, dec, enc = self._codec()
+        b = bytearray(enc(2, 2, bytes([0, 1, 2, 3]), _PAL4))
+        # splice a GCE (transparent index 2) before the image descriptor
+        desc = bytes(b).index(b"\x2c")
+        gce = b"\x21\xf9\x04\x01\x00\x00\x02\x00"
+        b2 = bytes(b[:desc]) + gce + bytes(b[desc:])
+        b2 = b2.replace(b"GIF87a", b"GIF89a", 1)
+        w, h, ch, pix = dec(b2)
+        assert ch == 4
+        alphas = [pix[i * 4 + 3] for i in range(4)]
+        assert alphas == [255, 255, 0, 255]
+
+    def test_truncation_refuses(self):
+        _, dec, enc = self._codec()
+        b, _ = _quad_gif(enc, w=16, h=16)
+        with pytest.raises(ValueError):
+            dec(b[: len(b) // 2])
+
+
+class TestGifOnSpark:
+    def test_decode_image_and_features_sniff(self, spark):
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            decode_image,
+            extract_binary_features,
+        )
+
+        _, _, enc = _stdlib_gif_codec()
+        b, _ = _quad_gif(enc, w=11, h=7)
+        assert decode_image(b) == (11, 7)
+        media = spark.createDataFrame(
+            [(1, bytearray(b)), (2, bytearray(b"GIF8 truncated"))],
+            "doc_id long, payload binary",
+        )
+        feats = {
+            r.doc_id: (r.width, r.height, r.mime)
+            for r in extract_binary_features(
+                media, use_fake_codec=False
+            ).collect()
+        }
+        # gif_size needs only the header, so even the mangled payload may
+        # sniff as gif; the GOOD one must carry true dims
+        assert feats[1] == (11, 7, "image/gif")
+
+    def test_real_resize_gif_in_png_out(self, spark):
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            _stdlib_png_codec,
+            resize_images,
+        )
+
+        _, _, enc = _stdlib_gif_codec()
+        # 2x2 quadrant colors, upscaled 8x8: nearest must tile quadrants
+        b = enc(2, 2, bytes([0, 1, 2, 3]), _PAL4)
+        media = spark.createDataFrame(
+            [(1, bytearray(b))], "doc_id long, payload binary"
+        )
+        rows = resize_images(
+            media, target_w=8, target_h=8, use_fake_codec=False
+        ).collect()
+        assert len(rows) == 1
+        png_decode = _stdlib_png_codec()[1]
+        w, h, ch, pix = png_decode(bytes(rows[0].payload))
+        assert (w, h, ch) == (8, 8, 3)
+
+        def px(x, y):
+            i = (y * 8 + x) * 3
+            return tuple(pix[i : i + 3])
+
+        assert px(0, 0) == _PAL4[0] and px(7, 0) == _PAL4[1]
+        assert px(0, 7) == _PAL4[2] and px(7, 7) == _PAL4[3]
+
+    def test_pillow_interop_when_installed(self):
+        import importlib.util
+
+        if importlib.util.find_spec("PIL") is None:
+            pytest.skip("Pillow not installed")
+        import io
+
+        from PIL import Image
+
+        size, dec, enc = _stdlib_gif_codec()
+        b, idx = _quad_gif(enc, w=10, h=6)
+        im = Image.open(io.BytesIO(b))
+        assert im.size == (10, 6)
+        theirs = im.convert("RGB").tobytes()
+        assert theirs == dec(b)[3]
+        # and our decoder reads Pillow's (real-LZW) output exactly
+        buf = io.BytesIO()
+        im.save(buf, "GIF")
+        w, h, ch, mine = dec(buf.getvalue())
+        assert (w, h) == (10, 6) and mine[: len(theirs)] == theirs

@@ -466,3 +466,41 @@ def test_avi_container_roundtrip_byte_exact(data):
     b = enc(frames, fps=data.draw(st.integers(1, 60)))
     assert extract(b) == frames
     assert info(b)[0] == len(frames)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    data=st.data(),
+)
+@settings(**_CODEC_SETTINGS)
+def test_gif_roundtrip_exact_on_random_indexed_images(w, h, data):
+    """GIF is palette-lossless: encode->decode is the identity on ANY
+    index buffer over ANY palette (LZW + palette lookup must compose to
+    the identity)."""
+    from airflow_etl_finance_market_spark.multimodal.gif import (
+        _stdlib_gif_codec,
+    )
+
+    n_colors = data.draw(st.integers(min_value=1, max_value=16))
+    pal = [
+        tuple(
+            data.draw(st.integers(0, 255)) for _ in range(3)
+        )
+        for _ in range(n_colors)
+    ]
+    idx = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, n_colors - 1),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    gif_size, gif_decode, gif_encode = _stdlib_gif_codec()
+    b = gif_encode(w, h, idx, pal)
+    assert gif_size(b) == (w, h)
+    dw, dh, ch, pix = gif_decode(b)
+    assert (dw, dh, ch) == (w, h, 3)
+    assert pix == b"".join(bytes(pal[v]) for v in idx)

@@ -458,7 +458,10 @@ class TestRealPngCodec:
             [
                 (1, bytearray(good)),
                 (2, bytearray(truncated)),
-                (3, bytearray(b"GIF89a not a png")),
+                # WebP: RIFF container but neither WAVE nor AVI nor a
+                # stdlib-supported image — the genuinely-unsupported
+                # fixture (GIF graduated to a real codec in round 6)
+                (3, bytearray(b"RIFF\x10\x00\x00\x00WEBPVP8 lorem")),
                 (4, None),
             ],
             "doc_id long, payload binary",
