@@ -213,11 +213,12 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     """REAL codec: (width, height) of an image payload.
 
     Pillow when installed (any format it knows); otherwise the stdlib
-    codecs — a real PNG IHDR read, and a real baseline-JPEG marker walk
-    (:func:`.jpeg._stdlib_jpeg_codec`), so the two formats a media
-    crawl actually contains both work in bare containers. Other formats
-    without Pillow raise NotImplementedError (the honest seam that
-    remains: WebP/AVIF/… need a codec library)."""
+    codecs — a real PNG IHDR read, a real baseline-JPEG marker walk
+    (:func:`.jpeg._stdlib_jpeg_codec`), and a real GIF header read
+    (:func:`.gif._stdlib_gif_codec`), so the formats a media crawl
+    actually contains work in bare containers. Other formats without
+    Pillow raise NotImplementedError (the honest seam that remains:
+    WebP/AVIF/… need a codec library)."""
     try:
         import io
 

@@ -45,12 +45,17 @@ def _stdlib_gif_codec():
       frame, ``palette`` a list of (r, g, b).
     """
 
-    def _require_gif(b: bytes):
+    def _require_gif(b: bytes, need: int = 13):
+        """Magic + a COMPLETE header: int.from_bytes on a short slice
+        silently yields garbage dims, so a payload truncated mid-header
+        must refuse like any other truncation (round-6 review)."""
         if b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
             raise ValueError("not a GIF payload")
+        if len(b) < need:
+            raise ValueError("truncated GIF header")
 
     def gif_size(b: bytes) -> tuple[int, int]:
-        _require_gif(b)
+        _require_gif(b, need=10)
         return (
             int.from_bytes(b[6:8], "little"),
             int.from_bytes(b[8:10], "little"),
@@ -101,6 +106,8 @@ def _stdlib_gif_codec():
                 if code == end:
                     return bytes(out[:expect])
                 if prev is None:
+                    if code >= len(dictionary):
+                        raise ValueError("corrupt LZW code")
                     entry = dictionary[code]
                 elif code < len(dictionary):
                     entry = dictionary[code]
@@ -135,15 +142,19 @@ def _stdlib_gif_codec():
             if block == 0x3B:  # trailer
                 break
             if block == 0x21:  # extension
+                if pos + 2 > len(b):
+                    raise ValueError("truncated extension introducer")
                 label = b[pos + 1]
-                if label == 0xF9 and b[pos + 2] >= 4:  # GCE
-                    packed = b[pos + 3]
+                if label == 0xF9 and pos + 7 <= len(b) and b[pos + 2] >= 4:
+                    packed = b[pos + 3]  # GCE
                     if packed & 0x01:
                         transparent = b[pos + 6]
                 _, pos = _subblocks(b, pos + 2)
                 continue
             if block != 0x2C:  # image descriptor
                 raise ValueError(f"unexpected GIF block 0x{block:02x}")
+            if pos + 11 > len(b):
+                raise ValueError("truncated image descriptor")
             ix = int.from_bytes(b[pos + 1 : pos + 3], "little")
             iy = int.from_bytes(b[pos + 3 : pos + 5], "little")
             iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
@@ -155,6 +166,8 @@ def _stdlib_gif_codec():
                 table, pos = _color_table(b, pos, 2 << (iflags & 0x07))
             if table is None:
                 raise ValueError("no color table")
+            if pos >= len(b):  # cut right after a local color table
+                raise ValueError("truncated before LZW data")
             min_code = b[pos]
             data, pos = _subblocks(b, pos + 1)
             idx = _lzw_decode(data, min_code, iw * ih)
@@ -168,15 +181,29 @@ def _stdlib_gif_codec():
                         src += 1
                 idx = b"".join(ordered)  # type: ignore[arg-type]
             ch = 4 if transparent is not None else 3
-            # first frame only: composite onto the logical screen when the
-            # frame is smaller (background = palette 0 / transparent)
-            out = bytearray(sw * sh * ch)
+            black = (0, 0, 0)
+            lut = [
+                bytes(table[v]) if v < len(table) else bytes(black)
+                for v in range(256)
+            ]
+            if ch == 3 and (ix, iy, iw, ih) == (0, 0, sw, sh):
+                # dominant case (full-frame, opaque): one palette-LUT
+                # join instead of a per-pixel Python loop + allocation
+                return sw, sh, 3, b"".join(lut[v] for v in idx)
+            # composite onto the logical screen: uncovered area takes the
+            # header's BACKGROUND color index (b[11]) — zero-filling gave
+            # black borders regardless of palette (round-6 review)
+            bg = table[b[11]] if gct is not None and b[11] < len(table) else black
+            if ch == 3:
+                out = bytearray(bytes(bg) * (sw * sh))
+            else:
+                out = bytearray((bytes(bg) + b"\xff") * (sw * sh))
             for y in range(min(ih, sh - iy)):
-                for x in range(min(iw, sw - ix)):
-                    v = idx[y * iw + x]
-                    r, g, bl = table[v] if v < len(table) else (0, 0, 0)
-                    o = ((iy + y) * sw + (ix + x)) * ch
-                    out[o : o + 3] = bytes((r, g, bl))
+                base = idx[y * iw : y * iw + min(iw, sw - ix)]
+                o0 = ((iy + y) * sw + ix) * ch
+                for x, v in enumerate(base):
+                    o = o0 + x * ch
+                    out[o : o + 3] = lut[v]
                     if ch == 4:
                         out[o + 3] = 0 if v == transparent else 255
             return sw, sh, ch, bytes(out)
@@ -191,6 +218,8 @@ def _stdlib_gif_codec():
         if len(indices) != w * h:
             raise ValueError("index buffer size mismatch")
         n = len(palette)
+        if n > 256:
+            raise ValueError("GIF palettes hold at most 256 colors")
         bits = max(2, (max(n - 1, 1)).bit_length())
         size = 1 << bits
         if any(v >= size for v in indices):

@@ -101,9 +101,10 @@ class TestGifOnSpark:
                 media, use_fake_codec=False
             ).collect()
         }
-        # gif_size needs only the header, so even the mangled payload may
-        # sniff as gif; the GOOD one must carry true dims
         assert feats[1] == (11, 7, "image/gif")
+        # the mangled payload sniffs as gif by prefix but must QUARANTINE
+        # to NULL dims (bad version bytes / truncated header refuse)
+        assert feats[2] == (None, None, "image/gif")
 
     def test_real_resize_gif_in_png_out(self, spark):
         from airflow_etl_finance_market_spark.multimodal.binary import (
@@ -228,3 +229,28 @@ def test_decoder_reads_real_lzw_streams():
     w, h, ch, pix = dec(new)
     assert (w, h, ch) == (64, 64, 3)
     assert pix == b"".join(bytes(pal[v]) for v in idx)
+
+
+def test_every_truncation_point_raises_valueerror():
+    """Exhaustive truncation sweep (round-6 review): decoding ANY prefix
+    of a real GIF — plain and GCE-bearing — must raise ValueError (the
+    documented contract callers catch), never IndexError or fabricated
+    output."""
+    size, dec, enc = _stdlib_gif_codec()
+    pal = [(i, i, i) for i in range(8)]
+    b = enc(9, 7, bytes((x % 8) for x in range(63)), pal)
+    desc = b.index(b"\x2c")
+    b89 = (
+        b[:desc] + b"\x21\xf9\x04\x01\x00\x00\x02\x00" + b[desc:]
+    ).replace(b"GIF87a", b"GIF89a", 1)
+    for payload in (b, b89):
+        want = dec(payload)
+        for cut in range(len(payload)):
+            try:
+                got = dec(payload[:cut])
+            except ValueError:
+                continue
+            # the only legal success: the frame was already complete
+            # (e.g. only the trailer is missing) AND pixels are exact —
+            # never fabricated/partial output, never a non-ValueError
+            assert got == want, f"partial decode fabricated output at cut {cut}"
