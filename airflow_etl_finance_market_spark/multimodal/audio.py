@@ -112,6 +112,14 @@ def _stdlib_wav_codec():
             )
         if bits not in (8, 16):
             raise NotImplementedError(f"{bits}-bit PCM not supported")
+        if ch < 1 or rate < 1:
+            # malformed header: channels=0 would make every
+            # len(data)//(ch*width) below raise ZeroDivisionError, which
+            # escapes the single-payload probe's documented
+            # ValueError/NotImplementedError contract (r06 advice)
+            raise ValueError(
+                f"malformed WAV fmt chunk (channels={ch}, rate={rate})"
+            )
         return ch, rate, bits, data
 
     def wav_info(b: bytes) -> tuple[int, int, int, int]:

@@ -192,8 +192,11 @@ def _stdlib_gif_codec():
                 return sw, sh, 3, b"".join(lut[v] for v in idx)
             # composite onto the logical screen: uncovered area takes the
             # header's BACKGROUND color index (b[11]) — zero-filling gave
-            # black borders regardless of palette (round-6 review)
-            bg = table[b[11]] if gct is not None and b[11] < len(table) else black
+            # black borders regardless of palette (round-6 review). The
+            # background index refers to the GLOBAL color table per the
+            # spec (GIF89a §18); looking it up in a frame's LOCAL table
+            # painted the wrong color when both tables exist (r06 advice).
+            bg = gct[b[11]] if gct is not None and b[11] < len(gct) else black
             if ch == 3:
                 out = bytearray(bytes(bg) * (sw * sh))
             else:

@@ -182,6 +182,12 @@ def _stdlib_jpeg_codec():
             if k == 0:
                 return 0
             self._fill()
+            if self.n < k:
+                # _fill stops at a marker; a truncated/corrupt entropy
+                # stream can leave fewer buffered bits than requested —
+                # raise the documented truncation error instead of a
+                # bare negative-shift ValueError (r06 advice)
+                raise ValueError("truncated JPEG entropy data")
             v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
             self.n -= k
             self.acc &= (1 << self.n) - 1

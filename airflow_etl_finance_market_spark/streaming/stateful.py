@@ -353,6 +353,13 @@ def funnel_stateful(
     # epoch-micros discipline throughout (see pct_change_reordered's TZ
     # note): the worker never touches the timestamp column.
     out_schema = f"{key} long, step_idx int, step string, _ts_us long"
+    # STATE-SHAPE COMPATIBILITY: adding `last_seen` (the retire_after
+    # clock, round 6) changed the applyInPandasWithState state layout. A
+    # streaming query restored from a checkpoint written by a pre-
+    # retirement build would misinterpret or fail on existing state rows —
+    # funnel queries upgrading across that boundary need a FRESH
+    # checkpoint location (the standard Structured Streaming contract for
+    # any state-schema change; r06 advice).
     state_schema = (
         "cur_idx int, last_t long, last_seen long, "
         "buf_ts array<long>, buf_type array<string>"

@@ -133,6 +133,25 @@ class TestStdlibWavCodec:
         with pytest.raises(NotImplementedError):
             dec(wav)
 
+    def test_zero_channel_header_raises_valueerror_not_zerodivision(self):
+        """A malformed fmt chunk with channels=0 must surface the
+        documented ValueError from the single-payload probe — r06 advice
+        caught len(data)//(ch*width) raising ZeroDivisionError instead
+        (frame paths were unaffected: they catch Exception)."""
+        info, dec, _, _ = self._codec()
+        fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+        body = (
+            b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + (4).to_bytes(4, "little") + b"\x00" * 4
+        )
+        wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+        for probe in (info, dec):
+            with pytest.raises(ValueError, match="malformed WAV fmt"):
+                probe(wav)
+        with pytest.raises(ValueError, match="malformed WAV fmt"):
+            decode_audio(wav)
+
 
 class TestAudioOnSpark:
     def test_features_real_and_quarantined(self, spark):

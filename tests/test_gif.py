@@ -80,6 +80,41 @@ class TestStdlibGifCodec:
         with pytest.raises(ValueError):
             dec(b[: len(b) // 2])
 
+    def test_background_fill_uses_global_table_not_local(self):
+        """A sub-rect frame with BOTH a global and a local color table:
+        the logical-screen background index (header byte 11) refers to
+        the GLOBAL table per GIF89a §18 — r06 advice caught the fill
+        reading the frame's LOCAL table instead. GCT[1] is green,
+        LCT[1] is blue; the uncovered area must come out green."""
+        _, dec, enc = self._codec()
+        gct_pal = [(10, 10, 10), (0, 255, 0), (20, 20, 20), (30, 30, 30)]
+        lct_pal = [(255, 0, 0), (0, 0, 255), (99, 99, 99), (77, 77, 77)]
+        # encode a 2x2 frame against the LCT palette, then lift its LZW
+        # blocks into a hand-built 4x4-screen GIF carrying both tables
+        small = enc(2, 2, bytes([0, 1, 2, 3]), lct_pal)
+        desc = small.index(b"\x2c")
+        lzw = small[desc + 10 :]  # min_code + sub-blocks + trailer
+        b = bytearray(b"GIF87a")
+        b += (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        b += bytes([0x81, 1, 0])  # GCT present (4 colors), bg index 1
+        for c in gct_pal:
+            b += bytes(c)
+        b += b"\x2c" + b"\x00" * 4  # frame at (0, 0)
+        b += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        b += bytes([0x81])  # LCT present, 4 colors
+        for c in lct_pal:
+            b += bytes(c)
+        b += lzw
+        w, h, ch, pix = dec(bytes(b))
+        assert (w, h, ch) == (4, 4, 3)
+        px = [tuple(pix[i * 3 : i * 3 + 3]) for i in range(16)]
+        # frame pixels (top-left 2x2) resolve through the LOCAL table
+        assert px[0] == lct_pal[0] and px[1] == lct_pal[1]
+        assert px[4] == lct_pal[2] and px[5] == lct_pal[3]
+        # every uncovered pixel takes the GLOBAL table's bg color
+        uncovered = [px[i] for i in range(16) if i not in (0, 1, 4, 5)]
+        assert uncovered == [(0, 255, 0)] * 12
+
 
 class TestGifOnSpark:
     def test_decode_image_and_features_sniff(self, spark):

@@ -567,6 +567,78 @@ class TestStdlibJpegCodec:
         with pytest.raises(NotImplementedError):
             jpeg_decode(bytes(b))
 
+    def test_empty_entropy_stream_raises_documented_error(self):
+        """A scan that hits EOI before yielding a single entropy bit must
+        raise the DOCUMENTED truncation ValueError — r06 advice caught
+        bits() surfacing a bare 'negative shift count' instead when
+        _fill stops at a marker with fewer buffered bits than asked."""
+        import pytest
+
+        _, jpeg_decode, jpeg_encode = self._codec()
+        b = jpeg_encode(8, 8, 1, bytes(64))
+        sos = b.find(b"\xff\xda")
+        hdr_len = int.from_bytes(b[sos + 2 : sos + 4], "big")
+        # keep the full SOS header, replace ALL entropy data with EOI
+        cut = b[: sos + 2 + hdr_len] + b"\xff\xd9"
+        with pytest.raises(ValueError, match="truncated JPEG entropy"):
+            jpeg_decode(cut)
+
+    def test_genuine_progressive_stream_quarantines(self, spark):
+        """A REAL progressive-JPEG byte stream (SOF2 + DC-first /
+        AC-spectral-selection scans with Ss/Se/Ah/Al scan headers, the
+        structure libjpeg emits — not just a flipped marker byte): the
+        single-payload decode raises loudly, extract_binary_features
+        still reports header dims (size needs no entropy pass), and
+        resize_images QUARANTINES the row because decoding is required
+        (r06 verdict #7)."""
+        import pytest
+
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            extract_binary_features,
+            resize_images,
+        )
+
+        def seg(marker: int, payload: bytes) -> bytes:
+            return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(
+                2, "big"
+            ) + payload
+
+        # spec-faithful minimal progressive stream for one flat 8x8 block
+        dqt = seg(0xDB, b"\x00" + bytes([16] * 64))
+        sof2 = seg(
+            0xC2,
+            b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+            + b"\x01" + b"\x01\x11\x00",  # 1 component, 1x1, q-table 0
+        )
+        # Annex K.3.1 luminance DC table (16 BITS counts + values)
+        dc_bits = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+        dht_dc = seg(0xC4, b"\x00" + dc_bits + bytes(range(12)))
+        # a one-code AC table: symbol 0x00 = EOB, code '0'
+        ac_bits = bytes([1] + [0] * 15)
+        dht_ac = seg(0xC4, b"\x10" + ac_bits + b"\x00")
+        # scan 1: DC only (Ss=0 Se=0 Ah=0 Al=0); diff=0 codes as '00'+pad
+        scan1 = seg(0xDA, b"\x01\x01\x00\x00\x00\x00") + b"\x3f"
+        # scan 2: AC spectral selection 1..63; single EOB bit '0'+pad
+        scan2 = seg(0xDA, b"\x01\x01\x00\x01\x3f\x00") + b"\x7f"
+        prog = b"\xff\xd8" + dqt + sof2 + dht_dc + dht_ac + scan1 + scan2 + b"\xff\xd9"
+
+        jpeg_size, jpeg_decode, _ = self._codec()
+        assert jpeg_size(prog) == (8, 8)
+        with pytest.raises(NotImplementedError):
+            jpeg_decode(prog)
+        media = spark.createDataFrame(
+            [(1, bytearray(prog))], "doc_id long, payload binary"
+        )
+        feats = extract_binary_features(media, use_fake_codec=False).collect()
+        assert [(r.width, r.height, r.mime) for r in feats] == [
+            (8, 8, "image/jpeg")
+        ]
+        # the resize stage NEEDS decoded pixels -> the progressive row
+        # quarantines (dropped), never a task failure
+        assert (
+            resize_images(media, use_fake_codec=False).count() == 0
+        )
+
     def test_real_features_on_spark_sniff_and_quarantine(self, spark):
         """extract_binary_features(real) over a mixed frame: JPEG rows get
         true dimensions + image/jpeg mime; a truncated JPEG quarantines
