@@ -1,0 +1,289 @@
+"""Image perceptual-hash near-dup detection (the multimodal dedup tier).
+
+The one standard LLM-corpus dedup modality text/embedding dedup don't
+cover: re-encodes, format conversions, and resizes of the SAME pixels are
+byte-different (exact dedup misses them) and text-free (MinHash/SimHash
+don't apply). The standard pipeline is
+
+    decode → luma → 9x8 difference hash (dHash) → Hamming LSH → verify
+
+which this module implements Spark-first:
+
+- :func:`image_dhash` — map-only Arrow ``mapInPandas`` stage: decode via
+  the stdlib PNG/JPEG/GIF codecs (Pillow's C path when installed), reduce
+  to a 9x8 luma grid by AREA AVERAGE (box filter — robust to codec noise
+  and resampling, unlike nearest), emit the 64 horizontal-gradient sign
+  bits as one ``bigint``. Undecodable payloads QUARANTINE (dropped), the
+  posture of every real-codec frame path in :mod:`.binary`.
+- :func:`hamming_near_pairs` — the SAME block-LSH + verify scheme as the
+  text SimHash path (``operators/dedup.py simhash_near_pairs``, the
+  Manku/Jain/Sarma web-dedup configuration): split the 64-bit hash into
+  ``n_blocks`` equal blocks; two hashes within Hamming < n_blocks must
+  share a block (pigeonhole), so the block equi-join is an exact candidate
+  generator for ``max_hamming <= n_blocks - 1``; candidates verify with
+  ``bit_count(xor)``. Never all-pairs.
+
+Reference parity: the reference repo (danbernardo/airflow-etl-finance-market)
+has no image pipeline at all — this tier is part of the beyond-reference
+LLM-data operator set, composed from the repo's own codec + dedup
+machinery.
+
+Scale notes: hashing is map-only (no shuffle; 8 bytes out per image).
+The pair stage shuffles on 16-bit block values — 64k buckets, the same
+bucket-space arithmetic as the text path; skewed buckets (near-identical
+corpora) AQE-split. At 100 TB of media the hash stage streams the binary
+column once and the join runs over the 8-byte hash table, not pixels.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+#: Output schema of the hash stage.
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def _dhash_kernel(grid_w: int = 9, grid_h: int = 8):
+    """Build the dHash kernel as a FACTORY-NESTED function.
+
+    Factory-nested (not module-level) deliberately, like every stdlib
+    codec: Spark's Python workers unpickle closures WITHOUT this repo on
+    sys.path, and cloudpickle serializes nested functions BY VALUE — a
+    module-level kernel captured in a ``mapInPandas`` closure would
+    pickle by reference and die with ModuleNotFoundError on a bare
+    worker (caught by the driver-emulator run, round 7).
+    """
+
+    def dhash(w: int, h: int, ch: int, pix: bytes) -> int:
+        """64-bit dHash of a decoded pixel buffer: area-average the luma
+        plane onto a ``grid_w x grid_h`` grid, then emit one bit per
+        horizontal neighbor pair (``1`` iff right cell is brighter).
+
+        Pure function of the pixels — PNG/GIF (lossless) re-encodes of
+        the same image hash IDENTICALLY, and any codec whose decode
+        error stays below the local luma gradient (baseline JPEG at
+        sane quality) preserves every gradient sign. Integer-exact:
+        cell sums are exact sums over disjoint pixel boxes, compared
+        cross-multiplied so no float division enters the sign test.
+        """
+        if w < grid_w or h < grid_h:
+            raise ValueError(f"image {w}x{h} smaller than the hash grid")
+        # luma plane: ITU-R BT.601 integer weights for RGB(A); grey as-is
+        if ch == 1:
+            luma = pix
+        else:
+            luma = bytes(
+                (
+                    299 * pix[i] + 587 * pix[i + 1] + 114 * pix[i + 2]
+                )
+                // 1000
+                for i in range(0, len(pix), ch)
+            )
+        # exact box sums: cell (r, c) covers rows [r*h//gh, (r+1)*h//gh)
+        sums = [[0] * grid_w for _ in range(grid_h)]
+        areas = [[0] * grid_w for _ in range(grid_h)]
+        row_of = [r * grid_h // h for r in range(h)]
+        col_of = [c * grid_w // w for c in range(w)]
+        for y in range(h):
+            gy = row_of[y]
+            base = y * w
+            row_sums = sums[gy]
+            row_areas = areas[gy]
+            for x in range(w):
+                gx = col_of[x]
+                row_sums[gx] += luma[base + x]
+                row_areas[gx] += 1
+        bits = 0
+        k = 0
+        for r in range(grid_h):
+            for c in range(grid_w - 1):
+                # mean(r,c+1) > mean(r,c) <=> s2*a1 > s1*a2 (exact ints)
+                if (
+                    sums[r][c + 1] * areas[r][c]
+                    > sums[r][c] * areas[r][c + 1]
+                ):
+                    bits |= 1 << k
+                k += 1
+        return bits
+
+    return dhash
+
+
+def _dhash_from_pixels(
+    w: int, h: int, ch: int, pix: bytes, grid_w: int = 9, grid_h: int = 8
+) -> int:
+    """Driver-side convenience wrapper over :func:`_dhash_kernel` (tests
+    and single-payload callers); Spark closures must capture the factory
+    product instead — see the factory docstring."""
+    return _dhash_kernel(grid_w, grid_h)(w, h, ch, pix)
+
+
+def image_dhash(
+    media: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Map-only Arrow stage: ``(id, payload)`` → ``(id, dhash bigint)``.
+
+    Decodes through the REAL codec tier (Pillow when installed, else the
+    stdlib PNG/JPEG/GIF codecs) and quarantines anything undecodable —
+    the row is dropped, never a task failure, matching the
+    :mod:`.binary` frame-path posture. No shuffle; partitioning carries
+    over from the source, so a 100 TB media table hashes with zero data
+    movement and 8 output bytes per image.
+    """
+    from .binary import _stdlib_png_codec
+    from .gif import _stdlib_gif_codec
+    from .jpeg import _stdlib_jpeg_codec
+
+    # factory-built codec locals pickle BY VALUE into the closure (bare
+    # Spark workers have no repo on sys.path — the house rule)
+    _, _png_decode, _, _ = _stdlib_png_codec()
+    _, _jpeg_decode, _ = _stdlib_jpeg_codec()
+    _, _gif_decode, _ = _stdlib_gif_codec()
+    _dhash = _dhash_kernel()
+
+    def _decode(payload: bytes):
+        try:
+            import io
+
+            import numpy as np  # noqa: F401  (Pillow pixel access)
+            from PIL import Image  # type: ignore[import-not-found]
+
+            im = Image.open(io.BytesIO(payload))
+            im = im.convert("L")
+            return im.width, im.height, 1, im.tobytes()
+        except ImportError:
+            pass
+        except Exception:
+            return None
+        try:
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                return _png_decode(payload)
+            if payload[:2] == b"\xff\xd8":
+                return _jpeg_decode(payload)
+            if payload[:4] == b"GIF8":
+                return _gif_decode(payload)
+        except Exception:
+            return None
+        return None
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                decoded = _decode(bytes(payload))
+                if decoded is None:
+                    continue  # quarantine: corrupt/unsupported payload
+                w, h, ch, pix = decoded
+                try:
+                    hv = _dhash(w, h, ch, pix)
+                except ValueError:
+                    continue  # below-grid-size images can't be hashed
+                ids.append(doc_id)
+                # store as signed 64-bit (Spark bigint)
+                hashes.append(hv - (1 << 64) if hv >= 1 << 63 else hv)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(_hash, schema=DHASH_SCHEMA)
+
+
+def hamming_near_pairs(
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    sig_col: str = "dhash",
+    max_hamming: int = 4,
+    n_bits: int = 64,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-pairs over any 64-bit signature column: block LSH + Hamming
+    verify — the ``simhash_near_pairs`` join form generalized to a
+    caller-supplied signature (image dHash here).
+
+    Exact candidate generation for ``max_hamming <= n_blocks - 1``
+    (pigeonhole over equal-width blocks); the block equi-join shuffles
+    on ``(block_idx, block_val)`` — 4 blocks x 16 bits = 64k buckets —
+    and every candidate verifies JVM-side with ``bit_count(xor)``.
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    width = n_bits // n_blocks
+    mask = (1 << width) - 1
+    # reference the SOURCE column inside posexplode — aliasing it to
+    # "sig" in the same select would be a lateral column alias, which
+    # generator expressions reject at resolution time
+    blocks = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftrightunsigned(F.col(sig_col), width * j)
+                        .bitwiseAND(F.lit(mask))
+                    )
+                    for j in range(n_blocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """End-to-end image near-dup: dHash stage ∘ Hamming block-LSH.
+
+    Re-encodes (PNG↔JPEG↔GIF), palette conversions, and integer
+    rescales of the same pixels land within ``max_hamming`` of each
+    other (gradient signs survive codec noise); unrelated images sit
+    near Hamming 32. Returns verified ``(id_a, id_b, hamming)`` pairs.
+    """
+    return hamming_near_pairs(
+        image_dhash(media, id_col=id_col, payload_col=payload_col),
+        id_col="doc_id",
+        max_hamming=max_hamming,
+    )

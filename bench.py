@@ -101,6 +101,26 @@ is the ~15x smaller scan working set and the cell-pruned partition
 reads, terms that only dominate once the corpus stops fitting in page
 cache. The numbers are reported so the crossover claim stays measured,
 not asserted.
+
+r07 notes: ARBITRATION of the r06 ticker_beta markets_x10 +28%
+(1.418 -> 1.817, past the +20% rule, flagged by the r06 verdict): solo
+best-of-3 x3 sets measured 1.863 / 1.605 / 1.461 s best — the minimum
+is within +3% of r05's recorded 1.418 with an UNCHANGED plan
+(operators/markets.py untouched in r06), and the 1.46-1.86 spread
+across solo sets shows the host jitter band for this entry spans the
+whole "regression"; noise, not a plan change. Root-cause fix, closing
+the pattern for good (third best-of-2 casualty after r04 ingest and
+r05 containment_lsh): EVERY tier now runs best-of-3 — markets_x10,
+events_x10, corpus_x100, ann_x100 included. ARTIFACT contract change
+(r06 verdict #1): the full payload now lands in the committed
+BENCH_LOCAL.json ($SPARK_GRAFT_BENCH_OUT) and stdout carries only the
+compact headline line, so the driver's tail capture can never truncate
+the headline total again; the r06 hole reconstructs to ~13.8 s (10.69
+visible + 3.13 r05-carry for the 6 truncated entries, per the r06
+verdict). NEW events_x100 section (10M events, 100x USER cardinality):
+the measured decade for the user-keyed state tier (funnel, retention,
+ffill, activity panel) — ratio ≈ 10 vs events_x10 is the pass bar,
+same contract as corpus_x100.
 """
 
 from __future__ import annotations
@@ -257,7 +277,7 @@ def markets_x10_section(
     out: dict[str, float] = {}
     for name in MARKETS_X10:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):  # best-of-3 since r07 (see the r07 notes)
             df = qs[name](spark, x10m)
             t0 = _time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
@@ -308,13 +328,174 @@ def events_x10_section(spark, qs, tmp: str) -> tuple[dict[str, float], int]:
     out: dict[str, float] = {}
     for name in EVENTS_X10:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):  # best-of-3 since r07 (see the r07 notes)
             df = qs[name](spark, x10e)
             t0 = _time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, _time.perf_counter() - t0)
         out[name] = round(best, 3)
     return out, n_rows
+
+
+#: User-keyed state tier at 100x USER cardinality (10M events) — the
+#: measured decade for funnel/retention/ffill/activity-panel, the same
+#: contract corpus_x100 gave the dedup chain (r06 verdict #6). Pass bar:
+#: x100/x10 wall-clock ratio ≈ 10 (linear in users); materially
+#: super-linear needs an arbitration note.
+EVENTS_X100 = [
+    "user_funnel_times",
+    "user_retention_cohorts",
+    "events_daily_ffill",
+    "weekly_activity_panel",
+]
+
+
+def build_x100_events_fixture(spark, tmp: str) -> tuple[str, int]:
+    """100 copies, each shifting user_id AND event_id: 100x the user
+    cardinality with the per-user event-sequence shape unchanged — the
+    honest scale-up for operators that shuffle and hold state BY USER
+    (family size constant, keys 100x, exactly the dimension the
+    liveness-bounded-state claim is about)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_finance_market_spark.sources.readers import load_fixture
+
+    x100e = f"{tmp}/x100ev"
+    copies = spark.range(100).withColumnRenamed("id", "copy")
+    ev = load_fixture(spark, SF_DIR, "events")
+    (
+        ev.crossJoin(copies)
+        .withColumn("user_id", F.col("user_id") + F.col("copy") * X10_LIFT)
+        .withColumn("event_id", F.col("event_id") + F.col("copy") * X10_LIFT)
+        .drop("copy")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{x100e}/events.parquet")
+    )
+    n = spark.read.parquet(f"{x100e}/events.parquet").count()
+    return x100e, n
+
+
+def events_x100_section(spark, qs, tmp: str) -> tuple[dict[str, float], int]:
+    import time as _time
+
+    x100e, n_rows = build_x100_events_fixture(spark, tmp)
+    out: dict[str, float] = {}
+    for name in EVENTS_X100:
+        best = float("inf")
+        for _ in range(3):
+            df = qs[name](spark, x100e)
+            t0 = _time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, _time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out, n_rows
+
+
+def image_phash_section(spark, tmp: str) -> tuple[dict[str, float], int]:
+    """Image perceptual-hash dedup tier (r07): 3 PNG variants per sf0.1
+    document (~15k images, 5k planted 3-member families — same-pixel
+    re-encodes with sub-gradient luma noise, the near-dup structure the
+    dHash is built to catch). The image fixture is WRITTEN to parquet
+    outside the timers (a real media table is a stored column); what's
+    timed is (a) the map-only hash stage and (b) the full
+    hash + block-LSH + verify pair chain — the two costs a 100 TB media
+    dedup actually pays."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_finance_market_spark.multimodal.binary import (
+        _stdlib_png_codec,
+    )
+    from airflow_etl_finance_market_spark.multimodal.phash import (
+        image_dhash,
+        image_near_dup_pairs,
+    )
+    from airflow_etl_finance_market_spark.util import fan_out
+
+    _, _, _png_enc, _ = _stdlib_png_codec()
+
+    def _build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        levels = [16, 48, 80, 112, 144, 176, 208, 240]
+        gw, gh, blk = 9, 8, 8
+
+        def base_pixels(seed: bytes) -> bytes:
+            vals = []
+            for r in range(gh):
+                row = []
+                for c in range(gw):
+                    hv = hashlib.md5(seed + bytes([r, c])).digest()[0]
+                    v = levels[hv % 8]
+                    if c > 0 and v == row[-1]:
+                        v = levels[(hv % 8 + 1) % 8]
+                    row.append(v)
+                vals.append(row)
+            pix = bytearray()
+            for r in range(gh):
+                rowbytes = bytearray()
+                for c in range(gw):
+                    rowbytes += bytes([vals[r][c]]) * blk
+                pix += bytes(rowbytes) * blk
+            return bytearray(pix)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.md5(text.encode("utf-8")).digest()
+                pix = base_pixels(seed)
+                for k in range(3):
+                    v = bytearray(pix)
+                    # variant noise: +-4 luma on a few interior pixels —
+                    # below the >=32 gradient margin, so family hashes
+                    # stay equal while payload bytes differ
+                    for t in range(k * 3):
+                        p = hashlib.md5(seed + bytes([64 + t])).digest()
+                        pos = (p[0] % (gh * blk)) * gw * blk + p[1] % (
+                            gw * blk
+                        )
+                        v[pos] = max(0, min(255, v[pos] + (p[2] % 9) - 4))
+                    ids.append(doc_id * 10 + k)
+                    payloads.append(_png_enc(gw * blk, gh * blk, 1, bytes(v)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    docs = fan_out(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), "doc_id"
+    ).select("doc_id", "text")
+    media_path = f"{tmp}/images.parquet"
+    docs.mapInPandas(_build, "doc_id long, payload binary").write.mode(
+        "overwrite"
+    ).parquet(media_path)
+    media = spark.read.parquet(media_path)
+    n_images = media.count()
+
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, float] = {}
+    for name, thunk in (
+        ("phash_hash", lambda: _noop(image_dhash(media))),
+        (
+            "phash_pairs",
+            lambda: _noop(image_near_dup_pairs(media, max_hamming=4)),
+        ),
+    ):
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            thunk()
+            best = min(best, _time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out, n_images
 
 
 #: Dedup/CC chain timed at 100x documents (500k) — the measured decade of
@@ -439,15 +620,15 @@ def ann_x100_section(spark, tmp: str) -> tuple[dict[str, float], int]:
 
     out: dict[str, float] = {}
 
-    def best2(name, thunk):
+    def best3(name, thunk):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):  # best-of-3 since r07 (see the r07 notes)
             t0 = _time.perf_counter()
             thunk()
             best = min(best, _time.perf_counter() - t0)
         out[name] = round(best, 3)
 
-    best2("ann_brute_query", lambda: _noop(
+    best3("ann_brute_query", lambda: _noop(
         S.cosine_topk_bruteforce(emb, qids, k=5)
     ))
     t0 = _time.perf_counter()
@@ -455,7 +636,7 @@ def ann_x100_section(spark, tmp: str) -> tuple[dict[str, float], int]:
     ivf_frame = ivf_frame.persist()
     ivf_frame.count()
     out["ivf_index_build"] = round(_time.perf_counter() - t0, 3)
-    best2("ann_ivf_query", lambda: _noop(
+    best3("ann_ivf_query", lambda: _noop(
         S.cosine_topk_ivf(emb, qids, k=5, index=(centroids, ivf_frame))
     ))
     t0 = _time.perf_counter()
@@ -463,7 +644,7 @@ def ann_x100_section(spark, tmp: str) -> tuple[dict[str, float], int]:
     pq_codes = pq_codes.persist()
     pq_codes.count()
     out["pq_index_build"] = round(_time.perf_counter() - t0, 3)
-    best2("ann_pq_query", lambda: _noop(
+    best3("ann_pq_query", lambda: _noop(
         S.cosine_topk_pq(emb, qids, k=5, index=(books, pq_codes))
     ))
     t0 = _time.perf_counter()
@@ -471,7 +652,7 @@ def ann_x100_section(spark, tmp: str) -> tuple[dict[str, float], int]:
     ivfpq_frame = ivfpq_idx[2].persist()
     ivfpq_frame.count()
     out["ivfpq_index_build"] = round(_time.perf_counter() - t0, 3)
-    best2("ann_ivfpq_query", lambda: _noop(
+    best3("ann_ivfpq_query", lambda: _noop(
         S.cosine_topk_ivfpq(
             emb, qids, k=5,
             index=(ivfpq_idx[0], ivfpq_idx[1], ivfpq_frame),
@@ -506,7 +687,7 @@ def corpus_x100_section(
     out: dict[str, float] = {}
     for name in CORPUS_X100:
         best = float("inf")
-        for _ in range(2):  # best-of-2: multi-minute tier, runtime-bounded
+        for _ in range(3):  # best-of-3 since r07 (see the r07 notes)
             t0 = _time.perf_counter()
             jobs[name]()
             best = min(best, _time.perf_counter() - t0)
@@ -726,6 +907,10 @@ def main() -> None:
             ex, n_ev = events_x10_section(spark, qs, tmp)
             payload["events_x10"] = ex
             payload["events_x10_rows"] = {"events": n_ev}
+        with tempfile.TemporaryDirectory() as tmp:
+            ph, n_img = image_phash_section(spark, tmp)
+            payload["image_dedup"] = ph
+            payload["image_dedup_rows"] = {"images": n_img}
 
     if os.environ.get("SPARK_GRAFT_X100", "1") != "0":
         with tempfile.TemporaryDirectory() as tmp:
@@ -736,8 +921,33 @@ def main() -> None:
             ax, n_vecs = ann_x100_section(spark, tmp)
             payload["ann_x100"] = ax
             payload["ann_x100_rows"] = {"embeddings": n_vecs}
+        with tempfile.TemporaryDirectory() as tmp:
+            evx, n_ev100 = events_x100_section(spark, qs, tmp)
+            payload["events_x100"] = evx
+            payload["events_x100_rows"] = {"events": n_ev100}
 
-    print(json.dumps(payload))
+    # ARTIFACT CONTRACT (r06 verdict #1): the r06 payload outgrew the
+    # driver's tail capture and the HEADLINE total was truncated into
+    # "parsed": null. Two-part fix: (a) the FULL payload is written to a
+    # committed file the repo owns (never capture-window-dependent);
+    # (b) the one printed JSON line is the COMPACT headline summary —
+    # small enough that any tail capture keeps it intact — with a pointer
+    # at the full artifact.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", f"{REPO}/BENCH_LOCAL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": payload["queries"],
+        "sf": payload["sf"],
+        "full_artifact": os.path.basename(full_path),
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

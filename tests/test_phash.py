@@ -1,0 +1,219 @@
+"""Image perceptual-hash near-dup tier (multimodal/phash.py): dHash
+determinism and codec invariance, Hamming block-LSH exactness, quarantine
+posture, planted-pair recall, and the never-all-pairs plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from airflow_etl_finance_market_spark.multimodal.binary import (
+    _stdlib_png_codec,
+)
+from airflow_etl_finance_market_spark.multimodal.gif import _stdlib_gif_codec
+from airflow_etl_finance_market_spark.multimodal.jpeg import (
+    _stdlib_jpeg_codec,
+)
+from airflow_etl_finance_market_spark.multimodal.phash import (
+    _dhash_from_pixels,
+    hamming_near_pairs,
+    image_dhash,
+    image_near_dup_pairs,
+)
+
+_LEVELS = [16, 48, 80, 112, 144, 176, 208, 240]
+
+
+def _block_image(seed: bytes, gw: int = 9, gh: int = 8, blk: int = 8):
+    """72x64 grayscale block grid; horizontal neighbors >= 32 luma apart."""
+    vals = []
+    for r in range(gh):
+        row = []
+        for c in range(gw):
+            hv = hashlib.md5(seed + bytes([r, c])).digest()[0]
+            v = _LEVELS[hv % 8]
+            if c > 0 and v == row[-1]:
+                v = _LEVELS[(hv % 8 + 1) % 8]
+            row.append(v)
+        vals.append(row)
+    pix = bytearray()
+    for r in range(gh):
+        rowbytes = bytearray()
+        for c in range(gw):
+            rowbytes += bytes([vals[r][c]]) * blk
+        pix += bytes(rowbytes) * blk
+    return gw * blk, gh * blk, bytes(pix)
+
+
+def _upscale2(pix: bytes, w: int, h: int) -> bytes:
+    out = bytearray()
+    for y in range(h):
+        d = bytearray()
+        for v in pix[y * w : (y + 1) * w]:
+            d += bytes([v, v])
+        out += d + d
+    return bytes(out)
+
+
+class TestDhashKernel:
+    def test_known_gradient_image(self):
+        """A 9x8 image that IS the grid: bit k set iff right neighbor is
+        brighter — hand-checkable on a monotone row."""
+        # row r: luma increases left->right => all 8 bits of the row set
+        pix = bytes(c * 20 for _ in range(8) for c in range(9))
+        assert _dhash_from_pixels(9, 8, 1, pix) == (1 << 64) - 1
+        # decreasing => no bits set
+        pix = bytes((8 - c) * 20 for _ in range(8) for c in range(9))
+        assert _dhash_from_pixels(9, 8, 1, pix) == 0
+
+    def test_rgb_luma_reduction_matches_gray(self):
+        """An RGB image with R=G=B must hash identically to its gray
+        plane (BT.601 weights sum to ~1000/1000)."""
+        w, h, gray = _block_image(b"rgbtest")
+        rgb = b"".join(bytes((v, v, v)) for v in gray)
+        assert _dhash_from_pixels(w, h, 3, rgb) == _dhash_from_pixels(
+            w, h, 1, gray
+        )
+
+    def test_below_grid_size_refuses(self):
+        with pytest.raises(ValueError, match="smaller than the hash grid"):
+            _dhash_from_pixels(4, 4, 1, bytes(16))
+
+    def test_codec_invariance_png_jpeg_gif_upscale(self):
+        """The SAME pixels through PNG, baseline JPEG q90, and a GIF of
+        the 2x nearest upscale hash IDENTICALLY (gradient signs survive
+        codec noise when neighbors are >= 32 luma apart) — the property
+        the image_phash_near_dups gate's planted families rest on."""
+        _, png_dec, png_enc, _ = _stdlib_png_codec()
+        _, jpeg_dec, jpeg_enc = _stdlib_jpeg_codec()
+        _, gif_dec, gif_enc = _stdlib_gif_codec()
+        gray_pal = [(i, i, i) for i in range(256)]
+        for seed in (b"a", b"b", b"c"):
+            w, h, pix = _block_image(seed)
+            h_png = _dhash_from_pixels(*png_dec(png_enc(w, h, 1, pix)))
+            h_jpg = _dhash_from_pixels(
+                *jpeg_dec(jpeg_enc(w, h, 1, pix, quality=90))
+            )
+            h_gif = _dhash_from_pixels(
+                *gif_dec(
+                    gif_enc(2 * w, 2 * h, _upscale2(pix, w, h), gray_pal)
+                )
+            )
+            assert h_png == h_jpg == h_gif
+
+    def test_unrelated_images_are_far(self):
+        _, png_dec, png_enc, _ = _stdlib_png_codec()
+        hs = []
+        for i in range(10):
+            w, h, pix = _block_image(f"seed{i}".encode())
+            hs.append(_dhash_from_pixels(*png_dec(png_enc(w, h, 1, pix))))
+        for i in range(10):
+            for j in range(i + 1, 10):
+                assert bin(hs[i] ^ hs[j]).count("1") > 8
+
+
+class TestHammingNearPairs:
+    def _sig_frame(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, dhash long")
+
+    def test_pigeonhole_recall_is_exact_within_block_bound(self, spark):
+        """For max_hamming <= n_blocks - 1 the block join is an EXACT
+        candidate generator: every pair within the bound must surface,
+        for every choice of which bits differ."""
+        base = 0x0123_4567_89AB_CDEF
+        rows = [(0, base)]
+        # flip 3 bits spread across three different blocks
+        rows.append((1, base ^ (1 << 2) ^ (1 << 20) ^ (1 << 40)))
+        # flip 3 bits all inside ONE block (others must still match)
+        rows.append((2, base ^ 0b111 << 17))
+        # 5 bits > max_hamming: excluded even though blocks collide
+        rows.append((3, base ^ (0b11111 << 30)))
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_near_pairs(
+                self._sig_frame(spark, rows), max_hamming=3
+            ).collect()
+        }
+        assert (0, 1, 3) in got
+        assert (0, 2, 3) in got
+        assert not any(3 in (a, b) for a, b, _ in got)
+
+    def test_signed_longs_block_split_is_unsigned(self, spark):
+        """Hashes stored as NEGATIVE bigints (bit 63 set) must block-split
+        with shiftrightunsigned semantics — a sign-extending shift would
+        put equal high blocks in different buckets."""
+        top = -(1 << 63)  # only bit 63 set
+        rows = [(0, top), (1, top ^ 1)]  # hamming 1, high block equal
+        got = hamming_near_pairs(
+            self._sig_frame(spark, rows), max_hamming=1
+        ).collect()
+        assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(0, 1, 1)]
+
+
+class TestImageDhashOnSpark:
+    def test_hash_stage_quarantines_undecodable(self, spark):
+        """Corrupt/unsupported payloads drop (never a task failure);
+        well-formed ones hash — matching the binary.py frame posture."""
+        _, _, png_enc, _ = _stdlib_png_codec()
+        w, h, pix = _block_image(b"q")
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(png_enc(w, h, 1, pix))),
+                (2, bytearray(b"\x89PNG\r\n\x1a\n garbage")),
+                (3, bytearray(b"not an image at all")),
+                (4, None),
+            ],
+            "doc_id long, payload binary",
+        )
+        got = image_dhash(media).collect()
+        assert [r.doc_id for r in got] == [1]
+
+    def test_planted_pair_recall(self, spark):
+        """End to end (the verdict's planted-pair recall test): 8
+        families x 3 byte-different variants of the same pixels — the
+        pair set must be EXACTLY the 3 within-family pairs per family,
+        nothing across families."""
+        _, _, png_enc, _ = _stdlib_png_codec()
+        _, _, jpeg_enc = _stdlib_jpeg_codec()
+        _, _, gif_enc = _stdlib_gif_codec()
+        gray_pal = [(i, i, i) for i in range(256)]
+        rows = []
+        for fam in range(8):
+            w, h, pix = _block_image(f"fam{fam}".encode())
+            rows.append((fam * 10, bytearray(png_enc(w, h, 1, pix))))
+            rows.append(
+                (fam * 10 + 1, bytearray(jpeg_enc(w, h, 1, pix, quality=90)))
+            )
+            rows.append(
+                (
+                    fam * 10 + 2,
+                    bytearray(
+                        gif_enc(2 * w, 2 * h, _upscale2(pix, w, h), gray_pal)
+                    ),
+                )
+            )
+        media = spark.createDataFrame(rows, "doc_id long, payload binary")
+        pairs = image_near_dup_pairs(media, max_hamming=4).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        expect = {
+            (fam * 10 + a, fam * 10 + b)
+            for fam in range(8)
+            for a, b in ((0, 1), (0, 2), (1, 2))
+        }
+        assert got == expect
+        assert all(r.hamming == 0 for r in pairs)
+
+    def test_pair_plan_is_equi_join_never_cartesian(self, spark):
+        """The scale contract: candidate generation is a block equi-join
+        (shuffle on block values), never CartesianProduct / all-pairs,
+        and verification is JVM-side bit_count (no Python in the pair
+        stage)."""
+        sigs = spark.createDataFrame(
+            [(i, i * 7919) for i in range(10)], "doc_id long, dhash long"
+        )
+        df = hamming_near_pairs(sigs, max_hamming=4)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "bit_count" in plan
