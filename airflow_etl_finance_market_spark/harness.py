@@ -79,6 +79,11 @@ def register(name: str, oracle: str | None = None):
 #: re-verification period the budget allows).
 _WINDOW_DEMOTED = [
     # --- r05-green, held over ONE round (trail 2 at r07; r08 must rotate) ---
+    # returnflag_correlation frees the slot for the NEW
+    # embedding_semantic_dedup composition entry (never driver-verified
+    # -> must be live); its corr shape keeps in-window coverage via the
+    # r04-rotated price_trend_regression, and the code is untouched.
+    "returnflag_correlation",
     "top_avg_volatility",
     "pricing_summary",
     "ticker_metrics",
@@ -5066,3 +5071,48 @@ def q_image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_images long, n_pairs long, pairs_within_family boolean, "
         "families_fully_paired boolean",
     )
+
+
+@register(
+    "embedding_semantic_dedup",
+    f"""
+WITH RECURSIVE vv AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM vv a JOIN vv b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_COS_SQL.format(a="a.e", b="b.e")}, 6) >= 0.35
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b AS u, id_a AS v FROM pairs
+), reach(id, lbl) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+), cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY cluster_id)
+SELECT cl.id AS vec_id, cl.cluster_id,
+       cl.id = cl.cluster_id AS is_canonical, sz.cluster_size
+FROM cl JOIN sz USING (cluster_id)
+""",
+)
+def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023) END TO END:
+    embedding-cosine near-dup pairs within cluster blocks → connected
+    components → one canonical survivor per semantic group —
+    ``filter(is_canonical)`` IS the semantically deduplicated corpus,
+    the embedding-space twin of ``doc_dedup_clusters``'s lexical dedup.
+    Composes the existing blocked cosine-pair generator
+    (operators/similarity.embedding_near_dup_pairs — the label blocks
+    stand in for SemDeDup's k-means cells; the unblocked scale path is
+    the LSH/IVF bucketing) with the hash-min CC + survivor machinery
+    (operators/graph.dedup_clusters). Oracle: the same pairs via the
+    exact cosine SQL, transitive closure as a recursive CTE, MIN(label)
+    per vertex = hash-min's fixpoint."""
+    from .operators.graph import dedup_clusters
+    from .operators.similarity import embedding_near_dup_pairs
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.35)
+    return dedup_clusters(emb, pairs, id_col="vec_id")

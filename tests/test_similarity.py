@@ -891,3 +891,50 @@ class TestProductQuantization:
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan
         assert plan.count("MapInPandas") == 1
+
+
+class TestSemanticDedup:
+    def test_planted_semantic_clusters_and_survivors(self, spark):
+        """SemDeDup composition (cosine pairs -> CC -> canonical): two
+        planted semantic groups inside one label block, one singleton in
+        another block. Identical/near-identical directions cluster, the
+        orthogonal vector stays alone, the min-id is canonical."""
+        from airflow_etl_finance_market_spark.operators.graph import (
+            dedup_clusters,
+        )
+        from airflow_etl_finance_market_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        def vec(*nonzero):
+            v = [0.0] * 8
+            for i, x in nonzero:
+                v[i] = x
+            return v
+
+        rows = [
+            # group A (label 0): same direction, different scales
+            (1, 0, vec((0, 1.0))),
+            (2, 0, vec((0, 2.0))),
+            # chained member: close to 2, still transitively in A
+            (3, 0, vec((0, 1.0), (1, 0.2))),
+            # group B (label 0): orthogonal to A
+            (4, 0, vec((2, 1.0))),
+            # other label block: never pairs with label 0
+            (5, 1, vec((0, 1.0))),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        )
+        pairs = embedding_near_dup_pairs(emb, threshold=0.9)
+        out = {
+            r.vec_id: (r.cluster_id, r.is_canonical, r.cluster_size)
+            for r in dedup_clusters(emb, pairs, id_col="vec_id").collect()
+        }
+        assert out[1] == (1, True, 3)
+        assert out[2] == (1, False, 3)
+        assert out[3] == (1, False, 3)
+        assert out[4] == (4, True, 1)
+        assert out[5] == (5, True, 1)
+        # filter(is_canonical) IS the deduplicated corpus
+        assert sorted(k for k, v in out.items() if v[1]) == [1, 4, 5]
