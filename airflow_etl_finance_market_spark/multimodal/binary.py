@@ -4,12 +4,14 @@ Images/audio/video are opaque ``binary`` columns with typed metadata. The
 Spark-side plumbing here is real and tested — schema, Arrow-batched
 ``mapInPandas`` decode stage, partition-safe batch shape. The codec tiers:
 
-- **PNG, baseline JPEG, and GIF are REAL everywhere**: Pillow's C path
-  when installed, else the self-contained stdlib codecs
+- **PNG, JPEG (baseline AND progressive), and GIF are REAL
+  everywhere**: Pillow's C path when installed, else the
+  self-contained stdlib codecs
   (:func:`_stdlib_png_codec` — zlib inflate, full filter-0–4
   unfiltering, nearest-neighbor resize, re-encode; and
-  :func:`.jpeg._stdlib_jpeg_codec` — full Huffman entropy decode,
-  dequantize, IDCT, chroma upsample, YCbCr→RGB;
+  :func:`.jpeg._stdlib_jpeg_codec` — full Huffman entropy decode for
+  SOF0 and SOF2 multi-scan streams, dequantize, IDCT, chroma
+  upsample, YCbCr→RGB;
   :func:`.gif._stdlib_gif_codec` — variable-width LZW, interlace,
   local/global palettes, transparency→RGBA), so the formats a media
   crawl actually contains decode/resize actual pixels even in this
@@ -19,8 +21,8 @@ Spark-side plumbing here is real and tested — schema, Arrow-batched
   pattern), and so is **MJPEG-in-AVI video** (:mod:`.video` — movi walk,
   byte-exact frame extraction feeding the JPEG codec; truncated files
   yield their intact frame prefix).
-- **Other formats** (WebP/progressive JPEG/compressed audio, H.264+
-  video) need Pillow/libav — detected at call time. The single-payload probe
+- **Other formats** (WebP/compressed audio, H.264+ video) need
+  Pillow/libav — detected at call time. The single-payload probe
   :func:`decode_image` raises NotImplementedError without them (the
   honest seam, loud for a caller holding one payload); the FRAME-level
   real paths instead QUARANTINE — corrupt, truncated, or unsupported

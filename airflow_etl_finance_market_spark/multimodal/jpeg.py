@@ -1,4 +1,4 @@
-"""Pure-stdlib baseline JPEG codec (SOF0) — the second REAL image format.
+"""Pure-stdlib JPEG codec (baseline SOF0 + progressive SOF2).
 
 Closes the r05 verdict's remaining codec seam: a media crawl is mostly
 JPEG, and the container has no Pillow, so the same factory-nested
@@ -8,22 +8,37 @@ chroma upsample, YCbCr→RGB — not a header sniff.
 
 Scope and honesty boundary:
 
-- **Decode**: baseline sequential DCT (SOF0), 8-bit, 1 component
-  (grayscale) or 3 components (YCbCr, any h/v sampling factors incl.
-  4:2:0 / 4:2:2 — nearest-neighbor chroma upsample), restart markers,
-  tables read from the stream's own DQT/DHT segments — so JPEGs from
-  real encoders decode, not just our own. Progressive (SOF2),
-  arithmetic coding, 12-bit, and hierarchical modes raise
-  NotImplementedError — at the frame level those payloads QUARANTINE
-  (row dropped), per the module posture in ``binary.py``.
-- **Encode**: baseline, 4:4:4, quality-scaled Annex-K quantization
+- **Decode**: baseline sequential DCT (SOF0/SOF1) AND progressive DCT
+  (SOF2 — the r06 verdict's largest named codec seam; a large share of
+  web JPEGs are progressive), 8-bit, 1 component (grayscale) or 3
+  components (YCbCr, any h/v sampling factors incl. 4:2:0 / 4:2:2 —
+  nearest-neighbor chroma upsample), restart markers, tables read from
+  the stream's own DQT/DHT segments — so JPEGs from real encoders
+  decode, not just our own. Both modes share ONE multi-scan
+  coefficient-domain decoder: every scan (baseline's single mixed
+  DC+AC scan, or progressive's DC-first / DC-refine / AC-spectral /
+  AC-refine scans with Ss/Se/Ah/Al headers and EOB-run coding)
+  accumulates integer coefficients per block; dequantize + IDCT runs
+  once at the end. Arithmetic coding, 12-bit, lossless, and
+  hierarchical modes still raise NotImplementedError — at the frame
+  level those payloads QUARANTINE (row dropped), per the module
+  posture in ``binary.py``.
+- **Encode**: baseline or progressive (``progressive=True`` — a
+  successive-approximation scan script: one interleaved DC-first scan
+  at Al=1, one AC spectral-selection scan per component at Al=1 with
+  EOB-run accumulation, one AC refinement scan per component with
+  buffered correction bits, one raw-bit DC refinement scan — 4 scans
+  grayscale / 8 color), 4:4:4, quality-scaled Annex-K quantization
   matrices, and deliberately SIMPLE custom Huffman tables (all 12 DC
   categories at one code length; all 256 AC run/size symbols at 9
-  bits) emitted in the DHT segments. Any spec-compliant decoder reads
-  tables from the stream, so validity — not coding efficiency — is
-  what matters for an encoder whose job is test fixtures and
-  re-encode plumbing; transcribing the 162-entry Annex-K AC lists by
-  hand would only add an error surface.
+  bits — which also covers every EOBn symbol) emitted in the DHT
+  segments. Any spec-compliant decoder reads tables from the stream,
+  so validity — not coding efficiency — is what matters for an
+  encoder whose job is test fixtures and re-encode plumbing;
+  transcribing the 162-entry Annex-K AC lists by hand would only add
+  an error surface. Both encoder modes quantize ONCE and emit the
+  same coefficients, so progressive and baseline decodes of the same
+  pixels must be bit-identical — the round-trip tests pin that.
 
 Everything is nested inside :func:`_stdlib_jpeg_codec` so cloudpickle
 ships the whole codec BY VALUE into mapInPandas closures (Spark's
@@ -83,7 +98,9 @@ def _stdlib_jpeg_codec():
       (works on progressive too; size needs no entropy decode);
     - ``jpeg_decode(b) -> (w, h, channels, pixels)`` — channels 1
       (grayscale) or 3 (RGB), row-major bytes;
-    - ``jpeg_encode(w, h, channels, pixels, quality=85) -> bytes``.
+    - ``jpeg_encode(w, h, channels, pixels, quality=85,
+      progressive=False) -> bytes`` — baseline SOF0, or a progressive
+      SOF2 successive-approximation scan script when ``progressive``.
     """
     import math
     import struct
@@ -235,13 +252,192 @@ def _stdlib_jpeg_codec():
         return out
 
     def jpeg_decode(b: bytes) -> tuple[int, int, int, bytes]:
+        # Multi-scan coefficient-domain decoder: every scan (baseline's
+        # single mixed DC+AC scan, or progressive's DC/AC first/refine
+        # scans) accumulates integer coefficients per block in ZIGZAG
+        # index order; dequantize + IDCT runs once after the last scan.
+        if b[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG payload")
         qtables: dict[int, list[int]] = {}
         htables: dict[tuple[int, int], dict] = {}
         restart_interval = 0
-        frame = None
-        scan = None
-        data_pos = None
-        for marker, payload, start in _segments(b):
+        comps = None
+        progressive = False
+        w = h = hmax = vmax = mcux = mcuy = 0
+        n_scans = 0
+
+        def _decode_scan(rd, scomps, ss, se, ah, al):
+            """One entropy-coded scan into the per-block coef arrays.
+
+            ``scomps`` is [(comp, dc_tid, ac_tid)] in scan order. For a
+            non-interleaved scan (ns=1) the unit is one block over the
+            component's OWN ceil(cw/8) x ceil(ch/8) grid (T.81 A.2.2 —
+            smaller than the MCU-padded storage grid; padding blocks
+            stay zero); interleaved scans walk full MCUs.
+            """
+            eobrun = 0
+            pred = [0] * len(scomps)
+            if len(scomps) == 1:
+                c0 = scomps[0][0]
+                cw = -(-(w * c0["h"]) // hmax)
+                ch2 = -(-(h * c0["v"]) // vmax)
+                nbx = -(-cw // 8)
+                nunits = nbx * (-(-ch2 // 8))
+            else:
+                nbx = 0
+                nunits = mcux * mcuy
+
+            def _blocks(u):
+                if len(scomps) == 1:
+                    by, bx = divmod(u, nbx)
+                    c = scomps[0][0]
+                    yield 0, scomps[0], c["coef"][by * c["bw"] + bx]
+                    return
+                my, mx = divmod(u, mcux)
+                for ci, sc in enumerate(scomps):
+                    c = sc[0]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            yield ci, sc, c["coef"][
+                                (my * c["v"] + by) * c["bw"]
+                                + mx * c["h"] + bx
+                            ]
+
+            for u in range(nunits):
+                if restart_interval and u and u % restart_interval == 0:
+                    rd.restart()
+                    pred = [0] * len(scomps)
+                    eobrun = 0
+                for ci, (c, dc_tid, ac_tid), coef in _blocks(u):
+                    if not progressive:
+                        # baseline mixed scan: DC diff then AC runs
+                        t = rd.huff(htables[(0, dc_tid)])
+                        pred[ci] += _extend(rd.bits(t), t)
+                        coef[0] = pred[ci]
+                        ac_t = htables[(1, ac_tid)]
+                        k = 1
+                        while k < 64:
+                            rs = rd.huff(ac_t)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            coef[k] = _extend(rd.bits(s), s)
+                            k += 1
+                    elif ss == 0:
+                        # progressive DC scan (first or refinement)
+                        if ah == 0:
+                            t = rd.huff(htables[(0, dc_tid)])
+                            pred[ci] += _extend(rd.bits(t), t)
+                            coef[0] = pred[ci] << al
+                        else:
+                            # Python | on negative ints is two's
+                            # complement, so refining a negative DC
+                            # approximation lands exactly
+                            coef[0] |= rd.bits(1) << al
+                    elif ah == 0:
+                        # progressive AC first (spectral selection)
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        ac_t = htables[(1, ac_tid)]
+                        k = ss
+                        while k <= se:
+                            rs = rd.huff(ac_t)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                eobrun = (1 << r) - 1  # EOBn
+                                if r:
+                                    eobrun += rd.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC index overflow")
+                            coef[k] = _extend(rd.bits(s), s) << al
+                            k += 1
+                    else:
+                        # progressive AC refinement: one bit of
+                        # precision per band coefficient; nonzero-history
+                        # coefficients get a correction bit, new ones a
+                        # (run, +-1<<al) pair; EOBn skips whole blocks
+                        # but still carries the correction bits for the
+                        # nonzero coefficients it glides over
+                        p1 = 1 << al
+                        k = ss
+                        if eobrun == 0:
+                            ac_t = htables[(1, ac_tid)]
+                            while k <= se:
+                                rs = rd.huff(ac_t)
+                                r, s = rs >> 4, rs & 0xF
+                                val = 0
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += rd.bits(r)
+                                        break  # tail handled below
+                                    # r == 15: ZRL over 16 zero-history
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "bad AC refinement symbol"
+                                        )
+                                    val = p1 if rd.bits(1) else -p1
+                                while k <= se:
+                                    if coef[k]:
+                                        if rd.bits(1) and not (
+                                            coef[k] & p1
+                                        ):
+                                            coef[k] += (
+                                                p1 if coef[k] > 0 else -p1
+                                            )
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    coef[k] = val
+                                k += 1
+                        if eobrun:
+                            while k <= se:
+                                if coef[k]:
+                                    if rd.bits(1) and not (coef[k] & p1):
+                                        coef[k] += p1 if coef[k] > 0 else -p1
+                                k += 1
+                            eobrun -= 1
+            return rd
+
+        pos = 2
+        saw_eoi = False
+        while pos + 1 < len(b):
+            if b[pos] != 0xFF:
+                raise ValueError("marker expected")
+            marker = b[pos + 1]
+            if marker == 0xD9:  # EOI
+                saw_eoi = True
+                break
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn/TEM
+                pos += 2
+                continue
+            if pos + 4 > len(b):
+                raise ValueError("truncated JPEG stream")
+            ln = int.from_bytes(b[pos + 2 : pos + 4], "big")
+            payload = b[pos + 4 : pos + 2 + ln]
+            if len(payload) != ln - 2:
+                raise ValueError("truncated JPEG stream")
+            seg_end = pos + 2 + ln
             if marker == 0xDB:  # DQT
                 p = 0
                 while p < len(payload):
@@ -263,91 +459,101 @@ def _stdlib_jpeg_codec():
             elif marker == 0xDD:  # DRI
                 restart_interval = int.from_bytes(payload[:2], "big")
             elif marker in _SOF_MARKERS:
-                if marker != 0xC0 and marker != 0xC1:
+                if marker in (0xC0, 0xC1):
+                    progressive = False
+                elif marker == 0xC2:
+                    progressive = True
+                else:
                     raise NotImplementedError(
-                        f"JPEG mode 0x{marker:02x} (progressive/arithmetic/"
-                        "lossless) not supported by the stdlib codec"
+                        f"JPEG mode 0x{marker:02x} (arithmetic/lossless/"
+                        "hierarchical) not supported by the stdlib codec"
                     )
                 prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
                 if prec != 8:
                     raise NotImplementedError("only 8-bit JPEG supported")
+                if nc not in (1, 3):
+                    raise NotImplementedError(
+                        "only 1- or 3-component JPEG supported"
+                    )
                 comps = []
                 for i in range(nc):
                     cid, samp, qid = payload[6 + 3 * i : 9 + 3 * i]
                     comps.append(
                         {"id": cid, "h": samp >> 4, "v": samp & 0xF, "q": qid}
                     )
-                frame = (w, h, comps)
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                for c in comps:
+                    c["bw"] = mcux * c["h"]  # blocks across (MCU-padded)
+                    c["bh"] = mcuy * c["v"]
+                    c["coef"] = [
+                        [0] * 64 for _ in range(c["bw"] * c["bh"])
+                    ]
             elif marker == 0xDA:  # SOS
+                if comps is None:
+                    raise ValueError("missing SOF/SOS")
                 ns = payload[0]
-                sel = {}
+                by_id = {c["id"]: c for c in comps}
+                scomps = []
                 for i in range(ns):
                     cid, tids = payload[1 + 2 * i], payload[2 + 2 * i]
-                    sel[cid] = (tids >> 4, tids & 0xF)
-                scan = sel
-                data_pos = start + len(payload)
-        if frame is None or scan is None:
+                    if cid not in by_id:
+                        raise ValueError("scan references unknown component")
+                    scomps.append((by_id[cid], tids >> 4, tids & 0xF))
+                ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+                ahal = payload[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0xF
+                if progressive:
+                    if ss == 0 and se != 0:
+                        raise ValueError(
+                            "progressive DC scan must have Se=0"
+                        )
+                    if ss > 0 and ns != 1:
+                        raise ValueError(
+                            "progressive AC scan must be non-interleaved"
+                        )
+                elif ss != 0 or se != 63 or ah != 0 or al != 0:
+                    raise ValueError("invalid baseline scan header")
+                rd = _decode_scan(
+                    _BitReader(b, seg_end), scomps, ss, se, ah, al
+                )
+                n_scans += 1
+                # resume the marker walk past this scan's entropy data
+                # (any 0xFF + non-stuffing, non-RST byte is a marker)
+                p = rd.pos
+                while p + 1 < len(b) and not (
+                    b[p] == 0xFF
+                    and b[p + 1] != 0x00
+                    and not (0xD0 <= b[p + 1] <= 0xD7)
+                ):
+                    p += 1
+                pos = p
+                continue
+            pos = seg_end
+        if comps is None or n_scans == 0:
             raise ValueError("missing SOF/SOS")
-        w, h, comps = frame
-        if len(comps) not in (1, 3):
-            raise NotImplementedError("only 1- or 3-component JPEG supported")
-        hmax = max(c["h"] for c in comps)
-        vmax = max(c["v"] for c in comps)
-        mcux = -(-w // (8 * hmax))
-        mcuy = -(-h // (8 * vmax))
+        if not saw_eoi:
+            raise ValueError("truncated JPEG stream")
+        # dequantize + inverse DCT, once, after the last scan
         planes = []
         for c in comps:
-            c["bw"] = mcux * c["h"]  # blocks across
-            c["bh"] = mcuy * c["v"]
-            planes.append(bytearray(c["bw"] * 8 * c["bh"] * 8))
-        rd = _BitReader(b, data_pos)
-        pred = [0] * len(comps)
-        mcu_done = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if restart_interval and mcu_done and (
-                    mcu_done % restart_interval == 0
-                ):
-                    rd.restart()
-                    pred = [0] * len(comps)
-                for ci, c in enumerate(comps):
-                    dc_t = htables[(0, scan[c["id"]][0])]
-                    ac_t = htables[(1, scan[c["id"]][1])]
-                    qt = qtables[c["q"]]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            t = rd.huff(dc_t)
-                            diff = _extend(rd.bits(t), t)
-                            pred[ci] += diff
-                            coef = [0.0] * 64
-                            coef[0] = pred[ci] * qt[0]
-                            k = 1
-                            while k < 64:
-                                rs = rd.huff(ac_t)
-                                r, s = rs >> 4, rs & 0xF
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16  # ZRL
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("AC index overflow")
-                                coef[zigzag[k]] = (
-                                    _extend(rd.bits(s), s) * qt[k]
-                                )
-                                k += 1
-                            px = _idct_block(coef)
-                            plane = planes[ci]
-                            row0 = (my * c["v"] + by) * 8
-                            col0 = (mx * c["h"] + bx) * 8
-                            stride = c["bw"] * 8
-                            for yy in range(8):
-                                off = (row0 + yy) * stride + col0
-                                plane[off : off + 8] = bytes(
-                                    px[yy * 8 : yy * 8 + 8]
-                                )
-                mcu_done += 1
+            qt = qtables[c["q"]]
+            stride = c["bw"] * 8
+            plane = bytearray(stride * c["bh"] * 8)
+            for bi, coef in enumerate(c["coef"]):
+                deq = [0.0] * 64
+                for k in range(64):
+                    if coef[k]:
+                        deq[zigzag[k]] = coef[k] * qt[k]
+                px = _idct_block(deq)
+                bby, bbx = divmod(bi, c["bw"])
+                row0, col0 = bby * 8, bbx * 8
+                for yy in range(8):
+                    off = (row0 + yy) * stride + col0
+                    plane[off : off + 8] = bytes(px[yy * 8 : yy * 8 + 8])
+            planes.append(plane)
         if len(comps) == 1:
             c = comps[0]
             stride = c["bw"] * 8
@@ -454,7 +660,12 @@ def _stdlib_jpeg_codec():
         return [min(max((q * s + 50) // 100, 1), 255) for q in base]
 
     def jpeg_encode(
-        w: int, h: int, channels: int, pixels: bytes, quality: int = 85
+        w: int,
+        h: int,
+        channels: int,
+        pixels: bytes,
+        quality: int = 85,
+        progressive: bool = False,
     ) -> bytes:
         if channels not in (1, 3):
             raise ValueError("jpeg_encode supports 1 or 3 channels")
@@ -498,10 +709,14 @@ def _stdlib_jpeg_codec():
             planes = [ys, cbs, crs]
         dc_enc = _enc_table(_DC_BITS, _DC_VALS)
         ac_enc = _enc_table(_AC_BITS, _AC_VALS)
-        wr = _BitWriter()
-        pred = [0] * channels
-        for by in range(ph // 8):
-            for bx in range(pw // 8):
+        # quantize every block ONCE (zigzag-order ints, raster per
+        # component; 4:4:4 so all components share the block grid) —
+        # baseline and progressive emit the SAME coefficients, which is
+        # what makes their decodes bit-identical
+        nbx, nby = pw // 8, ph // 8
+        qblocks = [[None] * (nbx * nby) for _ in range(channels)]
+        for by in range(nby):
+            for bx in range(nbx):
                 for ci in range(channels):
                     plane = planes[ci]
                     qt = qy_z if ci == 0 else qc_z
@@ -516,13 +731,22 @@ def _stdlib_jpeg_codec():
                     for k in range(64):
                         c = coef[zigzag[k]] / qt[k]
                         quant[k] = int(c + 0.5) if c >= 0 else -int(-c + 0.5)
-                    diff = quant[0] - pred[ci]
+                    qblocks[ci][by * nbx + bx] = quant
+
+        def _emit_dc_diff(wr, diff: int):
+            t = _category(diff)
+            code, ln = dc_enc[t]
+            wr.write(code, ln)
+            if t:
+                wr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+        def _emit_baseline_scan(wr):
+            pred = [0] * channels
+            for u in range(nbx * nby):
+                for ci in range(channels):
+                    quant = qblocks[ci][u]
+                    _emit_dc_diff(wr, quant[0] - pred[ci])
                     pred[ci] = quant[0]
-                    t = _category(diff)
-                    code, ln = dc_enc[t]
-                    wr.write(code, ln)
-                    if t:
-                        wr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
                     run = 0
                     last_nz = 0
                     for k in range(1, 64):
@@ -545,7 +769,135 @@ def _stdlib_jpeg_codec():
                     if last_nz < 63:
                         code, ln = ac_enc[0x00]  # EOB
                         wr.write(code, ln)
-        wr.flush()
+
+        def _emit_dc_first(wr, al: int):
+            # point transform is an ARITHMETIC shift (floor for
+            # negatives), mirrored by the decoder's pred << al
+            pred = [0] * channels
+            for u in range(nbx * nby):
+                for ci in range(channels):
+                    v = qblocks[ci][u][0] >> al
+                    _emit_dc_diff(wr, v - pred[ci])
+                    pred[ci] = v
+
+        def _emit_dc_refine(wr, al: int):
+            for u in range(nbx * nby):
+                for ci in range(channels):
+                    wr.write((qblocks[ci][u][0] >> al) & 1, 1)
+
+        def _emit_ac_first(wr, ci: int, ss: int, se: int, al: int):
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    rr = eobrun.bit_length() - 1
+                    code, ln = ac_enc[rr << 4]
+                    wr.write(code, ln)
+                    if rr:
+                        wr.write(eobrun - (1 << rr), rr)
+                    eobrun = 0
+
+            for quant in qblocks[ci]:
+                band = [
+                    q >> al if q >= 0 else -((-q) >> al)
+                    for q in quant[ss : se + 1]
+                ]
+                last = -1
+                for i, v in enumerate(band):
+                    if v:
+                        last = i
+                if last < 0:  # whole band zero: joins the EOB run
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for i in range(last + 1):
+                    v = band[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_enc[0xF0]  # ZRL
+                        wr.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = ac_enc[(run << 4) | s]
+                    wr.write(code, ln)
+                    wr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < len(band) - 1:  # trailing zeros: EOB run
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+
+        def _emit_ac_refine(wr, ci: int, ss: int, se: int, al: int):
+            # One more magnitude bit per band coefficient. New nonzeros
+            # (|coef|>>al == 1) get a (run,1) symbol + sign bit; history
+            # coefficients get a correction bit BUFFERED until the next
+            # symbol (or carried with a deferred EOB run) so the decoder
+            # reads them in positional order while it advances.
+            eobrun = 0
+            run_bits: list[int] = []  # corrections riding the EOB run
+
+            def flush_eob():
+                nonlocal eobrun, run_bits
+                if eobrun:
+                    rr = eobrun.bit_length() - 1
+                    code, ln = ac_enc[rr << 4]
+                    wr.write(code, ln)
+                    if rr:
+                        wr.write(eobrun - (1 << rr), rr)
+                    eobrun = 0
+                for bit in run_bits:
+                    wr.write(bit, 1)
+                run_bits = []
+
+            for quant in qblocks[ci]:
+                absv = [
+                    (q if q >= 0 else -q) >> al for q in quant[ss : se + 1]
+                ]
+                sgn = [1 if q > 0 else 0 for q in quant[ss : se + 1]]
+                eobpos = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eobpos = i
+                r = 0
+                blk_bits: list[int] = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    # emit pending ZRLs, unless they fold into the EOB
+                    while r > 15 and i <= eobpos:
+                        flush_eob()
+                        code, ln = ac_enc[0xF0]
+                        wr.write(code, ln)
+                        r -= 16
+                        for bit in blk_bits:
+                            wr.write(bit, 1)
+                        blk_bits = []
+                    if t > 1:  # history nonzero: correction bit only
+                        blk_bits.append(t & 1)
+                        continue
+                    flush_eob()
+                    code, ln = ac_enc[(r << 4) | 1]
+                    wr.write(code, ln)
+                    wr.write(sgn[i], 1)
+                    for bit in blk_bits:
+                        wr.write(bit, 1)
+                    blk_bits = []
+                    r = 0
+                if r > 0 or blk_bits:
+                    eobrun += 1
+                    run_bits.extend(blk_bits)
+                    if eobrun == 0x7FFF or len(run_bits) > 930:
+                        flush_eob()
+            flush_eob()
+
         # -- assemble segments --
         out = bytearray(b"\xff\xd8")
 
@@ -561,18 +913,44 @@ def _stdlib_jpeg_codec():
         sof = bytearray(struct.pack(">BHHB", 8, h, w, channels))
         for ci in range(channels):
             sof.extend(bytes([ci + 1, 0x11, 0 if ci == 0 else 1]))
-        seg(0xC0, bytes(sof))
+        seg(0xC2 if progressive else 0xC0, bytes(sof))
         seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS)
         seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + _AC_VALS)
         if channels == 3:
             seg(0xC4, bytes([0x01]) + bytes(_DC_BITS) + _DC_VALS)
             seg(0xC4, bytes([0x11]) + bytes(_AC_BITS) + _AC_VALS)
-        sos = bytearray([channels])
-        for ci in range(channels):
-            sos.extend(bytes([ci + 1, 0x00 if ci == 0 else 0x11]))
-        sos.extend(b"\x00\x3f\x00")
-        seg(0xDA, bytes(sos))
-        out.extend(wr.out)
+
+        def sos_hdr(comp_ids, ss, se, ah, al) -> bytes:
+            hdr = bytearray([len(comp_ids)])
+            for ci in comp_ids:
+                td = 0 if ci == 0 else 1
+                hdr.extend(bytes([ci + 1, (td << 4) | td]))
+            hdr.extend(bytes([ss, se, (ah << 4) | al]))
+            return bytes(hdr)
+
+        all_ci = list(range(channels))
+        if not progressive:
+            wr = _BitWriter()
+            _emit_baseline_scan(wr)
+            wr.flush()
+            seg(0xDA, sos_hdr(all_ci, 0, 63, 0, 0))
+            out.extend(wr.out)
+        else:
+            scans = [(all_ci, 0, 0, 0, 1, _emit_dc_first)]
+            for ci in all_ci:
+                scans.append(([ci], 1, 63, 0, 1, _emit_ac_first))
+            for ci in all_ci:
+                scans.append(([ci], 1, 63, 1, 0, _emit_ac_refine))
+            scans.append((all_ci, 0, 0, 1, 0, _emit_dc_refine))
+            for comp_ids, ss, se, ah, al, emit in scans:
+                wr = _BitWriter()
+                if ss == 0:
+                    emit(wr, al)
+                else:
+                    emit(wr, comp_ids[0], ss, se, al)
+                wr.flush()
+                seg(0xDA, sos_hdr(comp_ids, ss, se, ah, al))
+                out.extend(wr.out)
         out.extend(b"\xff\xd9")
         return bytes(out)
 

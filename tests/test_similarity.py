@@ -554,18 +554,88 @@ class TestStdlibJpegCodec:
         b = jpeg_encode(9, 3, 3, bytes(9 * 3 * 3))
         assert decode_image(b) == (9, 3)
 
-    def test_progressive_raises_loudly(self):
-        """SOF2 (progressive) is outside the baseline scope and must
-        raise NotImplementedError — the honest seam stays loud."""
+    def test_progressive_roundtrip_bit_identical_to_baseline(self):
+        """Progressive (SOF2) and baseline encodes of the same pixels
+        quantize ONCE and must decode bit-identically — this pins the
+        whole successive-approximation chain (DC first/refine, AC
+        spectral selection, AC refinement with correction bits and
+        EOB runs) against the already-trusted baseline path."""
+        _, jpeg_decode, jpeg_encode = self._codec()
+
+        def pix(w, h, ch, seed):
+            out, x = bytearray(), seed
+            for _ in range(w * h * ch):
+                x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+                out.append((x >> 16) & 0xFF)
+            return bytes(out)
+
+        for (w, h, ch, q) in [
+            (16, 16, 1, 85),
+            (24, 17, 3, 85),  # non-multiple-of-8 dims
+            (33, 9, 3, 50),
+            (17, 23, 1, 10),  # coarse quant: sparse AC, long EOB runs
+            (40, 40, 3, 95),  # fine quant: dense AC, refinement-heavy
+        ]:
+            p = pix(w, h, ch, w * h * ch + q)
+            base = jpeg_decode(jpeg_encode(w, h, ch, p, quality=q))
+            prog = jpeg_decode(
+                jpeg_encode(w, h, ch, p, quality=q, progressive=True)
+            )
+            assert base == prog, (w, h, ch, q)
+
+    def test_progressive_eob_and_zrl_stress(self):
+        """Mostly-flat image with scattered single-pixel spikes: AC
+        bands are zero in most blocks (multi-block EOBn runs with extra
+        bits) and sparse-high-frequency in the rest (ZRL symbols in
+        both the spectral and refinement scans)."""
+        _, jpeg_decode, jpeg_encode = self._codec()
+        w = h = 96
+        p = bytearray([128]) * (w * h)
+        for i in range(0, w * h, 997):
+            p[i] = 255
+        for i in range(500, w * h, 1499):
+            p[i] = 0
+        p = bytes(p)
+        for q in (85, 50, 10):
+            assert jpeg_decode(jpeg_encode(w, h, 1, p, quality=q)) == (
+                jpeg_decode(
+                    jpeg_encode(w, h, 1, p, quality=q, progressive=True)
+                )
+            ), q
+        # all-flat 128x128: a 256-block EOB run per AC scan (extra-bits
+        # path of the EOBn encoder) and exact DC-only reconstruction
+        flat = bytes([77]) * (128 * 128)
+        d = jpeg_decode(jpeg_encode(128, 128, 1, flat, progressive=True))
+        assert d == jpeg_decode(jpeg_encode(128, 128, 1, flat))
+        assert max(abs(77 - v) for v in d[3]) == 0
+
+    def test_progressive_malformed_scan_headers_raise(self):
+        """A SOF2 frame whose scan headers violate T.81's progressive
+        constraints (DC scan with Se>0 from a flipped marker byte;
+        interleaved AC scan) must raise ValueError, not mis-decode."""
         import pytest
 
         jpeg_size, jpeg_decode, jpeg_encode = self._codec()
         b = bytearray(jpeg_encode(8, 8, 1, bytes(64)))
         i = bytes(b).find(b"\xff\xc0")
-        b[i + 1] = 0xC2
+        b[i + 1] = 0xC2  # baseline Ss=0/Se=63 header is illegal in SOF2
         assert jpeg_size(bytes(b)) == (8, 8)  # size needs no entropy pass
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError, match="Se=0"):
             jpeg_decode(bytes(b))
+
+    def test_progressive_truncation_refuses(self):
+        """A progressive stream cut mid-scan or missing EOI raises —
+        never fabricates pixels from a partial download (the RIFF/PNG
+        refusal posture, extended to the multi-scan walk)."""
+        import pytest
+
+        _, jpeg_decode, jpeg_encode = self._codec()
+        gray = bytes((x * 7) % 256 for x in range(24 * 24))
+        full = jpeg_encode(24, 24, 1, gray, progressive=True)
+        with pytest.raises(ValueError):
+            jpeg_decode(full[: len(full) // 2])  # mid-scan
+        with pytest.raises(ValueError, match="truncated"):
+            jpeg_decode(full[:-2])  # complete scans, missing EOI
 
     def test_empty_entropy_stream_raises_documented_error(self):
         """A scan that hits EOI before yielding a single entropy bit must
@@ -583,16 +653,13 @@ class TestStdlibJpegCodec:
         with pytest.raises(ValueError, match="truncated JPEG entropy"):
             jpeg_decode(cut)
 
-    def test_genuine_progressive_stream_quarantines(self, spark):
-        """A REAL progressive-JPEG byte stream (SOF2 + DC-first /
-        AC-spectral-selection scans with Ss/Se/Ah/Al scan headers, the
-        structure libjpeg emits — not just a flipped marker byte): the
-        single-payload decode raises loudly, extract_binary_features
-        still reports header dims (size needs no entropy pass), and
-        resize_images QUARANTINES the row because decoding is required
-        (r06 verdict #7)."""
-        import pytest
-
+    def test_genuine_progressive_stream_decodes(self, spark):
+        """A hand-built progressive stream (SOF2 + DC-first /
+        AC-spectral-selection scans with real Ss/Se/Ah/Al headers, the
+        structure libjpeg emits) decodes through the single-payload API
+        AND the real Spark frame paths — the r06 verdict's largest
+        codec seam, closed: resize_images now PROCESSES the row it used
+        to quarantine."""
         from airflow_etl_finance_market_spark.multimodal.binary import (
             extract_binary_features,
             resize_images,
@@ -624,8 +691,8 @@ class TestStdlibJpegCodec:
 
         jpeg_size, jpeg_decode, _ = self._codec()
         assert jpeg_size(prog) == (8, 8)
-        with pytest.raises(NotImplementedError):
-            jpeg_decode(prog)
+        # DC diff 0 with all-zero AC = one flat mid-gray block
+        assert jpeg_decode(prog) == (8, 8, 1, bytes([128]) * 64)
         media = spark.createDataFrame(
             [(1, bytearray(prog))], "doc_id long, payload binary"
         )
@@ -633,11 +700,116 @@ class TestStdlibJpegCodec:
         assert [(r.width, r.height, r.mime) for r in feats] == [
             (8, 8, "image/jpeg")
         ]
-        # the resize stage NEEDS decoded pixels -> the progressive row
-        # quarantines (dropped), never a task failure
-        assert (
-            resize_images(media, use_fake_codec=False).count() == 0
+        # the resize stage needs decoded pixels — the progressive row
+        # now decodes for real instead of quarantining
+        assert resize_images(media, use_fake_codec=False).count() == 1
+
+    def test_progressive_420_subsampled_hand_built(self):
+        """Progressive + 4:2:0 chroma subsampling, the combination our
+        4:4:4 encoder cannot emit: a hand-assembled 16x16 SOF2 stream
+        with one interleaved DC scan (MCU = 4 luma + Cb + Cr blocks)
+        and three NON-INTERLEAVED AC scans whose EOBn counts (4 luma
+        blocks, 1 chroma block) only match if the decoder walks each
+        component's OWN ceil(cw/8) grid rather than the MCU-padded
+        storage grid (T.81 A.2.2)."""
+        _, jpeg_decode, _ = self._codec()
+
+        def seg(marker: int, payload: bytes) -> bytes:
+            return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(
+                2, "big"
+            ) + payload
+
+        class W:
+            def __init__(self):
+                self.out, self.acc, self.n = bytearray(), 0, 0
+
+            def write(self, code, ln):
+                self.acc = (self.acc << ln) | code
+                self.n += ln
+                while self.n >= 8:
+                    byte = (self.acc >> (self.n - 8)) & 0xFF
+                    self.out.append(byte)
+                    if byte == 0xFF:
+                        self.out.append(0x00)
+                    self.n -= 8
+                    self.acc &= (1 << self.n) - 1
+
+            def flush(self):
+                if self.n:
+                    pad = 8 - self.n
+                    self.write((1 << pad) - 1, pad)
+
+        # DC table: 12 categories at length 4 (canonical codes 0..11);
+        # AC table: symbols 0..127 at length 8 — covers EOB0..EOB7
+        dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+        ac_bits = bytes([0] * 7 + [128] + [0] * 8)
+        dht = (
+            seg(0xC4, b"\x00" + dc_bits + bytes(range(12)))
+            + seg(0xC4, b"\x10" + ac_bits + bytes(range(128)))
+            + seg(0xC4, b"\x01" + dc_bits + bytes(range(12)))
+            + seg(0xC4, b"\x11" + ac_bits + bytes(range(128)))
         )
+        dqt = seg(0xDB, b"\x00" + bytes([16] * 64)) + seg(
+            0xDB, b"\x01" + bytes([16] * 64)
+        )
+        # 16x16, Y at 2x2 (four 8x8 blocks), Cb/Cr at 1x1 (one each)
+        sof2 = seg(
+            0xC2,
+            b"\x08" + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+            + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+        )
+
+        def dc_diff(w, diff):
+            t = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+            w.write(t, 4)
+            if t:
+                w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+        # flat quadrants 64 / 128 / 192 / 248; chroma neutral (128).
+        # DC quant value for a flat block = round(8*(v-128)/16)
+        w1 = W()
+        pred = 0
+        for v in (64, 128, 192, 248):  # MCU block order: Y00 Y01 Y10 Y11
+            dc = round(8 * (v - 128) / 16)
+            dc_diff(w1, dc - pred)
+            pred = dc
+        dc_diff(w1, 0)  # Cb
+        dc_diff(w1, 0)  # Cr
+        w1.flush()
+        scan_dc = seg(
+            0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x00\x00"
+        ) + bytes(w1.out)
+
+        def ac_scan(cid, ta, eobn):
+            w = W()
+            r = eobn.bit_length() - 1
+            w.write(r << 4, 8)  # EOBn symbol at canonical length 8
+            if r:
+                w.write(eobn - (1 << r), r)
+            w.flush()
+            return seg(
+                0xDA, bytes([1, cid, ta, 1, 63, 0])
+            ) + bytes(w.out)
+
+        # luma: non-interleaved grid is 2x2 = 4 blocks -> EOB4;
+        # chroma: ceil(8/8)=1 block each -> EOB1
+        body = (
+            scan_dc
+            + ac_scan(1, 0x00, 4)
+            + ac_scan(2, 0x11, 1)
+            + ac_scan(3, 0x11, 1)
+        )
+        prog = b"\xff\xd8" + dqt + sof2 + dht + body + b"\xff\xd9"
+        w_, h_, ch, out = jpeg_decode(prog)
+        assert (w_, h_, ch) == (16, 16, 3)
+        # every quadrant flat at its value, chroma-neutral => R=G=B
+        for (qx, qy, v) in [(0, 0, 64), (8, 0, 128), (0, 8, 192), (8, 8, 248)]:
+            for yy in range(8):
+                for xx in range(8):
+                    o = ((qy + yy) * 16 + (qx + xx)) * 3
+                    assert abs(out[o] - v) <= 1 and out[o] == out[o + 1] == out[o + 2], (
+                        qx, qy, out[o : o + 3],
+                    )
 
     def test_real_features_on_spark_sniff_and_quarantine(self, spark):
         """extract_binary_features(real) over a mixed frame: JPEG rows get
