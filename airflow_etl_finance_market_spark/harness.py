@@ -63,20 +63,23 @@ def register(name: str, oracle: str | None = None):
 #: Round-7 rotation (per the r06 verdict's #3): the 13 r04-green
 #: trail-2 entries ALL re-enter the window — with the trail->budget
 #: condition they become offenders the moment CORRECTNESS_r07.json
-#: lands. Three NEW entries (multimodal_image_codec_real,
+#: lands. Six NEW entries (multimodal_image_codec_real,
 #: multimodal_video_frames_real, image_phash_near_dups — the real-codec
-#: driver gates + the image perceptual-hash dedup tier) are live under
+#: driver gates + the image perceptual-hash dedup tier;
+#: embedding_semantic_dedup — the SemDeDup composition; and
+#: gopher_quality_flags + dsir_importance_weights — the published
+#: Gopher rule bundle and DSIR importance resampling) are live under
 #: rule 1 (never driver-verified). One r06-green entry re-enters under
 #: rule 2: multimodal_audio_features (depended-on code changed — the
 #: WAV fmt-chunk validation added to multimodal/audio.py this round sits
-#: on the gate's decode path). The remaining 33 live slots go to the
-#: oldest cohort: 33 of the 46 r05-green entries. Demoted: the other 13
+#: on the gate's decode path). The remaining 30 live slots go to the
+#: oldest cohort: 30 of the 46 r05-green entries. Demoted: the other 16
 #: r05-green entries (trail 2 at r07 — MUST be live in r08; all are
-#: stable scalar-agg/dim/set-op entries with untouched code and pytest
-#: coverage) plus the 49 other r06-green entries (trail 1 at r07, due
-#: r09; capacity check: 13 + 37 of 49 fit r08's window, the remaining
-#: 12 fit r09 — the 112-entry registry cycles inside the 3-round
-#: re-verification period the budget allows).
+#: stable scalar-agg/dim/set-op/split entries with untouched code and
+#: pytest coverage) plus the 49 other r06-green entries (trail 1 at r07,
+#: due r09; capacity check: 16 + 34 of 49 fit r08's window, the
+#: remaining 15 fit r09 — the 115-entry registry cycles inside the
+#: 3-round re-verification period the budget allows).
 _WINDOW_DEMOTED = [
     # --- r05-green, held over ONE round (trail 2 at r07; r08 must rotate) ---
     # returnflag_correlation frees the slot for the NEW
@@ -97,6 +100,12 @@ _WINDOW_DEMOTED = [
     "star_revenue",
     "customers_with_big_orders",
     "fk_orphan_check",
+    # train_test_split + sql_api_nation_rank free two slots for the NEW
+    # gopher_quality_flags + dsir_importance_weights entries (never
+    # driver-verified -> must be live); both demotions are stable,
+    # pytest-covered entries whose code is untouched this round.
+    "train_test_split",
+    "sql_api_nation_rank",
     # --- r06-green, rotated out for re-verification cadence (49) ---
     "brand_scores",
     "customers_without_big_orders",
@@ -5116,3 +5125,98 @@ def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_fixture(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(emb, threshold=0.35)
     return dedup_clusters(emb, pairs, id_col="vec_id")
+
+
+@register(
+    "gopher_quality_flags",
+    f"""
+WITH base AS (
+    SELECT doc_id, text AS _raw, {_TOKS_SQL} AS _toks,
+           string_split(text, chr(10)) AS _lines
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           len(_toks) AS n_words,
+           list_sum(list_transform(_toks, w -> length(w))) AS _char_sum,
+           len(list_filter(_toks, w -> regexp_matches(w, '[a-z]'))) AS _alpha_words,
+           len(list_filter(_toks, w -> w IN
+               ('the','be','to','of','and','that','have','with'))) AS stopword_hits,
+           (length(_raw) - length(replace(_raw, '#', '')))
+             + (length(_raw) - length(replace(_raw, '...', ''))) / 3 AS _symbols,
+           len(list_filter(_lines, l -> starts_with(l, '•') OR starts_with(l, '- '))) AS _bullet_lines,
+           len(list_filter(_lines, l -> ends_with(l, '...'))) AS _ellipsis_lines,
+           len(_lines) AS _n_lines
+    FROM base
+)
+SELECT doc_id, n_words,
+       ROUND(_char_sum / greatest(n_words, 1), 6) AS mean_word_len,
+       ROUND(_symbols / greatest(n_words, 1), 6) AS symbol_ratio,
+       ROUND(_alpha_words / greatest(n_words, 1), 6) AS alpha_word_frac,
+       stopword_hits,
+       (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+       (_char_sum >= 3 * n_words AND _char_sum <= 10 * n_words) AS ok_mean_word_len,
+       (_symbols * 10 <= greatest(n_words, 1)) AS ok_symbol_ratio,
+       (_bullet_lines * 10 < greatest(_n_lines, 1) * 9) AS ok_bullets,
+       (_ellipsis_lines * 10 < greatest(_n_lines, 1) * 3) AS ok_ellipsis,
+       (_alpha_words * 10 >= greatest(n_words, 1) * 8) AS ok_alpha_words,
+       (stopword_hits >= 2) AS ok_stopwords,
+       (n_words >= 50 AND n_words <= 100000
+        AND _char_sum >= 3 * n_words AND _char_sum <= 10 * n_words
+        AND _symbols * 10 <= greatest(n_words, 1)
+        AND _bullet_lines * 10 < greatest(_n_lines, 1) * 9
+        AND _ellipsis_lines * 10 < greatest(_n_lines, 1) * 3
+        AND _alpha_words * 10 >= greatest(n_words, 1) * 8
+        AND stopword_hits >= 2) AS keep
+FROM m
+""",
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality-rule bundle (Rae et al. 2021 A1.1)
+    per document — every signal, every per-rule boolean, and the
+    composite keep flag, in ONE map-only projection (operators/corpus
+    .gopher_quality_flags). All thresholds are integer-ratio
+    comparisons, so the oracle mirrors them without float straddle."""
+    from .operators.corpus import gopher_quality_flags
+
+    return gopher_quality_flags(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+WITH occ AS (
+    SELECT doc_id, (lang = 'en') AS _t,
+           CAST(('0x' || substr(md5(g.gram), 1, 8)) AS BIGINT) % 1024 AS bucket
+    FROM documents,
+         unnest(CASE WHEN len({_TOKS_SQL}) >= 2
+                     THEN list_transform(generate_series(1, len({_TOKS_SQL}) - 1),
+                                         i -> array_to_string(({_TOKS_SQL})[i:i+1], ' '))
+                     ELSE [array_to_string({_TOKS_SQL}, ' ')] END) AS g(gram)
+), hist AS (
+    SELECT bucket, SUM(CASE WHEN _t THEN 1 ELSE 0 END) AS c_t, COUNT(*) AS c_r
+    FROM occ GROUP BY bucket
+), tot AS (SELECT SUM(c_t) AS tot_t, SUM(c_r) AS tot_r FROM hist),
+ratio AS (
+    SELECT bucket,
+           ln(c_t + 1.0) - ln(t.tot_t + 1024.0)
+             - ln(c_r + 1.0) + ln(t.tot_r + 1024.0) AS lr
+    FROM hist CROSS JOIN tot t
+)
+SELECT o.doc_id, COUNT(*) AS n_grams, ROUND(SUM(r.lr), 6) AS log_weight
+FROM occ o JOIN ratio r USING (bucket)
+GROUP BY o.doc_id
+""",
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023) with the
+    lang='en' subset as the target distribution: hashed-bigram histogram
+    ratio summed per doc (operators/corpus.dsir_importance). The bucket
+    log-ratio table is n_buckets rows — broadcast onto the occurrence
+    stream, so the plan is scan + two bounded aggregates at any corpus
+    size. On the fixtures the weights separate en (~-0.2 avg) from
+    non-en (~-3) — the tilt the method promises."""
+    from .operators.corpus import dsir_importance
+
+    return dsir_importance(
+        load_fixture(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )

@@ -419,3 +419,199 @@ def bigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+#: Gopher rule-7 stopword list (Rae et al. 2021, appendix A1.1): a doc
+#: must contain at least 2 of these to pass the "natural English" check.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Per-document Gopher quality-rule bundle (Rae et al. 2021, appendix
+    A1.1) — the published heuristic filter set most LLM-corpus pipelines
+    start from: word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio, bullet/ellipsis line fractions, alphabetic-word fraction, and a
+    minimum stopword count. Emits every signal AND its boolean so a
+    curation pipeline can audit WHY a document was dropped, plus the
+    composite ``keep``.
+
+    All seven rules evaluate in ONE map-only projection over the token
+    array (split once, reused via a lateral alias): no explode, no
+    shuffle, no UDF — at 100 TB this is a pure scan at whatever
+    parallelism the source provides, and Catalyst prunes to (id, text).
+    Thresholds follow the paper: words in [min_words, max_words], mean
+    word length in [3, 10], symbol ratio ('#' or '...') <= 0.1, < 90% of
+    lines bullet-led, < 30% of lines ellipsis-ended, >= 80% of words with
+    an alphabetic char, >= 2 stopword hits. Integer counts divide by
+    integer totals on both engines, so every boolean lands identically in
+    the SQL oracle — no float-boundary straddle.
+    """
+    toks = tokens(text_col)
+    raw = F.col(text_col)
+    lines = F.split(raw, "\n")
+    d = (
+        docs.select(
+            F.col(id_col),
+            raw.alias("_raw"),
+            toks.alias("_toks"),
+            lines.alias("_lines"),
+        )
+        .select(
+            id_col,
+            "_raw",
+            "_toks",
+            "_lines",
+            F.size("_toks").alias("n_words"),
+            F.aggregate(
+                "_toks",
+                F.lit(0).cast("long"),
+                lambda acc, w: acc + F.length(w),
+            ).alias("_char_sum"),
+            F.size(
+                F.filter("_toks", lambda w: w.rlike("[a-z]"))
+            ).alias("_alpha_words"),
+            F.size(
+                F.filter(
+                    "_toks",
+                    lambda w: F.array_contains(
+                        F.array(*[F.lit(s) for s in stopwords]), w
+                    ),
+                )
+            ).alias("stopword_hits"),
+            (
+                F.length("_raw")
+                - F.length(F.regexp_replace("_raw", "#", ""))
+                + (
+                    F.length("_raw")
+                    - F.length(F.regexp_replace("_raw", r"\.\.\.", ""))
+                )
+                / F.lit(3)
+            ).alias("_symbols"),
+            F.size(
+                F.filter(
+                    "_lines",
+                    lambda ln: ln.startswith("•") | ln.startswith("- "),
+                )
+            ).alias("_bullet_lines"),
+            F.size(
+                F.filter("_lines", lambda ln: ln.endswith("..."))
+            ).alias("_ellipsis_lines"),
+            F.size("_lines").alias("_n_lines"),
+        )
+    )
+    n_w = F.greatest(F.col("n_words"), F.lit(1))
+    n_l = F.greatest(F.col("_n_lines"), F.lit(1))
+    flags = d.select(
+        id_col,
+        "n_words",
+        F.round(F.col("_char_sum") / n_w, 6).alias("mean_word_len"),
+        F.round(F.col("_symbols") / n_w, 6).alias("symbol_ratio"),
+        F.round(F.col("_alpha_words") / n_w, 6).alias("alpha_word_frac"),
+        "stopword_hits",
+        (
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+        ).alias("ok_word_count"),
+        (
+            (F.col("_char_sum") >= 3 * F.col("n_words"))
+            & (F.col("_char_sum") <= 10 * F.col("n_words"))
+        ).alias("ok_mean_word_len"),
+        (F.col("_symbols") * 10 <= n_w).alias("ok_symbol_ratio"),
+        (F.col("_bullet_lines") * 10 < n_l * 9).alias("ok_bullets"),
+        (F.col("_ellipsis_lines") * 10 < n_l * 3).alias("ok_ellipsis"),
+        (F.col("_alpha_words") * 10 >= n_w * 8).alias("ok_alpha_words"),
+        (F.col("stopword_hits") >= 2).alias("ok_stopwords"),
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_bullets")
+        & F.col("ok_ellipsis")
+        & F.col("ok_alpha_words")
+        & F.col("ok_stopwords"),
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    per-document log importance weight ``sum over bigram occurrences of
+    ln(p_target(bucket) / p_raw(bucket))`` where both distributions are
+    add-alpha-smoothed histograms over ``n_buckets`` HASHED word-bigram
+    features; ``target`` is a boolean Column marking the in-domain subset
+    (the distribution you want more of) and raw is the whole corpus being
+    scored. High-weight documents look like the target; resampling by
+    weight is the published way to tilt a 100 TB crawl toward a small
+    high-quality reference set without training a classifier.
+
+    Physical shape: ONE explode of (doc, bigram) occurrences feeds both
+    sides. The bucket histograms are a single hash-aggregate bounded by
+    ``n_buckets`` rows (a conditional sum rides the same pass for the
+    target side), so the per-bucket log-ratio table is broadcast back
+    onto the occurrence stream — map-side join, then one doc-keyed
+    aggregate. Nothing in the plan scales with corpus size except the
+    scan and the two doc/bucket-keyed aggregates; there is no pairwise
+    anything. The bucket hash is the house PORTABLE md5 form (mirrors
+    verbatim in DuckDB), and the log-ratio folds as
+    ``ln(c_t + a) - ln(tot_t + aB) - ln(c_r + a) + ln(tot_r + aB)`` so
+    each term is engine-exact before the (rounded) per-doc sum.
+    """
+    occ = (
+        fan_out(docs, id_col)
+        .select(
+            F.col(id_col),
+            F.col(target).alias("_t") if isinstance(target, str) else target.alias("_t"),
+            F.explode(word_ngrams(text_col, 2)).alias("gram"),
+        )
+        .select(
+            id_col,
+            "_t",
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+                % n_buckets
+            ).alias("bucket"),
+        )
+    )
+    hist = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_c_t"),
+        F.count(F.lit(1)).alias("_c_r"),
+    )
+    totals = hist.agg(
+        F.sum("_c_t").alias("_tot_t"), F.sum("_c_r").alias("_tot_r")
+    )
+    ratios = hist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(F.col("_c_t") + F.lit(alpha))
+            - F.log(F.col("_tot_t") + F.lit(alpha * n_buckets))
+            - F.log(F.col("_c_r") + F.lit(alpha))
+            + F.log(F.col("_tot_r") + F.lit(alpha * n_buckets))
+        ).alias("_log_ratio"),
+    )
+    return (
+        occ.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("_log_ratio"), 6).alias("log_weight"),
+        )
+    )

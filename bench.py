@@ -777,6 +777,13 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         "dup_spans": lambda: _noop(
             D.duplicate_span_stats(docs, span_tokens=10)
         ),
+        # r07: the published-filter tier — Gopher rule bundle (map-only,
+        # shuffle-free) and DSIR importance weights (explode + two
+        # bounded aggs + broadcast ratio join) at 50k docs
+        "gopher_flags": lambda: _noop(qs["gopher_quality_flags"](spark, x10)),
+        "dsir_weights": lambda: _noop(
+            qs["dsir_importance_weights"](spark, x10)
+        ),
     }
 
     def best_of_3(thunk, *, cold: bool = False) -> float:

@@ -583,3 +583,158 @@ class TestEditDistanceNearDups:
         rows = edit_distance_near_dups(docs).collect()
         pairs = [(r.id_a, r.id_b) for r in rows]
         assert len(pairs) == len(set(pairs))
+
+
+class TestGopherQualityFlags:
+    def test_each_rule_fires_on_its_planted_doc(self, spark):
+        """One planted document per Gopher rule, each violating exactly
+        that rule (all others healthy), plus one passing doc — pins the
+        per-rule booleans and the composite keep."""
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            gopher_quality_flags,
+        )
+
+        good_words = ("the words flow and that is fine to read with ease "
+                      "be of good cheer have fun " * 5).strip()  # 100 words
+        cases = {
+            1: (good_words, None),  # passes everything
+            2: ("the and of that", "ok_word_count"),  # 4 words < 50
+            3: (" ".join(["the", "and", "of", "that", "have"] * 4
+                         + ["pneumonoultramicroscopic" * 4] * 30),
+                "ok_mean_word_len"),  # mean word length > 10
+            4: (good_words + " " + "# " * 20, "ok_symbol_ratio"),
+            5: ("\n".join(["• " + good_words] * 9 + [good_words]),
+                "ok_bullets"),  # 9/10 lines bullet-led
+            6: ("\n".join([good_words + "..."] * 4 + [good_words] * 6),
+                "ok_ellipsis"),  # 4/10 lines ellipsis-ended
+            7: (" ".join(["the", "and", "of", "that", "have"] * 3
+                         + ["12345"] * 40), "ok_alpha_words"),
+            8: (" ".join(["alpha", "words", "only", "here"] * 15),
+                "ok_stopwords"),
+        }
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in cases.items()], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+        rule_cols = [
+            "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+            "ok_bullets", "ok_ellipsis", "ok_alpha_words", "ok_stopwords",
+        ]
+        for i, (_, broken) in cases.items():
+            r = out[i]
+            for c in rule_cols:
+                expected = c != broken
+                assert getattr(r, c) == expected, (i, c, r)
+            assert r.keep == (broken is None), (i, r)
+
+    def test_signals_match_python(self, spark, sf_dir):
+        """Signal columns replay against plain-Python recomputation on
+        the fixture corpus."""
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            GOPHER_STOPWORDS,
+            gopher_quality_flags,
+        )
+
+        docs = load_fixture(spark, sf_dir, "documents").limit(50)
+        rows = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+        for d in docs.collect():
+            toks = re.sub(r"\s+", " ", d.text.lower()).strip().split(" ")
+            r = rows[d.doc_id]
+            assert r.n_words == len(toks)
+            assert r.stopword_hits == sum(t in GOPHER_STOPWORDS for t in toks)
+            assert r.mean_word_len == pytest.approx(
+                round(sum(map(len, toks)) / max(len(toks), 1), 6)
+            )
+            assert r.alpha_word_frac == pytest.approx(
+                round(sum(bool(re.search("[a-z]", t)) for t in toks)
+                      / max(len(toks), 1), 6)
+            )
+
+
+class TestDsirImportance:
+    def test_target_like_docs_outweigh(self, spark):
+        """Held-out docs written in the target vocabulary score higher
+        log-weights than docs from a disjoint vocabulary — the tilt
+        importance resampling exists to produce."""
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            dsir_importance,
+        )
+
+        a_vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+        b_vocab = ["zork", "quux", "fnord", "blarg", "wibble"]
+
+        def doc(vocab, seed, n=40):
+            x, out = seed, []
+            for _ in range(n):
+                x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+                out.append(vocab[(x >> 16) % len(vocab)])
+            return " ".join(out)
+
+        rows = []
+        for i in range(20):  # target = A-vocab docs
+            rows.append((i, doc(a_vocab, i + 1), True))
+        for i in range(20, 40):  # raw-only pool: B-vocab
+            rows.append((i, doc(b_vocab, i + 1), False))
+        # held-out probes, NOT in the target set
+        rows.append((100, doc(a_vocab, 999), False))
+        rows.append((101, doc(b_vocab, 999), False))
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, is_target boolean"
+        )
+        w = {
+            r.doc_id: r.log_weight
+            for r in dsir_importance(df, F.col("is_target")).collect()
+        }
+        assert w[100] > w[101] + 10  # decisive separation, not noise
+        # every A-vocab doc outweighs every B-vocab doc
+        assert min(w[i] for i in range(20)) > max(w[i] for i in range(20, 40))
+
+    def test_weight_formula_replays_in_python(self, spark):
+        """log_weight replays exactly (to the rounding) against a python
+        reimplementation of the hashed-bigram histogram ratio."""
+        import hashlib
+        import math
+
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            dsir_importance,
+        )
+
+        data = [
+            (1, "a b c a b", True),
+            (2, "c c d e f", False),
+            (3, "a b e e f", False),
+        ]
+        df = spark.createDataFrame(data, "doc_id long, text string, t boolean")
+
+        def grams(text):
+            toks = text.split(" ")
+            if len(toks) < 2:
+                return [" ".join(toks)]
+            return [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 1024
+
+        c_t, c_r = collections.Counter(), collections.Counter()
+        for _, text, t in data:
+            for g in grams(text):
+                b = bucket(g)
+                c_r[b] += 1
+                if t:
+                    c_t[b] += 1
+        tot_t, tot_r = sum(c_t.values()), sum(c_r.values())
+        exp = {}
+        for doc_id, text, _ in data:
+            s = sum(
+                math.log(c_t[bucket(g)] + 1.0)
+                - math.log(tot_t + 1024.0)
+                - math.log(c_r[bucket(g)] + 1.0)
+                + math.log(tot_r + 1024.0)
+                for g in grams(text)
+            )
+            exp[doc_id] = round(s, 6)
+        got = {
+            r.doc_id: r.log_weight
+            for r in dsir_importance(df, F.col("t")).collect()
+        }
+        assert got == pytest.approx(exp)

@@ -524,3 +524,22 @@ def test_pair_correlation_gate_broadcasts(spark, sf_dir):
     plan = plan_of(harness.queries()["ticker_pair_correlation"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_flags_shuffle_free_single_scan(spark, sf_dir):
+    """The Gopher rule bundle is one map-only projection: no Exchange, no
+    generate/explode — a pure scan at any corpus size."""
+    plan = plan_of(harness.queries()["gopher_quality_flags"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_dsir_ratio_table_broadcasts_onto_occurrences(spark, sf_dir):
+    """DSIR's bucket log-ratio table (<= n_buckets rows) must join back to
+    the occurrence stream as a BroadcastHashJoin — a sort-merge there
+    would shuffle the full exploded corpus a second time."""
+    plan = plan_of(
+        harness.queries()["dsir_importance_weights"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
