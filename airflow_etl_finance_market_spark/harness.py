@@ -4715,7 +4715,7 @@ def q_order_price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_image_codec_real",
     """
-SELECT COUNT(*) * 3 AS n_images,
+SELECT COUNT(*) * 4 AS n_images,
        true AS dims_exact,
        true AS mime_ok,
        true AS pixels_ok
@@ -4726,25 +4726,28 @@ def q_multimodal_image_codec_real(spark: SparkSession, sf_dir: str) -> DataFrame
     """REAL image-codec HARD GATE, mirroring multimodal_audio_features
     (r06 verdict #2): per document, deterministic doc-byte-derived pixels
     are encoded to real PNG (RGB), baseline JPEG (grayscale, 8x8-block
-    content), and GIF (grayscale palette) payloads, then pushed through
-    the REAL frame path (extract_binary_features(use_fake_codec=False) —
-    the stdlib codec tier). The oracle PREDICTS n_images = 3 x n_docs
-    from first principles and pins three booleans: every decoded
-    dimension matches the octet_length-derived prediction computed
-    independently in the build closure (a quarantined row coalesces to
-    false — it can't hide), every mime sniffs as its format, and every
-    payload PIXEL-round-trips (PNG/GIF bit-exact; JPEG dims exact + mean
-    abs error <= 4 on flat blocks). A regression anywhere in the three
-    decoders, the PNG/GIF encoders, or the quarantine plumbing flips the
+    content), GIF (grayscale palette), and WebP (VP8L lossless RGB)
+    payloads, then pushed through the REAL frame path
+    (extract_binary_features(use_fake_codec=False) — the stdlib codec
+    tier). The oracle PREDICTS n_images = 4 x n_docs from first
+    principles and pins three booleans: every decoded dimension matches
+    the octet_length-derived prediction computed independently in the
+    build closure (a quarantined row coalesces to false — it can't
+    hide), every mime sniffs as its format, and every payload
+    PIXEL-round-trips (PNG/GIF/WebP bit-exact; JPEG dims exact + mean
+    abs error <= 4 on flat blocks). A regression anywhere in the four
+    decoders, the PNG/GIF/WebP encoders, or the quarantine plumbing flips the
     hash red in CORRECTNESS_r{N}.json. Both stages are map-only Arrow
     passes — zero data movement at any scale."""
     from .multimodal.binary import _stdlib_png_codec, extract_binary_features
     from .multimodal.gif import _stdlib_gif_codec
     from .multimodal.jpeg import _stdlib_jpeg_codec
+    from .multimodal.webp import _stdlib_webp_codec
 
     _, _png_dec, _png_enc, _ = _stdlib_png_codec()
     _, _jpeg_dec, _jpeg_enc = _stdlib_jpeg_codec()
     _, _gif_dec, _gif_enc = _stdlib_gif_codec()
+    _, _webp_dec, _webp_enc = _stdlib_webp_codec()
 
     def _build(batches):
         import pandas as pd
@@ -4786,6 +4789,13 @@ def q_multimodal_image_codec_real(spark: SparkSession, sf_dir: str) -> DataFrame
             expect = b"".join(bytes((v, v, v)) for v in idx)
             gif_ok = _gif_dec(gif) == (w, h, 3, expect)
             yield doc_id * 10 + 2, "gif", gif, w, h, bool(gif_ok)
+            # WebP: VP8L lossless RGB, third independent dims recipe
+            ww = n % 20 + 4
+            wh = (n * 5) % 20 + 4
+            wrgb = bytes(data[(i * 3 + 1) % n] for i in range(ww * wh * 3))
+            webp = _webp_enc(ww, wh, 3, wrgb)
+            webp_ok = _webp_dec(webp) == (ww, wh, 3, wrgb)
+            yield doc_id * 10 + 3, "webp", webp, ww, wh, bool(webp_ok)
 
         for pdf in batches:
             rows = [

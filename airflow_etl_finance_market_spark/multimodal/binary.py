@@ -4,8 +4,8 @@ Images/audio/video are opaque ``binary`` columns with typed metadata. The
 Spark-side plumbing here is real and tested — schema, Arrow-batched
 ``mapInPandas`` decode stage, partition-safe batch shape. The codec tiers:
 
-- **PNG, JPEG (baseline AND progressive), and GIF are REAL
-  everywhere**: Pillow's C path when installed, else the
+- **PNG, JPEG (baseline AND progressive), GIF, and WebP (VP8L) are
+  REAL everywhere**: Pillow's C path when installed, else the
   self-contained stdlib codecs
   (:func:`_stdlib_png_codec` — zlib inflate, full filter-0–4
   unfiltering, nearest-neighbor resize, re-encode; and
@@ -13,16 +13,18 @@ Spark-side plumbing here is real and tested — schema, Arrow-batched
   SOF0 and SOF2 multi-scan streams, dequantize, IDCT, chroma
   upsample, YCbCr→RGB;
   :func:`.gif._stdlib_gif_codec` — variable-width LZW, interlace,
-  local/global palettes, transparency→RGBA), so the formats a media
-  crawl actually contains decode/resize actual pixels even in this
-  bare container.
+  local/global palettes, transparency→RGBA;
+  :func:`.webp._stdlib_webp_codec` — complete VP8L lossless decode:
+  prefix codes, color cache, meta groups, LZ77, all four transforms),
+  so the formats a media crawl actually contains decode/resize actual
+  pixels even in this bare container.
 - **WAV audio is REAL too** (:mod:`.audio` — RIFF chunk walk, PCM 8/16
   decode, feature extraction, mono resample; same factory/quarantine
   pattern), and so is **MJPEG-in-AVI video** (:mod:`.video` — movi walk,
   byte-exact frame extraction feeding the JPEG codec; truncated files
   yield their intact frame prefix).
-- **Other formats** (WebP/compressed audio, H.264+ video) need
-  Pillow/libav — detected at call time. The single-payload probe
+- **Other formats** (lossy-VP8 WebP/AVIF/compressed audio, H.264+
+  video) need Pillow/libav — detected at call time. The single-payload probe
   :func:`decode_image` raises NotImplementedError without them (the
   honest seam, loud for a caller holding one payload); the FRAME-level
   real paths instead QUARANTINE — corrupt, truncated, or unsupported
@@ -59,6 +61,7 @@ from pyspark.sql.types import (
 from ..util import fan_out
 from .gif import GIF_MAGIC, _stdlib_gif_codec
 from .jpeg import JPEG_MAGIC, _stdlib_jpeg_codec
+from .webp import _stdlib_webp_codec
 
 #: Output schema of the feature-extraction stage.
 FEATURE_SCHEMA = StructType(
@@ -215,12 +218,14 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     """REAL codec: (width, height) of an image payload.
 
     Pillow when installed (any format it knows); otherwise the stdlib
-    codecs — a real PNG IHDR read, a real baseline-JPEG marker walk
-    (:func:`.jpeg._stdlib_jpeg_codec`), and a real GIF header read
-    (:func:`.gif._stdlib_gif_codec`), so the formats a media crawl
-    actually contains work in bare containers. Other formats without
-    Pillow raise NotImplementedError (the honest seam that remains:
-    WebP/AVIF/… need a codec library)."""
+    codecs — a real PNG IHDR read, a real JPEG marker walk
+    (:func:`.jpeg._stdlib_jpeg_codec`), a real GIF header read
+    (:func:`.gif._stdlib_gif_codec`), and a real WebP container walk
+    (:func:`.webp._stdlib_webp_codec` — VP8L header, VP8X canvas, or
+    lossy VP8 frame header), so the formats a media crawl actually
+    contains work in bare containers. Other formats without Pillow
+    raise NotImplementedError (the honest seam that remains: AVIF/…
+    need a codec library)."""
     try:
         import io
 
@@ -238,9 +243,13 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     if payload[:4] == GIF_MAGIC:
         gif_size, *_ = _stdlib_gif_codec()
         return gif_size(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        webp_size, *_ = _stdlib_webp_codec()
+        return webp_size(payload)
     raise NotImplementedError(
-        "non-PNG/JPEG/GIF image decoding requires Pillow, not present "
-        "in this container; use fake_decode for deterministic testing"
+        "non-PNG/JPEG/GIF/WebP image decoding requires Pillow, not "
+        "present in this container; use fake_decode for deterministic "
+        "testing"
     )
 
 
@@ -288,6 +297,7 @@ def extract_binary_features(
         _png_size, *_ = _stdlib_png_codec()
         _jpeg_size, *_ = _stdlib_jpeg_codec()
         _gif_size, *_ = _stdlib_gif_codec()
+        _webp_size, *_ = _stdlib_webp_codec()
 
         def decode(payload: bytes):
             # QUARANTINE posture, not job death: a 100 TB media crawl
@@ -312,6 +322,8 @@ def extract_binary_features(
                     return _jpeg_size(payload)
                 if payload[:4] == b"GIF8":
                     return _gif_size(payload)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+                    return _webp_size(payload)
             except Exception:
                 return None
             return None
@@ -323,6 +335,8 @@ def extract_binary_features(
                 return "image/jpeg"
             if payload[:4] == b"GIF8":
                 return "image/gif"
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+                return "image/webp"
             return "application/octet-stream"
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -515,6 +529,7 @@ def resize_images(
         _, _png_decode, _png_encode, _resize_nn = _stdlib_png_codec()
         _, _jpeg_decode, _ = _stdlib_jpeg_codec()
         _, _gif_decode, _ = _stdlib_gif_codec()
+        _, _webp_decode, _ = _stdlib_webp_codec()
 
         def resize_one(payload: bytes) -> bytes:
             try:
@@ -529,12 +544,14 @@ def resize_images(
             except ImportError:
                 pass
             if payload[:2] == b"\xff\xd8":
-                # JPEG/GIF in, PNG out — the stage NORMALIZES to PNG
-                # (lossless container for already-decoded pixels),
+                # JPEG/GIF/WebP in, PNG out — the stage NORMALIZES to
+                # PNG (lossless container for already-decoded pixels),
                 # exactly what the Pillow path above emits too
                 pw, ph, ch, pix = _jpeg_decode(payload)
             elif payload[:4] == b"GIF8":
                 pw, ph, ch, pix = _gif_decode(payload)
+            elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+                pw, ph, ch, pix = _webp_decode(payload)
             else:
                 pw, ph, ch, pix = _png_decode(payload)
             return _png_encode(w, h, ch, _resize_nn(pw, ph, ch, pix, w, h))

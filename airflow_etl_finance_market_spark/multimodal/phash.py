@@ -138,7 +138,7 @@ def image_dhash(
     """Map-only Arrow stage: ``(id, payload)`` → ``(id, dhash bigint)``.
 
     Decodes through the REAL codec tier (Pillow when installed, else the
-    stdlib PNG/JPEG/GIF codecs) and quarantines anything undecodable —
+    stdlib PNG/JPEG/GIF/WebP codecs) and quarantines anything undecodable —
     the row is dropped, never a task failure, matching the
     :mod:`.binary` frame-path posture. No shuffle; partitioning carries
     over from the source, so a 100 TB media table hashes with zero data
@@ -147,12 +147,14 @@ def image_dhash(
     from .binary import _stdlib_png_codec
     from .gif import _stdlib_gif_codec
     from .jpeg import _stdlib_jpeg_codec
+    from .webp import _stdlib_webp_codec
 
     # factory-built codec locals pickle BY VALUE into the closure (bare
     # Spark workers have no repo on sys.path — the house rule)
     _, _png_decode, _, _ = _stdlib_png_codec()
     _, _jpeg_decode, _ = _stdlib_jpeg_codec()
     _, _gif_decode, _ = _stdlib_gif_codec()
+    _, _webp_decode, _ = _stdlib_webp_codec()
     _dhash = _dhash_kernel()
 
     def _decode(payload: bytes):
@@ -176,6 +178,8 @@ def image_dhash(
                 return _jpeg_decode(payload)
             if payload[:4] == b"GIF8":
                 return _gif_decode(payload)
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+                return _webp_decode(payload)
         except Exception:
             return None
         return None

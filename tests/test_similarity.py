@@ -458,10 +458,13 @@ class TestRealPngCodec:
             [
                 (1, bytearray(good)),
                 (2, bytearray(truncated)),
-                # WebP: RIFF container but neither WAVE nor AVI nor a
-                # stdlib-supported image — the genuinely-unsupported
-                # fixture (GIF graduated to a real codec in round 6)
-                (3, bytearray(b"RIFF\x10\x00\x00\x00WEBPVP8 lorem")),
+                # BMP: a real format no stdlib tier decodes — the
+                # genuinely-unsupported fixture (GIF graduated to a
+                # real codec in round 6, WebP in round 7)
+                (3, bytearray(b"BM\x9a\x00\x00\x00lorem ipsum dolor")),
+                # malformed lossy-VP8-in-WebP: sniffs as image/webp but
+                # the frame header is garbage -> dims quarantine to NULL
+                (5, bytearray(b"RIFF\x10\x00\x00\x00WEBPVP8 lorem")),
                 (4, None),
             ],
             "doc_id long, payload binary",
@@ -475,6 +478,7 @@ class TestRealPngCodec:
         assert feats[1] == (3, "image/png")
         assert feats[2][0] is None or feats[2][0] == 3  # header may parse
         assert feats[3] == (None, "application/octet-stream")
+        assert feats[5] == (None, "image/webp")
         assert feats[4] == (None, None)
         resized = resize_images(
             media, target_w=4, target_h=4, use_fake_codec=False
