@@ -175,6 +175,10 @@ def _stdlib_webp_codec():
             raise ValueError("empty prefix code")
         if len(nz) == 1:
             return {"single": nz[0][1]}
+        # Kraft check: an over- or under-subscribed code means a corrupt
+        # stream — fail loudly rather than decode garbage pixels
+        if sum(1 << (15 - ln) for ln, _ in nz) != 1 << 15:
+            raise ValueError("invalid (incomplete) prefix code")
         table = {}
         code = 0
         nz.sort()

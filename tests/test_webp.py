@@ -283,8 +283,10 @@ class TestHandBuiltStreams:
         greens = [20, 2, 5, 1]
         reds = [10, 1, 5, 1]
         blues = [30, 3, 5, 1]
+        # lengths must form COMPLETE codes (Kraft sum = 1): 4 distinct
+        # values -> all at 2 bits; 3 distinct -> one at 1 + two at 2
         g_len = {s: 2 for s in sorted(set(greens))}
-        r_len = {s: 2 for s in sorted(set(reds))}
+        r_len = {1: 1, 5: 2, 10: 2}
         b_len = {s: 2 for s in sorted(set(blues))}
         bw2.normal_code(g_len, 256 + 24)
         bw2.normal_code(r_len, 256)
@@ -348,7 +350,8 @@ class TestHandBuiltStreams:
         # cache ref 256+24+idx — idx of pixel (255,7,50,9):
         px = (255 << 24) | (7 << 16) | (50 << 8) | 9
         idx = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> 31
-        g_len = {50: 2, 256 + 2: 2, 256 + 24 + idx: 2}
+        # complete code: 1 + 2 + 2 bits (Kraft sum exactly 1)
+        g_len = {50: 1, 256 + 2: 2, 256 + 24 + idx: 2}
         bw.normal_code(g_len, 256 + 24 + 2)
         bw.simple1(7)    # red
         bw.simple1(9)    # blue
@@ -374,6 +377,19 @@ class TestHandBuiltStreams:
         bw.code(*gc[50])            # one more literal
         out = wd(bw.container())
         assert out == (6, 1, 3, bytes([7, 50, 9]) * 6)
+
+    def test_incomplete_prefix_code_refuses(self):
+        """A stream transmitting a non-complete prefix code (Kraft sum
+        != 1 — 3 symbols all at 2 bits) is corrupt and must refuse, not
+        decode garbage pixels (libwebp rejects these too)."""
+        _, wd, _ = _codec()
+        bw = _W().vp8l(2, 1)
+        bw.b(0, 1)  # no transforms
+        bw.b(0, 1)  # no cache
+        bw.b(0, 1)  # no meta
+        bw.normal_code({10: 2, 20: 2, 30: 2}, 256 + 24)  # Kraft = 3/4
+        with pytest.raises(ValueError, match="prefix code"):
+            wd(bw.container())
 
     def test_meta_prefix_groups(self):
         _, wd, _ = _codec()
