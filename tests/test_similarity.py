@@ -915,6 +915,65 @@ class TestStdlibJpegCodec:
         assert (pw, ph, ch) == (20, 12, 3)
         theirs = Image.open(io.BytesIO(buf.getvalue())).convert("RGB").tobytes()
         assert sum(abs(a - b) for a, b in zip(theirs, mine)) / len(mine) < 3.0
+        # (c) our PROGRESSIVE decoder reads libjpeg's own SOF2 scan
+        # script (Pillow progressive=True), and Pillow reads our
+        # progressive encoder's output — both directions of the r07
+        # multi-scan decoder, against the reference implementation
+        pbuf = io.BytesIO()
+        rgb.save(pbuf, "JPEG", quality=90, progressive=True)
+        assert b"\xff\xc2" in pbuf.getvalue()  # really SOF2
+        pw, ph, ch, mine_p = jpeg_decode(pbuf.getvalue())
+        assert (pw, ph, ch) == (20, 12, 3)
+        theirs_p = Image.open(io.BytesIO(pbuf.getvalue())).convert(
+            "RGB"
+        ).tobytes()
+        assert (
+            sum(abs(a - b) for a, b in zip(theirs_p, mine_p)) / len(mine_p)
+            < 3.0
+        )
+        ours_p = jpeg_encode(w, h, 1, gray, quality=92, progressive=True)
+        imp = Image.open(io.BytesIO(ours_p))
+        assert imp.size == (w, h)
+        theirs = imp.convert("L").tobytes()
+        _, _, _, mine = jpeg_decode(ours_p)
+        assert sum(abs(a - b) for a, b in zip(theirs, mine)) / len(mine) < 1.5
+
+    def test_pillow_webp_interop_when_installed(self):
+        """Gated on Pillow: our VP8L decoder reads Pillow's lossless
+        WebP output bit-exactly, and Pillow reads ours — cross-checks
+        the transform/LZ77/cache paths against the reference libwebp
+        encoder, which uses them all."""
+        import importlib.util
+
+        import pytest
+
+        if importlib.util.find_spec("PIL") is None:
+            pytest.skip("Pillow not installed")
+        import io
+
+        from PIL import Image
+
+        from airflow_etl_finance_market_spark.multimodal.webp import (
+            _stdlib_webp_codec,
+        )
+
+        _, webp_decode, webp_encode = _stdlib_webp_codec()
+        w, h = 25, 14
+        data = [
+            ((x * 7) % 256, (y * 13) % 256, (x + y) % 256)
+            for y in range(h)
+            for x in range(w)
+        ]
+        im = Image.new("RGB", (w, h))
+        im.putdata(data)
+        buf = io.BytesIO()
+        im.save(buf, "WEBP", lossless=True)
+        dw, dh, ch, mine = webp_decode(buf.getvalue())
+        flat = bytes(v for px in data for v in px)
+        assert (dw, dh, ch, mine) == (w, h, 3, flat)
+        ours = webp_encode(w, h, 3, flat)
+        theirs = Image.open(io.BytesIO(ours)).convert("RGB").tobytes()
+        assert theirs == flat
 
 
 class TestProductQuantization:
