@@ -63,22 +63,23 @@ def register(name: str, oracle: str | None = None):
 #: Round-7 rotation (per the r06 verdict's #3): the 13 r04-green
 #: trail-2 entries ALL re-enter the window — with the trail->budget
 #: condition they become offenders the moment CORRECTNESS_r07.json
-#: lands. Six NEW entries (multimodal_image_codec_real,
+#: lands. Seven NEW entries (multimodal_image_codec_real,
 #: multimodal_video_frames_real, image_phash_near_dups — the real-codec
 #: driver gates + the image perceptual-hash dedup tier;
 #: embedding_semantic_dedup — the SemDeDup composition; and
 #: gopher_quality_flags + dsir_importance_weights — the published
-#: Gopher rule bundle and DSIR importance resampling) are live under
+#: Gopher rule bundle and DSIR importance resampling; and bpe_merges —
+#: distributed BPE training, rows-only) are live under
 #: rule 1 (never driver-verified). One r06-green entry re-enters under
 #: rule 2: multimodal_audio_features (depended-on code changed — the
 #: WAV fmt-chunk validation added to multimodal/audio.py this round sits
-#: on the gate's decode path). The remaining 30 live slots go to the
-#: oldest cohort: 30 of the 46 r05-green entries. Demoted: the other 16
+#: on the gate's decode path). The remaining 29 live slots go to the
+#: oldest cohort: 29 of the 46 r05-green entries. Demoted: the other 17
 #: r05-green entries (trail 2 at r07 — MUST be live in r08; all are
 #: stable scalar-agg/dim/set-op/split entries with untouched code and
 #: pytest coverage) plus the 49 other r06-green entries (trail 1 at r07,
-#: due r09; capacity check: 16 + 34 of 49 fit r08's window, the
-#: remaining 15 fit r09 — the 115-entry registry cycles inside the
+#: due r09; capacity check: 17 + 33 of 49 fit r08's window, the
+#: remaining 16 fit r09 — the 116-entry registry cycles inside the
 #: 3-round re-verification period the budget allows).
 _WINDOW_DEMOTED = [
     # --- r05-green, held over ONE round (trail 2 at r07; r08 must rotate) ---
@@ -100,12 +101,14 @@ _WINDOW_DEMOTED = [
     "star_revenue",
     "customers_with_big_orders",
     "fk_orphan_check",
-    # train_test_split + sql_api_nation_rank free two slots for the NEW
-    # gopher_quality_flags + dsir_importance_weights entries (never
-    # driver-verified -> must be live); both demotions are stable,
-    # pytest-covered entries whose code is untouched this round.
+    # train_test_split + sql_api_nation_rank + qty_rollup free three
+    # slots for the NEW gopher_quality_flags + dsir_importance_weights +
+    # bpe_merges entries (never driver-verified -> must be live); all
+    # three demotions are stable, pytest-covered entries whose code is
+    # untouched this round.
     "train_test_split",
     "sql_api_nation_rank",
+    "qty_rollup",
     # --- r06-green, rotated out for re-verification cadence (49) ---
     "brand_scores",
     "customers_without_big_orders",
@@ -5230,3 +5233,22 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance(
         load_fixture(spark, sf_dir, "documents"), F.col("lang") == "en"
     )
+
+
+@register("bpe_merges")  # rows-only: the iterative argmax-then-resegment
+# loop is not SQL-expressible; correctness is pinned by the pytest
+# differential against a pure-Python reference BPE (tests/test_corpus_ops
+# .py::TestBpe) instead of a DuckDB oracle.
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE merge training (Sennrich et al. 2016) on the corpus
+    (operators/bpe.bpe_train): one corpus pass builds the word-type
+    histogram, then every merge round runs on the vocab-bounded table —
+    pair explode + hash-agg + a 1-row argmax collect — with the
+    segmentation frame localCheckpoint-ed per round. Returns the merge
+    table (rank, left, right, pair_count) a tokenizer would ship."""
+    from .operators.bpe import bpe_train
+
+    merges, _ = bpe_train(
+        load_fixture(spark, sf_dir, "documents"), num_merges=30
+    )
+    return merges

@@ -90,12 +90,13 @@ def _stdlib_png_codec():
     bare worker. Returns ``(png_size, png_decode, png_encode,
     resize_nearest)``.
 
-    Scope: 8-bit greyscale/RGB/RGBA, non-interlaced — the subset every
-    PNG encoder (including plans/charts.py's) emits. Filters 0-4 are
-    fully unfiltered per the spec, so this is a REAL decode, not a
-    header sniff; it is pure Python (fine for tests and small media
-    tiers), and a deployment with Pillow installed takes the
-    C-accelerated path instead (detected at call time, same seam).
+    Scope: 8-bit greyscale/RGB/RGBA plus 8-bit indexed color (PLTE with
+    optional tRNS alpha — the GIF-converted PNGs a crawl contains),
+    non-interlaced. Filters 0-4 are fully unfiltered per the spec, so
+    this is a REAL decode, not a header sniff; it is pure Python (fine
+    for tests and small media tiers), and a deployment with Pillow
+    installed takes the C-accelerated path instead (detected at call
+    time, same seam).
     """
 
     def png_size(b: bytes) -> tuple[int, int]:
@@ -115,6 +116,7 @@ def _stdlib_png_codec():
             raise ValueError("not a PNG payload")
         pos, idat = 8, b""
         w = h = ctype = None
+        plte = trns = None
         while pos + 8 <= len(b):
             ln = int.from_bytes(b[pos : pos + 4], "big")
             typ = b[pos + 4 : pos + 8]
@@ -124,17 +126,23 @@ def _stdlib_png_codec():
                 w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                     ">IIBBBBB", data
                 )
-                if depth != 8 or ctype not in (0, 2, 6) or interlace:
+                if depth != 8 or ctype not in (0, 2, 3, 6) or interlace:
                     raise NotImplementedError(
-                        "stdlib PNG codec handles 8-bit grey/RGB/RGBA "
-                        f"non-interlaced only (depth={depth}, "
+                        "stdlib PNG codec handles 8-bit grey/RGB/RGBA/"
+                        f"indexed non-interlaced only (depth={depth}, "
                         f"color_type={ctype}, interlace={interlace})"
                     )
+            elif typ == b"PLTE":
+                plte = data
+            elif typ == b"tRNS":
+                trns = data
             elif typ == b"IDAT":
                 idat += data
             elif typ == b"IEND":
                 break
-        ch = {0: 1, 2: 3, 6: 4}[ctype]
+        # indexed-color (type 3, r07): unfilter as 1 channel, then map
+        # through PLTE (+ tRNS alpha when present) after unfiltering
+        ch = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
         raw = zlib.decompress(idat)
         stride = w * ch
         out = bytearray(h * stride)
@@ -170,6 +178,20 @@ def _stdlib_png_codec():
                     line[i] = (line[i] + pred) & 255
             out[y * stride : (y + 1) * stride] = line
             prev = line
+        if ctype == 3:
+            if plte is None or len(plte) % 3:
+                raise ValueError("palette PNG missing/malformed PLTE")
+            n_pal = len(plte) // 3
+            if max(out) >= n_pal:
+                raise ValueError("palette index out of range")
+            och = 4 if trns else 3
+            mapped = bytearray(w * h * och)
+            for i, idx in enumerate(out):
+                o = i * och
+                mapped[o : o + 3] = plte[idx * 3 : idx * 3 + 3]
+                if och == 4:
+                    mapped[o + 3] = trns[idx] if idx < len(trns) else 255
+            return w, h, och, bytes(mapped)
         return w, h, ch, bytes(out)
 
     def png_encode(w: int, h: int, ch: int, pix: bytes) -> bytes:

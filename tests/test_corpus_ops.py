@@ -738,3 +738,101 @@ class TestDsirImportance:
             for r in dsir_importance(df, F.col("t")).collect()
         }
         assert got == pytest.approx(exp)
+
+
+class TestBpe:
+    @staticmethod
+    def _ref_bpe(word_counts, num_merges, min_pair_count=2):
+        """Pure-Python reference (Sennrich-style, with the repo's
+        deterministic (count desc, left asc, right asc) tie-break)."""
+        segs = {w: list(w) + ["</w>"] for w in word_counts}
+        merges = []
+        for rank in range(num_merges):
+            stats = {}
+            for w, seq in segs.items():
+                c = word_counts[w]
+                for a, b in zip(seq, seq[1:]):
+                    stats[(a, b)] = stats.get((a, b), 0) + c
+            if not stats:
+                break
+            (left, right), cnt = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if cnt < min_pair_count:
+                break
+            merges.append((rank, left, right, cnt))
+            for w, seq in segs.items():
+                out = []
+                for s in seq:
+                    if out and out[-1] == left and s == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(s)
+                segs[w] = out
+        return merges, segs
+
+    def test_merges_and_segments_match_reference(self, spark):
+        from airflow_etl_finance_market_spark.operators.bpe import (
+            bpe_train,
+        )
+
+        texts = [
+            "low lower lowest low low",
+            "new newer newest new newer",
+            "wide wider widest wide",
+            "low new wide lower newer",
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        counts = collections.Counter(
+            w for t in texts for w in t.split()
+        )
+        exp_merges, exp_segs = self._ref_bpe(counts, 25)
+        merges, segments = bpe_train(df, num_merges=25)
+        got = [
+            (r.rank, r.left, r.right, r.pair_count)
+            for r in merges.orderBy("rank").collect()
+        ]
+        assert got == exp_merges
+        got_segs = {
+            r.term: list(r.subwords) for r in segments.collect()
+        }
+        assert got_segs == dict(exp_segs)
+
+    def test_token_stats_replay(self, spark):
+        from airflow_etl_finance_market_spark.operators.bpe import (
+            bpe_token_stats,
+            bpe_train,
+        )
+
+        texts = ["aa ab aa b", "ab ab aa"]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        counts = collections.Counter(w for t in texts for w in t.split())
+        _, exp_segs = self._ref_bpe(counts, 10)
+        _, segments = bpe_train(df, num_merges=10)
+        stats = {
+            r.doc_id: (r.n_words, r.n_bpe_tokens)
+            for r in bpe_token_stats(df, segments).collect()
+        }
+        for doc_id, text in enumerate(texts):
+            words = text.split()
+            exp_tokens = sum(len(exp_segs[w]) for w in words)
+            assert stats[doc_id] == (len(words), exp_tokens)
+
+    def test_min_pair_count_stops_early(self, spark):
+        from airflow_etl_finance_market_spark.operators.bpe import (
+            bpe_train,
+        )
+
+        # every word unique, every pair count 1 -> zero merges at the
+        # default min_pair_count=2
+        df = spark.createDataFrame(
+            [(0, "abc defg hij")], "doc_id long, text string"
+        )
+        merges, segments = bpe_train(df, num_merges=5)
+        assert merges.count() == 0
+        segs = {r.term: list(r.subwords) for r in segments.collect()}
+        assert segs["abc"] == ["a", "b", "c", "</w>"]

@@ -485,6 +485,57 @@ class TestRealPngCodec:
         ).collect()
         assert [r.doc_id for r in resized] == [1]  # garbage quarantined
 
+    def test_indexed_color_palette_png_decodes(self):
+        """8-bit indexed PNG (PLTE, optional tRNS) — the GIF-converted
+        PNGs a crawl contains — decodes through the palette map; an
+        out-of-range index refuses (r07)."""
+        import struct
+        import zlib
+
+        import pytest
+
+        _, png_decode, _, _ = self._codec()
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            body = typ + data
+            return (
+                struct.pack(">I", len(data))
+                + body
+                + struct.pack(">I", zlib.crc32(body))
+            )
+
+        def indexed_png(w, h, idx, pal, trns=None):
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+            raw = b"".join(
+                b"\x00" + bytes(idx[y * w : (y + 1) * w]) for y in range(h)
+            )
+            out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            out += chunk(b"PLTE", b"".join(bytes(c) for c in pal))
+            if trns is not None:
+                out += chunk(b"tRNS", bytes(trns))
+            return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(
+                b"IEND", b""
+            )
+
+        pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+        idx = [0, 1, 2, 2, 1, 0]
+        b = indexed_png(3, 2, idx, pal)
+        exp = bytes(v for i in idx for v in pal[i])
+        assert png_decode(b) == (3, 2, 3, exp)
+        # tRNS: first entry transparent, rest default opaque
+        b4 = indexed_png(3, 2, idx, pal, trns=[0])
+        exp4 = bytes(
+            v for i in idx for v in (*pal[i], 0 if i == 0 else 255)
+        )
+        assert png_decode(b4) == (3, 2, 4, exp4)
+        with pytest.raises(ValueError, match="palette index"):
+            png_decode(indexed_png(3, 2, [0, 1, 2, 3, 1, 0], pal))
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            decode_image,
+        )
+
+        assert decode_image(b) == (3, 2)
+
     def test_pillow_path_parity_when_installed(self):
         """Gated on Pillow: the C path must agree with the stdlib codec on
         size and (filter-0 input) pixels. Skips in bare containers."""
