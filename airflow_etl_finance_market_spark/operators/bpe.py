@@ -21,6 +21,14 @@ Scale shape — the part that matters at 100 TB:
 - Iterative DataFrame loops nest plans: the segmentation frame is
   ``localCheckpoint``-ed every round (the connected-components house
   rule) so round ``k``'s plan does not contain rounds ``1..k-1``.
+- Honest ceiling: at production merge counts (30k+) the 2-jobs-per-
+  round driver loop dominates; real trainers collect the (pruned,
+  bounded) type histogram to one node and loop in memory. The part a
+  100 TB corpus actually needs distributed — the histogram build and
+  the segmentation APPLY (:func:`bpe_token_stats`) — is exactly what
+  stays distributed here; crank ``num_merges`` only as far as the
+  round trip budget allows, or feed the histogram to an external
+  trainer and join its merge table back.
 
 Determinism: ties on pair count break by (left, right) ascending —
 pinned here because the reference implementation's dict-order tie-break

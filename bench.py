@@ -121,6 +121,18 @@ verdict). NEW events_x100 section (10M events, 100x USER cardinality):
 the measured decade for the user-keyed state tier (funnel, retention,
 ffill, activity panel) — ratio ≈ 10 vs events_x10 is the pass bar,
 same contract as corpus_x100.
+
+r07 local-artifact arbitration (BENCH_LOCAL refresh on the r07 code):
+four entries moved past the noise rule vs the r06-tail artifact with
+UNCHANGED code — all four arbitrated to host noise by the solo
+best-of-3 x3 protocol: simhash_full corpus_x10 2.64->3.23 in-tier but
+2.35-2.47 solo (below the old value); curated_corpus corpus_x10
+1.11->1.42 in-tier, 0.95-1.24 solo; doc_exact_dedup headline
+0.30->0.53 in-tier, 0.39-0.46 solo (sub-second noise band);
+user_funnel_times events_x100 1.17->1.50 in-tier, 1.35-1.57 solo
+(min +15%, inside the +20% rule). In-tier numbers inherit contention
+from the preceding tiers in the same JVM; the solo protocol remains
+the arbiter.
 """
 
 from __future__ import annotations

@@ -62,6 +62,10 @@ NAMES = [
     # round 6: the ffill + mergeable-HLL weekly composition (the E2E
     # activity-rollup surface; panel window + sketch-merge join)
     "weekly_activity_panel",
+    # round 7: the published-filter tier — shuffle-free rule bundle and
+    # the broadcast-ratio-join importance weights
+    "gopher_quality_flags",
+    "dsir_importance_weights",
 ]
 
 
