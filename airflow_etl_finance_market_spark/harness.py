@@ -4873,7 +4873,7 @@ def q_multimodal_image_codec_real(spark: SparkSession, sf_dir: str) -> DataFrame
     "multimodal_video_frames_real",
     """
 SELECT doc_id,
-       CAST((octet_length(encode(text)) % 7 + 3) // 2 AS BIGINT)
+       CAST((greatest(octet_length(encode(text)), 1) % 7 + 3) // 2 AS BIGINT)
            AS n_sampled,
        true AS shas_exact
 FROM documents

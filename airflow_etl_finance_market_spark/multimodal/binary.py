@@ -143,8 +143,14 @@ def _stdlib_png_codec():
         # indexed-color (type 3, r07): unfilter as 1 channel, then map
         # through PLTE (+ tRNS alpha when present) after unfiltering
         ch = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
-        raw = zlib.decompress(idat)
+        # allocation guards (r07 review): header dims are unvalidated,
+        # and a zlib bomb expands long before the row-length check —
+        # cap pixels and bound the inflate to exactly the pixel data
+        if w * h > (1 << 24):
+            raise ValueError("image too large for the stdlib PNG decoder")
         stride = w * ch
+        raw = zlib.decompressobj().decompress(idat, h * (stride + 1))
+        del idat
         out = bytearray(h * stride)
         prev = bytearray(stride)
         p = 0

@@ -131,6 +131,10 @@ def _stdlib_gif_codec():
         _require_gif(b)
         sw = int.from_bytes(b[6:8], "little")
         sh = int.from_bytes(b[8:10], "little")
+        # allocation guard (r07 review): 16-bit dims allow 4.3G-pixel
+        # claims from a 13-byte header — refuse before canvas allocation
+        if sw * sh > (1 << 24):
+            raise ValueError("image too large for the stdlib GIF decoder")
         flags = b[10]
         pos = 13
         gct = None

@@ -481,6 +481,16 @@ def _stdlib_jpeg_codec():
                     comps.append(
                         {"id": cid, "h": samp >> 4, "v": samp & 0xF, "q": qid}
                     )
+                # allocation guard (r07 review): the coefficient store
+                # is built from UNVALIDATED header dims before any
+                # entropy data is read — a 25-byte payload declaring
+                # 65500x65500 would OOM-kill the worker (which the
+                # quarantine's try/except cannot catch). 16M pixels is
+                # far beyond any fixture/media-tier image.
+                if w * h > (1 << 24):
+                    raise ValueError(
+                        "image too large for the stdlib JPEG decoder"
+                    )
                 hmax = max(c["h"] for c in comps)
                 vmax = max(c["v"] for c in comps)
                 mcux = -(-w // (8 * hmax))

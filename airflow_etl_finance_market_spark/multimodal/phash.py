@@ -220,20 +220,39 @@ def hamming_near_pairs(
     sig_col: str = "dhash",
     max_hamming: int = 4,
     n_bits: int = 64,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
+    allow_heuristic: bool = False,
 ) -> DataFrame:
     """Near-pairs over any 64-bit signature column: block LSH + Hamming
     verify — the ``simhash_near_pairs`` join form generalized to a
     caller-supplied signature (image dHash here).
 
-    Exact candidate generation for ``max_hamming <= n_blocks - 1``
-    (pigeonhole over equal-width blocks); the block equi-join shuffles
-    on ``(block_idx, block_val)`` — 4 blocks x 16 bits = 64k buckets —
-    and every candidate verifies JVM-side with ``bit_count(xor)``.
-    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    Candidate generation is EXACT by pigeonhole only when
+    ``max_hamming <= n_blocks - 1``, so ``n_blocks`` defaults to
+    ``max_hamming + 1`` and an explicit violating value raises —
+    the r07 review caught the old ``n_blocks=4`` default silently
+    missing pairs at exactly Hamming 4 with one flipped bit per block.
+    Remainder bits (64 not divisible by n_blocks) widen the LAST
+    block, which only tightens buckets — uncovered bits would also
+    have been safe (all-blocks-equal still collides) but waste
+    selectivity. The block equi-join shuffles on
+    ``(block_idx, block_val)``; every candidate verifies JVM-side with
+    ``bit_count(xor)``. Returns ``(id_a, id_b, hamming)`` with
+    ``id_a < id_b``.
     """
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if max_hamming > n_blocks - 1 and not allow_heuristic:
+        # allow_heuristic is the simhash caller's documented
+        # high-recall/bounded-cost band (Manku-style); image dedup
+        # keeps the exact contract
+        raise ValueError(
+            "exact recall needs max_hamming <= n_blocks - 1 "
+            f"(got max_hamming={max_hamming}, n_blocks={n_blocks})"
+        )
     width = n_bits // n_blocks
-    mask = (1 << width) - 1
+    shifts = [width * j for j in range(n_blocks)]
+    widths = [width] * (n_blocks - 1) + [n_bits - width * (n_blocks - 1)]
     # reference the SOURCE column inside posexplode — aliasing it to
     # "sig" in the same select would be a lateral column alias, which
     # generator expressions reject at resolution time
@@ -244,10 +263,10 @@ def hamming_near_pairs(
             F.array(
                 *[
                     (
-                        F.shiftrightunsigned(F.col(sig_col), width * j)
-                        .bitwiseAND(F.lit(mask))
+                        F.shiftrightunsigned(F.col(sig_col), sh)
+                        .bitwiseAND(F.lit((1 << w) - 1))
                     )
-                    for j in range(n_blocks)
+                    for sh, w in zip(shifts, widths)
                 ]
             )
         ).alias("block_idx", "block_val"),

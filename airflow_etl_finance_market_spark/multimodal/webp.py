@@ -73,7 +73,10 @@ def _stdlib_webp_codec():
     - ``webp_decode(b) -> (w, h, channels, pixels)`` — channels 3
       (RGB) or 4 (RGBA when any alpha < 255), row-major bytes;
     - ``webp_encode(w, h, channels, pixels) -> bytes`` — channels
-      1 (gray), 3, or 4; lossless, so decode(encode(px)) == px.
+      1 (gray), 3, or 4; lossless pixel VALUES, with the decoder's
+      channel-collapse rule: decode returns 4 channels only when some
+      alpha < 255, so all-opaque RGBA input round-trips as RGB (and
+      gray as RGB with r=g=b) rather than shape-identically.
     """
     import heapq
 
@@ -454,6 +457,10 @@ def _stdlib_webp_codec():
         br.read(1)  # alpha hint
         if br.read(3) != 0:
             raise ValueError("unsupported VP8L version")
+        # allocation guard (r07 review): header dims are unvalidated;
+        # refuse before building w*h Python-int pixel lists
+        if w * h > (1 << 24):
+            raise ValueError("image too large for the stdlib VP8L decoder")
         # transforms capture the dims current at their read point;
         # color-indexing shrinks the entropy width for everything after
         transforms = []

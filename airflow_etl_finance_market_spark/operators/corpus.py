@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens, word_ngrams, word_ngrams_from
+from ..functions.text import (
+    stopword_hits_from,
+    tokens,
+    word_ngrams,
+    word_ngrams_from,
+)
 from ..util import fan_out
 
 
@@ -480,14 +485,9 @@ def gopher_quality_flags(
             F.size(
                 F.filter("_toks", lambda w: w.rlike("[a-z]"))
             ).alias("_alpha_words"),
-            F.size(
-                F.filter(
-                    "_toks",
-                    lambda w: F.array_contains(
-                        F.array(*[F.lit(s) for s in stopwords]), w
-                    ),
-                )
-            ).alias("stopword_hits"),
+            stopword_hits_from("_toks", stopwords).alias(
+                "stopword_hits"
+            ),
             (
                 F.length("_raw")
                 - F.length(F.regexp_replace("_raw", "#", ""))

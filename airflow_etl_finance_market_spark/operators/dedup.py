@@ -426,22 +426,22 @@ def simhash_near_pairs(
     sigs = simhash_signatures(
         docs, text_col=text_col, id_col=id_col, hash_mode=hash_mode
     )
-    blocks = sigs.select(
-        "id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    (
-                        F.shiftrightunsigned("simhash", width * j)
-                        .bitwiseAND(F.lit(mask))
-                    )
-                    for j in range(n_blocks)
-                ]
-            )
-        ).alias("block_idx", "block_val"),
-    )
     if via == "group":
+        blocks = sigs.select(
+            "id",
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        (
+                            F.shiftrightunsigned("simhash", width * j)
+                            .bitwiseAND(F.lit(mask))
+                        )
+                        for j in range(n_blocks)
+                    ]
+                )
+            ).alias("block_idx", "block_val"),
+        )
         buckets = (
             blocks.groupBy("block_idx", "block_val")
             .agg(
@@ -481,23 +481,20 @@ def simhash_near_pairs(
             .distinct()
             .filter(F.col("hamming") <= max_hamming)
         )
-    a, b = blocks.alias("a"), blocks.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    # the join branch IS the generalized block-LSH pair pipeline — one
+    # live copy (r07 review: this and the image-dHash path had drifted
+    # into near-verbatim twins); allow_heuristic covers the documented
+    # Manku-style max_hamming > n_blocks-1 recall band
+    from ..multimodal.phash import hamming_near_pairs
+
+    return hamming_near_pairs(
+        sigs,
+        id_col="id",
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        n_bits=n_bits,
+        n_blocks=n_blocks,
+        allow_heuristic=True,
     )
 
 

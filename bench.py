@@ -132,7 +132,11 @@ best-of-3 x3 protocol: simhash_full corpus_x10 2.64->3.23 in-tier but
 user_funnel_times events_x100 1.17->1.50 in-tier, 1.35-1.57 solo
 (min +15%, inside the +20% rule). In-tier numbers inherit contention
 from the preceding tiers in the same JVM; the solo protocol remains
-the arbiter.
+the arbiter. DELIBERATE r07 delta to expect in image_dedup: the
+review-found pigeonhole fix (hamming_near_pairs now defaults to
+max_hamming+1 = 5 blocks; the old 4-block default silently missed
+pairs at exactly Hamming 4) adds one block row per image to the LSH
+join — phash_pairs may drift up ~25% for the recall fix.
 """
 
 from __future__ import annotations

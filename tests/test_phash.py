@@ -217,3 +217,33 @@ class TestImageDhashOnSpark:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "bit_count" in plan
+
+
+def test_hamming_exactly_max_distance_one_bit_per_block(spark):
+    """r07 review regression: a pair at EXACTLY max_hamming=4 with one
+    flipped bit in each 16-bit quarter shared no block under the old
+    n_blocks=4 default and was silently dropped; the max_hamming+1
+    default restores the pigeonhole guarantee."""
+    from airflow_etl_finance_market_spark.multimodal.phash import (
+        hamming_near_pairs,
+    )
+
+    base = 0x0123456789ABCDEF
+    other = base ^ (1 << 3) ^ (1 << 19) ^ (1 << 35) ^ (1 << 51)
+    sigs = spark.createDataFrame(
+        [(0, base), (1, other)], "doc_id long, dhash long"
+    )
+    rows = hamming_near_pairs(sigs, max_hamming=4).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(0, 1, 4)]
+
+
+def test_hamming_violating_explicit_blocks_raises(spark):
+    import pytest
+
+    from airflow_etl_finance_market_spark.multimodal.phash import (
+        hamming_near_pairs,
+    )
+
+    sigs = spark.createDataFrame([(0, 1)], "doc_id long, dhash long")
+    with pytest.raises(ValueError, match="max_hamming <= n_blocks - 1"):
+        hamming_near_pairs(sigs, max_hamming=4, n_blocks=4)
