@@ -516,7 +516,13 @@ def image_phash_section(spark, tmp: str) -> tuple[dict[str, float], int]:
 
 #: Dedup/CC chain timed at 100x documents (500k) — the measured decade of
 #: scaling (x100/x10 ratio ≈ 10 expected) the 100 TB posture rests on.
-CORPUS_X100 = ["minhash_full", "dedup_clusters", "dup_spans"]
+CORPUS_X100 = [
+    "minhash_full", "dedup_clusters", "dup_spans",
+    # r07: the published-filter tier's decade — gopher is the map-only
+    # linear bound, dsir proves the bucket-agg + broadcast-ratio-join
+    # shape holds when the occurrence stream grows 10x
+    "gopher_flags", "dsir_weights",
+]
 
 
 def build_x100_docs_fixture(spark, tmp: str) -> str:
@@ -699,6 +705,10 @@ def corpus_x100_section(
         ),
         "dedup_clusters": lambda: _noop(qs["doc_dedup_clusters"](spark, x100)),
         "dup_spans": lambda: _noop(D.duplicate_span_stats(docs, span_tokens=10)),
+        "gopher_flags": lambda: _noop(qs["gopher_quality_flags"](spark, x100)),
+        "dsir_weights": lambda: _noop(
+            qs["dsir_importance_weights"](spark, x100)
+        ),
     }
     out: dict[str, float] = {}
     for name in CORPUS_X100:

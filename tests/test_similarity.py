@@ -678,6 +678,93 @@ class TestStdlibJpegCodec:
         with pytest.raises(ValueError, match="Se=0"):
             jpeg_decode(bytes(b))
 
+    def test_progressive_with_restart_markers_hand_built(self):
+        """DRI inside a SOF2 stream: restart markers must reset BOTH the
+        DC predictor and the EOB run per scan — a path our encoder never
+        emits (it writes DRI-free streams), pinned with a hand-built
+        32x8 four-block stream restarting every 2 MCUs."""
+        _, jpeg_decode, _ = self._codec()
+
+        class W:
+            def __init__(self):
+                self.out = bytearray()
+                self.acc, self.n = 0, 0
+
+            def b(self, code, ln):  # MSB-first with FF stuffing
+                for i in range(ln - 1, -1, -1):
+                    self.acc = (self.acc << 1) | ((code >> i) & 1)
+                    self.n += 1
+                    if self.n == 8:
+                        self.out.append(self.acc)
+                        if self.acc == 0xFF:
+                            self.out.append(0x00)
+                        self.acc, self.n = 0, 0
+
+            def pad(self):
+                while self.n:
+                    self.b(1, 1)
+
+            def rst(self, i):
+                self.pad()
+                self.out += bytes([0xFF, 0xD0 + i])
+
+        def seg(marker, payload):
+            return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(
+                2, "big"
+            ) + payload
+
+        def dc_diff(w, diff):
+            t = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+            w.b(t, 4)  # 12-category table, all length 4
+            if t:
+                w.b(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+        dqt = seg(0xDB, b"\x00" + bytes([16] * 64))
+        sof2 = seg(
+            0xC2,
+            b"\x08" + (8).to_bytes(2, "big") + (32).to_bytes(2, "big")
+            + b"\x01" + b"\x01\x11\x00",
+        )
+        dht_dc = seg(
+            0xC4,
+            b"\x00" + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12)),
+        )
+        # one-symbol-per-length AC table: EOB1 (0x00) at '0', EOB2
+        # (0x10) at '10'
+        dht_ac = seg(
+            0xC4, b"\x10" + bytes([1, 1] + [0] * 14) + bytes([0x00, 0x10])
+        )
+        dri = seg(0xDD, (2).to_bytes(2, "big"))
+        # DC-first scan, restart after 2 MCUs; predictor RESETS at RST0
+        w1 = W()
+        dcs = [-32, 0, 32, 60]  # flat blocks 64,128,192,248 at q=16
+        dc_diff(w1, dcs[0])
+        dc_diff(w1, dcs[1] - dcs[0])
+        w1.rst(0)
+        dc_diff(w1, dcs[2])  # predictor reset: diff from 0
+        dc_diff(w1, dcs[3] - dcs[2])
+        w1.pad()
+        scan1 = seg(0xDA, b"\x01\x01\x00\x00\x00\x00") + bytes(w1.out)
+        # AC-first scan: EOB2 per restart segment; eobrun resets at RST
+        w2 = W()
+        w2.b(0b10, 2)  # EOB2 symbol
+        w2.b(0, 1)     # eobrun extra bit -> covers blocks 0-1
+        w2.rst(0)
+        w2.b(0b10, 2)
+        w2.b(0, 1)
+        w2.pad()
+        scan2 = seg(0xDA, b"\x01\x01\x00\x01\x3f\x00") + bytes(w2.out)
+        prog = (
+            b"\xff\xd8" + dqt + sof2 + dht_dc + dht_ac + dri
+            + scan1 + scan2 + b"\xff\xd9"
+        )
+        w, h, ch, out = jpeg_decode(prog)
+        assert (w, h, ch) == (32, 8, 1)
+        for bi, v in enumerate((64, 128, 192, 248)):
+            for yy in range(8):
+                for xx in range(8):
+                    assert out[yy * 32 + bi * 8 + xx] == v, (bi, yy, xx)
+
     def test_progressive_truncation_refuses(self):
         """A progressive stream cut mid-scan or missing EOI raises —
         never fabricates pixels from a partial download (the RIFF/PNG
