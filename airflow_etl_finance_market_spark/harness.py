@@ -63,23 +63,24 @@ def register(name: str, oracle: str | None = None):
 #: Round-7 rotation (per the r06 verdict's #3): the 13 r04-green
 #: trail-2 entries ALL re-enter the window — with the trail->budget
 #: condition they become offenders the moment CORRECTNESS_r07.json
-#: lands. Seven NEW entries (multimodal_image_codec_real,
+#: lands. Eight NEW entries (multimodal_image_codec_real,
 #: multimodal_video_frames_real, image_phash_near_dups — the real-codec
 #: driver gates + the image perceptual-hash dedup tier;
 #: embedding_semantic_dedup — the SemDeDup composition; and
 #: gopher_quality_flags + dsir_importance_weights — the published
-#: Gopher rule bundle and DSIR importance resampling; and bpe_merges —
-#: distributed BPE training, rows-only) are live under
+#: Gopher rule bundle and DSIR importance resampling; bpe_merges —
+#: distributed BPE training, rows-only; and streaming_dedup_ingest —
+#: the watermark-evicted ingest-dedup hard gate) are live under
 #: rule 1 (never driver-verified). One r06-green entry re-enters under
 #: rule 2: multimodal_audio_features (depended-on code changed — the
 #: WAV fmt-chunk validation added to multimodal/audio.py this round sits
 #: on the gate's decode path). The remaining 29 live slots go to the
-#: oldest cohort: 29 of the 46 r05-green entries. Demoted: the other 17
+#: oldest cohort: 28 of the 46 r05-green entries. Demoted: the other 18
 #: r05-green entries (trail 2 at r07 — MUST be live in r08; all are
-#: stable scalar-agg/dim/set-op/split entries with untouched code and
-#: pytest coverage) plus the 49 other r06-green entries (trail 1 at r07,
-#: due r09; capacity check: 17 + 33 of 49 fit r08's window, the
-#: remaining 16 fit r09 — the 116-entry registry cycles inside the
+#: stable scalar-agg/dim/set-op/split/pivot entries with untouched code
+#: and pytest coverage) plus the 49 other r06-green entries (trail 1 at
+#: r07, due r09; capacity check: 18 + 32 of 49 fit r08's window, the
+#: remaining 17 fit r09 — the 117-entry registry cycles inside the
 #: 3-round re-verification period the budget allows).
 _WINDOW_DEMOTED = [
     # --- r05-green, held over ONE round (trail 2 at r07; r08 must rotate) ---
@@ -109,6 +110,9 @@ _WINDOW_DEMOTED = [
     "train_test_split",
     "sql_api_nation_rank",
     "qty_rollup",
+    # status_flag_pivot frees the slot for the NEW streaming_dedup_ingest
+    # hard gate (never driver-verified -> must be live)
+    "status_flag_pivot",
     # --- r06-green, rotated out for re-verification cadence (49) ---
     "brand_scores",
     "customers_without_big_orders",
@@ -5252,3 +5256,79 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_fixture(spark, sf_dir, "documents"), num_merges=30
     )
     return merges
+
+
+@register(
+    "streaming_dedup_ingest",
+    """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-on-ingest HARD GATE: at-least-once delivery is
+    simulated by planting a FULL-ROW duplicate of every 7th event into
+    3 ts-ranged file micro-batches, then ``dedup_events`` (streaming
+    branch: watermark + dropDuplicatesWithinWatermark — per-key state
+    EVICTED at the watermark horizon, the property that lets ingest
+    dedup run unbounded at 100 TB where a plain dropDuplicates would
+    OOM on all-time key state) replays them as a REAL availableNow
+    streaming query. The returned frame is per-user count + value sums
+    over the DEDUPED stream, and the oracle aggregates the events table
+    DIRECTLY — equality means every planted duplicate was dropped (a
+    missed one inflates a count/sum) and no original was over-dropped
+    (deflates). Cross-batch correctness rides the same gate: duplicates
+    share their original's timestamp, so batch boundaries sit between
+    duplicate groups only by ts-range construction."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import dedup_events, read_events_stream, run_available_now
+    from .streaming.io import EVENTS_STREAM_SCHEMA
+
+    global _STREAM_GATE_SEQ
+    _STREAM_GATE_SEQ += 1
+    seq = _STREAM_GATE_SEQ
+
+    tmp = tempfile.mkdtemp(prefix="finmarket_dedup_gate_")
+    try:
+        raw = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(
+            f"{sf_dir}/events.parquet"
+        )
+        planted = raw.unionAll(raw.filter(F.col("event_id") % 7 == 0))
+        lo, hi = planted.selectExpr("min(ts)", "max(ts)").first()
+        span = (hi - lo) // 3 + 1
+        for i in range(3):
+            pdir = f"{tmp}/in/b{i}"
+            planted.filter(
+                (planted.ts >= lo + i * span)
+                & (planted.ts < lo + (i + 1) * span)
+            ).coalesce(1).write.mode("overwrite").parquet(pdir)
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    os.utime(f"{pdir}/{f}", (1_700_000_000 + i,) * 2)
+        with _bounded_stream_shuffle(spark):
+            deduped = run_available_now(
+                dedup_events(
+                    read_events_stream(
+                        spark, f"{tmp}/in/b*", max_files_per_trigger=1
+                    )
+                ),
+                f"_gate_dedup_{seq}",
+                output_mode="append",
+            )
+            out = (
+                deduped.groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.round(F.sum("value"), 6).alias("sum_value"),
+                )
+                .localCheckpoint()  # materialize before tmp cleanup
+            )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
