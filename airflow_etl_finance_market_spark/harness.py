@@ -63,24 +63,26 @@ def register(name: str, oracle: str | None = None):
 #: Round-7 rotation (per the r06 verdict's #3): the 13 r04-green
 #: trail-2 entries ALL re-enter the window — with the trail->budget
 #: condition they become offenders the moment CORRECTNESS_r07.json
-#: lands. Eight NEW entries (multimodal_image_codec_real,
+#: lands. Nine NEW entries (multimodal_image_codec_real,
 #: multimodal_video_frames_real, image_phash_near_dups — the real-codec
 #: driver gates + the image perceptual-hash dedup tier;
 #: embedding_semantic_dedup — the SemDeDup composition; and
 #: gopher_quality_flags + dsir_importance_weights — the published
 #: Gopher rule bundle and DSIR importance resampling; bpe_merges —
-#: distributed BPE training, rows-only; and streaming_dedup_ingest —
-#: the watermark-evicted ingest-dedup hard gate) are live under
+#: distributed BPE training, rows-only; streaming_dedup_ingest —
+#: the watermark-evicted ingest-dedup hard gate; and
+#: cross_doc_ngram_overlap — the per-doc corpus-internal duplication
+#: score) are live under
 #: rule 1 (never driver-verified). One r06-green entry re-enters under
 #: rule 2: multimodal_audio_features (depended-on code changed — the
 #: WAV fmt-chunk validation added to multimodal/audio.py this round sits
 #: on the gate's decode path). The remaining 29 live slots go to the
-#: oldest cohort: 28 of the 46 r05-green entries. Demoted: the other 18
+#: oldest cohort: 27 of the 46 r05-green entries. Demoted: the other 19
 #: r05-green entries (trail 2 at r07 — MUST be live in r08; all are
 #: stable scalar-agg/dim/set-op/split/pivot entries with untouched code
 #: and pytest coverage) plus the 49 other r06-green entries (trail 1 at
-#: r07, due r09; capacity check: 18 + 32 of 49 fit r08's window, the
-#: remaining 17 fit r09 — the 117-entry registry cycles inside the
+#: r07, due r09; capacity check: 19 + 31 of 49 fit r08's window, the
+#: remaining 18 fit r09 — the 118-entry registry cycles inside the
 #: 3-round re-verification period the budget allows).
 _WINDOW_DEMOTED = [
     # --- r05-green, held over ONE round (trail 2 at r07; r08 must rotate) ---
@@ -110,9 +112,11 @@ _WINDOW_DEMOTED = [
     "train_test_split",
     "sql_api_nation_rank",
     "qty_rollup",
-    # status_flag_pivot frees the slot for the NEW streaming_dedup_ingest
-    # hard gate (never driver-verified -> must be live)
+    # status_flag_pivot + customer_order_coverage free slots for the NEW
+    # streaming_dedup_ingest hard gate and cross_doc_ngram_overlap
+    # (never driver-verified -> must be live)
     "status_flag_pivot",
+    "customer_order_coverage",
     # --- r06-green, rotated out for re-verification cadence (49) ---
     "brand_scores",
     "customers_without_big_orders",
@@ -5332,3 +5336,36 @@ def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "cross_doc_ngram_overlap",
+    f"""
+WITH occ AS (
+    SELECT doc_id, g.gram
+    FROM documents,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len({_TOKS_SQL}) - 4, 1)),
+             i -> array_to_string(({_TOKS_SQL})[i:i+4], ' ')))) AS g(gram)
+), dfreq AS (
+    SELECT gram, COUNT(*) AS df FROM occ GROUP BY gram
+)
+SELECT o.doc_id,
+       COUNT(*) AS n_grams,
+       SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS n_shared,
+       ROUND(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) / COUNT(*), 6)
+           AS shared_frac
+FROM occ o JOIN dfreq d USING (gram)
+GROUP BY o.doc_id
+""",
+)
+def q_cross_doc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-internal duplication score: fraction of the
+    doc's distinct 5-grams appearing in >= 1 other document
+    (operators/corpus.cross_doc_ngram_overlap) — the Dolma/RefinedWeb
+    boilerplate signal, pair-free (explode + two keyed aggregates)."""
+    from .operators.corpus import cross_doc_ngram_overlap
+
+    return cross_doc_ngram_overlap(
+        load_fixture(spark, sf_dir, "documents")
+    )

@@ -615,3 +615,57 @@ def dsir_importance(
             F.round(F.sum("_log_ratio"), 6).alias("log_weight"),
         )
     )
+
+
+def cross_doc_ngram_overlap(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """(doc_id, n_grams, n_shared, shared_frac) — the fraction of a
+    document's DISTINCT word ``n``-grams that also appear in at least
+    one other document. The corpus-internal duplication signal
+    (Dolma/RefinedWeb-style): boilerplate, templates, and partial
+    copies score high; original prose scores low. Complements
+    :func:`repetition_stats` (within-doc) and the span/winnowing tier
+    (pairwise dedup) with a cheap PER-DOC score that needs no pair
+    generation at all.
+
+    Physical shape: one explode of per-doc distinct grams, one
+    gram-keyed hash-aggregate (df per gram — counting rows IS counting
+    documents because grams are per-doc distinct), re-joined to the
+    occurrence stream on the gram key, one doc-keyed aggregate. Both
+    aggregates ride partial map-side combines; there is no pairwise
+    term anywhere, so cost is linear in total distinct-gram
+    occurrences at any corpus size.
+    """
+    occ = (
+        fan_out(docs, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_ngrams(text_col, n))
+            ).alias("gram"),
+        )
+    )
+    dfreq = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        occ.join(dfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("df") > 1, 1).otherwise(0)
+            ).alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.col("n_grams"), 6
+            ).alias("shared_frac"),
+        )
+    )

@@ -836,3 +836,36 @@ class TestBpe:
         assert merges.count() == 0
         segs = {r.term: list(r.subwords) for r in segments.collect()}
         assert segs["abc"] == ["a", "b", "c", "</w>"]
+
+
+class TestCrossDocNgramOverlap:
+    def test_planted_shared_span_scores(self, spark):
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            cross_doc_ngram_overlap,
+        )
+
+        shared = "alpha beta gamma delta epsilon zeta"  # 2 distinct 5-grams
+        rows = [
+            (0, shared + " one two three four five six"),
+            (1, shared + " seven eight nine ten eleven twelve"),
+            (2, "totally different words in this unique document here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in cross_doc_ngram_overlap(df).collect()}
+
+        def grams(t, n=5):
+            toks = t.split()
+            return set(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+
+        g0, g1, g2 = (grams(t) for _, t in [(i, rows[i][1]) for i in range(3)])
+        exp_shared0 = len(g0 & (g1 | g2))
+        assert out[0].n_grams == len(g0)
+        assert out[0].n_shared == exp_shared0
+        assert out[0].shared_frac == pytest.approx(
+            round(exp_shared0 / len(g0), 6)
+        )
+        assert out[2].n_shared == 0 and out[2].shared_frac == 0.0
+        # symmetric: doc 1 shares the same grams back
+        assert out[1].n_shared == len(g1 & (g0 | g2))
