@@ -5352,7 +5352,8 @@ WITH occ AS (
 )
 SELECT o.doc_id,
        COUNT(*) AS n_grams,
-       SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS n_shared,
+       CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared,
        ROUND(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) / COUNT(*), 6)
            AS shared_frac
 FROM occ o JOIN dfreq d USING (gram)
