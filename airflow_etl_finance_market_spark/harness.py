@@ -73,16 +73,19 @@ def register(name: str, oracle: str | None = None):
 #: the watermark-evicted ingest-dedup hard gate; and
 #: cross_doc_ngram_overlap — the per-doc corpus-internal duplication
 #: score) are live under
-#: rule 1 (never driver-verified). One r06-green entry re-enters under
+#: rule 1 (never driver-verified), as are the two late-round additions
+#: doc_nb_lang_classifier (aggregation-only Naive Bayes domain
+#: classifier) and orc_roundtrip_ingest (ORC sink+source E2E gate). One
+#: r06-green entry re-enters under
 #: rule 2: multimodal_audio_features (depended-on code changed — the
 #: WAV fmt-chunk validation added to multimodal/audio.py this round sits
-#: on the gate's decode path). The remaining 29 live slots go to the
-#: oldest cohort: 27 of the 46 r05-green entries. Demoted: the other 19
+#: on the gate's decode path). The remaining 27 live slots go to the
+#: oldest cohort: 25 of the 46 r05-green entries. Demoted: the other 21
 #: r05-green entries (trail 2 at r07 — MUST be live in r08; all are
-#: stable scalar-agg/dim/set-op/split/pivot entries with untouched code
-#: and pytest coverage) plus the 49 other r06-green entries (trail 1 at
-#: r07, due r09; capacity check: 19 + 31 of 49 fit r08's window, the
-#: remaining 18 fit r09 — the 118-entry registry cycles inside the
+#: stable scalar-agg/dim/set-op/split/pivot/join entries with untouched
+#: code and pytest coverage) plus the 49 other r06-green entries (trail
+#: 1 at r07, due r09; capacity check: 21 + 29 of 49 fit r08's window,
+#: the remaining 20 fit r09 — the 120-entry registry cycles inside the
 #: 3-round re-verification period the budget allows).
 _WINDOW_DEMOTED = [
     # --- r05-green, held over ONE round (trail 2 at r07; r08 must rotate) ---
@@ -117,6 +120,14 @@ _WINDOW_DEMOTED = [
     # (never driver-verified -> must be live)
     "status_flag_pivot",
     "customer_order_coverage",
+    # top_performers + pricey_parts_vs_brand_avg free slots for the NEW
+    # doc_nb_lang_classifier + orc_roundtrip_ingest entries (never
+    # driver-verified -> must be live); both demotions are stable
+    # r05-green join/window entries with untouched code and pytest
+    # coverage, due back in the r08 window with the rest of the
+    # r05 cohort.
+    "top_performers",
+    "pricey_parts_vs_brand_avg",
     # --- r06-green, rotated out for re-verification cadence (49) ---
     "brand_scores",
     "customers_without_big_orders",
@@ -5370,3 +5381,101 @@ def q_cross_doc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_doc_ngram_overlap(
         load_fixture(spark, sf_dir, "documents")
     )
+
+
+@register(
+    "doc_nb_lang_classifier",
+    f"""
+WITH occ AS (
+    SELECT doc_id, lang, u.term
+    FROM documents, unnest({_TOKS_SQL}) AS u(term)
+    WHERE length(u.term) >= 1
+), dw AS (
+    SELECT doc_id, term, COUNT(*) AS n FROM occ GROUP BY doc_id, term
+), cw AS (
+    SELECT lang, term, COUNT(*) AS n_ws FROM occ GROUP BY lang, term
+), ct AS (
+    SELECT lang, SUM(n_ws) AS n_s FROM cw GROUP BY lang
+), v AS (
+    SELECT COUNT(DISTINCT term) AS vocab FROM occ
+), nd AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+), classes AS (
+    SELECT p.lang AS cand,
+           ln(p.n_l) - ln(nd.n_docs) AS log_prior,
+           ln(ct.n_s + v.vocab) AS log_denom
+    FROM (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang) p
+    JOIN ct USING (lang) CROSS JOIN v CROSS JOIN nd
+), scored AS (
+    SELECT dw.doc_id, c.cand,
+           c.log_prior
+               + SUM(dw.n * ln(COALESCE(cw.n_ws, 0) + 1))
+               - c.log_denom * SUM(dw.n) AS score
+    FROM dw CROSS JOIN classes c
+    LEFT JOIN cw ON cw.term = dw.term AND cw.lang = c.cand
+    GROUP BY dw.doc_id, c.cand, c.log_prior, c.log_denom
+), ranked AS (
+    SELECT doc_id, cand, score,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, cand ASC
+           ) AS rn
+    FROM scored
+)
+SELECT d.doc_id, d.lang, r.cand AS predicted_lang,
+       ROUND(r.score, 6) AS nb_score,
+       CAST(CASE WHEN r.cand = d.lang THEN 1 ELSE 0 END AS INT) AS correct
+FROM documents d JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+""",
+)
+def q_doc_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-analog domain/quality classifier (operators/classify.py):
+    multinomial Naive Bayes trained on the corpus's own lang labels and
+    applied back (resubstitution QA — the label/content consistency audit
+    of the CCNet/GPT-3-filter recipe class). Training is two hash
+    aggregates, scoring one term-keyed join + per-doc window over
+    |classes| rows — every stage bounded by vocab or doc count."""
+    from .operators.classify import nb_label_classifier
+
+    return nb_label_classifier(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "orc_roundtrip_ingest",
+    """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def q_orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange gate (sources/readers.read_orc/write_orc): the
+    documents table is written to a lang-partitioned ORC layout (the
+    Hive/Trino estate format) and read BACK, and the returned aggregate
+    runs over the round-tripped frame — the oracle aggregates the parquet
+    source directly, so equality proves the ORC sink+source preserve
+    rows, types, and the partition column end-to-end. Partitioned layout
+    mirrors the parquet sink contract; stripe splits parallelize the
+    re-read the way row groups do."""
+    import shutil
+    import tempfile
+
+    from .sources.readers import read_orc, write_orc
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="finmarket_orc_rt_")
+    try:
+        path = f"{tmp}/documents_orc"
+        write_orc(docs, path, partition_by=("lang",))
+        back = read_orc(spark, path)
+        return (
+            back.groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .localCheckpoint()  # materialize before tmp cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -137,6 +137,13 @@ review-found pigeonhole fix (hamming_near_pairs now defaults to
 max_hamming+1 = 5 blocks; the old 4-block default silently missed
 pairs at exactly Hamming 4) adds one block row per image to the LSH
 join — phash_pairs may drift up ~25% for the recall fix.
+
+r07 late additions: a markets_x100 section (60M lineitem rows — 10x
+tickers x 10x series depth; OHLCV/drawdown/beta/pair-corr plus the
+flagship weekly_volatility) gives the FINANCE tier the same measured
+decade corpus/ANN/events already carry, and nb_classifier joins
+corpus_x10 (the aggregation-only Naive Bayes domain classifier at
+50k docs).
 """
 
 from __future__ import annotations
@@ -401,6 +408,69 @@ def events_x100_section(spark, qs, tmp: str) -> tuple[dict[str, float], int]:
         best = float("inf")
         for _ in range(3):
             df = qs[name](spark, x100e)
+            t0 = _time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, _time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out, n_rows
+
+
+#: Finance tier at 100x lineitem (60M rows at sf0.1): 10x ticker
+#: cardinality x 10x per-ticker series depth — the two dimensions the
+#: chain's hash-aggs (key space) and per-key window sorts (partition
+#: depth) actually scale in, and the reference's own domain (the decade
+#: corpus/ANN/events already have). weekly_volatility rides along: it is
+#: the flagship headline query. Pass bar, same contract as the other
+#: decades: x100/x10 wall-clock ratio ≈ 10 (linear), arbitration note
+#: otherwise.
+MARKETS_X100 = MARKETS_X10 + ["weekly_volatility"]
+
+
+def build_x100_market_fixture(spark, tmp: str) -> tuple[str, int]:
+    """100 copies of sf0.1 lineitem: l_partkey (the ticker) shifts on
+    copy%10 -> 10x instruments, l_orderkey shifts per copy -> each
+    instrument carries 10 depth-copies of its series (unique total order),
+    price shifts +copy% so bars/returns stay non-degenerate."""
+    from pyspark.sql import functions as F
+
+    x100m = f"{tmp}/x100m"
+    copies = spark.range(100).withColumnRenamed("id", "copy")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    (
+        li.crossJoin(copies)
+        .withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.col("copy") * X10_LIFT
+        )
+        .withColumn(
+            "l_partkey",
+            F.col("l_partkey") + (F.col("copy") % 10) * X10_LIFT,
+        )
+        .withColumn(
+            "l_extendedprice",
+            F.round(
+                F.col("l_extendedprice") * (1 + F.col("copy") / 100.0), 2
+            ),
+        )
+        .drop("copy")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{x100m}/lineitem.parquet")
+    )
+    n = spark.read.parquet(f"{x100m}/lineitem.parquet").count()
+    return x100m, n
+
+
+def markets_x100_section(
+    spark, qs, tmp: str
+) -> tuple[dict[str, float], int]:
+    import time as _time
+
+    x100m, n_rows = build_x100_market_fixture(spark, tmp)
+    out: dict[str, float] = {}
+    for name in MARKETS_X100:
+        best = float("inf")
+        for _ in range(3):
+            df = qs[name](spark, x100m)
             t0 = _time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, _time.perf_counter() - t0)
@@ -810,6 +880,12 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         "dsir_weights": lambda: _noop(
             qs["dsir_importance_weights"](spark, x10)
         ),
+        # r07: aggregation-only Naive Bayes domain classifier at 50k docs
+        # (ONE explode -> checkpointed per-doc term vectors; vocab-bounded
+        # model frames; per-doc argmax window over |classes| rows)
+        "nb_classifier": lambda: _noop(
+            qs["doc_nb_lang_classifier"](spark, x10)
+        ),
     }
 
     def best_of_3(thunk, *, cold: bool = False) -> float:
@@ -958,6 +1034,10 @@ def main() -> None:
             evx, n_ev100 = events_x100_section(spark, qs, tmp)
             payload["events_x100"] = evx
             payload["events_x100_rows"] = {"events": n_ev100}
+        with tempfile.TemporaryDirectory() as tmp:
+            mkx, n_li100 = markets_x100_section(spark, qs, tmp)
+            payload["markets_x100"] = mkx
+            payload["markets_x100_rows"] = {"lineitem": n_li100}
 
     # ARTIFACT CONTRACT (r06 verdict #1): the r06 payload outgrew the
     # driver's tail capture and the HEADLINE total was truncated into
