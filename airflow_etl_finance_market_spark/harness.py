@@ -73,19 +73,21 @@ def register(name: str, oracle: str | None = None):
 #: the watermark-evicted ingest-dedup hard gate; and
 #: cross_doc_ngram_overlap — the per-doc corpus-internal duplication
 #: score) are live under
-#: rule 1 (never driver-verified), as are the two late-round additions
+#: rule 1 (never driver-verified), as are the four late-round additions
 #: doc_nb_lang_classifier (aggregation-only Naive Bayes domain
-#: classifier) and orc_roundtrip_ingest (ORC sink+source E2E gate). One
+#: classifier), orc_roundtrip_ingest (ORC sink+source E2E gate),
+#: doc_contamination_bloom (Bloom semi-join-reduction pre-gate), and
+#: embedding_contrastive_negatives (deterministic negative draw). One
 #: r06-green entry re-enters under
 #: rule 2: multimodal_audio_features (depended-on code changed — the
 #: WAV fmt-chunk validation added to multimodal/audio.py this round sits
-#: on the gate's decode path). The remaining 27 live slots go to the
-#: oldest cohort: 25 of the 46 r05-green entries. Demoted: the other 21
+#: on the gate's decode path). The remaining 25 live slots go to the
+#: oldest cohort: 23 of the 46 r05-green entries. Demoted: the other 23
 #: r05-green entries (trail 2 at r07 — MUST be live in r08; all are
 #: stable scalar-agg/dim/set-op/split/pivot/join entries with untouched
 #: code and pytest coverage) plus the 49 other r06-green entries (trail
-#: 1 at r07, due r09; capacity check: 21 + 29 of 49 fit r08's window,
-#: the remaining 20 fit r09 — the 120-entry registry cycles inside the
+#: 1 at r07, due r09; capacity check: 23 + 27 of 49 fit r08's window,
+#: the remaining 22 fit r09 — the 122-entry registry cycles inside the
 #: 3-round re-verification period the budget allows).
 _WINDOW_DEMOTED = [
     # --- r05-green, held over ONE round (trail 2 at r07; r08 must rotate) ---
@@ -120,14 +122,17 @@ _WINDOW_DEMOTED = [
     # (never driver-verified -> must be live)
     "status_flag_pivot",
     "customer_order_coverage",
-    # top_performers + pricey_parts_vs_brand_avg free slots for the NEW
-    # doc_nb_lang_classifier + orc_roundtrip_ingest entries (never
-    # driver-verified -> must be live); both demotions are stable
-    # r05-green join/window entries with untouched code and pytest
-    # coverage, due back in the r08 window with the rest of the
-    # r05 cohort.
+    # top_performers + pricey_parts_vs_brand_avg + latest_event_per_user
+    # + events_json_kpi free slots for the NEW doc_nb_lang_classifier +
+    # orc_roundtrip_ingest + doc_contamination_bloom +
+    # embedding_contrastive_negatives entries (never driver-verified ->
+    # must be live); all four demotions are stable r05-green entries
+    # with untouched code and pytest coverage, due back in the r08
+    # window with the rest of the r05 cohort.
     "top_performers",
     "pricey_parts_vs_brand_avg",
+    "latest_event_per_user",
+    "events_json_kpi",
     # --- r06-green, rotated out for re-verification cadence (49) ---
     "brand_scores",
     "customers_without_big_orders",
@@ -2103,9 +2108,10 @@ list_distinct(list_transform(
 """
 
 
-@register(
-    "doc_contamination",
-    f"""
+#: Shared by doc_contamination AND doc_contamination_bloom: the Bloom
+#: pre-gate only prunes (no false negatives) and the exact verify join
+#: removes its false positives, so the SAME exact oracle pins both paths.
+_CONTAM_ORACLE_SQL = f"""
 WITH bg AS (
     SELECT DISTINCT unnest({_CONTAM_GRAMS_SQL}) AS gram
     FROM documents WHERE doc_id % 50 = 0
@@ -2121,8 +2127,10 @@ SELECT d.doc_id,
        COALESCE(ov.n_ov, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
 WHERE d.doc_id % 50 != 0
-""",
-)
+"""
+
+
+@register("doc_contamination", _CONTAM_ORACLE_SQL)
 def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 50th doc plays the held-out eval
     set; corpus docs are flagged on any shared word trigram. Benchmark
@@ -2134,6 +2142,24 @@ def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return contamination_flags(corpus, bench, n=3)
+
+
+@register("doc_contamination_bloom", _CONTAM_ORACLE_SQL)
+def q_doc_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-gated decontamination (operators/bloom.py — the
+    runtime-filter / semi-join-reduction pattern by hand): an m-bit
+    bitmap over the benchmark grams (xxhash64, k=3) prunes the corpus
+    gram stream MAP-SIDE in pure Catalyst arithmetic before the exact
+    verify join. Bloom has no false negatives and the verify join drops
+    its false positives, so the output — and therefore the oracle — is
+    doc_contamination's verbatim; at real benchmark sizes the broadcast
+    shrinks from the gram string set to m/8 bytes (8 KB)."""
+    from .operators.bloom import bloom_pregated_contamination
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return bloom_pregated_contamination(corpus, bench, n=3)
 
 
 @register(
@@ -5479,3 +5505,48 @@ def q_orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "embedding_contrastive_negatives",
+    """
+WITH cands AS (
+    SELECT CAST(('0x' || substr(md5('negs:b:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS bkt,
+           vec_id AS neg_id, label AS neg_label
+    FROM embeddings
+), anchors AS (
+    SELECT vec_id AS anchor_id, label AS anchor_label,
+           CAST(('0x' || substr(md5('negs:p:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS bkt
+    FROM embeddings
+), pairs AS (
+    SELECT a.anchor_id, a.anchor_label, c.neg_id, c.neg_label,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY CAST(('0x' || substr(md5(
+                   'negs:r:' || CAST(a.anchor_id AS VARCHAR) || ':'
+                             || CAST(c.neg_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+                        c.neg_id ASC
+           ) AS rnk
+    FROM anchors a JOIN cands c USING (bkt)
+    WHERE a.anchor_label != c.neg_label
+)
+SELECT anchor_id, anchor_label, neg_id, neg_label,
+       CAST(rnk AS INT) AS neg_rank
+FROM pairs WHERE rnk <= 3
+""",
+)
+def q_embedding_contrastive_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic contrastive negative sampling
+    (operators/sampling.contrastive_negatives): per anchor vector, 3
+    cross-label negatives from ONE salted-hash candidate bucket — the
+    auditable, reproducible negative draw an embedding-training pipeline
+    needs, with pair fan-out bounded by N/buckets per anchor (buckets
+    scales with the table; never N^2). All randomness is the sampling
+    module's one md5 kernel, mirrored verbatim by the oracle."""
+    from .operators.sampling import contrastive_negatives
+
+    return contrastive_negatives(
+        load_fixture(spark, sf_dir, "embeddings"), k=3, buckets=32
+    )

@@ -141,9 +141,31 @@ join — phash_pairs may drift up ~25% for the recall fix.
 r07 late additions: a markets_x100 section (60M lineitem rows — 10x
 tickers x 10x series depth; OHLCV/drawdown/beta/pair-corr plus the
 flagship weekly_volatility) gives the FINANCE tier the same measured
-decade corpus/ANN/events already carry, and nb_classifier joins
-corpus_x10 (the aggregation-only Naive Bayes domain classifier at
-50k docs).
+decade corpus/ANN/events already carry; nb_classifier and
+contamination_bloom join corpus_x10 (the aggregation-only Naive Bayes
+domain classifier and the Bloom-pre-gated decontamination A/B twin at
+50k docs; contamination_bloom postdates the committed BENCH_LOCAL
+refresh — its first numbers land in the driver's BENCH_r07).
+
+r07 final-refresh arbitration: the first refresh attempt hit a
+transient co-tenant burst (30+ unchanged-code entries +20-50%
+TOGETHER, including headline entries that run before any new code;
+spot solos immediately after came back AT or BELOW the committed
+values — csv_ingest 0.603-0.683 vs in-run 0.983, tfidf 0.906-1.006 vs
+1.649), so it was discarded and re-run. The clean rerun is flat on the
+headline (11.99 vs 11.98) with four drifts past the rule, each solo
+best-of-3 x3 arbitrated: ohlcv_weekly_bars markets_x10 1.237->1.499
+(solo 1.420-1.773, min +15% — host steady-state shift, unchanged
+plan); edit_dist_dups 1.851->2.223 (solo 2.308-2.615 — consistent
+host shift, unchanged code); phash_pairs 1.319->1.938 (solo 2.211 —
+consistent even solo; phash/dedup code untouched this session, plan
+identical; recorded as the same host cluster, re-measure next round);
+corpus_x100 minhash_full 15.9->19.3 (solo 17.6-18.1, min +11% —
+inside the rule; noise). markets_x100 decade ratios vs markets_x10,
+same-run: 8.9x (ohlcv), 8.2x (drawdown), 8.6x (beta), 6.9x
+(pair-corr) for 10x rows — SUB-linear across the finance chain; the
+flagship weekly_volatility at x100 runs 7.6 s = 13.9x its sf0.1
+headline point for 100x rows.
 """
 
 from __future__ import annotations
@@ -885,6 +907,12 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         # model frames; per-doc argmax window over |classes| rows)
         "nb_classifier": lambda: _noop(
             qs["doc_nb_lang_classifier"](spark, x10)
+        ),
+        # r07: the Bloom-pre-gated decontamination A/B twin of
+        # "contamination" above — identical output, map-side bitmap
+        # pruning before the verify join (includes the bitmap build job)
+        "contamination_bloom": lambda: _noop(
+            qs["doc_contamination_bloom"](spark, x10)
         ),
     }
 
