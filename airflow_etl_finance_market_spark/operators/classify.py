@@ -46,6 +46,12 @@ def nb_label_classifier(
     with c_st the class-conditional term count, c_s the class token
     total, V the vocabulary size, and P(s) the document-frequency prior.
     Ties break on class name ascending (deterministic cross-engine).
+    Documents with NO qualifying token (empty/whitespace text, or every
+    token shorter than ``min_len``) are EXCLUDED from the output — an
+    empty document has no likelihood under any class, and emitting a
+    prior-only guess would report the classifier's class balance as if
+    it were evidence; route empties to a quality gate, not a label. A
+    NULL label scores normally and reads as ``correct = 0``.
     In-corpus self-classification is the resubstitution-accuracy QA check
     (label/content consistency audit); at 100 TB the same plan trains on
     a labeled sample and the two model frames broadcast to score the
@@ -129,8 +135,14 @@ def nb_label_classifier(
             label_col,
             f"predicted_{label_col}",
             "nb_score",
-            (F.col(label_col) == F.col(f"predicted_{label_col}"))
-            .cast("int")
-            .alias("correct"),
+            # coalesce: a NULL label must read as incorrect (0), matching
+            # the SQL oracle's CASE WHEN — NULL == x is NULL in Spark and
+            # would silently diverge cross-engine otherwise.
+            F.coalesce(
+                (F.col(label_col) == F.col(f"predicted_{label_col}")).cast(
+                    "int"
+                ),
+                F.lit(0),
+            ).alias("correct"),
         )
     )

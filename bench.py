@@ -272,6 +272,34 @@ def build_x10_fixture(spark, tmp: str) -> str:
     return x10
 
 
+def noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def best_of_3_each(jobs) -> dict[str, float]:
+    """One best-of-3 wall-clock per named thunk — the tier protocol
+    (every tier runs best-of-3 since r07; this is the ONE copy of the
+    loop the protocol changes in)."""
+    out: dict[str, float] = {}
+    for name, thunk in jobs.items():
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            thunk()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def entry_jobs(spark, qs, names, fixture_dir):
+    """name -> thunk for registry entries timed against a fixture dir."""
+
+    def mk(name):
+        return lambda: noop(qs[name](spark, fixture_dir))
+
+    return {name: mk(name) for name in names}
+
+
 def build_x10_market_fixture(spark, tmp: str) -> str:
     """10x lineitem (6M rows at sf0.1): same tickers (l_partkey), so each
     instrument's series is 10x deeper — the dimension that stresses the
@@ -315,20 +343,9 @@ MARKETS_X10 = [
 def markets_x10_section(
     spark, qs, tmp: str
 ) -> tuple[dict[str, float], int]:
-    import time as _time
-
     x10m = build_x10_market_fixture(spark, tmp)
     n_rows = spark.read.parquet(f"{x10m}/lineitem.parquet").count()
-    out: dict[str, float] = {}
-    for name in MARKETS_X10:
-        best = float("inf")
-        for _ in range(3):  # best-of-3 since r07 (see the r07 notes)
-            df = qs[name](spark, x10m)
-            t0 = _time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, _time.perf_counter() - t0)
-        out[name] = round(best, 3)
-    return out, n_rows
+    return best_of_3_each(entry_jobs(spark, qs, MARKETS_X10, x10m)), n_rows
 
 
 #: Event-tier entries timed against a 10x events fixture: 10x the USER
@@ -367,19 +384,8 @@ def build_x10_events_fixture(spark, tmp: str) -> tuple[str, int]:
 
 
 def events_x10_section(spark, qs, tmp: str) -> tuple[dict[str, float], int]:
-    import time as _time
-
     x10e, n_rows = build_x10_events_fixture(spark, tmp)
-    out: dict[str, float] = {}
-    for name in EVENTS_X10:
-        best = float("inf")
-        for _ in range(3):  # best-of-3 since r07 (see the r07 notes)
-            df = qs[name](spark, x10e)
-            t0 = _time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, _time.perf_counter() - t0)
-        out[name] = round(best, 3)
-    return out, n_rows
+    return best_of_3_each(entry_jobs(spark, qs, EVENTS_X10, x10e)), n_rows
 
 
 #: User-keyed state tier at 100x USER cardinality (10M events) — the
@@ -422,19 +428,8 @@ def build_x100_events_fixture(spark, tmp: str) -> tuple[str, int]:
 
 
 def events_x100_section(spark, qs, tmp: str) -> tuple[dict[str, float], int]:
-    import time as _time
-
     x100e, n_rows = build_x100_events_fixture(spark, tmp)
-    out: dict[str, float] = {}
-    for name in EVENTS_X100:
-        best = float("inf")
-        for _ in range(3):
-            df = qs[name](spark, x100e)
-            t0 = _time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, _time.perf_counter() - t0)
-        out[name] = round(best, 3)
-    return out, n_rows
+    return best_of_3_each(entry_jobs(spark, qs, EVENTS_X100, x100e)), n_rows
 
 
 #: Finance tier at 100x lineitem (60M rows at sf0.1): 10x ticker
@@ -485,19 +480,8 @@ def build_x100_market_fixture(spark, tmp: str) -> tuple[str, int]:
 def markets_x100_section(
     spark, qs, tmp: str
 ) -> tuple[dict[str, float], int]:
-    import time as _time
-
     x100m, n_rows = build_x100_market_fixture(spark, tmp)
-    out: dict[str, float] = {}
-    for name in MARKETS_X100:
-        best = float("inf")
-        for _ in range(3):
-            df = qs[name](spark, x100m)
-            t0 = _time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, _time.perf_counter() - t0)
-        out[name] = round(best, 3)
-    return out, n_rows
+    return best_of_3_each(entry_jobs(spark, qs, MARKETS_X100, x100m)), n_rows
 
 
 def image_phash_section(spark, tmp: str) -> tuple[dict[str, float], int]:
@@ -802,15 +786,7 @@ def corpus_x100_section(
             qs["dsir_importance_weights"](spark, x100)
         ),
     }
-    out: dict[str, float] = {}
-    for name in CORPUS_X100:
-        best = float("inf")
-        for _ in range(3):  # best-of-3 since r07 (see the r07 notes)
-            t0 = _time.perf_counter()
-            jobs[name]()
-            best = min(best, _time.perf_counter() - t0)
-        out[name] = round(best, 3)
-    return out, n_docs
+    return best_of_3_each({name: jobs[name] for name in CORPUS_X100}), n_docs
 
 
 def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:

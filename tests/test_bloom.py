@@ -21,7 +21,8 @@ def test_bloom_probe_matches_python_reference(spark):
     pinning the substring/ascii/shift bit bridge byte-for-byte."""
     members = spark.createDataFrame([Row(v=f"member {i}") for i in range(40)])
     m_bits, k = 256, 3
-    bitmap = bloom_build(members, "v", m_bits=m_bits, k=k)
+    bf = bloom_build(members, "v", m_bits=m_bits, k=k)
+    assert (bf.m_bits, bf.k) == (m_bits, k)
 
     probes = spark.createDataFrame(
         [Row(v=f"member {i}") for i in range(40)]
@@ -29,7 +30,7 @@ def test_bloom_probe_matches_python_reference(spark):
     )
     got = probes.select(
         "v",
-        bloom_contains(bitmap, "v", m_bits=m_bits, k=k).alias("hit"),
+        bloom_contains(bf, "v").alias("hit"),
         *[
             F.pmod(F.xxhash64("v", F.lit(i)), F.lit(m_bits)).alias(f"p{i}")
             for i in range(k)
@@ -37,7 +38,8 @@ def test_bloom_probe_matches_python_reference(spark):
     ).collect()
     for r in got:
         expect = all(
-            (bitmap[getattr(r, f"p{i}") // 8] >> (getattr(r, f"p{i}") % 8)) & 1
+            (bf.bits[getattr(r, f"p{i}") // 8] >> (getattr(r, f"p{i}") % 8))
+            & 1
             for i in range(k)
         )
         assert r.hit == expect, r
@@ -45,9 +47,25 @@ def test_bloom_probe_matches_python_reference(spark):
 
 def test_bloom_no_false_negatives(spark):
     members = spark.createDataFrame([Row(v=f"gram-{i}") for i in range(500)])
-    bitmap = bloom_build(members, "v")
-    hits = members.filter(bloom_contains(bitmap, "v")).count()
+    bf = bloom_build(members, "v")
+    hits = members.filter(bloom_contains(bf, "v")).count()
     assert hits == 500
+
+
+def test_bloom_auto_sizing_keeps_fill_bounded(spark):
+    """m_bits=None sizes the bitmap from the distinct-value count, so a
+    bigger set gets a bigger (power-of-two) bitmap and fill stays low
+    instead of saturating to pass-everything."""
+    small = bloom_build(
+        spark.createDataFrame([Row(v=f"s{i}") for i in range(100)]), "v"
+    )
+    big = bloom_build(
+        spark.createDataFrame([Row(v=f"b{i}") for i in range(5000)]), "v"
+    )
+    assert big.m_bits > small.m_bits
+    assert big.m_bits % 8 == 0 and (big.m_bits & (big.m_bits - 1)) == 0
+    assert big.fill_ratio < 0.25
+    assert small.fill_ratio < 0.25
 
 
 def test_bloom_build_rejects_unaligned_m():
@@ -168,7 +186,7 @@ def test_bloom_probe_is_map_side_codegen(spark):
     members = spark.createDataFrame([Row(v="a"), Row(v="b")])
     bitmap = bloom_build(members, "v", m_bits=64, k=2)
     probe = spark.createDataFrame([Row(v=str(i)) for i in range(10)]).filter(
-        bloom_contains(bitmap, "v", m_bits=64, k=2)
+        bloom_contains(bitmap, "v")
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
