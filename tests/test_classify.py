@@ -90,3 +90,30 @@ def test_orc_roundtrip_preserves_rows_types_and_partition_column(spark, sf_dir):
         assert docs.select(cols).exceptAll(back.select(cols)).count() == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_nb_excludes_zero_token_docs(spark):
+    """Documented contract: a doc with no qualifying token has no
+    likelihood under any class and is EXCLUDED (not given a prior-only
+    guess) — route empties to a quality gate instead."""
+    docs = _docs(spark, [("", "a"), ("hello world", "a"), ("ciao mondo", "b")])
+    out = nb_label_classifier(docs).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+
+
+def test_nb_null_label_scores_and_reads_incorrect(spark):
+    """A NULL label participates as a scorable doc and reads correct=0
+    (coalesced — Spark's NULL == x would otherwise diverge from the SQL
+    oracle's CASE WHEN)."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="alpha beta alpha", lang="en"),
+            Row(doc_id=1, text="gamma delta gamma", lang="fr"),
+            Row(doc_id=2, text="alpha beta gamma", lang=None),
+        ]
+    )
+    out = {r.doc_id: r for r in nb_label_classifier(docs).collect()}
+    assert len(out) == 3
+    assert out[2].lang is None
+    assert out[2].predicted_lang in {"en", "fr"}
+    assert out[2].correct == 0
