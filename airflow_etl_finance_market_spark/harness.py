@@ -76,18 +76,19 @@ def register(name: str, oracle: str | None = None):
 #: rule 1 (never driver-verified), as are the four late-round additions
 #: doc_nb_lang_classifier (aggregation-only Naive Bayes domain
 #: classifier), orc_roundtrip_ingest (ORC sink+source E2E gate),
-#: doc_contamination_bloom (Bloom semi-join-reduction pre-gate), and
-#: embedding_contrastive_negatives (deterministic negative draw). One
+#: doc_contamination_bloom (Bloom semi-join-reduction pre-gate),
+#: embedding_contrastive_negatives (deterministic negative draw), and
+#: term_heavy_hitters (two-pass Misra-Gries frequent items). One
 #: r06-green entry re-enters under
 #: rule 2: multimodal_audio_features (depended-on code changed — the
 #: WAV fmt-chunk validation added to multimodal/audio.py this round sits
-#: on the gate's decode path). The remaining 25 live slots go to the
-#: oldest cohort: 23 of the 46 r05-green entries. Demoted: the other 23
+#: on the gate's decode path). The remaining 24 live slots go to the
+#: oldest cohort: 22 of the 46 r05-green entries. Demoted: the other 24
 #: r05-green entries (trail 2 at r07 — MUST be live in r08; all are
 #: stable scalar-agg/dim/set-op/split/pivot/join entries with untouched
 #: code and pytest coverage) plus the 49 other r06-green entries (trail
-#: 1 at r07, due r09; capacity check: 23 + 27 of 49 fit r08's window,
-#: the remaining 22 fit r09 — the 122-entry registry cycles inside the
+#: 1 at r07, due r09; capacity check: 24 + 26 of 49 fit r08's window,
+#: the remaining 23 fit r09 — the 123-entry registry cycles inside the
 #: 3-round re-verification period the budget allows).
 _WINDOW_DEMOTED = [
     # --- r05-green, held over ONE round (trail 2 at r07; r08 must rotate) ---
@@ -133,6 +134,10 @@ _WINDOW_DEMOTED = [
     "pricey_parts_vs_brand_avg",
     "latest_event_per_user",
     "events_json_kpi",
+    # doc_token_stats frees the slot for the NEW term_heavy_hitters
+    # entry (never driver-verified -> must be live); same stable
+    # r05-green demotion contract as the four above.
+    "doc_token_stats",
     # --- r06-green, rotated out for re-verification cadence (49) ---
     "brand_scores",
     "customers_without_big_orders",
@@ -5549,4 +5554,31 @@ def q_embedding_contrastive_negatives(
 
     return contrastive_negatives(
         load_fixture(spark, sf_dir, "embeddings"), k=3, buckets=32
+    )
+
+
+@register(
+    "term_heavy_hitters",
+    f"""
+SELECT term, n FROM (
+    SELECT u.term AS term, COUNT(*) AS n
+    FROM documents, unnest({_TOKS_SQL}) AS u(term)
+    WHERE length(u.term) >= 1
+    GROUP BY u.term
+) ORDER BY n DESC, term ASC LIMIT 20
+""",
+)
+def q_term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass heavy hitters (operators/sketches.heavy_hitters): pass 1
+    runs bounded-memory Misra-Gries summaries per partition (map-only
+    Arrow, NO shuffle of the occurrence stream), whose union contains
+    every term with count > N/capacity by the averaging argument; pass 2
+    exact-counts ONLY the candidate set behind a broadcast semi-join.
+    The oracle is the plain exact top-20 — equality proves the sketch
+    pass lost nothing. capacity=4096 >> fixture vocab, so the guarantee
+    holds with margin; the adversarial bound is pinned in pytest."""
+    from .operators.sketches import heavy_hitters
+
+    return heavy_hitters(
+        load_fixture(spark, sf_dir, "documents"), k=20, capacity=4096
     )

@@ -890,6 +890,12 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         "contamination_bloom": lambda: _noop(
             qs["doc_contamination_bloom"](spark, x10)
         ),
+        # r07: two-pass Misra-Gries frequent items at 50k docs (pass 1
+        # map-only bounded-memory summaries, pass 2 candidate-only exact
+        # count — vs token_stats' full term shuffle above)
+        "heavy_hitters": lambda: _noop(
+            qs["term_heavy_hitters"](spark, x10)
+        ),
     }
 
     def best_of_3(thunk, *, cold: bool = False) -> float:
