@@ -77,18 +77,19 @@ def register(name: str, oracle: str | None = None):
 #: doc_nb_lang_classifier (aggregation-only Naive Bayes domain
 #: classifier), orc_roundtrip_ingest (ORC sink+source E2E gate),
 #: doc_contamination_bloom (Bloom semi-join-reduction pre-gate),
-#: embedding_contrastive_negatives (deterministic negative draw), and
-#: term_heavy_hitters (two-pass Misra-Gries frequent items). One
-#: r06-green entry re-enters under
+#: embedding_contrastive_negatives (deterministic negative draw),
+#: term_heavy_hitters (two-pass Misra-Gries frequent items), and
+#: weekly_value_quantile_rollup (mergeable-histogram quantile rollup).
+#: One r06-green entry re-enters under
 #: rule 2: multimodal_audio_features (depended-on code changed — the
 #: WAV fmt-chunk validation added to multimodal/audio.py this round sits
-#: on the gate's decode path). The remaining 24 live slots go to the
-#: oldest cohort: 22 of the 46 r05-green entries. Demoted: the other 24
+#: on the gate's decode path). The remaining 23 live slots go to the
+#: oldest cohort: 21 of the 46 r05-green entries. Demoted: the other 25
 #: r05-green entries (trail 2 at r07 — MUST be live in r08; all are
 #: stable scalar-agg/dim/set-op/split/pivot/join entries with untouched
 #: code and pytest coverage) plus the 49 other r06-green entries (trail
-#: 1 at r07, due r09; capacity check: 24 + 26 of 49 fit r08's window,
-#: the remaining 23 fit r09 — the 123-entry registry cycles inside the
+#: 1 at r07, due r09; capacity check: 25 + 25 of 49 fit r08's window,
+#: the remaining 24 fit r09 — the 124-entry registry cycles inside the
 #: 3-round re-verification period the budget allows).
 _WINDOW_DEMOTED = [
     # --- r05-green, held over ONE round (trail 2 at r07; r08 must rotate) ---
@@ -134,10 +135,12 @@ _WINDOW_DEMOTED = [
     "pricey_parts_vs_brand_avg",
     "latest_event_per_user",
     "events_json_kpi",
-    # doc_token_stats frees the slot for the NEW term_heavy_hitters
-    # entry (never driver-verified -> must be live); same stable
-    # r05-green demotion contract as the four above.
+    # doc_token_stats + rolling_close_avg free slots for the NEW
+    # term_heavy_hitters + weekly_value_quantile_rollup entries (never
+    # driver-verified -> must be live); same stable r05-green demotion
+    # contract as the four above.
     "doc_token_stats",
+    "rolling_close_avg",
     # --- r06-green, rotated out for re-verification cadence (49) ---
     "brand_scores",
     "customers_without_big_orders",
@@ -5582,3 +5585,49 @@ def q_term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(
         load_fixture(spark, sf_dir, "documents"), k=20, capacity=4096
     )
+
+
+@register(
+    "weekly_value_quantile_rollup",
+    """
+WITH binned AS (
+    SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+           LEAST(255, GREATEST(0, CAST(FLOOR(value / 4.0) AS INT))) AS b,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+), cum AS (
+    SELECT week, b, c,
+           SUM(c) OVER (PARTITION BY week ORDER BY b) AS cumc,
+           SUM(c) OVER (PARTITION BY week) AS n
+    FROM binned
+)
+SELECT week,
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       MIN(CASE WHEN cumc >= FLOOR((50 * n + 99) / 100.0)
+                THEN b * 4.0 END) AS p50_est,
+       MIN(CASE WHEN cumc >= FLOOR((95 * n + 99) / 100.0)
+                THEN b * 4.0 END) AS p95_est
+FROM cum GROUP BY week
+""",
+)
+def q_weekly_value_quantile_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable-histogram quantile rollup (plans/analytics.py
+    value_histogram_daily_sketches ∘ histogram_rollup_quantiles): the
+    order-statistics sibling of the HLL rollup — exact quantiles do not
+    pre-aggregate, fixed-bin counts DO, so weekly p50/p95 estimates read
+    off merged <=256-row daily histograms instead of rescanning raw
+    events (one-bin-width error bound, pinned vs exact percentiles in
+    pytest). Bin and rank arithmetic are engine-exact (power-of-two bin
+    width; integer-derived ceil ranks), so the oracle mirrors the
+    estimates to the bit."""
+    from .plans.analytics import (
+        histogram_rollup_quantiles,
+        value_histogram_daily_sketches,
+    )
+
+    daily = value_histogram_daily_sketches(
+        load_fixture(spark, sf_dir, "events")
+    )
+    return histogram_rollup_quantiles(daily)

@@ -396,3 +396,77 @@ def price_rank_distribution(orders: DataFrame) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+def value_histogram_daily_sketches(
+    events: DataFrame,
+    *,
+    value_col: str = "value",
+    ts: str = "ts",
+    lo: float = 0.0,
+    width: float = 4.0,
+    nbins: int = 256,
+) -> DataFrame:
+    """(d, b, c) — fixed-bin long-form histogram per day: the STORED
+    mergeable intermediate of the QUANTILE rollup pattern, the order-
+    statistics sibling of :func:`hll_daily_user_sketches`. Exact
+    quantiles famously do not pre-aggregate (the median of medians is
+    not the median); fixed-bin counts DO (bin counts sum), so a 100 TB
+    event history stores <= ``nbins`` tiny rows per day ONCE and every
+    coarser rollup reads quantile estimates off merged bins — with a
+    one-bin-width error bound — without rescanning raw events.
+
+    Bin arithmetic is engine-exact by construction: ``width`` should be
+    a power of two (binary-FP division by it is exact), values clamp
+    into [0, nbins-1], and the whole map is one hash-aggregate.
+    """
+    b = F.least(
+        F.lit(nbins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    return events.groupBy(
+        F.col(ts).cast("date").alias("d"), b.alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def histogram_rollup_quantiles(
+    daily: DataFrame,
+    *,
+    lo: float = 0.0,
+    width: float = 4.0,
+    quantiles: tuple[tuple[int, int], ...] = ((50, 100), (95, 100)),
+) -> DataFrame:
+    """Merge stored daily histograms to Monday weeks and read quantile
+    ESTIMATES off the merged bins — never touching raw events.
+
+    Rank arithmetic is integer-derived: ``r_q = ceil(qn*n/qd)`` spelled
+    ``floor((qn*n + qd - 1)/qd)`` so both engines compute the identical
+    double; the estimate is the LOWER EDGE of the first bin whose
+    cumulative count reaches ``r_q`` (true quantile lies within one bin
+    width above — the documented error bound of the pattern).
+    """
+    from ..functions.datetime import week_start
+
+    wk = daily.groupBy(week_start("d").alias("week"), "b").agg(
+        F.sum("c").alias("c")
+    )
+    cum = wk.withColumn(
+        "_cum", F.sum("c").over(Window.partitionBy("week").orderBy("b"))
+    ).withColumn("_n", F.sum("c").over(Window.partitionBy("week")))
+    aggs = [F.max("_n").alias("n_values")]
+    for qn, qd in quantiles:
+        rank = F.floor(
+            (F.lit(qn) * F.col("_n") + F.lit(qd - 1)) / F.lit(qd)
+        )
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cum") >= rank,
+                    F.lit(lo) + F.col("b") * F.lit(width),
+                )
+            ).alias(f"p{qn}_est")
+        )
+    return cum.groupBy("week").agg(*aggs)

@@ -359,6 +359,8 @@ EVENTS_X10 = [
     "events_daily_ffill",
     # r06: the ffill + mergeable-HLL weekly composition (pipeline surface)
     "weekly_activity_panel",
+    # r07: the mergeable-histogram quantile rollup (stored-sketch family)
+    "weekly_value_quantile_rollup",
 ]
 
 

@@ -66,3 +66,87 @@ def test_heavy_hitters_tie_break_deterministic(spark):
     )
     got = heavy_hitters(docs, k=2, capacity=64).collect()
     assert [(r.term, r.n) for r in got] == [("aa", 2), ("bb", 2)]
+
+
+# --- mergeable-histogram quantile rollup (same stored-sketch family) ---
+
+from airflow_etl_finance_market_spark.plans.analytics import (  # noqa: E402
+    histogram_rollup_quantiles,
+    value_histogram_daily_sketches,
+)
+
+
+def test_quantile_rollup_within_one_bin_of_exact(spark, sf_dir):
+    """The documented error bound: each weekly estimate sits within one
+    bin width BELOW the exact percentile-disc value (lower-edge read)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = value_histogram_daily_sketches(ev)
+    est = {r.week: r for r in histogram_rollup_quantiles(daily).collect()}
+    exact = {
+        r.week: r
+        for r in ev.groupBy(
+            F.date_trunc("week", F.col("ts").cast("date"))
+            .cast("date")
+            .alias("week")
+        )
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for wk, e in est.items():
+        x = exact[wk]
+        assert e.n_values == x.n
+        for est_v, exact_v in ((e.p50_est, x.p50), (e.p95_est, x.p95)):
+            assert est_v <= exact_v < est_v + 4.0, (wk, est_v, exact_v)
+
+
+def test_daily_histograms_merge_associatively(spark, sf_dir):
+    """Bin counts pre-aggregate: daily->weekly merge equals binning the
+    raw week directly (the property exact quantiles lack)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = value_histogram_daily_sketches(ev)
+    via_daily = (
+        daily.groupBy(
+            F.date_trunc("week", "d").cast("date").alias("week"), "b"
+        )
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    direct = (
+        ev.select(
+            F.date_trunc("week", F.col("ts").cast("date"))
+            .cast("date")
+            .alias("week"),
+            F.least(
+                F.lit(255),
+                F.greatest(F.lit(0), F.floor(F.col("value") / 4.0).cast("int")),
+            ).alias("b"),
+        )
+        .groupBy("week", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    key = lambda r: (r.week, r.b, r.c)  # noqa: E731
+    assert sorted(map(key, via_daily)) == sorted(map(key, direct))
+
+
+def test_histogram_clamps_out_of_range_values(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(ts=__import__("datetime").datetime(2024, 1, 1 + i), value=v)
+            for i, v in enumerate([-5.0, 0.0, 3.99, 4.0, 5000.0])
+        ]
+    )
+    rows = {
+        (r.d.isoformat(), r.b): r.c
+        for r in value_histogram_daily_sketches(docs).collect()
+    }
+    assert rows[("2024-01-01", 0)] == 1  # negative clamps to bin 0
+    assert rows[("2024-01-02", 0)] == 1
+    assert rows[("2024-01-03", 0)] == 1  # 3.99 -> bin 0
+    assert rows[("2024-01-04", 1)] == 1  # 4.0 -> bin 1
+    assert rows[("2024-01-05", 255)] == 1  # overflow clamps to last bin
