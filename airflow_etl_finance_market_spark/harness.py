@@ -5451,7 +5451,7 @@ WITH occ AS (
 ), ranked AS (
     SELECT doc_id, cand, score,
            ROW_NUMBER() OVER (
-               PARTITION BY doc_id ORDER BY score DESC, cand ASC
+               PARTITION BY doc_id ORDER BY ROUND(score, 6) DESC, cand ASC
            ) AS rn
     FROM scored
 )
@@ -5594,7 +5594,7 @@ WITH binned AS (
     SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
            LEAST(255, GREATEST(0, CAST(FLOOR(value / 4.0) AS INT))) AS b,
            COUNT(*) AS c
-    FROM events GROUP BY 1, 2
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ), cum AS (
     SELECT week, b, c,
            SUM(c) OVER (PARTITION BY week ORDER BY b) AS cumc,

@@ -151,6 +151,12 @@ def _stdlib_png_codec():
         stride = w * ch
         raw = zlib.decompressobj().decompress(idat, h * (stride + 1))
         del idat
+        # a truncated-but-valid-zlib IDAT inflates short; without this
+        # check the unfilter loop dies with IndexError instead of the
+        # probe contract's ValueError (r07 advice — same contract-escape
+        # class as the WAV channels=0 and JPEG bit-reader fixes)
+        if len(raw) < h * (stride + 1):
+            raise ValueError("truncated PNG pixel data")
         out = bytearray(h * stride)
         prev = bytearray(stride)
         p = 0

@@ -117,7 +117,15 @@ def nb_label_classifier(
             (F.col("_log_prior") + F.col("_num") - F.col("_log_denom") * F.col("_toks")).alias("_score"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("_cand"))
+    # Rank on the ROUNDED score (r07 advice): the emitted nb_score is
+    # rounded to 6dp, and double-sum ordering differs between engines —
+    # a near-tie (<1e-6) between two classes could otherwise flip
+    # predicted_* cross-engine while both nb_scores hash identically.
+    # Rounding first makes the tie-break contract match the rounding
+    # contract: equal-at-6dp classes break on label ascending.
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(F.round("_score", 6)), F.asc("_cand")
+    )
     best = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -574,6 +574,17 @@ def dsir_importance(
     verbatim in DuckDB), and the log-ratio folds as
     ``ln(c_t + a) - ln(tot_t + aB) - ln(c_r + a) + ln(tot_r + aB)`` so
     each term is engine-exact before the (rounded) per-doc sum.
+
+    ``occ`` feeds two consumers (the bucket histogram and the final
+    ratio join) and is deliberately NOT localCheckpointed despite the
+    house derived-frame-reuse rule: the occurrence stream is
+    CORPUS-SCALE (one row per bigram occurrence — several times the
+    raw text), so materializing it writes more bytes than the second
+    tokenize+hash pass costs to recompute, and the trade only worsens
+    at 100 TB where checkpoint storage is the scarce resource. Same
+    deliberate-double-scan posture as ``bloom.py``; contrast
+    ``classify.py``, which checkpoints ``dw`` because that frame is
+    doc×distinct-term BOUNDED, i.e. much smaller than its lineage.
     """
     occ = (
         fan_out(docs, id_col)
@@ -640,6 +651,12 @@ def cross_doc_ngram_overlap(
     aggregates ride partial map-side combines; there is no pairwise
     term anywhere, so cost is linear in total distinct-gram
     occurrences at any corpus size.
+
+    ``occ`` is referenced twice in the one plan (the df aggregate and
+    the rejoin) and deliberately NOT localCheckpointed: it is the
+    corpus-scale gram stream, so a checkpoint writes more than the
+    second explode costs — the ``bloom.py``/``dsir_importance``
+    deliberate-double-scan posture.
     """
     occ = (
         fan_out(docs, id_col)

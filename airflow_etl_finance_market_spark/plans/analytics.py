@@ -419,6 +419,14 @@ def value_histogram_daily_sketches(
     Bin arithmetic is engine-exact by construction: ``width`` should be
     a power of two (binary-FP division by it is exact), values clamp
     into [0, nbins-1], and the whole map is one hash-aggregate.
+
+    NULL values are EXCLUDED up front (r07 advice): Spark's
+    ``greatest`` skips NULLs, so a NULL value would otherwise clamp
+    into bin 0 here while a SQL twin computing ``FLOOR(NULL/w)`` bins
+    it as NULL — and either way it would inflate the rollup's rank
+    denominator with a value that has no order statistic. Quantiles
+    are defined over non-NULL values in every engine; the filter pins
+    that contract.
     """
     b = F.least(
         F.lit(nbins - 1),
@@ -427,9 +435,11 @@ def value_histogram_daily_sketches(
             F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
         ),
     )
-    return events.groupBy(
-        F.col(ts).cast("date").alias("d"), b.alias("b")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(ts).cast("date").alias("d"), b.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
 
 
 def histogram_rollup_quantiles(

@@ -399,6 +399,40 @@ class TestRealPngCodec:
         b = png_encode(9, 3, 3, bytes(9 * 3 * 3))
         assert decode_image(b) == (9, 3)
 
+    def test_truncated_idat_raises_value_error(self):
+        """A truncated-but-VALID-ZLIB IDAT (partial download recompressed
+        upstream, or a writer that lost rows) must raise the probe
+        contract's ValueError, not escape as IndexError from the
+        unfilter loop (r07 advice — same contract-escape class as the
+        WAV channels=0 and JPEG bit-reader fixes)."""
+        import struct
+        import zlib
+
+        import pytest
+
+        _, png_decode, png_encode, _ = self._codec()
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        w, h, ch = 4, 4, 3
+        good = png_encode(w, h, ch, bytes(w * h * ch))
+        ihdr = good[16:29]  # reuse the real 13-byte IHDR payload
+        short_raw = bytes(3 * (w * ch + 1))  # 3 of the 4 declared rows
+        bad = (
+            good[:8]
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(short_raw))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="truncated PNG pixel data"):
+            png_decode(bad)
+
     def test_real_resize_on_spark_preserves_quadrants(self, spark):
         """resize_images(use_fake_codec=False) round-trips a REAL PNG
         through the Arrow stage: 2x2 quadrant colors survive a

@@ -60,6 +60,30 @@ def test_mg_kernel_is_bounded_and_superset(spark):
             assert term in cands
 
 
+def test_mg_kernel_merges_across_batches(spark):
+    """The vectorized kernel merges per-batch exact counts as MG
+    summaries (Agarwal et al. mergeable-summaries trim): a heavy term
+    split across MANY batches, each flooded with distinct noise, must
+    survive whenever its count clears n/(capacity+1)."""
+    import pandas as pd
+
+    batches = []
+    noise_id = 0
+    for b in range(10):
+        terms = ["alpha"] * 40  # 400 total across batches
+        for _ in range(100):  # 1000 distinct singletons total
+            terms.append(f"noise{noise_id}")
+            noise_id += 1
+        batches.append(pd.DataFrame({"term": terms}))
+    stage = _mg_candidates_stage(capacity=8)
+    out = list(stage(iter(batches)))
+    cands = set(out[0]["term"])
+    assert len(cands) <= 8
+    n = 400 + 1000
+    assert 400 > n / 9  # the guarantee premise
+    assert "alpha" in cands
+
+
 def test_heavy_hitters_tie_break_deterministic(spark):
     docs = spark.createDataFrame(
         [Row(doc_id=0, text="bb aa"), Row(doc_id=1, text="aa bb cc")]
@@ -150,3 +174,26 @@ def test_histogram_clamps_out_of_range_values(spark):
     assert rows[("2024-01-03", 0)] == 1  # 3.99 -> bin 0
     assert rows[("2024-01-04", 1)] == 1  # 4.0 -> bin 1
     assert rows[("2024-01-05", 255)] == 1  # overflow clamps to last bin
+
+
+def test_histogram_excludes_null_values(spark):
+    """NULL values carry no order statistic: they must not land in bin 0
+    (Spark greatest() skips NULLs) nor inflate the rollup's rank
+    denominator — the r07-advice contract, pinned."""
+    import datetime
+
+    docs = spark.createDataFrame(
+        [
+            Row(ts=datetime.datetime(2024, 1, 1), value=1.0),
+            Row(ts=datetime.datetime(2024, 1, 1), value=None),
+            Row(ts=datetime.datetime(2024, 1, 2), value=None),
+        ]
+    )
+    daily = value_histogram_daily_sketches(docs).collect()
+    assert {(r.d.isoformat(), r.b, r.c) for r in daily} == {
+        ("2024-01-01", 0, 1)
+    }
+    roll = histogram_rollup_quantiles(
+        value_histogram_daily_sketches(docs)
+    ).collect()
+    assert len(roll) == 1 and roll[0].n_values == 1
