@@ -5288,17 +5288,93 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_merges")  # rows-only: the iterative argmax-then-resegment
-# loop is not SQL-expressible; correctness is pinned by the pytest
-# differential against a pure-Python reference BPE (tests/test_corpus_ops
-# .py::TestBpe) instead of a DuckDB oracle.
+def _bpe_merge_replay_oracle(num_merges: int) -> str:
+    """Unrolled merge-round replay oracle for ``bpe_merges`` — the
+    ``part_supplier_pagerank`` precedent (r05) applied to BPE: the
+    iterative loop IS SQL-expressible for a bounded round count, so the
+    driver gets a real DuckDB twin instead of a rows-only row (the one
+    red r07 ledger row).
+
+    Each round is three chained MATERIALIZED CTEs over the word-type
+    table (MATERIALIZED is load-bearing: seg_r feeds both pairs_r and
+    seg_{r+1}, and DuckDB inlines multiply-referenced CTEs by default —
+    an inlined chain re-evaluates 2^rounds times):
+
+    - ``pairs_r``: adjacent-pair counts off the space-joined symbol
+      string (split + positional unnest), weighted by type count;
+    - ``best_r``: the 1-row argmax with the pinned (count DESC, left,
+      right) tie-break — the same total order the Spark loop collects;
+    - ``seg_{r+1}``: the merge applied via the SPACE-DOUBLING replace:
+      after ``replace(seg, ' ', '  ')`` every symbol gap is exactly two
+      spaces, so the pattern ``' left  right '`` consumes one boundary
+      space per neighbor and SQL's left-to-right non-overlapping
+      replace() reproduces the reference greedy merge exactly
+      (``'a a a a'`` → ``'aa aa'``, not ``'aa a a'``); a final
+      double→single collapse + trim restores the representation.
+
+    Symbols can never contain spaces (terms are whitespace tokens), so
+    the representation is unambiguous at every round.
+    """
+    parts = [
+        f"""
+WITH types AS MATERIALIZED (
+    SELECT term, COUNT(*) AS cnt
+    FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+    WHERE length(term) >= 1
+    GROUP BY term
+),
+seg0 AS MATERIALIZED (
+    SELECT cnt, array_to_string(string_split(term, ''), ' ') || ' </w>' AS seg
+    FROM types
+)"""
+    ]
+    for r in range(num_merges):
+        parts.append(
+            f""",
+pairs{r} AS MATERIALIZED (
+    SELECT toks[i] AS lft, toks[i + 1] AS rgt, SUM(cnt) AS pc
+    FROM (
+        SELECT toks, cnt, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM (SELECT string_split(seg, ' ') AS toks, cnt FROM seg{r})
+    )
+    GROUP BY 1, 2
+),
+best{r} AS MATERIALIZED (
+    SELECT {r} AS rnk, lft, rgt, pc
+    FROM pairs{r}
+    ORDER BY pc DESC, lft ASC, rgt ASC
+    LIMIT 1
+),
+seg{r + 1} AS MATERIALIZED (
+    SELECT cnt,
+           trim(replace(
+               replace(' ' || replace(seg, ' ', '  ') || ' ',
+                       ' ' || b.lft || '  ' || b.rgt || ' ',
+                       ' ' || b.lft || b.rgt || ' '),
+               '  ', ' ')) AS seg
+    FROM seg{r}, best{r} b
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f'SELECT CAST(rnk AS INTEGER) AS "rank", lft AS "left", rgt AS "right",'
+        f" CAST(pc AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(num_merges)
+    )
+    return "".join(parts) + "\n" + union
+
+
+@register("bpe_merges", _bpe_merge_replay_oracle(30))
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BPE merge training (Sennrich et al. 2016) on the corpus
     (operators/bpe.bpe_train): one corpus pass builds the word-type
     histogram, then every merge round runs on the vocab-bounded table —
     pair explode + hash-agg + a 1-row argmax collect — with the
     segmentation frame localCheckpoint-ed per round. Returns the merge
-    table (rank, left, right, pair_count) a tokenizer would ship."""
+    table (rank, left, right, pair_count) a tokenizer would ship.
+    Correctness is double-pinned: the pytest differential against a
+    pure-Python reference BPE (tests/test_corpus_ops.py::TestBpe) AND
+    the unrolled 30-round DuckDB replay oracle
+    (:func:`_bpe_merge_replay_oracle`)."""
     from .operators.bpe import bpe_train
 
     merges, _ = bpe_train(
