@@ -60,103 +60,74 @@ def register(name: str, oracle: str | None = None):
 #: test_demoted_entries_within_staleness_budget, so a forgotten rotation
 #: fails the suite, not the judge.
 #:
-#: Round-7 rotation (per the r06 verdict's #3): the 13 r04-green
-#: trail-2 entries ALL re-enter the window — with the trail->budget
-#: condition they become offenders the moment CORRECTNESS_r07.json
-#: lands. Nine NEW entries (multimodal_image_codec_real,
-#: multimodal_video_frames_real, image_phash_near_dups — the real-codec
-#: driver gates + the image perceptual-hash dedup tier;
-#: embedding_semantic_dedup — the SemDeDup composition; and
-#: gopher_quality_flags + dsir_importance_weights — the published
-#: Gopher rule bundle and DSIR importance resampling; bpe_merges —
-#: distributed BPE training, rows-only; streaming_dedup_ingest —
-#: the watermark-evicted ingest-dedup hard gate; and
-#: cross_doc_ngram_overlap — the per-doc corpus-internal duplication
-#: score) are live under
-#: rule 1 (never driver-verified), as are the four late-round additions
-#: doc_nb_lang_classifier (aggregation-only Naive Bayes domain
-#: classifier), orc_roundtrip_ingest (ORC sink+source E2E gate),
-#: doc_contamination_bloom (Bloom semi-join-reduction pre-gate),
-#: embedding_contrastive_negatives (deterministic negative draw),
-#: term_heavy_hitters (two-pass Misra-Gries frequent items), and
-#: weekly_value_quantile_rollup (mergeable-histogram quantile rollup).
-#: One r06-green entry re-enters under
-#: rule 2: multimodal_audio_features (depended-on code changed — the
-#: WAV fmt-chunk validation added to multimodal/audio.py this round sits
-#: on the gate's decode path). The remaining 23 live slots go to the
-#: oldest cohort: 21 of the 46 r05-green entries. Demoted: the other 25
-#: r05-green entries (trail 2 at r07 — MUST be live in r08; all are
-#: stable scalar-agg/dim/set-op/split/pivot/join entries with untouched
-#: code and pytest coverage) plus the 49 other r06-green entries (trail
-#: 1 at r07, due r09; capacity check: 25 + 25 of 49 fit r08's window,
-#: the remaining 24 fit r09 — the 124-entry registry cycles inside the
-#: 3-round re-verification period the budget allows).
+#: Round-8 rotation (per the r07 verdict's #2 and #7): the 25 r05-green
+#: trail-2 entries ALL re-enter the window (they become staleness
+#: offenders the moment CORRECTNESS_r08.json lands). Live under rule 1:
+#: bpe_merges (its first driver row was `err: no_oracle`; it now
+#: carries the unrolled merge-round replay oracle and must earn its
+#: first GREEN row) and the NEW image_phash_dct_near_dups (DCT pHash
+#: twin of the dHash gate). Live under rule 2 (depended-on code changed
+#: this round): term_heavy_hitters (vectorized MG kernel),
+#: doc_nb_lang_classifier (rounded-score tie-break + oracle),
+#: weekly_value_quantile_rollup (NULL-value exclusion + oracle),
+#: multimodal_image_codec_real (binary.py png_decode truncation
+#: contract) and image_phash_near_dups (phash.py decode-factory
+#: refactor); dsir_importance_weights + cross_doc_ngram_overlap ride
+#: along conservatively (corpus.py changed — docstring-only, but the
+#: module is on their path). The remaining 16 slots go to the oldest
+#: cohort: multimodal_features (r06-green AND binary.py is its module)
+#: plus the first 15 r06-green entries alphabetically. Demoted: the
+#: other 33 r06-green entries (trail 2 at r08 — MUST be live in r09;
+#: pre-committed as the r09 cohort) and 42 r07-green entries (trail 1,
+#: due r10; capacity: 33 + 17 of them fit r09, the remaining 25 fit
+#: r10 alongside 25 of the r08 cohort — the 125-entry registry cycles
+#: inside the 3-round re-verification period the budget allows).
 _WINDOW_DEMOTED = [
-    # --- r05-green, held over ONE round (trail 2 at r07; r08 must rotate) ---
-    # returnflag_correlation frees the slot for the NEW
-    # embedding_semantic_dedup composition entry (never driver-verified
-    # -> must be live); its corr shape keeps in-window coverage via the
-    # r04-rotated price_trend_regression, and the code is untouched.
-    "returnflag_correlation",
-    "top_avg_volatility",
-    "pricing_summary",
-    "ticker_metrics",
-    "volume_leaders",
-    "segment_balance",
-    "distinct_counts",
-    "dim_instrumento",
-    "dim_tempo",
-    "quality_gate_exact",
-    "customer_set_ops",
-    "star_revenue",
-    "customers_with_big_orders",
-    "fk_orphan_check",
-    # train_test_split + sql_api_nation_rank + qty_rollup free three
-    # slots for the NEW gopher_quality_flags + dsir_importance_weights +
-    # bpe_merges entries (never driver-verified -> must be live); all
-    # three demotions are stable, pytest-covered entries whose code is
-    # untouched this round.
-    "train_test_split",
-    "sql_api_nation_rank",
-    "qty_rollup",
-    # status_flag_pivot + customer_order_coverage free slots for the NEW
-    # streaming_dedup_ingest hard gate and cross_doc_ngram_overlap
-    # (never driver-verified -> must be live)
-    "status_flag_pivot",
-    "customer_order_coverage",
-    # top_performers + pricey_parts_vs_brand_avg + latest_event_per_user
-    # + events_json_kpi free slots for the NEW doc_nb_lang_classifier +
-    # orc_roundtrip_ingest + doc_contamination_bloom +
-    # embedding_contrastive_negatives entries (never driver-verified ->
-    # must be live); all four demotions are stable r05-green entries
-    # with untouched code and pytest coverage, due back in the r08
-    # window with the rest of the r05 cohort.
-    "top_performers",
-    "pricey_parts_vs_brand_avg",
-    "latest_event_per_user",
-    "events_json_kpi",
-    # doc_token_stats + rolling_close_avg free slots for the NEW
-    # term_heavy_hitters + weekly_value_quantile_rollup entries (never
-    # driver-verified -> must be live); same stable r05-green demotion
-    # contract as the four above.
-    "doc_token_stats",
-    "rolling_close_avg",
-    # --- r06-green, rotated out for re-verification cadence (49) ---
-    "brand_scores",
-    "customers_without_big_orders",
-    "doc_bigram_logprob",
-    "doc_bm25_topk",
-    "doc_chunks",
-    "doc_containment_pairs",
-    "doc_contamination",
-    "doc_edit_distance_near_dups",
-    "doc_incremental_probe",
-    "doc_inverted_index",
-    "doc_lang_id",
-    "doc_repetition_stats",
-    "doc_seq_packing",
-    "doc_source_quota_sample",
-    "doc_stratified_sample",
+    # --- r07-green, trail 1 (due r10; 17 of these rotate at r09) ---
+    "doc_exact_dedup",
+    "doc_jaccard_near_dups",
+    "embedding_topk",
+    "embedding_near_dups",
+    "price_percentiles",
+    "windowed_event_kpis",
+    "embedding_topk_lsh",
+    "approx_event_stats",
+    "curated_corpus",
+    "doc_contamination_bloom",
+    "streaming_pct_change_vol",
+    "streaming_pct_change_reordered",
+    "doc_dedup_clusters",
+    "reorder_within_30d",
+    "doc_pii_redaction",
+    "qty_cube",
+    "event_value_outliers",
+    "view_click_attribution",
+    "doc_length_deciles",
+    "doc_near_dup_triangles",
+    "doc_near_dup_triangles_degree",
+    "price_trend_regression",
+    "customer_tier_scd2",
+    "trailing_7d_avg_price",
+    "doc_token_entropy",
+    "corpus_lang_source_chi2",
+    "multimodal_frame_sample",
+    "doc_weighted_sample",
+    "ticker_pair_correlation",
+    "doc_lang_rebalance",
+    "ticker_stats_unpivot",
+    "doc_duplicate_spans",
+    "events_daily_ffill",
+    "hll_user_rollup",
+    "multimodal_audio_features",
+    "order_price_percent_rank",
+    "multimodal_video_frames_real",
+    "embedding_semantic_dedup",
+    "gopher_quality_flags",
+    "streaming_dedup_ingest",
+    "orc_roundtrip_ingest",
+    "embedding_contrastive_negatives",
+    # --- r06-green, trail 2 at r08: the PRE-COMMITTED r09 cohort (all
+    # 33 MUST be live the moment CORRECTNESS_r09.json lands) ---
     "doc_tfidf_top_terms",
     "doc_unigram_logprob",
     "doc_winnow_fingerprints",
@@ -169,7 +140,6 @@ _WINDOW_DEMOTED = [
     "event_transition_matrix",
     "market_overview",
     "minhash_lsh_near_dups",
-    "multimodal_features",
     "ohlcv_weekly_bars",
     "part_supplier_pagerank",
     "purchase_attribution",
@@ -5125,6 +5095,124 @@ def q_image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = image_dhash(media).localCheckpoint()
     n_images = hashes.count()
     fam = hamming_near_pairs(hashes, max_hamming=4).select(
+        (F.col("id_a") / 10).cast("long").alias("fam_a"),
+        (F.col("id_b") / 10).cast("long").alias("fam_b"),
+    )
+    per_fam = fam.groupBy("fam_a").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
+    )
+    row = per_fam.agg(
+        F.sum("cnt").alias("n_pairs"),
+        F.min("within").alias("pairs_within_family"),
+        (
+            F.min((F.col("cnt") == 3) & F.col("within"))
+            & (F.count(F.lit(1)) == F.lit(n_docs))
+        ).alias("families_fully_paired"),
+    ).first()
+    return spark.createDataFrame(
+        [(n_images, row["n_pairs"], row["pairs_within_family"],
+          row["families_fully_paired"])],
+        "n_images long, n_pairs long, pairs_within_family boolean, "
+        "families_fully_paired boolean",
+    )
+
+
+@register(
+    "image_phash_dct_near_dups",
+    """
+SELECT COUNT(*) * 3 AS n_images,
+       COUNT(*) * 3 AS n_pairs,
+       true AS pairs_within_family,
+       true AS families_fully_paired
+FROM documents
+WHERE doc_id % 7 = 3
+""",
+)
+def q_image_phash_dct_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via the DCT perceptual hash (multimodal/phash.py
+    image_phash_dct — luma → 32x32 area-average → orthonormal 2-D DCT
+    → 63 median-sign bits), the GLOBAL-spectral sibling of the dHash
+    gate, through the SAME hamming_near_pairs block-LSH. Every 7th
+    document seeds a 3-member family whose equality is EXACT BY
+    ARITHMETIC, not by tolerance: (a) 32x32 grayscale PNG of
+    md5(text)-stream pixels, (b) GIF palette re-encode of the IDENTICAL
+    pixels (decodes to the same luma bit-for-bit), and (c) PNG of the
+    2x nearest upscale — a k-times-integer upscale of a grid-sized
+    image area-averages back to the SAME raster (every 2x2 box is
+    constant), so all three variants hash IDENTICALLY (Hamming 0) by
+    construction, while cross-family signatures sit near Binomial(63,
+    1/2) (~32; measured min 18 over seeds). The oracle PREDICTS the
+    full outcome: 3n images hashed, the verified pair set is exactly
+    the 3 within-family pairs per family, none cross-family. JPEG
+    robustness (not provable, only measurable) is pinned empirically in
+    tests/test_phash.py instead of gated here."""
+    from .multimodal.phash import hamming_near_pairs, image_phash_dct
+
+    def _build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        gray_pal = [(i, i, i) for i in range(256)]
+
+        def base32(seed: bytes) -> bytes:
+            out = bytearray()
+            i = 0
+            while len(out) < 32 * 32:
+                out += hashlib.md5(seed + bytes([i])).digest()
+                i += 1
+            return bytes(out[: 32 * 32])
+
+        def up2(pix: bytes, w: int, h: int) -> bytes:
+            o = bytearray()
+            for y in range(h):
+                d = bytearray()
+                for v in pix[y * w : (y + 1) * w]:
+                    d += bytes([v, v])
+                o += d + d
+            return bytes(o)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pix = base32(hashlib.md5(text.encode("utf-8")).digest())
+                ids.append(doc_id * 10)
+                payloads.append(_png_enc(32, 32, 1, pix))
+                ids.append(doc_id * 10 + 1)
+                payloads.append(_gif_enc(32, 32, pix, gray_pal))
+                ids.append(doc_id * 10 + 2)
+                payloads.append(_png_enc(64, 64, 1, up2(pix, 32, 32)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    from .multimodal.binary import _stdlib_png_codec
+    from .multimodal.gif import _stdlib_gif_codec
+
+    _, _, _png_enc, _ = _stdlib_png_codec()
+    _, _, _gif_enc = _stdlib_gif_codec()
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 7 == 3
+        ),
+        "doc_id",
+    )
+    n_docs = docs.count()
+    media = docs.select("doc_id", "text").mapInPandas(
+        _build, "doc_id long, payload binary"
+    )
+    # hash frame feeds the count AND the LSH self-join: eager checkpoint
+    # so the pure-Python decode + numpy DCT runs exactly once
+    hashes = image_phash_dct(media).localCheckpoint()
+    n_images = hashes.count()
+    fam = hamming_near_pairs(
+        hashes, sig_col="phash", max_hamming=4
+    ).select(
         (F.col("id_a") / 10).cast("long").alias("fam_a"),
         (F.col("id_b") / 10).cast("long").alias("fam_b"),
     )

@@ -15,6 +15,12 @@ which this module implements Spark-first:
   and resampling, unlike nearest), emit the 64 horizontal-gradient sign
   bits as one ``bigint``. Undecodable payloads QUARANTINE (dropped), the
   posture of every real-codec frame path in :mod:`.binary`.
+- :func:`image_phash_dct` — the second signature (r07 verdict #6): the
+  classic DCT pHash (32x32 area-average → orthonormal 2-D DCT → 63
+  median-sign bits of the low-frequency block). dHash reads LOCAL
+  gradient signs, pHash the GLOBAL spectral shape; both feed the same
+  pair stage, and NEITHER is crop/rotation-robust (contract pinned in
+  tests — crop-robust dedup needs keypoint methods, out of scope).
 - :func:`hamming_near_pairs` — the SAME block-LSH + verify scheme as the
   text SimHash path (``operators/dedup.py simhash_near_pairs``, the
   Manku/Jain/Sarma web-dedup configuration): split the 64-bit hash into
@@ -45,7 +51,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-#: Output schema of the hash stage.
+#: Output schema of the dHash stage (the pHash stage emits the same
+#: shape with a ``phash`` column — see ``_image_signature_stage``).
 DHASH_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -120,42 +127,77 @@ def _dhash_kernel(grid_w: int = 9, grid_h: int = 8):
     return dhash
 
 
-def _dhash_from_pixels(
-    w: int, h: int, ch: int, pix: bytes, grid_w: int = 9, grid_h: int = 8
-) -> int:
-    """Driver-side convenience wrapper over :func:`_dhash_kernel` (tests
-    and single-payload callers); Spark closures must capture the factory
-    product instead — see the factory docstring."""
-    return _dhash_kernel(grid_w, grid_h)(w, h, ch, pix)
+def _phash_kernel(grid: int = 32, out: int = 8):
+    """Build the DCT pHash kernel, factory-nested (pickles by value —
+    the house rule; see :func:`_dhash_kernel`).
 
+    Classic perceptual hash (the pHash/imagehash configuration): luma →
+    area-average onto a ``grid x grid`` raster → orthonormal 2-D DCT-II
+    → keep the ``out x out`` low-frequency block, drop DC, and emit one
+    bit per coefficient (1 iff greater than the block's median). 63
+    bits in an int64. Complements dHash: dHash reads LOCAL gradient
+    signs, pHash reads the GLOBAL spectral shape — more robust to
+    smooth/global edits, equally NOT crop- or rotation-robust (both
+    contracts pinned in tests/test_phash.py).
 
-def image_dhash(
-    media: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    payload_col: str = "payload",
-) -> DataFrame:
-    """Map-only Arrow stage: ``(id, payload)`` → ``(id, dhash bigint)``.
-
-    Decodes through the REAL codec tier (Pillow when installed, else the
-    stdlib PNG/JPEG/GIF/WebP codecs) and quarantines anything undecodable —
-    the row is dropped, never a task failure, matching the
-    :mod:`.binary` frame-path posture. No shuffle; partitioning carries
-    over from the source, so a 100 TB media table hashes with zero data
-    movement and 8 output bytes per image.
+    Exactness properties the driver gate leans on: identical pixels →
+    identical hash (any lossless re-encode), and an exact k× nearest-
+    neighbor upscale of a ``grid x grid`` image area-averages back to
+    the SAME raster (each k x k box is constant), so integer upscales
+    hash IDENTICALLY — scale invariance by arithmetic, not tolerance.
     """
+
+    def phash(w: int, h: int, ch: int, pix: bytes) -> int:
+        import numpy as np
+
+        if w < grid or h < grid:
+            raise ValueError(f"image {w}x{h} smaller than the hash grid")
+        arr = np.frombuffer(bytes(pix), dtype=np.uint8)
+        if ch == 1:
+            luma = arr.reshape(h, w).astype(np.float64)
+        else:
+            px = arr.reshape(h * w, ch).astype(np.int64)
+            luma = (
+                (299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]) // 1000
+            ).reshape(h, w).astype(np.float64)
+        # area-average onto the grid: same floor box edges as dHash
+        row_of = (np.arange(h) * grid) // h
+        col_of = (np.arange(w) * grid) // w
+        cells = (row_of[:, None] * grid + col_of[None, :]).ravel()
+        sums = np.bincount(cells, weights=luma.ravel(), minlength=grid * grid)
+        areas = np.bincount(cells, minlength=grid * grid)
+        g = (sums / areas).reshape(grid, grid)
+        # orthonormal DCT-II, separable: L = C @ g @ C.T
+        n = grid
+        k = np.arange(n)
+        c = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        c *= np.sqrt(2.0 / n)
+        c[0, :] = np.sqrt(1.0 / n)
+        low = (c @ g @ c.T)[:out, :out].ravel()[1:]  # drop DC
+        med = np.sort(low)[(len(low) - 1) // 2]
+        bits = 0
+        for i, v in enumerate(low):
+            if v > med:
+                bits |= 1 << i
+        return bits
+
+    return phash
+
+
+def _decode_factory():
+    """Build the shared image-decode closure (Pillow when installed,
+    else the stdlib PNG/JPEG/GIF/WebP codecs; undecodable → None for
+    quarantine). Factory-built so the stdlib codec locals pickle BY
+    VALUE into ``mapInPandas`` closures — the house rule."""
     from .binary import _stdlib_png_codec
     from .gif import _stdlib_gif_codec
     from .jpeg import _stdlib_jpeg_codec
     from .webp import _stdlib_webp_codec
 
-    # factory-built codec locals pickle BY VALUE into the closure (bare
-    # Spark workers have no repo on sys.path — the house rule)
     _, _png_decode, _, _ = _stdlib_png_codec()
     _, _jpeg_decode, _ = _stdlib_jpeg_codec()
     _, _gif_decode, _ = _stdlib_gif_codec()
     _, _webp_decode, _ = _stdlib_webp_codec()
-    _dhash = _dhash_kernel()
 
     def _decode(payload: bytes):
         try:
@@ -184,6 +226,78 @@ def image_dhash(
             return None
         return None
 
+    return _decode
+
+
+def _dhash_from_pixels(
+    w: int, h: int, ch: int, pix: bytes, grid_w: int = 9, grid_h: int = 8
+) -> int:
+    """Driver-side convenience wrapper over :func:`_dhash_kernel` (tests
+    and single-payload callers); Spark closures must capture the factory
+    product instead — see the factory docstring."""
+    return _dhash_kernel(grid_w, grid_h)(w, h, ch, pix)
+
+
+def image_dhash(
+    media: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Map-only Arrow stage: ``(id, payload)`` → ``(id, dhash bigint)``.
+
+    Decodes through the REAL codec tier (Pillow when installed, else the
+    stdlib PNG/JPEG/GIF/WebP codecs) and quarantines anything undecodable —
+    the row is dropped, never a task failure, matching the
+    :mod:`.binary` frame-path posture. No shuffle; partitioning carries
+    over from the source, so a 100 TB media table hashes with zero data
+    movement and 8 output bytes per image.
+    """
+    return _image_signature_stage(
+        media,
+        _dhash_kernel(),
+        sig_name="dhash",
+        id_col=id_col,
+        payload_col=payload_col,
+    )
+
+
+def image_phash_dct(
+    media: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Map-only Arrow stage: ``(id, payload)`` → ``(id, phash bigint)``
+    — the DCT perceptual hash (:func:`_phash_kernel`) through the same
+    decode/quarantine plumbing as :func:`image_dhash`. The second
+    signature column of the image-dedup tier: feed it to
+    :func:`hamming_near_pairs` with ``sig_col="phash"``."""
+    return _image_signature_stage(
+        media,
+        _phash_kernel(),
+        sig_name="phash",
+        id_col=id_col,
+        payload_col=payload_col,
+    )
+
+
+def _image_signature_stage(
+    media: DataFrame,
+    kernel,
+    *,
+    sig_name: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Shared decode→hash ``mapInPandas`` plumbing for the signature
+    stages: decodes via :func:`_decode_factory`, quarantines anything
+    undecodable or below the kernel's grid, emits ``(doc_id, <sig>)``.
+    ``kernel`` must be a FACTORY PRODUCT (never a module-level function
+    — the pickle house rule)."""
+    _decode = _decode_factory()
+    _kernel = kernel
+
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
@@ -195,7 +309,7 @@ def image_dhash(
                     continue  # quarantine: corrupt/unsupported payload
                 w, h, ch, pix = decoded
                 try:
-                    hv = _dhash(w, h, ch, pix)
+                    hv = _kernel(w, h, ch, pix)
                 except ValueError:
                     continue  # below-grid-size images can't be hashed
                 ids.append(doc_id)
@@ -204,13 +318,19 @@ def image_dhash(
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
-                    "dhash": pd.Series(hashes, dtype="int64"),
+                    sig_name: pd.Series(hashes, dtype="int64"),
                 }
             )
 
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField(sig_name, LongType()),
+        ]
+    )
     return media.select(
         F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
-    ).mapInPandas(_hash, schema=DHASH_SCHEMA)
+    ).mapInPandas(_hash, schema=schema)
 
 
 def hamming_near_pairs(

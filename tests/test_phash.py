@@ -247,3 +247,137 @@ def test_hamming_violating_explicit_blocks_raises(spark):
     sigs = spark.createDataFrame([(0, 1)], "doc_id long, dhash long")
     with pytest.raises(ValueError, match="max_hamming <= n_blocks - 1"):
         hamming_near_pairs(sigs, max_hamming=4, n_blocks=4)
+
+
+class TestPhashDct:
+    """DCT pHash (the global-spectral sibling of dHash): arithmetic-exact
+    invariances, pinned empirical JPEG robustness, the crop LIMITATION
+    contract for both signatures, and the Spark stage."""
+
+    def _phash(self):
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            _phash_kernel,
+        )
+
+        return _phash_kernel()
+
+    @staticmethod
+    def _base32(seed: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while len(out) < 32 * 32:
+            out += hashlib.md5(seed + bytes([i])).digest()
+            i += 1
+        return bytes(out[: 32 * 32])
+
+    def test_exact_invariance_lossless_reencode_and_2x_upscale(self):
+        """The driver gate's construction: identical pixels through GIF
+        palette re-encode, and a 2x nearest upscale of a 32x32 image,
+        hash IDENTICALLY (Hamming 0) — area-averaging a k-times-integer
+        upscale of a grid-sized image reproduces the raster exactly."""
+        ph = self._phash()
+        _, png_dec, png_enc, _ = _stdlib_png_codec()
+        _, gif_dec, gif_enc = _stdlib_gif_codec()
+        gray_pal = [(i, i, i) for i in range(256)]
+        for s in range(8):
+            pix = self._base32(bytes([s]))
+            h_png = ph(*png_dec(png_enc(32, 32, 1, pix)))
+            h_gif = ph(*gif_dec(gif_enc(32, 32, pix, gray_pal)))
+            h_up = ph(
+                *png_dec(png_enc(64, 64, 1, _upscale2(pix, 32, 32)))
+            )
+            assert h_png == h_gif == h_up
+
+    def test_jpeg_q90_stays_within_gate_radius(self):
+        """Empirical (NOT provable — which is why the driver gate uses
+        only the exact variants): baseline JPEG q90 re-encodes of fixed
+        seeds stay within the Hamming-4 gate radius."""
+        ph = self._phash()
+        _, png_dec, png_enc, _ = _stdlib_png_codec()
+        _, jpeg_dec, jpeg_enc = _stdlib_jpeg_codec()
+        for s in range(12):
+            pix = self._base32(bytes([100 + s]))
+            h_png = ph(*png_dec(png_enc(32, 32, 1, pix)))
+            h_jpg = ph(*jpeg_dec(jpeg_enc(32, 32, 1, pix, quality=90)))
+            assert bin(h_png ^ h_jpg).count("1") <= 4, s
+
+    def test_unrelated_images_are_far(self):
+        ph = self._phash()
+        hs = [ph(32, 32, 1, self._base32(bytes([s]))) for s in range(12)]
+        for i in range(len(hs)):
+            for j in range(i + 1, len(hs)):
+                assert bin(hs[i] ^ hs[j]).count("1") > 8
+
+    def test_crop_limitation_contract_pinned(self):
+        """NEITHER signature is crop-robust — the documented contract
+        (r07 verdict #6): a 25% edge crop of the same image lands well
+        outside the Hamming-4 gate radius for dHash AND pHash, so crops
+        are NOT image near-dups under this tier. (Crop-robust dedup
+        needs keypoint/patch methods — out of scope, stated loudly.)"""
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            _dhash_from_pixels,
+        )
+
+        ph = self._phash()
+        missed_d, missed_p = 0, 0
+        for s in range(6):
+            seed = bytes([50 + s])
+            pix = bytearray()
+            i = 0
+            while len(pix) < 64 * 64:
+                pix += hashlib.md5(seed + bytes([i])).digest()
+                i += 1
+            pix = bytes(pix[: 64 * 64])
+            # crop the left 16 columns off: a 48x64 view of the image
+            crop = b"".join(
+                pix[y * 64 + 16 : (y + 1) * 64] for y in range(64)
+            )
+            d_full = _dhash_from_pixels(64, 64, 1, pix)
+            d_crop = _dhash_from_pixels(48, 64, 1, crop)
+            p_full = ph(64, 64, 1, pix)
+            p_crop = ph(48, 64, 1, crop)
+            if bin(d_full ^ d_crop).count("1") > 4:
+                missed_d += 1
+            if bin(p_full ^ p_crop).count("1") > 4:
+                missed_p += 1
+        assert missed_d == 6 and missed_p == 6
+
+    def test_below_grid_size_refuses(self):
+        with pytest.raises(ValueError, match="smaller than the hash grid"):
+            self._phash()(16, 16, 1, bytes(256))
+
+    def test_rgb_luma_matches_gray(self):
+        ph = self._phash()
+        pix = self._base32(b"rgbluma")
+        rgb = b"".join(bytes([v, v, v]) for v in pix)
+        assert ph(32, 32, 1, pix) == ph(32, 32, 3, rgb)
+
+    def test_spark_stage_and_planted_recall(self, spark):
+        """image_phash_dct on Spark: exact variants pair at Hamming 0
+        through hamming_near_pairs(sig_col='phash'); undecodable
+        payloads quarantine."""
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            hamming_near_pairs,
+            image_phash_dct,
+        )
+
+        _, _, png_enc, _ = _stdlib_png_codec()
+        pix_a = self._base32(b"family-a")
+        pix_b = self._base32(b"family-b")
+        media = spark.createDataFrame(
+            [
+                (10, bytearray(png_enc(32, 32, 1, pix_a))),
+                (11, bytearray(png_enc(64, 64, 1, _upscale2(pix_a, 32, 32)))),
+                (20, bytearray(png_enc(32, 32, 1, pix_b))),
+                (99, bytearray(b"not an image at all")),
+            ],
+            "doc_id long, payload binary",
+        )
+        sigs = image_phash_dct(media)
+        rows = {r.doc_id: r.phash for r in sigs.collect()}
+        assert set(rows) == {10, 11, 20}  # 99 quarantined
+        assert rows[10] == rows[11]
+        pairs = hamming_near_pairs(
+            sigs, sig_col="phash", max_hamming=4
+        ).collect()
+        assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(10, 11, 0)]
