@@ -35,38 +35,54 @@ from ..util import fan_out
 def _mg_candidates_stage(capacity: int):
     """Factory-nested Misra-Gries kernel (ships by value to bare
     workers — the house pickle rule): one bounded summary per Arrow
-    batch stream, emitting the summary's keys when the partition ends.
+    batch stream, emitting at most ``capacity`` candidate terms when
+    the partition ends.
 
-    Vectorized as a SUMMARY MERGE (Agarwal et al. 2012, "Mergeable
-    Summaries"): each batch's exact ``value_counts()`` (C speed) is
-    itself a trivially-valid MG summary, so merging is add-counts then
-    — when the union exceeds ``capacity`` — subtract the
-    (capacity+1)-th largest count from every entry and drop the
-    non-positive ones. Each subtraction of ``s`` removes ``s`` weight
-    from >= capacity+1 distinct entries at once, so total decrement per
-    surviving term is <= n_p/(capacity+1) — the SAME averaging-argument
-    bound as the per-token Misra-Gries decrement step, at
-    per-distinct-term cost instead of per-occurrence Python (the r07
-    review's fix: pass 1 touches every token at 100 TB)."""
+    Implemented as a SUMMARY MERGE (Agarwal et al. 2012, "Mergeable
+    Summaries"): ``Counter.update(batch)`` counts every batch at C
+    speed DIRECTLY into the running summary, and whenever the summary
+    exceeds ``4 x capacity`` (plus once at the end) it is trimmed by
+    subtracting the (capacity+1)-th largest count from every entry and
+    dropping the non-positive ones. Each trim of ``s`` removes ``s``
+    weight from >= capacity+1 distinct entries at once, so the total
+    decrement any term ever suffers is <= n_p/(capacity+1) — the same
+    averaging-argument bound as the per-token decrement step,
+    regardless of the trim schedule. Memory stays bounded by
+    ``4 x capacity`` plus one Arrow batch's distinct terms (both
+    config-bounded, independent of partition size).
+
+    The r07 review asked for a per-batch ``value_counts()`` +
+    pandas-merge rewrite; MEASURED at 2M tokens/partition that is a
+    LOSS (1.3M tok/s vs the dict kernel's 3.5-3.9M — object-dtype
+    index alignment per batch costs more than the amortized-O(1) dict,
+    whose decrement sweep fires at most once per ``capacity``
+    insertions). ``Counter``'s C-level ``_count_elements`` is the real
+    fast path: 9-10M tok/s on both zipf and adversarial all-distinct
+    streams, ~3x the original kernel (measurements in the r08 bench
+    notes)."""
 
     def stage(batches):
+        from collections import Counter
+
         import pandas as pd
 
-        summary = None
+        summary: Counter = Counter()
+        trim_at = 4 * capacity
+
+        def trim(c: Counter) -> Counter:
+            vals = sorted(c.values(), reverse=True)
+            sub = vals[capacity]
+            return Counter({t: n - sub for t, n in c.items() if n > sub})
+
         for pdf in batches:
-            vc = pdf["term"].value_counts()
-            summary = (
-                vc.astype("int64")
-                if summary is None
-                else summary.add(vc, fill_value=0).astype("int64")
-            )
-            if len(summary) > capacity:
-                # (capacity+1)-th largest; strictly-greater entries
-                # number <= capacity, so the summary stays bounded
-                sub = summary.nlargest(capacity + 1).iloc[-1]
-                summary = summary[summary > sub] - sub
-        terms = [] if summary is None else list(summary.index)
-        yield pd.DataFrame({"term": pd.Series(terms, dtype="object")})
+            summary.update(pdf["term"].tolist())
+            if len(summary) > trim_at:
+                summary = trim(summary)
+        if len(summary) > capacity:
+            summary = trim(summary)
+        yield pd.DataFrame(
+            {"term": pd.Series(list(summary), dtype="object")}
+        )
 
     return stage
 

@@ -166,6 +166,40 @@ same-run: 8.9x (ohlcv), 8.2x (drawdown), 8.6x (beta), 6.9x
 (pair-corr) for 10x rows — SUB-linear across the finance chain; the
 flagship weekly_volatility at x100 runs 7.6 s = 13.9x its sf0.1
 headline point for 100x rows.
+
+r08 arbitrations (both carried flags from r07, re-measured solo
+best-of-3 x3 on a quiet host, load < 1/32):
+
+- phash_pairs (r07 flag: 1.319 -> 1.938 in-tier, 2.211 solo): solo
+  sets 1.838 / 1.870 / 1.926 s. Decomposition: the DELIBERATE r07
+  pigeonhole recall fix (5 blocks vs 4 -> +25% LSH join rows)
+  predicts ~1.65 s over the r06 1.319 baseline; the residual
+  1.838/1.65 = +11% is inside the +20% rule. RESOLVED: ~1.84-1.93 s
+  is the real steady state for the fixed recall contract; the r07
+  solo 2.211 was the flagged host cluster. phash_hash is flat
+  (0.817-0.850 vs 0.838 committed).
+- weekly_volatility markets_x100 (r07 discrepancy: note said 7.6 s,
+  committed BENCH_LOCAL said 11.925 s): solo sets 6.452 / 7.053 /
+  6.826 s. The NOTE was right and the committed artifact inherited
+  the same r07 host cluster as phash_pairs (both were measured in
+  the same final refresh). RESOLVED: decade ratio = 6.45/0.634 ~=
+  10.2x for 100x rows — in line with the rest of the finance chain
+  (8-9x), NOT the 18.8x the bad artifact implied; no plan work
+  needed (the window sort scales as advertised).
+
+r08 MG-kernel measurement (the r07 verdict asked for a value_counts+
+pandas-merge rewrite of the Misra-Gries pass-1 kernel, "measured
+speedup recorded"): measured at 2M tokens/partition (10k-row Arrow
+batches, capacity 4096), the ASKED-FOR rewrite is a LOSS — 1.3M tok/s
+vs the per-token dict kernel's 3.5-3.9M (object-dtype index alignment
+per batch exceeds the amortized-O(1) dict cost; the decrement sweep
+fires at most once per `capacity` insertions, so the old kernel was
+never O(N x capacity)). The SHIPPED kernel uses Counter.update
+(C-level _count_elements) with threshold-scheduled summary trims:
+9.0M tok/s on a zipf stream and 9.7M on an adversarial all-distinct
+stream — ~3x the original kernel on both, same mergeable-summaries
+n/(capacity+1) bound. heavy_hitters corpus_x10 wall stays
+scan-dominated either way (solo 1.452-1.994 vs 1.42 committed).
 """
 
 from __future__ import annotations
