@@ -74,13 +74,15 @@ def register(name: str, oracle: str | None = None):
 #: contract) and image_phash_near_dups (phash.py decode-factory
 #: refactor); dsir_importance_weights + cross_doc_ngram_overlap ride
 #: along conservatively (corpus.py changed — docstring-only, but the
-#: module is on their path). The remaining 16 slots go to the oldest
-#: cohort: multimodal_features (r06-green AND binary.py is its module)
-#: plus the first 15 r06-green entries alphabetically. Demoted: the
-#: other 33 r06-green entries (trail 2 at r08 — MUST be live in r09;
+#: module is on their path). bpe_token_counts (NEW: the BPE apply path,
+#: oracle = the replay chain's final segmentation) is live under rule
+#: 1. The remaining 15 slots go to the oldest cohort:
+#: multimodal_features (r06-green AND binary.py is its module) plus the
+#: first 14 r06-green entries alphabetically. Demoted: the other 34
+#: r06-green entries (trail 2 at r08 — MUST be live in r09;
 #: pre-committed as the r09 cohort) and 42 r07-green entries (trail 1,
-#: due r10; capacity: 33 + 17 of them fit r09, the remaining 25 fit
-#: r10 alongside 25 of the r08 cohort — the 125-entry registry cycles
+#: due r10; capacity: 34 + 16 of them fit r09, the remaining 26 fit
+#: r10 alongside 24 of the r08 cohort — the 126-entry registry cycles
 #: inside the 3-round re-verification period the budget allows).
 _WINDOW_DEMOTED = [
     # --- r07-green, trail 1 (due r10; 17 of these rotate at r09) ---
@@ -127,7 +129,8 @@ _WINDOW_DEMOTED = [
     "orc_roundtrip_ingest",
     "embedding_contrastive_negatives",
     # --- r06-green, trail 2 at r08: the PRE-COMMITTED r09 cohort (all
-    # 33 MUST be live the moment CORRECTNESS_r09.json lands) ---
+    # 34 MUST be live the moment CORRECTNESS_r09.json lands) ---
+    "doc_stratified_sample",
     "doc_tfidf_top_terms",
     "doc_unigram_logprob",
     "doc_winnow_fingerprints",
@@ -5403,6 +5406,19 @@ def _bpe_merge_replay_oracle(num_merges: int) -> str:
     Symbols can never contain spaces (terms are whitespace tokens), so
     the representation is unambiguous at every round.
     """
+    union = "\nUNION ALL\n".join(
+        f'SELECT CAST(rnk AS INTEGER) AS "rank", lft AS "left", rgt AS "right",'
+        f" CAST(pc AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(num_merges)
+    )
+    return _bpe_replay_ctes(num_merges) + "\n" + union
+
+
+def _bpe_replay_ctes(num_merges: int) -> str:
+    """The shared WITH-chain of the BPE replay (types → seg0 → {pairs_r,
+    best_r, seg_{r+1}} x rounds), ``term`` carried through every seg so
+    consumers can read either the merge table (``best_r``) or the final
+    segmentation (``seg{num_merges}``)."""
     parts = [
         f"""
 WITH types AS MATERIALIZED (
@@ -5412,7 +5428,8 @@ WITH types AS MATERIALIZED (
     GROUP BY term
 ),
 seg0 AS MATERIALIZED (
-    SELECT cnt, array_to_string(string_split(term, ''), ' ') || ' </w>' AS seg
+    SELECT term, cnt,
+           array_to_string(string_split(term, ''), ' ') || ' </w>' AS seg
     FROM types
 )"""
     ]
@@ -5434,7 +5451,7 @@ best{r} AS MATERIALIZED (
     LIMIT 1
 ),
 seg{r + 1} AS MATERIALIZED (
-    SELECT cnt,
+    SELECT term, cnt,
            trim(replace(
                replace(' ' || replace(seg, ' ', '  ') || ' ',
                        ' ' || b.lft || '  ' || b.rgt || ' ',
@@ -5443,12 +5460,35 @@ seg{r + 1} AS MATERIALIZED (
     FROM seg{r}, best{r} b
 )"""
         )
-    union = "\nUNION ALL\n".join(
-        f'SELECT CAST(rnk AS INTEGER) AS "rank", lft AS "left", rgt AS "right",'
-        f" CAST(pc AS BIGINT) AS pair_count FROM best{r}"
-        for r in range(num_merges)
+    return "".join(parts)
+
+
+def _bpe_token_stats_oracle(num_merges: int) -> str:
+    """Oracle for ``bpe_token_counts``: replay the merge chain to the
+    FINAL segmentation table (``seg{num_merges}``), then mirror
+    ``bpe_token_stats``'s apply — a vocab-keyed join of the occurrence
+    stream to per-type subword counts, one doc-keyed aggregate (unseen
+    types fall back to characters+marker, same COALESCE)."""
+    return (
+        _bpe_replay_ctes(num_merges)
+        + f""",
+seg_len AS MATERIALIZED (
+    SELECT term, len(string_split(seg, ' ')) AS n_subwords
+    FROM seg{num_merges}
+),
+occ AS (
+    SELECT doc_id, u.term
+    FROM documents, unnest({_TOKS_SQL}) AS u(term)
+    WHERE length(u.term) >= 1
+)
+SELECT occ.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(COALESCE(s.n_subwords, length(occ.term) + 1)) AS BIGINT)
+           AS n_bpe_tokens
+FROM occ LEFT JOIN seg_len s USING (term)
+GROUP BY occ.doc_id
+"""
     )
-    return "".join(parts) + "\n" + union
 
 
 @register("bpe_merges", _bpe_merge_replay_oracle(30))
@@ -5469,6 +5509,23 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_fixture(spark, sf_dir, "documents"), num_merges=30
     )
     return merges
+
+
+@register("bpe_token_counts", _bpe_token_stats_oracle(30))
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY at corpus scale (operators/bpe.bpe_token_stats): the
+    trained segmentation table is a vocab-bounded broadcast, so
+    tokenizing the corpus under a learned BPE is ONE explode + one
+    broadcast join + one doc-keyed aggregate — no per-token merge
+    replay anywhere (the distributed half a 100 TB tokenizer job
+    actually needs; see the honest-ceiling note in operators/bpe.py).
+    Returns (doc_id, n_words, n_bpe_tokens); the oracle replays the
+    merge chain to the final segmentation and mirrors the join."""
+    from .operators.bpe import bpe_token_stats, bpe_train
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    _, segments = bpe_train(docs, num_merges=30)
+    return bpe_token_stats(docs, segments)
 
 
 @register(
