@@ -543,3 +543,36 @@ def test_dsir_ratio_table_broadcasts_onto_occurrences(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bpe_apply_is_broadcast_join_one_agg(spark, sf_dir):
+    """bpe_token_stats: the segmentation table is vocab-bounded and must
+    BROADCAST onto the occurrence stream (shuffling the stream to join a
+    vocab would be the 100 TB mistake), followed by one partial+final
+    hash-aggregate on the doc key."""
+    from airflow_etl_finance_market_spark.operators.bpe import (
+        bpe_token_stats,
+        bpe_train,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents").limit(50)
+    _, segments = bpe_train(docs, num_merges=3)
+    plan = plan_of(bpe_token_stats(docs, segments))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") == 2  # partial + final, doc key
+
+
+def test_phash_dct_stage_is_map_only(spark, sf_dir):
+    """image_phash_dct: the signature stage must contain NO Exchange —
+    hashing a 100 TB media table moves zero bytes."""
+    from airflow_etl_finance_market_spark.multimodal.phash import (
+        image_phash_dct,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"x"))], "doc_id long, payload binary"
+    )
+    plan = plan_of(image_phash_dct(media))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
