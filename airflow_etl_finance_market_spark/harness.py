@@ -76,13 +76,14 @@ def register(name: str, oracle: str | None = None):
 #: along conservatively (corpus.py changed — docstring-only, but the
 #: module is on their path). bpe_token_counts (NEW: the BPE apply path,
 #: oracle = the replay chain's final segmentation) is live under rule
-#: 1. The remaining 15 slots go to the oldest cohort:
+#: 1, as is video_near_dups (NEW: video-level near-dup via frame-hash
+#: set overlap). The remaining 14 slots go to the oldest cohort:
 #: multimodal_features (r06-green AND binary.py is its module) plus the
-#: first 14 r06-green entries alphabetically. Demoted: the other 34
+#: first 13 r06-green entries alphabetically. Demoted: the other 35
 #: r06-green entries (trail 2 at r08 — MUST be live in r09;
 #: pre-committed as the r09 cohort) and 42 r07-green entries (trail 1,
-#: due r10; capacity: 34 + 16 of them fit r09, the remaining 26 fit
-#: r10 alongside 24 of the r08 cohort — the 126-entry registry cycles
+#: due r10; capacity: 35 + 15 of them fit r09, the remaining 27 fit
+#: r10 alongside 23 of the r08 cohort — the 127-entry registry cycles
 #: inside the 3-round re-verification period the budget allows).
 _WINDOW_DEMOTED = [
     # --- r07-green, trail 1 (due r10; 17 of these rotate at r09) ---
@@ -129,7 +130,8 @@ _WINDOW_DEMOTED = [
     "orc_roundtrip_ingest",
     "embedding_contrastive_negatives",
     # --- r06-green, trail 2 at r08: the PRE-COMMITTED r09 cohort (all
-    # 34 MUST be live the moment CORRECTNESS_r09.json lands) ---
+    # 35 MUST be live the moment CORRECTNESS_r09.json lands) ---
+    "doc_source_quota_sample",
     "doc_stratified_sample",
     "doc_tfidf_top_terms",
     "doc_unigram_logprob",
@@ -4984,6 +4986,139 @@ def q_multimodal_video_frames_real(spark: SparkSession, sf_dir: str) -> DataFram
                 F.col("got_shas") == F.array_sort(F.col("exp_shas"))
             ).alias("shas_exact"),
         )
+    )
+
+
+@register(
+    "video_near_dups",
+    """
+SELECT COUNT(*) * 2 AS n_videos,
+       COUNT(*) AS n_pairs,
+       true AS pairs_within_family,
+       true AS full_overlap
+FROM documents
+WHERE doc_id % 11 = 5
+""",
+)
+def q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO-level near-dup via frame-hash set overlap
+    (multimodal/phash.py video_frame_dhash ∘ video_near_dup_pairs):
+    every 11th document seeds a 2-member planted video family — 5
+    MJPEG/AVI frames of 72x64 block-grid pixels (the dHash gate's
+    >=32-luma-margin construction, seed varying per frame), video B
+    re-encoding the SAME frames with sub-margin +-4 luma noise (byte-
+    different, gradient-sign-identical, so each frame pair hashes
+    EQUAL). The walk+decode+dHash all happen in one map-only Arrow
+    stage (8 bytes out per frame, raw frames never shuffled); pairs
+    come from the pigeonhole block equi-join keyed on video ids, and
+    the match FRACTION threshold absorbs any single-frame collision —
+    a cross-family frame match contributes at most 1/5 < 0.8. The
+    oracle PREDICTS the outcome: 2n videos hashed, the near-dup pair
+    set is exactly the n planted (A, B) pairs, every pair within
+    family at full overlap (match_frac == 1)."""
+    from .multimodal.phash import video_frame_dhash, video_near_dup_pairs
+
+    _LEVELS = [16, 48, 80, 112, 144, 176, 208, 240]
+
+    def _build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        gw, gh, blk = 9, 8, 8
+
+        def base_pixels(seed: bytes) -> bytearray:
+            vals = []
+            for r in range(gh):
+                row = []
+                for c in range(gw):
+                    hv = hashlib.md5(seed + bytes([r, c])).digest()[0]
+                    v = _LEVELS[hv % 8]
+                    if c > 0 and v == row[-1]:
+                        v = _LEVELS[(hv % 8 + 1) % 8]
+                    row.append(v)
+                vals.append(row)
+            pix = bytearray()
+            for r in range(gh):
+                rowbytes = bytearray()
+                for c in range(gw):
+                    rowbytes += bytes([vals[r][c]]) * blk
+                pix += bytes(rowbytes) * blk
+            return pix
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.md5(text.encode("utf-8")).digest()
+                frames_a, frames_b = [], []
+                for fi in range(5):
+                    pix = base_pixels(seed + bytes([fi]))
+                    frames_a.append(
+                        _jpeg_enc(gw * blk, gh * blk, 1, bytes(pix), quality=90)
+                    )
+                    noisy = bytearray(pix)
+                    for t in range(4):
+                        p = hashlib.md5(seed + bytes([fi, 128 + t])).digest()
+                        pos = (p[0] % (gh * blk)) * gw * blk + p[1] % (gw * blk)
+                        noisy[pos] = max(
+                            0, min(255, noisy[pos] + (p[2] % 9) - 4)
+                        )
+                    frames_b.append(
+                        _jpeg_enc(
+                            gw * blk, gh * blk, 1, bytes(noisy), quality=90
+                        )
+                    )
+                ids.append(doc_id * 10)
+                payloads.append(_avi_enc(frames_a, fps=10, width=72, height=64))
+                ids.append(doc_id * 10 + 1)
+                payloads.append(_avi_enc(frames_b, fps=10, width=72, height=64))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    from .multimodal.jpeg import _stdlib_jpeg_codec
+    from .multimodal.video import _stdlib_avi_codec
+
+    _, _, _jpeg_enc = _stdlib_jpeg_codec()
+    _, _, _avi_enc = _stdlib_avi_codec()
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 11 == 5
+        ),
+        "doc_id",
+    )
+    n_docs = docs.count()
+    media = docs.select("doc_id", "text").mapInPandas(
+        _build, "doc_id long, payload binary"
+    )
+    # the signature frame feeds the count AND the pair self-join: eager
+    # checkpoint so encode+walk+decode+hash runs exactly once
+    sigs = video_frame_dhash(media).localCheckpoint()
+    n_videos = sigs.select("video_id").distinct().count()
+    pairs = video_near_dup_pairs(sigs, max_hamming=4, min_match_frac=0.8)
+    row = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(
+            (F.col("video_a") / 10).cast("long")
+            == (F.col("video_b") / 10).cast("long")
+        ).alias("within"),
+        F.min(F.col("match_frac") == 1.0).alias("full"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                n_videos,
+                row["n_pairs"],
+                bool(row["within"]) if row["within"] is not None else False,
+                bool(row["full"]) if row["full"] is not None else False,
+            )
+        ],
+        "n_videos long, n_pairs long, pairs_within_family boolean, "
+        "full_overlap boolean",
     )
 
 

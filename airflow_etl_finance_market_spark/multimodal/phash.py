@@ -411,6 +411,158 @@ def hamming_near_pairs(
     )
 
 
+def video_frame_dhash(
+    media: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+) -> DataFrame:
+    """Map-only Arrow stage: MJPEG/AVI payloads → ``(video_id,
+    frame_idx, dhash)`` — the container walk, per-frame JPEG decode,
+    and dHash all happen IN PLACE on the worker, so a 100 TB video
+    table reduces to 8 bytes per sampled frame with zero data movement
+    (raw frames never enter a shuffle — the property video dedup needs
+    at scale). Unparseable containers and undecodable frames QUARANTINE
+    (zero rows / skipped frame), the frame-path posture of
+    :func:`.binary.sample_frames`."""
+    from .jpeg import _stdlib_jpeg_codec
+    from .video import _stdlib_avi_codec
+
+    _, _avi_frames, _ = _stdlib_avi_codec()
+    _, _jpeg_decode, _ = _stdlib_jpeg_codec()
+    _dhash = _dhash_kernel()
+    step = every_n
+
+    def _stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids, idxs, hashes = [], [], []
+            for vid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    frames = _avi_frames(bytes(payload))
+                except Exception:
+                    continue  # quarantine: unparseable container
+                for k in range(0, len(frames), step):
+                    try:
+                        w, h, ch, pix = _jpeg_decode(frames[k])
+                        hv = _dhash(w, h, ch, pix)
+                    except Exception:
+                        continue  # quarantine: bad/below-grid frame
+                    vids.append(vid)
+                    idxs.append(k)
+                    hashes.append(hv - (1 << 64) if hv >= 1 << 63 else hv)
+            yield pd.DataFrame(
+                {
+                    "video_id": pd.Series(vids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(
+        _stage, schema="video_id long, frame_idx long, dhash long"
+    )
+
+
+def video_near_dup_pairs(
+    frame_sigs: DataFrame,
+    *,
+    video_col: str = "video_id",
+    sig_col: str = "dhash",
+    max_hamming: int = 4,
+    min_match_frac: float = 0.8,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Video-level near-dup via FRAME-HASH SET OVERLAP: two videos are
+    near-dups when >= ``min_match_frac`` of the smaller one's distinct
+    frame signatures have a within-``max_hamming`` match in the other
+    (re-encodes, rescales, and container rewraps of the same footage
+    overlap ~fully; unrelated videos share ~nothing — and an occasional
+    single-frame collision is absorbed by the fraction threshold,
+    which makes this gate MORE robust than its image sibling).
+
+    Plan shape: per-video DISTINCT hash sets (tiny — 8 B x frames), the
+    same pigeonhole block equi-join as :func:`hamming_near_pairs`
+    keyed straight on the video ids, one distinct + one hash-aggregate
+    per video pair, broadcast-friendly per-video size join. Frame
+    PIXELS appear nowhere; candidate generation is never all-pairs.
+    Returns ``(video_a, video_b, n_matched, match_frac)``.
+    """
+    n_blocks = max_hamming + 1
+    width = n_bits // n_blocks
+    shifts = [width * j for j in range(n_blocks)]
+    widths = [width] * (n_blocks - 1) + [n_bits - width * (n_blocks - 1)]
+    vs = frame_sigs.select(
+        F.col(video_col).alias("vid"), F.col(sig_col).alias("sig")
+    ).distinct()
+    blocks = vs.select(
+        "vid",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftrightunsigned(F.col("sig"), sh)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                    )
+                    for sh, w in zip(shifts, widths)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    matched = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .filter(
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+            <= max_hamming
+        )
+        # one matched row per (pair, source hash): a hash of A counts
+        # once no matter how many frames of B it matches
+        .select(
+            F.col("a.vid").alias("video_a"),
+            F.col("b.vid").alias("video_b"),
+            F.col("a.sig").alias("sig_a"),
+        )
+        .distinct()
+        .groupBy("video_a", "video_b")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    sizes = vs.groupBy("vid").agg(F.count(F.lit(1)).alias("n_sigs"))
+    return (
+        matched.join(
+            sizes.select(
+                F.col("vid").alias("video_a"), F.col("n_sigs").alias("_na")
+            ),
+            "video_a",
+        )
+        .join(
+            sizes.select(
+                F.col("vid").alias("video_b"), F.col("n_sigs").alias("_nb")
+            ),
+            "video_b",
+        )
+        .select(
+            "video_a",
+            "video_b",
+            "n_matched",
+            F.round(
+                F.col("n_matched") / F.least("_na", "_nb"), 6
+            ).alias("match_frac"),
+        )
+        .filter(F.col("match_frac") >= min_match_frac)
+    )
+
+
 def image_near_dup_pairs(
     media: DataFrame,
     *,

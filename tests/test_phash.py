@@ -381,3 +381,102 @@ class TestPhashDct:
             sigs, sig_col="phash", max_hamming=4
         ).collect()
         assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(10, 11, 0)]
+
+
+class TestVideoNearDups:
+    """Video-level near-dup: frame-hash set overlap over the map-only
+    walk+decode+dHash stage."""
+
+    def _make_avi(self, seed: bytes, n_frames: int = 4, noise: int = 0):
+        from airflow_etl_finance_market_spark.multimodal.jpeg import (
+            _stdlib_jpeg_codec,
+        )
+        from airflow_etl_finance_market_spark.multimodal.video import (
+            _stdlib_avi_codec,
+        )
+
+        _, _, jpeg_enc = _stdlib_jpeg_codec()
+        _, _, avi_enc = _stdlib_avi_codec()
+        frames = []
+        for fi in range(n_frames):
+            w, h, pix = _block_image(seed + bytes([fi]))
+            pix = bytearray(pix)
+            for t in range(noise):
+                p = hashlib.md5(seed + bytes([fi, 200 + t])).digest()
+                pos = (p[0] % h) * w + p[1] % w
+                pix[pos] = max(0, min(255, pix[pos] + (p[2] % 9) - 4))
+            frames.append(jpeg_enc(w, h, 1, bytes(pix), quality=90))
+        return avi_enc(frames, fps=10, width=72, height=64)
+
+    def test_planted_video_pair_full_overlap(self, spark):
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            video_frame_dhash,
+            video_near_dup_pairs,
+        )
+
+        media = spark.createDataFrame(
+            [
+                (10, bytearray(self._make_avi(b"fam1"))),
+                (11, bytearray(self._make_avi(b"fam1", noise=3))),
+                (20, bytearray(self._make_avi(b"fam2"))),
+                (99, bytearray(b"RIFFxxxxNOTAVIDEO")),  # quarantined
+            ],
+            "doc_id long, payload binary",
+        )
+        sigs = video_frame_dhash(media)
+        assert sigs.select("video_id").distinct().count() == 3
+        rows = video_near_dup_pairs(sigs).collect()
+        assert [(r.video_a, r.video_b, r.match_frac) for r in rows] == [
+            (10, 11, 1.0)
+        ]
+
+    def test_partial_overlap_below_threshold_filtered(self, spark):
+        """A video sharing only 1 of 4 frames with another sits at
+        frac 0.25 < 0.8 and must NOT pair — the fraction threshold is
+        what absorbs incidental single-frame collisions."""
+        from airflow_etl_finance_market_spark.multimodal.jpeg import (
+            _stdlib_jpeg_codec,
+        )
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            video_frame_dhash,
+            video_near_dup_pairs,
+        )
+        from airflow_etl_finance_market_spark.multimodal.video import (
+            _stdlib_avi_codec,
+        )
+
+        _, _, jpeg_enc = _stdlib_jpeg_codec()
+        _, _, avi_enc = _stdlib_avi_codec()
+
+        def frame(seed):
+            w, h, pix = _block_image(seed)
+            return jpeg_enc(w, h, 1, pix, quality=90)
+
+        a = avi_enc([frame(b"s1"), frame(b"s2"), frame(b"s3"), frame(b"s4")],
+                    fps=10, width=72, height=64)
+        b = avi_enc([frame(b"s1"), frame(b"x2"), frame(b"x3"), frame(b"x4")],
+                    fps=10, width=72, height=64)
+        media = spark.createDataFrame(
+            [(1, bytearray(a)), (2, bytearray(b))],
+            "doc_id long, payload binary",
+        )
+        pairs = video_near_dup_pairs(video_frame_dhash(media)).collect()
+        assert pairs == []
+        loose = video_near_dup_pairs(
+            video_frame_dhash(media), min_match_frac=0.2
+        ).collect()
+        assert [(r.video_a, r.video_b, r.n_matched) for r in loose] == [
+            (1, 2, 1)
+        ]
+
+    def test_every_n_sampling(self, spark):
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            video_frame_dhash,
+        )
+
+        media = spark.createDataFrame(
+            [(1, bytearray(self._make_avi(b"samp", n_frames=6)))],
+            "doc_id long, payload binary",
+        )
+        rows = video_frame_dhash(media, every_n=2).collect()
+        assert sorted(r.frame_idx for r in rows) == [0, 2, 4]
