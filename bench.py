@@ -609,12 +609,28 @@ def image_phash_section(spark, tmp: str) -> tuple[dict[str, float], int]:
     def _noop(df):
         df.write.format("noop").mode("overwrite").save()
 
+    from airflow_etl_finance_market_spark.multimodal.phash import (
+        hamming_near_pairs,
+        image_phash_dct,
+    )
+
     out: dict[str, float] = {}
     for name, thunk in (
         ("phash_hash", lambda: _noop(image_dhash(media))),
         (
             "phash_pairs",
             lambda: _noop(image_near_dup_pairs(media, max_hamming=4)),
+        ),
+        # r08: the DCT pHash twin — hash stage (numpy DCT per image) and
+        # the full chain through the same block-LSH pair stage
+        ("phash_dct_hash", lambda: _noop(image_phash_dct(media))),
+        (
+            "phash_dct_pairs",
+            lambda: _noop(
+                hamming_near_pairs(
+                    image_phash_dct(media), sig_col="phash", max_hamming=4
+                )
+            ),
         ),
     ):
         best = float("inf")
@@ -624,6 +640,125 @@ def image_phash_section(spark, tmp: str) -> tuple[dict[str, float], int]:
             best = min(best, _time.perf_counter() - t0)
         out[name] = round(best, 3)
     return out, n_images
+
+
+def video_dedup_section(spark, tmp: str) -> tuple[dict[str, float], int]:
+    """Video near-dup tier (r08): 2 MJPEG/AVI videos x 5 frames per every
+    11th sf0.1 document (~900 videos, ~4.5k frames; planted 2-member
+    re-encode families). Timed: (a) the map-only walk+decode+dHash
+    stage, (b) the full frame-hash set-overlap pair chain — the costs a
+    100 TB video-dedup pass actually pays. Fixture written to parquet
+    outside the timers, same contract as the image tier."""
+    import time as _time
+
+    from airflow_etl_finance_market_spark.multimodal.jpeg import (
+        _stdlib_jpeg_codec,
+    )
+    from airflow_etl_finance_market_spark.multimodal.phash import (
+        video_frame_dhash,
+        video_near_dup_pairs,
+    )
+    from airflow_etl_finance_market_spark.multimodal.video import (
+        _stdlib_avi_codec,
+    )
+    from airflow_etl_finance_market_spark.util import fan_out
+
+    _, _, _jpeg_enc = _stdlib_jpeg_codec()
+    _, _, _avi_enc = _stdlib_avi_codec()
+
+    def _build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        levels = [16, 48, 80, 112, 144, 176, 208, 240]
+        gw, gh, blk = 9, 8, 8
+
+        def base_pixels(seed: bytes) -> bytearray:
+            vals = []
+            for r in range(gh):
+                row = []
+                for c in range(gw):
+                    hv = hashlib.md5(seed + bytes([r, c])).digest()[0]
+                    v = levels[hv % 8]
+                    if c > 0 and v == row[-1]:
+                        v = levels[(hv % 8 + 1) % 8]
+                    row.append(v)
+                vals.append(row)
+            pix = bytearray()
+            for r in range(gh):
+                rowbytes = bytearray()
+                for c in range(gw):
+                    rowbytes += bytes([vals[r][c]]) * blk
+                pix += bytes(rowbytes) * blk
+            return pix
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.md5(text.encode("utf-8")).digest()
+                for member in range(2):
+                    frames = []
+                    for fi in range(5):
+                        pix = base_pixels(seed + bytes([fi]))
+                        if member:
+                            for t in range(4):
+                                p = hashlib.md5(
+                                    seed + bytes([fi, 128 + t])
+                                ).digest()
+                                pos = (
+                                    p[0] % (gh * blk)
+                                ) * gw * blk + p[1] % (gw * blk)
+                                pix[pos] = max(
+                                    0, min(255, pix[pos] + (p[2] % 9) - 4)
+                                )
+                        frames.append(
+                            _jpeg_enc(
+                                gw * blk, gh * blk, 1, bytes(pix), quality=90
+                            )
+                        )
+                    ids.append(doc_id * 10 + member)
+                    payloads.append(
+                        _avi_enc(frames, fps=10, width=72, height=64)
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    docs = fan_out(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+            "doc_id % 11 = 5"
+        ),
+        "doc_id",
+    ).select("doc_id", "text")
+    media_path = f"{tmp}/videos.parquet"
+    docs.mapInPandas(_build, "doc_id long, payload binary").write.mode(
+        "overwrite"
+    ).parquet(media_path)
+    media = spark.read.parquet(media_path)
+    n_videos = media.count()
+
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, float] = {}
+    for name, thunk in (
+        ("video_hash", lambda: _noop(video_frame_dhash(media))),
+        (
+            "video_pairs",
+            lambda: _noop(video_near_dup_pairs(video_frame_dhash(media))),
+        ),
+    ):
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            thunk()
+            best = min(best, _time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out, n_videos
 
 
 #: Dedup/CC chain timed at 100x documents (500k) — the measured decade of
@@ -1066,6 +1201,10 @@ def main() -> None:
             ph, n_img = image_phash_section(spark, tmp)
             payload["image_dedup"] = ph
             payload["image_dedup_rows"] = {"images": n_img}
+        with tempfile.TemporaryDirectory() as tmp:
+            vd, n_vid = video_dedup_section(spark, tmp)
+            payload["video_dedup"] = vd
+            payload["video_dedup_rows"] = {"videos": n_vid}
 
     if os.environ.get("SPARK_GRAFT_X100", "1") != "0":
         with tempfile.TemporaryDirectory() as tmp:
