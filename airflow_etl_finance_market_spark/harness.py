@@ -76,15 +76,17 @@ def register(name: str, oracle: str | None = None):
 #: along conservatively (corpus.py changed — docstring-only, but the
 #: module is on their path). bpe_token_counts (NEW: the BPE apply path,
 #: oracle = the replay chain's final segmentation) is live under rule
-#: 1, as is video_near_dups (NEW: video-level near-dup via frame-hash
-#: set overlap). The remaining 14 slots go to the oldest cohort:
-#: multimodal_features (r06-green AND binary.py is its module) plus the
-#: first 13 r06-green entries alphabetically. Demoted: the other 35
-#: r06-green entries (trail 2 at r08 — MUST be live in r09;
-#: pre-committed as the r09 cohort) and 42 r07-green entries (trail 1,
-#: due r10; capacity: 35 + 15 of them fit r09, the remaining 27 fit
-#: r10 alongside 23 of the r08 cohort — the 127-entry registry cycles
-#: inside the 3-round re-verification period the budget allows).
+#: 1, as are video_near_dups (NEW: video-level near-dup via frame-hash
+#: set overlap) and weekly_user_kmv_rollup (NEW: the bottom-k theta
+#: sketch with set-intersection estimates). The remaining 13 slots go
+#: to the oldest cohort: multimodal_features (r06-green AND binary.py
+#: is its module) plus the first 12 r06-green entries alphabetically.
+#: Demoted: the other 36 r06-green entries (trail 2 at r08 — MUST be
+#: live in r09; pre-committed as the r09 cohort) and 42 r07-green
+#: entries (trail 1, due r10; capacity: 36 + 14 of them fit r09, the
+#: remaining 28 fit r10 alongside 22 of the r08 cohort — the 128-entry
+#: registry cycles inside the 3-round re-verification period the
+#: budget allows).
 _WINDOW_DEMOTED = [
     # --- r07-green, trail 1 (due r10; 17 of these rotate at r09) ---
     "doc_exact_dedup",
@@ -130,7 +132,8 @@ _WINDOW_DEMOTED = [
     "orc_roundtrip_ingest",
     "embedding_contrastive_negatives",
     # --- r06-green, trail 2 at r08: the PRE-COMMITTED r09 cohort (all
-    # 35 MUST be live the moment CORRECTNESS_r09.json lands) ---
+    # 36 MUST be live the moment CORRECTNESS_r09.json lands) ---
+    "doc_seq_packing",
     "doc_source_quota_sample",
     "doc_stratified_sample",
     "doc_tfidf_top_terms",
@@ -5644,6 +5647,70 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_fixture(spark, sf_dir, "documents"), num_merges=30
     )
     return merges
+
+
+@register(
+    "weekly_user_kmv_rollup",
+    """
+WITH h AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM events
+), daily AS (
+    SELECT d, list_sort(list(h)) AS kmv FROM (
+        SELECT d, h, ROW_NUMBER() OVER (PARTITION BY d ORDER BY h) AS rn
+        FROM h
+    ) WHERE rn <= 64 GROUP BY d
+), wkh AS (
+    SELECT DISTINCT CAST(date_trunc('week', d) AS DATE) AS week, u.h
+    FROM daily, unnest(kmv) AS u(h)
+), wk AS (
+    SELECT week, list_sort(list(h)) AS kmv FROM (
+        SELECT week, h,
+               ROW_NUMBER() OVER (PARTITION BY week ORDER BY h) AS rn
+        FROM wkh
+    ) WHERE rn <= 64 GROUP BY week
+), paired AS (
+    SELECT week, kmv, LAG(kmv) OVER (ORDER BY week) AS prev FROM wk
+), combined AS (
+    SELECT week, kmv, prev,
+           CASE WHEN prev IS NOT NULL THEN
+               list_sort(list_distinct(list_concat(kmv, prev)))[1:64]
+           END AS comb
+    FROM paired
+)
+SELECT week,
+       len(kmv) AS kmv_size,
+       ROUND(CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS DOUBLE)
+                  ELSE (63.0 * 1152921504606846976.0)
+                       / CAST(kmv[64] AS DOUBLE) END, 4) AS est_users,
+       ROUND(len(list_intersect(comb, list_intersect(kmv, prev)))
+             / len(comb), 6) AS prev_jaccard_est,
+       ROUND((len(list_intersect(comb, list_intersect(kmv, prev)))
+              / len(comb))
+             * CASE WHEN len(comb) < 64 THEN CAST(len(comb) AS DOUBLE)
+                    ELSE (63.0 * 1152921504606846976.0)
+                         / CAST(comb[64] AS DOUBLE) END, 4)
+           AS prev_common_users_est
+FROM combined
+""",
+)
+def q_weekly_user_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k theta) distinct sketch rollup with SET OPERATIONS
+    (plans/analytics.kmv_daily_user_sketches ∘ kmv_rollup_estimates) —
+    the third stored-sketch family member: HLL answers distinct,
+    histograms answer quantiles, KMV answers INTERSECTIONS. Daily
+    bottom-64 sketches of the portable 60-bit md5 user hash store once;
+    weekly merges read the distinct-user estimate AND the
+    Jaccard/common-users estimates vs the previous week (retained
+    audience) off <= 64-element arrays — never rescanning events. Every
+    estimate is exact-integer inputs + one double division, so the
+    oracle mirrors it to the bit."""
+    from .plans.analytics import kmv_daily_user_sketches, kmv_rollup_estimates
+
+    daily = kmv_daily_user_sketches(load_fixture(spark, sf_dir, "events"))
+    return kmv_rollup_estimates(daily)
 
 
 @register("bpe_token_counts", _bpe_token_stats_oracle(30))

@@ -480,3 +480,119 @@ def histogram_rollup_quantiles(
             ).alias(f"p{qn}_est")
         )
     return cum.groupBy("week").agg(*aggs)
+
+
+def kmv_daily_user_sketches(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts: str = "ts",
+    k: int = 64,
+) -> DataFrame:
+    """(d, kmv) — the ``k`` MINIMUM distinct 60-bit md5 hash values of
+    the day's users: the STORED mergeable intermediate of the KMV
+    (k-minimum-values / bottom-k theta) distinct sketch, third member
+    of the stored-sketch family next to the HLL and histogram rollups.
+    What KMV adds over HLL is SET OPERATIONS: bottom-k sketches of two
+    sets compose into an unbiased Jaccard/intersection estimator
+    (Beyer et al. 2007; the Theta-sketch idiom), so "how many users did
+    weeks A and B share" reads off two stored 512-byte rows — a
+    question HLL sketches cannot answer and raw rescans pay a full
+    shuffle for.
+
+    The hash is the house portable salted-md5 kernel (mirrors verbatim
+    in DuckDB), so the sketch — and every estimate derived from it —
+    is bit-identical cross-engine. Per-day top-k runs as the standard
+    grouped-top-k window (shuffle keyed by day; state bounded by
+    distinct users/day, output <= k rows x 8 bytes per day).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(user_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    daily = events.select(
+        F.col(ts).cast("date").alias("d"), h.alias("h")
+    ).distinct()
+    w = Window.partitionBy("d").orderBy("h")
+    return (
+        daily.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("d")
+        .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    )
+
+
+def kmv_rollup_estimates(
+    daily: DataFrame,
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Merge stored daily KMV sketches to Monday weeks and read off
+    (a) the weekly distinct-user ESTIMATE and (b) the Jaccard and
+    common-user estimates vs the PREVIOUS week — retained-audience
+    numbers computed entirely from sketches, never rescanning events.
+
+    Estimator arithmetic (exact-int inputs, one double division —
+    engine-exact, mirrored in the oracle): a merged sketch with fewer
+    than ``k`` values IS the exact distinct hash set (estimate =
+    size); at ``k`` values the estimate is ``(k-1) * 2^60 / h_k``.
+    For adjacent weeks, the combined bottom-k of the union gives
+    ``J = |comb ∩ A ∩ B| / |comb|`` and ``|A ∩ B| ~= J x est(comb)``.
+    All merge/intersection work is Catalyst array expressions over
+    <= k-element arrays; the LAG window runs over the tiny
+    weeks-cardinality frame (single partition by construction — the
+    frame is O(weeks), not O(events)).
+    """
+    from ..functions.datetime import week_start
+
+    wk_h = daily.select(
+        week_start("d").alias("week"), F.explode("kmv").alias("h")
+    ).distinct()
+    w = Window.partitionBy("week").orderBy("h")
+    wk = (
+        wk_h.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("week")
+        .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    )
+
+    m_scale = float(1 << 60)
+
+    def est_of(kmv_col):
+        return F.when(
+            F.size(kmv_col) < k, F.size(kmv_col).cast("double")
+        ).otherwise(
+            F.lit(float(k - 1))
+            * F.lit(m_scale)
+            / F.element_at(kmv_col, k).cast("double")
+        )
+
+    prev = F.lag("kmv").over(Window.orderBy("week"))
+    comb = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("kmv"), F.col("_prev")))),
+        1,
+        k,
+    )
+    both = F.size(
+        F.array_intersect(
+            F.col("_comb"), F.array_intersect(F.col("kmv"), F.col("_prev"))
+        )
+    )
+    jac = F.col("_both") / F.size("_comb")
+    return (
+        wk.withColumn("_prev", prev)
+        .withColumn(
+            "_comb", F.when(F.col("_prev").isNotNull(), comb)
+        )
+        .withColumn(
+            "_both", F.when(F.col("_prev").isNotNull(), both)
+        )
+        .select(
+            "week",
+            F.size("kmv").alias("kmv_size"),
+            F.round(est_of(F.col("kmv")), 4).alias("est_users"),
+            F.round(jac, 6).alias("prev_jaccard_est"),
+            F.round(jac * est_of(F.col("_comb")), 4).alias(
+                "prev_common_users_est"
+            ),
+        )
+    )

@@ -200,6 +200,23 @@ never O(N x capacity)). The SHIPPED kernel uses Counter.update
 stream — ~3x the original kernel on both, same mergeable-summaries
 n/(capacity+1) bound. heavy_hitters corpus_x10 wall stays
 scan-dominated either way (solo 1.452-1.994 vs 1.42 committed).
+
+r08 full refresh (quiet host, load < 1.1/32 at start): headline total
+13.449 vs 12.944 r07 (+4%, unchanged entry list); per-query deltas ALL
+inside the noise rule — the largest, star_revenue +44% at 0.730 s and
+pricing_summary +35% at 0.297 s, are sub-second (<50% band), and the
+only multi-second mover is ticker_beta 1.011 -> 0.773 (an improvement).
+The refresh CORROBORATES both r08 arbitrations in-tier:
+weekly_volatility markets_x100 = 6.400 s (solo band 6.45-7.05; the old
+11.925 artifact was the r07 host cluster — decade ratio now reads
+10.8x for 100x rows) and phash_pairs = 1.901 s (solo band
+1.838-1.926). First numbers for the NEW tiers: image_dedup
+phash_dct_hash 0.513 / phash_dct_pairs 1.333 (the numpy DCT hash is
+FASTER than the pure-Python dHash loop at 0.918); video_dedup
+video_hash 4.068 / video_pairs 6.722 over ~900 videos x 5 frames —
+dominated by the pure-Python per-frame JPEG decode, the honest cost of
+a stdlib codec tier (a deployment with Pillow/libav takes the C path
+through the same seam).
 """
 
 from __future__ import annotations

@@ -197,3 +197,143 @@ def test_histogram_excludes_null_values(spark):
         value_histogram_daily_sketches(docs)
     ).collect()
     assert len(roll) == 1 and roll[0].n_values == 1
+
+
+# --- KMV bottom-k theta sketch (third stored-sketch family member) ---
+
+from airflow_etl_finance_market_spark.plans.analytics import (  # noqa: E402
+    kmv_daily_user_sketches,
+    kmv_rollup_estimates,
+)
+
+
+def test_kmv_estimates_within_theory_bounds(spark, sf_dir):
+    """KMV relative error is ~1/sqrt(k-2) (~13% at k=64): weekly
+    distinct-user estimates must land within 4 standard errors of the
+    exact counts, and the sub-k weeks must be EXACT (the sketch IS the
+    distinct hash set below k)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = kmv_daily_user_sketches(ev, k=64)
+    est = {r.week: r for r in kmv_rollup_estimates(daily, k=64).collect()}
+    exact = {
+        r.week: r.u
+        for r in ev.groupBy(
+            F.date_trunc("week", F.col("ts").cast("date"))
+            .cast("date")
+            .alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for wk, r in est.items():
+        u = exact[wk]
+        if r.kmv_size < 64:
+            assert r.est_users == float(u), (wk, r.est_users, u)
+        else:
+            assert abs(r.est_users - u) / u < 4 / (62 ** 0.5), (
+                wk, r.est_users, u,
+            )
+
+
+def test_kmv_daily_sketches_merge_to_direct_weekly(spark, sf_dir):
+    """Mergeability: the weekly bottom-k read off merged DAILY sketches
+    equals the bottom-k computed from the raw week directly — the
+    property that lets rollups never rescan events. (Bottom-k is
+    merge-closed: the k smallest of a union are always among the
+    per-part k smallest.)"""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+    def bottom_k(df, key):
+        w = Window.partitionBy(key).orderBy("h")
+        return (
+            df.distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 64)
+            .groupBy(key)
+            .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+        )
+
+    direct = bottom_k(
+        ev.select(
+            F.date_trunc("week", F.col("ts").cast("date"))
+            .cast("date")
+            .alias("week"),
+            h.alias("h"),
+        ),
+        "week",
+    )
+    merged = bottom_k(
+        kmv_daily_user_sketches(ev, k=64).select(
+            F.date_trunc("week", "d").cast("date").alias("week"),
+            F.explode("kmv").alias("h"),
+        ),
+        "week",
+    )
+    d = {r.week: r.kmv for r in direct.collect()}
+    m = {r.week: r.kmv for r in merged.collect()}
+    assert d == m
+
+
+def test_kmv_intersection_estimate_tracks_exact_overlap(spark, sf_dir):
+    """The set operation HLL can't answer: adjacent-week common-user
+    estimates must track the exact |A ∩ B| within the combined-sketch
+    error envelope (events fixture: weekly audiences overlap heavily,
+    so J ~ 1 and the estimate should sit near the exact overlap)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est_rows = sorted(
+        kmv_rollup_estimates(
+            kmv_daily_user_sketches(ev, k=64), k=64
+        ).collect(),
+        key=lambda r: r.week,
+    )
+    weeks = [r.week for r in est_rows]
+    users = {
+        wk: {
+            r.user_id
+            for r in ev.filter(
+                F.date_trunc("week", F.col("ts").cast("date")).cast("date")
+                == F.lit(wk)
+            )
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        for wk in weeks
+    }
+    assert est_rows[0].prev_jaccard_est is None
+    for prev_wk, r in zip(weeks, est_rows[1:]):
+        exact_common = len(users[prev_wk] & users[r.week])
+        assert r.prev_common_users_est is not None
+        assert abs(r.prev_common_users_est - exact_common) / max(
+            exact_common, 1
+        ) < 0.5, (r.week, r.prev_common_users_est, exact_common)
+
+
+def test_kmv_disjoint_sets_estimate_zero_overlap(spark):
+    """Planted disjoint weeks: Jaccard and common-user estimates must be
+    ~0 when audiences don't overlap at all."""
+    import datetime
+
+    rows = []
+    for i in range(500):
+        rows.append(
+            Row(ts=datetime.datetime(2024, 1, 1, 9, 0, 0), user_id=i)
+        )
+        rows.append(
+            Row(ts=datetime.datetime(2024, 1, 8, 9, 0, 0), user_id=10_000 + i)
+        )
+    ev = spark.createDataFrame(rows)
+    out = sorted(
+        kmv_rollup_estimates(
+            kmv_daily_user_sketches(ev, k=64), k=64
+        ).collect(),
+        key=lambda r: r.week,
+    )
+    assert out[1].prev_jaccard_est == 0.0
+    assert out[1].prev_common_users_est == 0.0
