@@ -412,6 +412,11 @@ EVENTS_X10 = [
     "weekly_activity_panel",
     # r07: the mergeable-histogram quantile rollup (stored-sketch family)
     "weekly_value_quantile_rollup",
+    # r08: the KMV bottom-k theta sketch rollup (set-intersection
+    # estimates; postdates the committed r08 BENCH_LOCAL refresh — first
+    # numbers land in the driver's BENCH_r08, the contamination_bloom
+    # precedent)
+    "weekly_user_kmv_rollup",
 ]
 
 
