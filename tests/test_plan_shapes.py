@@ -576,3 +576,19 @@ def test_phash_dct_stage_is_map_only(spark, sf_dir):
     plan = plan_of(image_phash_dct(media))
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_kmv_rollup_is_join_free_array_arithmetic(spark, sf_dir):
+    """kmv_rollup_estimates: merge, intersection, and every estimate are
+    Catalyst ARRAY expressions over <= k-element sketches — the plan
+    must contain NO join of any kind (a join back to events would mean
+    the rollup rescans raw data, defeating the stored-sketch point)."""
+    from airflow_etl_finance_market_spark.plans.analytics import (
+        kmv_daily_user_sketches,
+        kmv_rollup_estimates,
+    )
+
+    ev = load_fixture(spark, sf_dir, "events")
+    plan = plan_of(kmv_rollup_estimates(kmv_daily_user_sketches(ev)))
+    for shape in ("Join", "CartesianProduct"):
+        assert shape not in plan, shape
