@@ -217,6 +217,17 @@ video_hash 4.068 / video_pairs 6.722 over ~900 videos x 5 frames —
 dominated by the pure-Python per-frame JPEG decode, the honest cost of
 a stdlib codec tier (a deployment with Pillow/libav takes the C path
 through the same seam).
+
+r08 one-off image-dedup decade (NOT a per-round tier — measured once,
+solo, quiet host, recorded here so the image family carries the same
+x10 evidence as corpus/ann/events/markets without adding ~3 min to
+every round's bench): the sf0.1 phash fixture recipe over the x10
+corpus = 150,000 images (build 3.8 s outside the timers);
+phash_hash_x10 4.666 s (5.1x for 10x images — map-only, fixed costs
+amortize) and phash_pairs_x10 5.792 s (3.0x for 10x — the sf0.1 pair
+stage is fixed-cost dominated; block-bucket collision growth is
+nowhere near the wall at this scale). Both SUB-linear; the map-only
+hash stage is the shape that holds at 100 TB.
 """
 
 from __future__ import annotations
