@@ -77,16 +77,17 @@ def register(name: str, oracle: str | None = None):
 #: module is on their path). bpe_token_counts (NEW: the BPE apply path,
 #: oracle = the replay chain's final segmentation) is live under rule
 #: 1, as are video_near_dups (NEW: video-level near-dup via frame-hash
-#: set overlap) and weekly_user_kmv_rollup (NEW: the bottom-k theta
-#: sketch with set-intersection estimates). The remaining 13 slots go
-#: to the oldest cohort: multimodal_features (r06-green AND binary.py
-#: is its module) plus the first 12 r06-green entries alphabetically.
-#: Demoted: the other 36 r06-green entries (trail 2 at r08 — MUST be
-#: live in r09; pre-committed as the r09 cohort) and 42 r07-green
-#: entries (trail 1, due r10; capacity: 36 + 14 of them fit r09, the
-#: remaining 28 fit r10 alongside 22 of the r08 cohort — the 128-entry
-#: registry cycles inside the 3-round re-verification period the
-#: budget allows).
+#: set overlap), weekly_user_kmv_rollup (NEW: the bottom-k theta
+#: sketch with set-intersection estimates), and jsonl_roundtrip_ingest
+#: (NEW: the JSONL interchange E2E gate, the ORC gate's sibling). The
+#: remaining 12 slots go to the oldest cohort: multimodal_features
+#: (r06-green AND binary.py is its module) plus the first 11 r06-green
+#: entries alphabetically. Demoted: the other 37 r06-green entries
+#: (trail 2 at r08 — MUST be live in r09; pre-committed as the r09
+#: cohort) and 42 r07-green entries (trail 1, due r10; capacity: 37 +
+#: 13 of them fit r09, the remaining 29 fit r10 alongside 21 of the
+#: r08 cohort — the 129-entry registry cycles inside the 3-round
+#: re-verification period the budget allows).
 _WINDOW_DEMOTED = [
     # --- r07-green, trail 1 (due r10; 17 of these rotate at r09) ---
     "doc_exact_dedup",
@@ -132,7 +133,8 @@ _WINDOW_DEMOTED = [
     "orc_roundtrip_ingest",
     "embedding_contrastive_negatives",
     # --- r06-green, trail 2 at r08: the PRE-COMMITTED r09 cohort (all
-    # 36 MUST be live the moment CORRECTNESS_r09.json lands) ---
+    # 37 MUST be live the moment CORRECTNESS_r09.json lands) ---
+    "doc_repetition_stats",
     "doc_seq_packing",
     "doc_source_quota_sample",
     "doc_stratified_sample",
@@ -5931,6 +5933,52 @@ def q_orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("n_chars").alias("total_chars"),
+            )
+            .localCheckpoint()  # materialize before tmp cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "jsonl_roundtrip_ingest",
+    """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+FROM documents
+GROUP BY lang, source
+""",
+)
+def q_jsonl_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange gate (sources/readers.read_jsonl_corpus /
+    write_jsonl_corpus), the ORC gate's sibling for the wire format text
+    corpora actually ship in (The Pile / Dolma / CC derivatives): the
+    documents table is exported to JSON-Lines and read BACK schema-first
+    FAILFAST, and the returned aggregate runs over the round-tripped
+    frame — the oracle aggregates the parquet source directly, so
+    equality proves the JSONL sink+source preserve rows, types, AND the
+    text payload byte length end-to-end (a lost escape or mangled
+    unicode shifts total_text_len). Newline-split files parallelize the
+    re-read without fan_out."""
+    import shutil
+    import tempfile
+
+    from .sources.readers import read_jsonl_corpus, write_jsonl_corpus
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="finmarket_jsonl_rt_")
+    try:
+        path = f"{tmp}/documents_jsonl"
+        write_jsonl_corpus(docs, path)
+        back = read_jsonl_corpus(spark, path, docs.schema)
+        return (
+            back.groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.sum(F.length("text")).alias("total_text_len"),
             )
             .localCheckpoint()  # materialize before tmp cleanup
         )
