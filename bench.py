@@ -227,7 +227,12 @@ phash_hash_x10 4.666 s (5.1x for 10x images — map-only, fixed costs
 amortize) and phash_pairs_x10 5.792 s (3.0x for 10x — the sf0.1 pair
 stage is fixed-cost dominated; block-bucket collision growth is
 nowhere near the wall at this scale). Both SUB-linear; the map-only
-hash stage is the shape that holds at 100 TB.
+hash stage is the shape that holds at 100 TB. Same one-off for the
+VIDEO tier over the x10 corpus (9,092 videos / ~45k frames):
+video_hash_x10 27.106 s (6.7x for 10x videos) and video_pairs_x10
+47.511 s (7.1x — includes re-hashing, the tier's cumulative
+convention). Both sub-linear; the cost is the pure-Python per-frame
+JPEG decode in the map-only stage, which parallelizes embarrassingly.
 """
 
 from __future__ import annotations
