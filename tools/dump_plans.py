@@ -66,6 +66,11 @@ NAMES = [
     # the broadcast-ratio-join importance weights
     "gopher_quality_flags",
     "dsir_importance_weights",
+    # round 8: the BPE apply path (broadcast vocab join + one doc-keyed
+    # agg) and the KMV theta rollup (join-free array arithmetic over
+    # <= k-element sketches; two grouped-top-k windows upstream)
+    "bpe_token_counts",
+    "weekly_user_kmv_rollup",
 ]
 
 
