@@ -78,16 +78,18 @@ def register(name: str, oracle: str | None = None):
 #: oracle = the replay chain's final segmentation) is live under rule
 #: 1, as are video_near_dups (NEW: video-level near-dup via frame-hash
 #: set overlap), weekly_user_kmv_rollup (NEW: the bottom-k theta
-#: sketch with set-intersection estimates), and jsonl_roundtrip_ingest
-#: (NEW: the JSONL interchange E2E gate, the ORC gate's sibling). The
-#: remaining 12 slots go to the oldest cohort: multimodal_features
-#: (r06-green AND binary.py is its module) plus the first 11 r06-green
-#: entries alphabetically. Demoted: the other 37 r06-green entries
-#: (trail 2 at r08 — MUST be live in r09; pre-committed as the r09
-#: cohort) and 42 r07-green entries (trail 1, due r10; capacity: 37 +
-#: 13 of them fit r09, the remaining 29 fit r10 alongside 21 of the
-#: r08 cohort — the 129-entry registry cycles inside the 3-round
-#: re-verification period the budget allows).
+#: sketch with set-intersection estimates), jsonl_roundtrip_ingest
+#: (NEW: the JSONL interchange E2E gate, the ORC gate's sibling), and
+#: corpus_prep_pipeline (NEW: the quality→dedup→rebalance→split data
+#: card, the corpus tier's E2E composition surface). The remaining 11
+#: slots go to the oldest cohort: multimodal_features (r06-green AND
+#: binary.py is its module) plus the first 10 r06-green entries
+#: alphabetically. Demoted: the other 38 r06-green entries (trail 2 at
+#: r08 — MUST be live in r09; pre-committed as the r09 cohort) and 42
+#: r07-green entries (trail 1, due r10; capacity: 38 + 12 of them fit
+#: r09, the remaining 30 fit r10 alongside 20 of the r08 cohort — the
+#: 130-entry registry cycles inside the 3-round re-verification period
+#: with ~6 spare slots/round of new-entry headroom).
 _WINDOW_DEMOTED = [
     # --- r07-green, trail 1 (due r10; 17 of these rotate at r09) ---
     "doc_exact_dedup",
@@ -133,7 +135,8 @@ _WINDOW_DEMOTED = [
     "orc_roundtrip_ingest",
     "embedding_contrastive_negatives",
     # --- r06-green, trail 2 at r08: the PRE-COMMITTED r09 cohort (all
-    # 37 MUST be live the moment CORRECTNESS_r09.json lands) ---
+    # 38 MUST be live the moment CORRECTNESS_r09.json lands) ---
+    "doc_lang_id",
     "doc_repetition_stats",
     "doc_seq_packing",
     "doc_source_quota_sample",
@@ -5938,6 +5941,112 @@ def q_orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "corpus_prep_pipeline",
+    """
+WITH base AS (
+    SELECT doc_id, lang, text, text AS _raw,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS _toks,
+           string_split(text, chr(10)) AS _lines
+    FROM documents
+), flags AS (
+    SELECT doc_id,
+           (len(_toks) >= 50 AND len(_toks) <= 100000
+            AND list_sum(list_transform(_toks, w -> length(w))) >= 3 * len(_toks)
+            AND list_sum(list_transform(_toks, w -> length(w))) <= 10 * len(_toks)
+            AND ((length(_raw) - length(replace(_raw, '#', '')))
+                 + (length(_raw) - length(replace(_raw, '...', ''))) / 3) * 10
+                <= greatest(len(_toks), 1)
+            AND len(list_filter(_lines, l -> starts_with(l, '•') OR starts_with(l, '- '))) * 10
+                < greatest(len(_lines), 1) * 9
+            AND len(list_filter(_lines, l -> ends_with(l, '...'))) * 10
+                < greatest(len(_lines), 1) * 3
+            AND len(list_filter(_toks, w -> regexp_matches(w, '[a-z]'))) * 10
+                >= greatest(len(_toks), 1) * 8
+            AND len(list_filter(_toks, w -> w IN
+                ('the','be','to','of','and','that','have','with'))) >= 2
+           ) AS keep
+    FROM base
+), kept AS (
+    SELECT b.doc_id, b.lang, b.text, b._toks
+    FROM base b JOIN flags f ON b.doc_id = f.doc_id AND f.keep
+), dedup AS (
+    SELECT k.* FROM kept k JOIN (
+        SELECT MIN(doc_id) AS keep_id
+        FROM kept
+        GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ) s ON k.doc_id = s.keep_id
+), counts AS (
+    SELECT lang, COUNT(*) AS cnt FROM dedup GROUP BY lang
+), m AS (
+    SELECT MIN(cnt) AS mn FROM counts
+), thr AS (
+    SELECT lang, CAST(GREATEST(1, (mn * 10000) // cnt) AS BIGINT) AS t
+    FROM counts, m
+), balanced AS (
+    SELECT d.* FROM dedup d JOIN thr USING (lang)
+    WHERE CAST(('0x' || substr(md5('rebalance42:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000 < thr.t
+), assigned AS (
+    SELECT lang, _toks,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT lang, _toks,
+               CAST(('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS b
+        FROM balanced
+    )
+)
+SELECT lang, split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(_toks)) AS BIGINT) AS total_words
+FROM assigned
+GROUP BY lang, split
+""",
+)
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data prep chain as ONE driver-verified
+    surface (the composition precedent of weekly_activity_panel,
+    applied to the corpus tier): Gopher quality gate → exact dedup
+    (min-id survivor per normalized-text fingerprint) → language
+    rebalance (corpus-derived integer keep thresholds) → deterministic
+    train/valid/test split → the resulting DATA CARD (docs + whitespace
+    tokens per (lang, split)). Every stage is an already-oracle-checked
+    operator; the composed oracle re-derives the WHOLE funnel —
+    including the rebalance thresholds, which here come from the
+    POST-filter POST-dedup corpus, not the raw table — so a drift in
+    any stage (or in how stages hand off) flips the hash. Stages use
+    DISTINCT hash seeds ('rebalance42:', 'split42:'): composing two
+    salted-hash stages with the SAME seed correlates them (a rebalance
+    threshold below 80% of the bucket space would otherwise push every
+    surviving document into 'train'). Scale shape: the corpus flows
+    map-side through flags → one fp aggregate + semi-join → broadcast
+    thresholds → projection split → one final aggregate; nothing
+    pairwise, one doc-keyed shuffle for the dedup."""
+    from .functions.text import token_count
+    from .operators.corpus import gopher_quality_flags
+    from .operators.dedup import dedup_exact
+    from .operators.sampling import assign_split, rebalance_sample
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    kept = docs.join(
+        gopher_quality_flags(docs).filter("keep").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    deduped = dedup_exact(kept)
+    balanced = rebalance_sample(
+        deduped, strata_col="lang", id_col="doc_id", seed="rebalance42"
+    )
+    assigned = assign_split(balanced, "doc_id", seed="split42")
+    return assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_words"),
+    )
 
 
 @register(
