@@ -337,3 +337,42 @@ def test_kmv_disjoint_sets_estimate_zero_overlap(spark):
     )
     assert out[1].prev_jaccard_est == 0.0
     assert out[1].prev_common_users_est == 0.0
+
+
+# --- composed-pipeline hash-seed independence (corpus_prep_pipeline) ---
+
+
+def test_same_seed_composition_correlates_rebalance_and_split(spark):
+    """The hazard corpus_prep_pipeline's distinct-seed contract guards
+    against, pinned live: chaining rebalance and split on the SAME
+    salted hash makes split membership a function of rebalance survival
+    — with a keep threshold t < 80% of the bucket space, EVERY survivor
+    lands in 'train' (b10000 < t <= 8000 implies b100 = b10000 mod 100
+    only when t <= 100; the fully-degenerate case) while distinct seeds
+    keep the stages independent."""
+    from pyspark.sql import Row
+
+    from airflow_etl_finance_market_spark.operators.sampling import (
+        assign_split,
+        hash_bucket,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(5000)])
+    # a rebalance-style gate keeping bucket < 60 of 10000 — same seed
+    survivors_same = df.filter(
+        hash_bucket(F.col("doc_id").cast("string"), seed="seed42", buckets=10000)
+        < 60
+    )
+    same = assign_split(survivors_same, "doc_id", seed="seed42")
+    got_same = {r.split for r in same.select("split").distinct().collect()}
+    assert got_same == {"train"}  # fully degenerate: t=60 <= 80
+    # distinct seeds: the same gate, independent split assignment
+    survivors_indep = df.filter(
+        hash_bucket(
+            F.col("doc_id").cast("string"), seed="rebalance42", buckets=10000
+        )
+        < 60
+    )
+    indep = assign_split(survivors_indep, "doc_id", seed="split42")
+    got_indep = {r.split for r in indep.select("split").distinct().collect()}
+    assert "train" in got_indep and len(got_indep) >= 2
