@@ -233,6 +233,11 @@ video_hash_x10 27.106 s (6.7x for 10x videos) and video_pairs_x10
 47.511 s (7.1x — includes re-hashing, the tier's cumulative
 convention). Both sub-linear; the cost is the pure-Python per-frame
 JPEG decode in the map-only stage, which parallelizes embarrassingly.
+corpus_prep (the new E2E quality->dedup->rebalance->split funnel)
+measured 1.954 s solo at corpus_x10 (50k docs) — comparable to
+curated_corpus (1.215 in-tier), as expected for a map-side funnel
+whose only shuffle is the dedup fingerprint aggregate; joins the
+corpus_x10 tier per-round from r08.
 """
 
 from __future__ import annotations
@@ -1104,6 +1109,12 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         # count — vs token_stats' full term shuffle above)
         "heavy_hitters": lambda: _noop(
             qs["term_heavy_hitters"](spark, x10)
+        ),
+        # r08: the E2E quality->dedup->rebalance->split funnel (the
+        # corpus tier's composition surface, like curated_corpus but
+        # through all four prep stages)
+        "corpus_prep": lambda: _noop(
+            qs["corpus_prep_pipeline"](spark, x10)
         ),
     }
 
