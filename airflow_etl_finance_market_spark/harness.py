@@ -81,15 +81,17 @@ def register(name: str, oracle: str | None = None):
 #: sketch with set-intersection estimates), jsonl_roundtrip_ingest
 #: (NEW: the JSONL interchange E2E gate, the ORC gate's sibling), and
 #: corpus_prep_pipeline (NEW: the quality→dedup→rebalance→split data
-#: card, the corpus tier's E2E composition surface). The remaining 11
-#: slots go to the oldest cohort: multimodal_features (r06-green AND
-#: binary.py is its module) plus the first 10 r06-green entries
-#: alphabetically. Demoted: the other 38 r06-green entries (trail 2 at
-#: r08 — MUST be live in r09; pre-committed as the r09 cohort) and 42
-#: r07-green entries (trail 1, due r10; capacity: 38 + 12 of them fit
-#: r09, the remaining 30 fit r10 alongside 20 of the r08 cohort — the
-#: 130-entry registry cycles inside the 3-round re-verification period
-#: with ~6 spare slots/round of new-entry headroom).
+#: card, the corpus tier's E2E composition surface), and
+#: sliding_window_kpis (NEW: hopping event-time windows — completes
+#: the tumbling/session/sliding set). The remaining 10 slots go to the
+#: oldest cohort: multimodal_features (r06-green AND binary.py is its
+#: module) plus the first 9 r06-green entries alphabetically. Demoted:
+#: the other 39 r06-green entries (trail 2 at r08 — MUST be live in
+#: r09; pre-committed as the r09 cohort) and 42 r07-green entries
+#: (trail 1, due r10; capacity: 39 + 11 of them fit r09, the remaining
+#: 31 fit r10 alongside 19 of the r08 cohort — the 131-entry registry
+#: cycles inside the 3-round re-verification period with ~6 spare
+#: slots/round of new-entry headroom).
 _WINDOW_DEMOTED = [
     # --- r07-green, trail 1 (due r10; 17 of these rotate at r09) ---
     "doc_exact_dedup",
@@ -135,7 +137,8 @@ _WINDOW_DEMOTED = [
     "orc_roundtrip_ingest",
     "embedding_contrastive_negatives",
     # --- r06-green, trail 2 at r08: the PRE-COMMITTED r09 cohort (all
-    # 38 MUST be live the moment CORRECTNESS_r09.json lands) ---
+    # 39 MUST be live the moment CORRECTNESS_r09.json lands) ---
+    "doc_inverted_index",
     "doc_lang_id",
     "doc_repetition_stats",
     "doc_seq_packing",
@@ -1369,6 +1372,46 @@ def q_windowed_event_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import windowed_event_kpis
 
     return windowed_event_kpis(load_fixture(spark, sf_dir, "events"))
+
+
+@register(
+    "sliding_window_kpis",
+    """
+SELECT ws AS window_start,
+       ws + INTERVAL '2 days' AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 6) AS avg_value,
+       ROUND(SUM(value), 2) AS total_value
+FROM (
+    SELECT unnest([time_bucket(INTERVAL '1 day', ts),
+                   time_bucket(INTERVAL '1 day', ts) - INTERVAL '1 day']) AS ws,
+           event_type, value
+    FROM events
+)
+GROUP BY 1, 2, 3
+""",
+)
+def q_sliding_window_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (2-day window, 1-day slide) — the
+    window type that completes the set next to the tumbling
+    (windowed_event_kpis) and session (user_sessions) entries: each
+    event lands in window/slide = 2 overlapping windows, the hopping
+    aggregation a freshness-weighted KPI panel runs. Same
+    streaming/windows.windowed_event_kpis body (slide param), so the
+    identical code runs under Structured Streaming with a watermark;
+    the oracle REPLICATES each event into its two epoch-aligned window
+    starts (time_bucket d and d−1) — alignment identical to F.window's
+    epoch-anchored slide arithmetic on TIMESTAMP_NTZ, pinned by the
+    hash. Scale: one hash-aggregate at 2x the event rows, no shuffle
+    beyond the aggregation's own — slide fan-out happens map-side."""
+    from .streaming import windowed_event_kpis
+
+    return windowed_event_kpis(
+        load_fixture(spark, sf_dir, "events"),
+        window="2 days",
+        slide="1 day",
+    )
 
 
 @register(

@@ -71,6 +71,33 @@ def test_windowed_kpis_stream_equals_batch(spark, sf_dir, split_events_dir):
     assert _rows(got) == _rows(batch)
 
 
+def test_sliding_windowed_kpis_stream_equals_batch(spark, sf_dir, split_events_dir):
+    """The SLIDING path (2-day window, 1-day slide — the
+    sliding_window_kpis driver entry's configuration): each event lands
+    in two overlapping windows, and the identical operator body must
+    produce the same hopping aggregate in batch and as a real
+    multi-micro-batch streaming query."""
+    batch = windowed_event_kpis(
+        read_events_batch(spark, f"{sf_dir}/events.parquet"),
+        window="2 days",
+        slide="1 day",
+    )
+    stream = windowed_event_kpis(
+        read_events_stream(spark, f"{split_events_dir}/b*"),
+        window="2 days",
+        slide="1 day",
+        watermark="1 hour",
+    )
+    got = run_available_now(stream, "kpis_sliding_complete", output_mode="complete")
+    assert _rows(got) == _rows(batch)
+    # the hopping property itself: total per-window event count sums to
+    # exactly 2x the raw events (every event in exactly two windows)
+    n_events = read_events_batch(spark, f"{sf_dir}/events.parquet").count()
+    assert sum(r[3] for r in _rows(batch.select(
+        "window_start", "window_end", "event_type", "n_events"
+    ))) == 2 * n_events
+
+
 def test_append_mode_emits_only_finalized_windows(spark, sf_dir, split_events_dir):
     """Append mode + watermark: emitted windows are exactly the ones the
     final watermark passed, and their values match the batch computation."""
