@@ -21,6 +21,11 @@ which this module implements Spark-first:
   gradient signs, pHash the GLOBAL spectral shape; both feed the same
   pair stage, and NEITHER is crop/rotation-robust (contract pinned in
   tests — crop-robust dedup needs keypoint methods, out of scope).
+- :func:`image_tile_dhash` + :func:`image_tile_near_dup_pairs` — the
+  third signature (r08 verdict #4): fixed-size per-TILE dHashes plus
+  the video gate's set-overlap machinery recover TILE-ALIGNED crops
+  (overlap of the surviving tiles is exact by arithmetic); off-grid
+  crops degrade gracefully (pinned). Rotation stays out of scope.
 - :func:`hamming_near_pairs` — the SAME block-LSH + verify scheme as the
   text SimHash path (``operators/dedup.py simhash_near_pairs``, the
   Manku/Jain/Sarma web-dedup configuration): split the 64-bit hash into
@@ -333,6 +338,47 @@ def _image_signature_stage(
     ).mapInPandas(_hash, schema=schema)
 
 
+def _block_rows(
+    sigs: DataFrame, *, sig_col: str, n_blocks: int, n_bits: int
+) -> DataFrame:
+    """Pigeonhole block rows: explode each signature into ``n_blocks``
+    ``(block_idx, block_val)`` rows, keeping every input column.
+
+    THE pigeonhole contract lives here (one implementation for the
+    image-pair, video-overlap, and tile-overlap paths — the r08 verdict
+    asked for the two copies to merge): two ``n_bits`` signatures within
+    Hamming distance ``n_blocks - 1`` must agree on at least one block,
+    so a ``(block_idx, block_val)`` equi-join over these rows is an
+    EXACT candidate generator for ``max_hamming <= n_blocks - 1``.
+    Remainder bits (``n_bits`` not divisible by ``n_blocks``) widen the
+    LAST block, which only tightens buckets — uncovered bits would also
+    have been safe (all-blocks-equal still collides) but waste
+    selectivity.
+
+    ``sig_col`` must be a REAL column of ``sigs`` (callers alias in a
+    prior select): referencing a column aliased in the SAME select from
+    inside ``posexplode`` would be a lateral column alias, which
+    generator expressions reject at resolution time.
+    """
+    width = n_bits // n_blocks
+    shifts = [width * j for j in range(n_blocks)]
+    widths = [width] * (n_blocks - 1) + [n_bits - width * (n_blocks - 1)]
+    return sigs.select(
+        "*",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftrightunsigned(F.col(sig_col), sh)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                    )
+                    for sh, w in zip(shifts, widths)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+
+
 def hamming_near_pairs(
     sigs: DataFrame,
     *,
@@ -370,26 +416,13 @@ def hamming_near_pairs(
             "exact recall needs max_hamming <= n_blocks - 1 "
             f"(got max_hamming={max_hamming}, n_blocks={n_blocks})"
         )
-    width = n_bits // n_blocks
-    shifts = [width * j for j in range(n_blocks)]
-    widths = [width] * (n_blocks - 1) + [n_bits - width * (n_blocks - 1)]
-    # reference the SOURCE column inside posexplode — aliasing it to
-    # "sig" in the same select would be a lateral column alias, which
-    # generator expressions reject at resolution time
-    blocks = sigs.select(
-        F.col(id_col).alias("id"),
-        F.col(sig_col).alias("sig"),
-        F.posexplode(
-            F.array(
-                *[
-                    (
-                        F.shiftrightunsigned(F.col(sig_col), sh)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                    )
-                    for sh, w in zip(shifts, widths)
-                ]
-            )
-        ).alias("block_idx", "block_val"),
+    blocks = _block_rows(
+        sigs.select(
+            F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
+        ),
+        sig_col="sig",
+        n_blocks=n_blocks,
+        n_bits=n_bits,
     )
     a, b = blocks.alias("a"), blocks.alias("b")
     return (
@@ -493,27 +526,10 @@ def video_near_dup_pairs(
     Returns ``(video_a, video_b, n_matched, match_frac)``.
     """
     n_blocks = max_hamming + 1
-    width = n_bits // n_blocks
-    shifts = [width * j for j in range(n_blocks)]
-    widths = [width] * (n_blocks - 1) + [n_bits - width * (n_blocks - 1)]
     vs = frame_sigs.select(
         F.col(video_col).alias("vid"), F.col(sig_col).alias("sig")
     ).distinct()
-    blocks = vs.select(
-        "vid",
-        "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    (
-                        F.shiftrightunsigned(F.col("sig"), sh)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                    )
-                    for sh, w in zip(shifts, widths)
-                ]
-            )
-        ).alias("block_idx", "block_val"),
-    )
+    blocks = _block_rows(vs, sig_col="sig", n_blocks=n_blocks, n_bits=n_bits)
     a, b = blocks.alias("a"), blocks.alias("b")
     matched = (
         a.join(
@@ -560,6 +576,118 @@ def video_near_dup_pairs(
             ).alias("match_frac"),
         )
         .filter(F.col("match_frac") >= min_match_frac)
+    )
+
+
+def image_tile_dhash(
+    media: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    tile_w: int = 32,
+    tile_h: int = 32,
+) -> DataFrame:
+    """Map-only Arrow stage: ``(id, payload)`` → ``(doc_id, tile_idx,
+    dhash)`` — one dHash PER FIXED-SIZE TILE instead of one per image,
+    the crop-tolerant third signature of the image-dedup tier (r08
+    pinned that neither whole-image dHash nor DCT pHash survives a
+    crop; a crop DOES preserve most interior tiles byte-for-byte, so
+    tile-signature SET OVERLAP recovers it — the same idea the video
+    gate uses with frames).
+
+    Tiles are fixed PIXEL size (not a fixed grid count): a fixed grid
+    would re-stretch after a crop and change every cell, while
+    fixed-size tiles of the uncropped region are pixel-identical, so a
+    tile-boundary-aligned crop matches its surviving tiles at Hamming 0
+    BY ARITHMETIC. Off-alignment crops degrade gracefully (gradient
+    signs drift with the shift) — the honest residual pinned in tests.
+    Only complete tiles hash (``floor(w/tile_w) x floor(h/tile_h)``);
+    tile position is deliberately NOT part of the signature (a crop
+    shifts every surviving tile's index), ``tile_idx`` rides along for
+    debuggability only. Same decode/quarantine plumbing as
+    :func:`image_dhash`; output is ~8 B x tiles per image and pixels
+    never leave the map stage.
+    """
+    _decode = _decode_factory()
+    _dhash = _dhash_kernel()
+    tw, th = tile_w, tile_h
+
+    def _stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                decoded = _decode(bytes(payload))
+                if decoded is None:
+                    continue  # quarantine: corrupt/unsupported payload
+                w, h, ch, pix = decoded
+                n_tx, n_ty = w // tw, h // th
+                for ty in range(n_ty):
+                    for tx in range(n_tx):
+                        tile = b"".join(
+                            pix[
+                                ((ty * th + y) * w + tx * tw) * ch
+                                : ((ty * th + y) * w + (tx + 1) * tw) * ch
+                            ]
+                            for y in range(th)
+                        )
+                        try:
+                            hv = _dhash(tw, th, ch, tile)
+                        except ValueError:
+                            continue  # tile below the hash grid
+                        ids.append(doc_id)
+                        idxs.append(ty * n_tx + tx)
+                        hashes.append(
+                            hv - (1 << 64) if hv >= 1 << 63 else hv
+                        )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "tile_idx": pd.Series(idxs, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(_stage, schema="doc_id long, tile_idx long, dhash long")
+
+
+def image_tile_near_dup_pairs(
+    tile_sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    sig_col: str = "dhash",
+    max_hamming: int = 4,
+    min_match_frac: float = 0.8,
+) -> DataFrame:
+    """Crop-tolerant image near-dup via TILE-HASH SET OVERLAP — the
+    video gate's machinery (:func:`video_near_dup_pairs`) applied to
+    :func:`image_tile_dhash` rows: two images are near-dups when
+    ``>= min_match_frac`` of the smaller one's distinct tile signatures
+    have a within-``max_hamming`` match in the other. A crop keeps
+    every fully-interior tile, so crop↔original overlap ≈ 1 on the
+    crop's side; unrelated images share ~nothing, and an occasional
+    single-tile collision is absorbed by the fraction threshold.
+
+    Plan shape is inherited wholesale: per-image DISTINCT tile-hash
+    sets, the shared :func:`_block_rows` pigeonhole equi-join, one
+    aggregate per candidate pair, broadcast-friendly size join — never
+    all-pairs. Returns ``(id_a, id_b, n_matched, match_frac)`` with
+    ``id_a < id_b``.
+    """
+    return video_near_dup_pairs(
+        tile_sigs,
+        video_col=id_col,
+        sig_col=sig_col,
+        max_hamming=max_hamming,
+        min_match_frac=min_match_frac,
+    ).select(
+        F.col("video_a").alias("id_a"),
+        F.col("video_b").alias("id_b"),
+        "n_matched",
+        "match_frac",
     )
 
 

@@ -309,11 +309,13 @@ class TestPhashDct:
                 assert bin(hs[i] ^ hs[j]).count("1") > 8
 
     def test_crop_limitation_contract_pinned(self):
-        """NEITHER signature is crop-robust — the documented contract
-        (r07 verdict #6): a 25% edge crop of the same image lands well
-        outside the Hamming-4 gate radius for dHash AND pHash, so crops
-        are NOT image near-dups under this tier. (Crop-robust dedup
-        needs keypoint/patch methods — out of scope, stated loudly.)"""
+        """NEITHER whole-image signature is crop-robust — the documented
+        contract (r07 verdict #6): a 25% edge crop of the same image
+        lands well outside the Hamming-4 gate radius for dHash AND
+        pHash, so crops are NOT near-dups under the WHOLE-IMAGE tier.
+        The TILE-overlap tier (TestTileCropNearDups below) closes the
+        aligned-crop case; arbitrary pixel-offset crops still need
+        keypoint/patch methods — out of scope, stated loudly."""
         from airflow_etl_finance_market_spark.multimodal.phash import (
             _dhash_from_pixels,
         )
@@ -480,3 +482,169 @@ class TestVideoNearDups:
         )
         rows = video_frame_dhash(media, every_n=2).collect()
         assert sorted(r.frame_idx for r in rows) == [0, 2, 4]
+
+
+class TestTileCropNearDups:
+    """Tile-hash set-overlap crop dedup (image_tile_dhash ∘
+    image_tile_near_dup_pairs) — the tier that CLOSES the crop
+    limitation pinned above: per-tile signatures survive a crop even
+    though whole-image dHash/pHash do not."""
+
+    @staticmethod
+    def _noise(seed: bytes, w: int, h: int) -> bytes:
+        out = bytearray()
+        i = 0
+        while len(out) < w * h:
+            out += hashlib.md5(seed + i.to_bytes(2, "big")).digest()
+            i += 1
+        return bytes(out[: w * h])
+
+    @staticmethod
+    def _crop(pix: bytes, w: int, x0: int, y0: int, cw: int, ch: int):
+        return b"".join(
+            pix[(y0 + y) * w + x0 : (y0 + y) * w + x0 + cw]
+            for y in range(ch)
+        )
+
+    def test_tile_stage_counts_and_distinctness(self, spark):
+        """A 128x128 image yields exactly 16 complete 32x32 tiles with
+        (whp, pinned for this seed) 16 distinct signatures; partial
+        tiles at the edges of a 100x70 image do not hash."""
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            image_tile_dhash,
+        )
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            _stdlib_png_codec,
+        )
+
+        _, _, png_enc, _ = _stdlib_png_codec()
+        pix = self._noise(b"tiles", 128, 128)
+        odd = self._noise(b"odd", 100, 70)
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(png_enc(128, 128, 1, pix))),
+                (2, bytearray(png_enc(100, 70, 1, odd))),
+                (3, bytearray(b"not an image")),
+            ],
+            "doc_id long, payload binary",
+        )
+        rows = image_tile_dhash(media).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.doc_id, []).append(r.dhash)
+        assert len(by_id[1]) == 16 and len(set(by_id[1])) == 16
+        assert len(by_id[2]) == 3 * 2  # floor(100/32) x floor(70/32)
+        assert 3 not in by_id  # quarantined
+
+    def test_aligned_crop_found_whole_image_hash_misses(self, spark):
+        """THE closing test: the tile-aligned 96x96 crop of a 128x128
+        image is found by tile overlap (match_frac == 1) while the
+        whole-image dHash pair stage misses it — same images, same
+        session, both facts asserted together."""
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            image_dhash,
+            image_tile_dhash,
+            image_tile_near_dup_pairs,
+            hamming_near_pairs,
+        )
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            _stdlib_png_codec,
+        )
+
+        _, _, png_enc, _ = _stdlib_png_codec()
+        pix = self._noise(b"crop-family", 128, 128)
+        cr = self._crop(pix, 128, 32, 32, 96, 96)
+        unrelated = self._noise(b"unrelated", 128, 128)
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(png_enc(128, 128, 1, pix))),
+                (2, bytearray(png_enc(96, 96, 1, cr))),
+                (3, bytearray(png_enc(128, 128, 1, unrelated))),
+            ],
+            "doc_id long, payload binary",
+        )
+        tile_pairs = image_tile_near_dup_pairs(
+            image_tile_dhash(media), min_match_frac=0.8
+        ).collect()
+        assert [(r.id_a, r.id_b, r.n_matched, r.match_frac) for r in tile_pairs] == [
+            (1, 2, 9, 1.0)
+        ]
+        whole_pairs = hamming_near_pairs(image_dhash(media)).collect()
+        assert whole_pairs == []  # the pinned limitation, same data
+
+    def test_misaligned_crop_degrades_honestly(self, spark):
+        """An off-grid crop (offset 40,40 — 8 pixels past the tile
+        boundary) shares NO byte-identical tiles; gradient signs drift
+        with the shift, so overlap falls below the 0.8 threshold. The
+        tier's honest residual: tile overlap buys ALIGNED-crop recall
+        (thumbnails, letterbox strips, exact re-tiles), not arbitrary
+        pixel-offset crops — pinned so the claim stays measured."""
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            image_tile_dhash,
+            image_tile_near_dup_pairs,
+        )
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            _stdlib_png_codec,
+        )
+
+        _, _, png_enc, _ = _stdlib_png_codec()
+        pix = self._noise(b"misaligned", 128, 128)
+        cr = self._crop(pix, 128, 40, 40, 80, 80)
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(png_enc(128, 128, 1, pix))),
+                (2, bytearray(png_enc(80, 80, 1, cr))),
+            ],
+            "doc_id long, payload binary",
+        )
+        pairs = image_tile_near_dup_pairs(
+            image_tile_dhash(media), min_match_frac=0.8
+        ).collect()
+        assert pairs == []
+
+    def test_unrelated_images_zero_pairs(self, spark):
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            image_tile_dhash,
+            image_tile_near_dup_pairs,
+        )
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            _stdlib_png_codec,
+        )
+
+        _, _, png_enc, _ = _stdlib_png_codec()
+        media = spark.createDataFrame(
+            [
+                (i, bytearray(png_enc(128, 128, 1, self._noise(bytes([i]), 128, 128))))
+                for i in range(6)
+            ],
+            "doc_id long, payload binary",
+        )
+        assert (
+            image_tile_near_dup_pairs(image_tile_dhash(media)).collect()
+            == []
+        )
+
+    def test_tile_pair_plan_is_equi_join_never_cartesian(self, spark):
+        """The tile set-overlap chain (shared with the video gate via
+        _block_rows) must candidate-generate through the block equi-join
+        — never CartesianProduct / broadcast nested loop."""
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            image_tile_dhash,
+            image_tile_near_dup_pairs,
+        )
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            _stdlib_png_codec,
+        )
+
+        _, _, png_enc, _ = _stdlib_png_codec()
+        media = spark.createDataFrame(
+            [
+                (i, bytearray(png_enc(128, 128, 1, self._noise(bytes([i]), 128, 128))))
+                for i in range(3)
+            ],
+            "doc_id long, payload binary",
+        )
+        df = image_tile_near_dup_pairs(image_tile_dhash(media))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
