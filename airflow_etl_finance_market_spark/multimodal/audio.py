@@ -37,6 +37,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
@@ -280,6 +281,155 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def _audio_fingerprint_kernel(
+    n_segments: int = 9,
+    n_bands: int = 9,
+    f_lo: float = 200.0,
+    f_hi: float = 3600.0,
+):
+    """Build the banded spectral-energy sign fingerprint kernel,
+    factory-nested (pickles BY VALUE into ``mapInPandas`` closures —
+    the house rule shared with every stdlib codec and the image-hash
+    kernels in :mod:`.phash`).
+
+    The published Haitsma-Kalker audio-fingerprint shape (ISMIR 2002):
+    band energies over a time-frequency grid, one bit per sign of the
+    TIME-DIFFERENCED FREQUENCY-DIFFERENCE
+    ``(E[t][b+1]-E[t][b]) - (E[t-1][b+1]-E[t-1][b])``. Here the grid is
+    ``n_segments`` equal time slices x ``n_bands`` linear bands between
+    ``f_lo`` and ``f_hi`` Hz, giving ``(n_segments-1) x (n_bands-1)``
+    = 64 bits — one ``bigint``, the same signature shape as the image
+    dHash so the pair stage is shared.
+
+    Invariances the gate leans on (all BY ARITHMETIC, not tolerance):
+
+    - **gain**: scaling every sample by ``c`` scales every band energy
+      by ``c^2``; the double-difference sign is unchanged;
+    - **channel layout**: the downmix is the exact mean, so a stereo
+      duplication of a mono signal fingerprints IDENTICALLY;
+    - **bit depth on the 8-bit lattice**: the codec decodes 8-bit PCM
+      to ``(v-128) << 8`` (PCM16 scale), so a signal synthesized on
+      that lattice re-encodes 16->8 bit LOSSLESSLY and fingerprints
+      identically.
+
+    Bands are ABSOLUTE Hz (requires ``rate >= 2*f_hi`` to populate the
+    top band), not relative bins: a nearest-neighbor resample preserves
+    absolute spectral content below the original Nyquist, so resampled
+    copies stay within ~8 bits (measured 0-7 across noise and tonal
+    signals; sparse spectra are the worst case — near-zero bands flip
+    on leakage noise), which can exceed the Hamming-4 gate radius. The
+    pipeline posture is therefore NORMALIZE-THEN-FINGERPRINT: run
+    :func:`resample_audio` to a common rate first; after that, copies
+    differ only by encoding and land EXACT. Both facts pinned in
+    tests/test_audio.py. Signals shorter than ``8 * n_segments``
+    samples raise ValueError (the Spark stage quarantines them)."""
+
+    def fingerprint(rate: int, channels: list[list[int]]) -> int:
+        import numpy as np
+
+        n = len(channels[0])
+        if n < 8 * n_segments:
+            raise ValueError(
+                f"{n} samples too short for a {n_segments}-segment "
+                "fingerprint"
+            )
+        if len(channels) == 1:
+            mono = np.asarray(channels[0], dtype=np.float64)
+        else:
+            mono = np.mean(
+                np.asarray(channels, dtype=np.float64), axis=0
+            )
+        edges = np.linspace(f_lo, f_hi, n_bands + 1)
+        energy = np.empty((n_segments, n_bands), dtype=np.float64)
+        for t in range(n_segments):
+            seg = mono[t * n // n_segments : (t + 1) * n // n_segments]
+            spec = np.abs(np.fft.rfft(seg)) ** 2
+            freqs = np.fft.rfftfreq(len(seg), d=1.0 / rate)
+            for b in range(n_bands):
+                mask = (freqs >= edges[b]) & (freqs < edges[b + 1])
+                energy[t, b] = spec[mask].sum()
+        bits = 0
+        k = 0
+        for t in range(1, n_segments):
+            for b in range(n_bands - 1):
+                if (
+                    energy[t, b + 1] - energy[t, b]
+                    - energy[t - 1, b + 1] + energy[t - 1, b]
+                ) > 0:
+                    bits |= 1 << k
+                k += 1
+        return bits
+
+    return fingerprint
+
+
+def audio_fingerprints(
+    media: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Map-only Arrow stage: ``(id, payload)`` → ``(doc_id, afp
+    bigint)`` — the banded spectral-energy sign fingerprint
+    (:func:`_audio_fingerprint_kernel`) over the stdlib WAV decode.
+    Audio's entry into the near-dup tier next to the image dHash/pHash
+    and video frame-set signatures: feed the output to
+    ``phash.hamming_near_pairs(sig_col="afp")``. Corrupt / truncated /
+    non-PCM / too-short payloads QUARANTINE (row dropped), the frame
+    path's posture; a 100 TB audio table reduces to 8 bytes per clip
+    with zero data movement."""
+    _, _wav_decode, _, _ = _stdlib_wav_codec()
+    _fp = _audio_fingerprint_kernel()
+
+    def _stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    rate, chans = _wav_decode(bytes(payload))
+                    hv = _fp(rate, chans)
+                except Exception:
+                    continue  # quarantine: undecodable or too short
+                ids.append(doc_id)
+                fps.append(hv - (1 << 64) if hv >= 1 << 63 else hv)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "afp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(_stage, schema="doc_id long, afp long")
+
+
+def audio_near_dup_pairs(
+    media: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """End-to-end audio near-dup: spectral fingerprint ∘ Hamming
+    block-LSH (the shared :func:`.phash.hamming_near_pairs` /
+    ``_block_rows`` pigeonhole path). Re-encodes (bit depth, channel
+    layout, gain) of the same signal land at Hamming 0 by arithmetic;
+    nearest-resampled copies within a few bits (pinned empirically);
+    unrelated clips sit near Binomial(64, 1/2). Returns verified
+    ``(id_a, id_b, hamming)`` pairs."""
+    from .phash import hamming_near_pairs
+
+    return hamming_near_pairs(
+        audio_fingerprints(media, id_col=id_col, payload_col=payload_col),
+        id_col="doc_id",
+        sig_col="afp",
+        max_hamming=max_hamming,
+    )
 
 
 def resample_audio(

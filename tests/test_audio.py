@@ -198,3 +198,142 @@ class TestAudioOnSpark:
     @staticmethod
     def _enc():
         return _stdlib_wav_codec()
+
+
+def _pcm8_wav(rate: int, u8: bytes) -> bytes:
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+    out = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    out += b"data" + len(u8).to_bytes(4, "little") + u8
+    if len(u8) & 1:
+        out += b"\x00"
+    return b"RIFF" + len(out).to_bytes(4, "little") + out
+
+
+def _lattice(seed: bytes, n: int = 8000) -> bytes:
+    import hashlib
+
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += hashlib.md5(seed + bytes([i & 0xFF, (i >> 8) & 0xFF])).digest()
+        i += 1
+    return bytes(out[:n])
+
+
+class TestAudioFingerprint:
+    """Banded spectral-energy sign fingerprint (Haitsma-Kalker shape) —
+    the audio near-dup tier: arithmetic invariances, pinned empirical
+    resample robustness, quarantine posture, planted-family recall."""
+
+    def _fp(self):
+        from airflow_etl_finance_market_spark.multimodal.audio import (
+            _audio_fingerprint_kernel,
+        )
+
+        return _audio_fingerprint_kernel()
+
+    def test_reencode_invariance_exact_by_arithmetic(self):
+        """Mono PCM16, stereo channel-dup PCM16, and the 8-bit-lattice
+        PCM8 re-encode all decode to the SAME sample stream, so they
+        fingerprint IDENTICALLY — the property the driver gate's oracle
+        predicts (no tolerance anywhere)."""
+        _, dec, enc, _ = _stdlib_wav_codec()
+        fp = self._fp()
+        u8 = _lattice(b"family-0")
+        samples = [(v - 128) << 8 for v in u8]
+        a = fp(*dec(enc(8000, [samples])))
+        b = fp(*dec(enc(8000, [samples, samples])))
+        c = fp(*dec(_pcm8_wav(8000, u8)))
+        assert a == b == c
+
+    def test_gain_invariance(self):
+        """Scaling every sample scales every band energy by c^2; the
+        double-difference signs — hence the fingerprint — are unchanged."""
+        fp = self._fp()
+        samples = [(v - 128) << 8 for v in _lattice(b"gain")]
+        half = [v // 2 for v in samples]
+        # exact halving is NOT exact scaling for odd values; use the
+        # lattice (all multiples of 256) so v//2 == v*0.5 exactly
+        assert fp(8000, [samples]) == fp(8000, [half])
+
+    def test_nearest_resample_robustness_pinned(self):
+        """Resampling is NOT exact — only close. Empirical pin (the
+        JPEG-q90 pattern): nearest 2x upsample stays within 8 bits —
+        measured 0-6 over 60 lattice-noise seeds and 7 for a two-tone
+        signal (sparse spectra are WORSE: near-zero bands flip on
+        leakage noise). That can exceed the Hamming-4 gate radius, so
+        the documented pipeline posture is NORMALIZE-THEN-FINGERPRINT:
+        run resample_audio to a common rate first, after which copies
+        are nearest-resamples of the same stream and re-encodes land
+        exact. Pinned here so the limitation stays measured."""
+        _, dec, enc, res = _stdlib_wav_codec()
+        fp = self._fp()
+        worst = 0
+        for s in range(12):
+            samples = [(v - 128) << 8 for v in _lattice(bytes([s]))]
+            base = fp(8000, [samples])
+            r2, mono2 = res(8000, [samples], 16000)
+            up = fp(*dec(enc(r2, mono2)))
+            worst = max(worst, bin(base ^ up).count("1"))
+        assert worst <= 8
+        tone = [
+            int(
+                8000 * math.sin(2 * math.pi * 500 * i / 8000)
+                + 4000 * math.sin(2 * math.pi * 1700 * i / 8000)
+            )
+            for i in range(8000)
+        ]
+        base = fp(8000, [tone])
+        r2, mono2 = res(8000, [tone], 16000)
+        assert bin(base ^ fp(*dec(enc(r2, mono2)))).count("1") <= 8
+
+    def test_unrelated_clips_are_far(self):
+        fp = self._fp()
+        fps = [
+            fp(8000, [[(v - 128) << 8 for v in _lattice(bytes([s]))]])
+            for s in range(20)
+        ]
+        hams = [
+            bin(a ^ b).count("1")
+            for i, a in enumerate(fps)
+            for b in fps[i + 1 :]
+        ]
+        assert min(hams) > 4  # measured min 14 over 60 seeds
+
+    def test_too_short_raises(self):
+        fp = self._fp()
+        with pytest.raises(ValueError, match="too short"):
+            fp(8000, [[0] * 71])  # < 8 * n_segments
+
+    def test_spark_stage_quarantines_and_planted_recall(self, spark):
+        """End-to-end on Spark: two planted families (3 re-encode
+        variants each) + corrupt/short/NULL payloads. The fingerprint
+        stage drops the quarantines; audio_near_dup_pairs returns
+        EXACTLY the 3 within-family pairs per family at Hamming 0."""
+        from airflow_etl_finance_market_spark.multimodal.audio import (
+            audio_fingerprints,
+            audio_near_dup_pairs,
+        )
+
+        _, dec, enc, _ = _stdlib_wav_codec()
+        rows = []
+        for fam in range(2):
+            u8 = _lattice(bytes([fam]))
+            samples = [(v - 128) << 8 for v in u8]
+            rows.append((fam * 10, bytearray(enc(8000, [samples]))))
+            rows.append(
+                (fam * 10 + 1, bytearray(enc(8000, [samples, samples])))
+            )
+            rows.append((fam * 10 + 2, bytearray(_pcm8_wav(8000, u8))))
+        rows += [
+            (90, bytearray(b"not audio")),
+            (91, bytearray(_pcm8_wav(8000, _lattice(b"x", 40)))),  # short
+            (92, None),
+        ]
+        media = spark.createDataFrame(rows, "doc_id long, payload binary")
+        fps = audio_fingerprints(media)
+        assert fps.count() == 6  # quarantines dropped
+        pairs = audio_near_dup_pairs(media).collect()
+        assert len(pairs) == 6
+        assert all(p.hamming == 0 for p in pairs)
+        assert all(p.id_a // 10 == p.id_b // 10 for p in pairs)
