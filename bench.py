@@ -477,6 +477,14 @@ EVENTS_X100 = [
     "user_retention_cohorts",
     "events_daily_ffill",
     "weekly_activity_panel",
+    # r09 (verdict #6): the STORED-SKETCH trio's decade point — the
+    # "coarser rollups never rescan raw" claim is the 100 TB argument
+    # and needed x100 evidence. Each entry times daily-sketch build +
+    # weekly rollup read end-to-end (the sketches are rebuilt in-query;
+    # a deployment stores them, so these numbers UPPER-bound the read).
+    "hll_user_rollup",
+    "weekly_value_quantile_rollup",
+    "weekly_user_kmv_rollup",
 ]
 
 
@@ -559,8 +567,30 @@ def build_x100_market_fixture(spark, tmp: str) -> tuple[str, int]:
 def markets_x100_section(
     spark, qs, tmp: str
 ) -> tuple[dict[str, float], int]:
+    """The tier runs LAST in the bench JVM, and two rounds of driver
+    runs measured the flagship at 11.8-11.9 s in-tier vs 6.5-7.0 s solo
+    (r08 verdict, What's wrong #1) — a SYSTEMATIC in-tier effect, not
+    host noise. To decompose it, the flagship is measured twice: once
+    under whatever state the preceding tiers left behind (the honest
+    in-tier number, recorded under its own name like every round), then
+    once more after an explicit hygiene step (clearCache + JVM GC +
+    Python GC) under ``weekly_volatility_posthygiene``. If hygiene
+    closes the gap, the pressure is reclaimable JVM state and the
+    hygiene step is the protocol fix; if it doesn't, the residual is
+    OS-level (page cache) and the in-tier number is the
+    scale-representative one. Either way both numbers land in the
+    artifact so the arbitration is reproducible."""
     x100m, n_rows = build_x100_market_fixture(spark, tmp)
-    return best_of_3_each(entry_jobs(spark, qs, MARKETS_X100, x100m)), n_rows
+    out = best_of_3_each(entry_jobs(spark, qs, MARKETS_X100, x100m))
+    import gc
+
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    gc.collect()
+    out["weekly_volatility_posthygiene"] = best_of_3_each(
+        entry_jobs(spark, qs, ["weekly_volatility"], x100m)
+    )["weekly_volatility"]
+    return out, n_rows
 
 
 def image_phash_section(spark, tmp: str) -> tuple[dict[str, float], int]:
@@ -802,6 +832,198 @@ def video_dedup_section(spark, tmp: str) -> tuple[dict[str, float], int]:
             best = min(best, _time.perf_counter() - t0)
         out[name] = round(best, 3)
     return out, n_videos
+
+
+def audio_dedup_section(spark, tmp: str) -> tuple[dict[str, float], int]:
+    """Audio near-dup tier (r09): 3 WAV re-encode variants (mono PCM16 /
+    stereo channel-dup / 8-bit-lattice PCM8) of a 1 s 8 kHz clip per
+    every 3rd sf0.1 document (~5k clips, ~1.7k planted 3-member
+    families — the driver gate's construction at bench scale). Timed:
+    (a) the map-only decode+FFT fingerprint stage, (b) the full
+    fingerprint + block-LSH + verify pair chain. Fixture written to
+    parquet outside the timers, same contract as the image tier."""
+    import time as _time
+
+    from airflow_etl_finance_market_spark.multimodal.audio import (
+        _stdlib_wav_codec,
+        audio_fingerprints,
+        audio_near_dup_pairs,
+    )
+    from airflow_etl_finance_market_spark.util import fan_out
+
+    _, _, _wav_enc, _ = _stdlib_wav_codec()
+
+    def _build(batches):
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        def lattice(seed: bytes, n: int = 8000) -> bytes:
+            out = bytearray()
+            i = 0
+            while len(out) < n:
+                out += hashlib.md5(
+                    seed + bytes([i & 0xFF, (i >> 8) & 0xFF])
+                ).digest()
+                i += 1
+            return bytes(out[:n])
+
+        def pcm8_wav(rate: int, u8: bytes) -> bytes:
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+            out = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            out += b"data" + len(u8).to_bytes(4, "little") + u8
+            if len(u8) & 1:
+                out += b"\x00"
+            return b"RIFF" + len(out).to_bytes(4, "little") + out
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                u8 = lattice(hashlib.md5(text.encode("utf-8")).digest())
+                samples = [(v - 128) << 8 for v in u8]
+                ids.append(doc_id * 10)
+                payloads.append(_wav_enc(8000, [samples]))
+                ids.append(doc_id * 10 + 1)
+                payloads.append(_wav_enc(8000, [samples, samples]))
+                ids.append(doc_id * 10 + 2)
+                payloads.append(pcm8_wav(8000, u8))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    docs = fan_out(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+            "doc_id % 3 = 0"
+        ),
+        "doc_id",
+    ).select("doc_id", "text")
+    media_path = f"{tmp}/audio.parquet"
+    docs.mapInPandas(_build, "doc_id long, payload binary").write.mode(
+        "overwrite"
+    ).parquet(media_path)
+    media = spark.read.parquet(media_path)
+    n_clips = media.count()
+
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, float] = {}
+    for name, thunk in (
+        ("audio_fp_hash", lambda: _noop(audio_fingerprints(media))),
+        ("audio_pairs", lambda: _noop(audio_near_dup_pairs(media))),
+    ):
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            thunk()
+            best = min(best, _time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out, n_clips
+
+
+def image_tile_section(spark, tmp: str) -> tuple[dict[str, float], int]:
+    """Tile-overlap crop-dedup tier (r09): per every 3rd sf0.1 document,
+    a 128x128 noise PNG + its tile-aligned 96x96 crop + a GIF re-encode
+    of the crop (~5k images, ~1.7k planted 3-member families — the
+    driver gate's construction at bench scale). Timed: (a) the map-only
+    per-tile dHash stage (16-25 signatures/image), (b) the full tile
+    set-overlap pair chain (the video gate's machinery on tile sigs).
+    Fixture written to parquet outside the timers."""
+    import time as _time
+
+    from airflow_etl_finance_market_spark.multimodal.binary import (
+        _stdlib_png_codec,
+    )
+    from airflow_etl_finance_market_spark.multimodal.gif import (
+        _stdlib_gif_codec,
+    )
+    from airflow_etl_finance_market_spark.multimodal.phash import (
+        image_tile_dhash,
+        image_tile_near_dup_pairs,
+    )
+    from airflow_etl_finance_market_spark.util import fan_out
+
+    _, _, _png_enc, _ = _stdlib_png_codec()
+    _, _, _gif_enc = _stdlib_gif_codec()
+
+    def _build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        gray_pal = [(i, i, i) for i in range(256)]
+
+        def noise_pix(seed: bytes, w: int, h: int) -> bytes:
+            out = bytearray()
+            i = 0
+            while len(out) < w * h:
+                out += hashlib.md5(seed + i.to_bytes(2, "big")).digest()
+                i += 1
+            return bytes(out[: w * h])
+
+        def crop(pix: bytes, w: int, x0: int, y0: int, cw: int, ch: int):
+            return b"".join(
+                pix[(y0 + y) * w + x0 : (y0 + y) * w + x0 + cw]
+                for y in range(ch)
+            )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pix = noise_pix(
+                    hashlib.md5(text.encode("utf-8")).digest(), 128, 128
+                )
+                cr = crop(pix, 128, 32, 32, 96, 96)
+                ids.append(doc_id * 10)
+                payloads.append(_png_enc(128, 128, 1, pix))
+                ids.append(doc_id * 10 + 1)
+                payloads.append(_png_enc(96, 96, 1, cr))
+                ids.append(doc_id * 10 + 2)
+                payloads.append(_gif_enc(96, 96, cr, gray_pal))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    docs = fan_out(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+            "doc_id % 3 = 1"
+        ),
+        "doc_id",
+    ).select("doc_id", "text")
+    media_path = f"{tmp}/tile_images.parquet"
+    docs.mapInPandas(_build, "doc_id long, payload binary").write.mode(
+        "overwrite"
+    ).parquet(media_path)
+    media = spark.read.parquet(media_path)
+    n_images = media.count()
+
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, float] = {}
+    for name, thunk in (
+        ("tile_hash", lambda: _noop(image_tile_dhash(media))),
+        (
+            "tile_pairs",
+            lambda: _noop(
+                image_tile_near_dup_pairs(image_tile_dhash(media))
+            ),
+        ),
+    ):
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            thunk()
+            best = min(best, _time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out, n_images
 
 
 #: Dedup/CC chain timed at 100x documents (500k) — the measured decade of
@@ -1254,6 +1476,14 @@ def main() -> None:
             vd, n_vid = video_dedup_section(spark, tmp)
             payload["video_dedup"] = vd
             payload["video_dedup_rows"] = {"videos": n_vid}
+        with tempfile.TemporaryDirectory() as tmp:
+            ad, n_clips = audio_dedup_section(spark, tmp)
+            payload["audio_dedup"] = ad
+            payload["audio_dedup_rows"] = {"clips": n_clips}
+        with tempfile.TemporaryDirectory() as tmp:
+            td, n_timg = image_tile_section(spark, tmp)
+            payload["tile_dedup"] = td
+            payload["tile_dedup_rows"] = {"images": n_timg}
 
     if os.environ.get("SPARK_GRAFT_X100", "1") != "0":
         with tempfile.TemporaryDirectory() as tmp:
