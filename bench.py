@@ -238,6 +238,77 @@ measured 1.954 s solo at corpus_x10 (50k docs) — comparable to
 curated_corpus (1.215 in-tier), as expected for a map-side funnel
 whose only shuffle is the dedup fingerprint aggregate; joins the
 corpus_x10 tier per-round from r08.
+
+r09 HOST-REGIME finding (supersedes per-entry arbitration for broad
+shifts): this round's refresh measured nearly EVERY unchanged entry
++20-40% vs the driver's r08 artifact (median ~+25%), and spot solos
+in fresh JVMs REPRODUCED today's values (tpc 0.38-0.60, pagerank
+1.52-2.09, token_stats 0.14-0.29) rather than r08's — so the shift is
+the HOST's day-scale regime (co-tenancy/frequency), not a burst to
+discard and not plan changes (zero code changes to those paths). The
+stable cross-regime quantity is the RATIO between same-day anchors:
+the flagship sf0.1 anchor moved 0.634 -> 0.87 s solo by the SAME
+~1.37x factor as its x100 point (6.4-7.0 -> 8.6-9.2 s solo), keeping
+the decade ratio at ~10x. Arbitration rule going forward: when a
+cross-round delta passes the noise rule, first check whether the
+WHOLE artifact shifted together; if so, compare same-day ratios, and
+solo-arbitrate only entries whose delta exceeds the regime multiplier.
+
+r09 flagship arbitration (the r08 verdict's What's wrong #1 — the
+solo 6.5-7.0 vs driver in-tier 11.8-11.9 contradiction): RESOLVED as
+host regime, not tier state, by a same-day three-way decomposition:
+in-tier 8.100 s / post-hygiene (clearCache + JVM GC + Python GC)
+7.440 s / fresh-JVM solo 8.59-9.16 s — in-tier sits INSIDE the
+same-day solo band, so there is NO systematic tier effect when all
+three run in one regime; hygiene is worth a real but modest ~8%. The
+r08 "6.4-7.0 solo" and the driver's "11.8 in-tier" were measured on
+different host-days (regimes ~1.4x apart), which is the entire gap.
+Same-day decade ratio: x100 8.10-9.16 over sf0.1 0.764-0.872 =
+9.9-10.6x for 100x rows — the sub-linear window sort holds; no plan
+work needed. The markets_x100 section now PERMANENTLY records both
+weekly_volatility (in-tier) and weekly_volatility_posthygiene, so
+every future driver run decomposes itself: posthygiene << in-tier
+means reclaimable JVM state; both high means that run's regime.
+
+r09 arbitrations of entries past the rule BEYOND the ~1.25x regime
+multiplier (all solo best-of-3 x3, quiet host):
+- ticker_pair_correlation (r08 flag: 0.406 r07 -> 0.580 r08): solo
+  sets 0.470-0.601 / 0.421-0.444 / 0.377-0.431 across three fresh
+  JVMs — the THREE-JVM SPREAD SPANS BOTH recorded rounds, so the
+  r07/r08 "oscillation" is this entry's ordinary jitter band.
+  RESOLVED: steady state 0.38-0.60 s; both recorded values are
+  in-band; no plan change (operators/markets.py untouched both
+  rounds).
+- weekly_activity_panel events_x100 (+232% in-tier, 3.07 -> 10.21):
+  solo 3.082 / 3.347 / 3.675 — at the r08 value; the 10.2 was an
+  in-tier stall (all three trials of one entry on a 10M-row tier).
+  Steady ~3.1-3.7 s.
+- dup_spans corpus_x100 (+80% in-tier, 13.9 -> 25.1): solo 14.764 /
+  15.994 / 16.298 — r08's 13.9 plus the regime factor; the 25.1 was
+  an in-tier stall. Steady ~15-16 s.
+- ann_x100 ivf_index_build (+72%, 4.83 -> 8.30): solo 4.055 / 4.183 /
+  6.506 — at the r08 value (this number is single-shot by design,
+  "build cost reported once", so it carries no best-of-3 protection;
+  treat its round-to-round swings accordingly).
+- doc_token_stats headline (+115% sub-second): solo 0.143-0.294; the
+  committed r08 0.110 was an unusually fast min. In-band noise.
+
+r09 stored-sketch decade (verdict #6 — the "coarser rollups never
+rescan raw" claim now carries measured x100 evidence; solo quiet-host
+numbers, 10x USER cardinality per decade): hll_user_rollup 0.247 s at
+x10 -> 0.301 s at x100 (1.2x for 10x users), weekly_value_quantile_
+rollup 0.594 -> 0.574 (~1.0x), weekly_user_kmv_rollup 0.933 -> 1.912
+(2.0x). All FAR sub-linear: the rollup reads scale with distinct
+(day, sketch) rows, not with raw events — exactly the stored-sketch
+argument. All three entries now run per-round at BOTH tiers
+(hll_user_rollup joins EVENTS_X10/EVENTS_X100 this round).
+
+r09 NEW-tier first numbers (in-tier): audio_dedup audio_fp_hash
+0.801 s / audio_pairs 1.120 s over ~5k WAV clips (1.7k planted
+3-member re-encode families); tile_dedup tile_hash 2.280 s /
+tile_pairs 5.777 s over ~5k images (full/aligned-crop/GIF families;
+pairs re-hashes, the video tier's cumulative convention). Both
+map-only hash stages + the shared block-LSH pair shape.
 """
 
 from __future__ import annotations
@@ -438,6 +509,9 @@ EVENTS_X10 = [
     # numbers land in the driver's BENCH_r08, the contamination_bloom
     # precedent)
     "weekly_user_kmv_rollup",
+    # r09: the HLL rollup joins so all three stored-sketch reads carry
+    # per-round x100/x10 ratios (solo-measured 0.247 s at x10)
+    "hll_user_rollup",
 ]
 
 
