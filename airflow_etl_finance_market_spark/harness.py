@@ -65,7 +65,10 @@ def register(name: str, oracle: str | None = None):
 #: 1: audio_near_dups (NEW: the banded spectral-fingerprint audio
 #: dedup tier — audio was the one dedup-less modality) and
 #: image_tile_crop_near_dups (NEW: tile-hash set-overlap crop-tolerant
-#: image dedup, closing the r08 crop-limitation contract). Live under
+#: image dedup, closing the r08 crop-limitation contract) and
+#: audio_norm_near_dups (NEW: the cross-rate normalize-then-fingerprint
+#: pipeline gate, the rate axis the raw fingerprint gate cannot cover).
+#: Live under
 #: rule 2 (depended-on code changed this round):
 #: image_phash_near_dups, image_phash_dct_near_dups and
 #: video_near_dups (phash.py block-LSH extraction into _block_rows —
@@ -73,21 +76,22 @@ def register(name: str, oracle: str | None = None):
 #: multimodal_audio_features (audio.py gained the fingerprint tier on
 #: its module path). Live under rule 3: ALL 39 r06-green trail-2
 #: entries (the pre-committed cohort — staleness offenders the moment
-#: CORRECTNESS_r09.json lands) plus 5 of the r07 cohort, oldest-
+#: CORRECTNESS_r09.json lands) plus 4 of the r07 cohort, oldest-
 #: registered first (doc_exact_dedup, doc_jaccard_near_dups,
-#: embedding_topk, embedding_near_dups) and ticker_pair_correlation
-#: (its r08 +43% drift is arbitrated in bench.py this round — a fresh
-#: driver row pins the entry alongside the arbitration).
-#: 39 + 2 + 4 + 5 = 50. Demoted: 36 r07-green entries (trail 2 at
+#: embedding_topk) and ticker_pair_correlation (its r08 +43% drift is
+#: arbitrated in bench.py this round — a fresh driver row pins the
+#: entry alongside the arbitration).
+#: 39 + 3 + 4 + 4 = 50. Demoted: 37 r07-green entries (trail 2 at
 #: r09 — MUST be live in r10; pre-committed as the r10 cohort's
 #: backbone) and 47 r08-green entries (trail 1, due r11; capacity:
-#: 36 + 14 of them fit r10, the remaining 33 fit r11 alongside 17 of
-#: the r09 cohort, whose last 33 then anchor r12 — the 133-entry
+#: 37 + 13 of them fit r10, the remaining 34 fit r11 alongside 16 of
+#: the r09 cohort, whose last 34 then anchor r12 — the 134-entry
 #: registry keeps cycling inside the 3-round re-verification period
-#: with ~14 spare slots across the cycle for new-entry headroom).
+#: with ~13 spare slots across the cycle for new-entry headroom).
 _WINDOW_DEMOTED = [
     # --- r07-green, trail 2 at r09: the PRE-COMMITTED r10 backbone
-    # (all 36 MUST be live the moment CORRECTNESS_r10.json lands) ---
+    # (all 37 MUST be live the moment CORRECTNESS_r10.json lands) ---
+    "embedding_near_dups",
     "price_percentiles",
     "windowed_event_kpis",
     "embedding_topk_lsh",
@@ -5513,6 +5517,121 @@ def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fingerprint frame feeds the count AND the LSH self-join: eager
     # checkpoint so the WAV decode + FFT runs exactly once
     fps = audio_fingerprints(media).localCheckpoint()
+    n_clips = fps.count()
+    fam = hamming_near_pairs(fps, sig_col="afp", max_hamming=4).select(
+        (F.col("id_a") / 10).cast("long").alias("fam_a"),
+        (F.col("id_b") / 10).cast("long").alias("fam_b"),
+    )
+    per_fam = fam.groupBy("fam_a").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
+    )
+    row = per_fam.agg(
+        F.sum("cnt").alias("n_pairs"),
+        F.min("within").alias("pairs_within_family"),
+        (
+            F.min((F.col("cnt") == 3) & F.col("within"))
+            & (F.count(F.lit(1)) == F.lit(n_docs))
+        ).alias("families_fully_paired"),
+    ).first()
+    return spark.createDataFrame(
+        [(n_clips, row["n_pairs"], row["pairs_within_family"],
+          row["families_fully_paired"])],
+        "n_clips long, n_pairs long, pairs_within_family boolean, "
+        "families_fully_paired boolean",
+    )
+
+
+@register(
+    "audio_norm_near_dups",
+    """
+SELECT COUNT(*) * 3 AS n_clips,
+       COUNT(*) * 3 AS n_pairs,
+       true AS pairs_within_family,
+       true AS families_fully_paired
+FROM documents
+WHERE doc_id % 6 = 2
+""",
+)
+def q_audio_norm_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-RATE audio near-dup via the NORMALIZE-THEN-FINGERPRINT
+    pipeline (multimodal/audio.py audio_near_dup_pairs with
+    normalize_rate — resample_audio to a common 8 kHz, then the banded
+    spectral fingerprint through the shared block-LSH). The raw
+    fingerprint gate (audio_near_dups) covers same-rate re-encodes;
+    THIS gate covers the rate axis, where raw fingerprints drift past
+    the Hamming-4 radius (measured worst 5 bits — pinned in pytest).
+    Every 6th document seeds a 3-member family at THREE DIFFERENT
+    RATES whose normalization is EXACT BY ARITHMETIC: the base 1 s /
+    8 kHz lattice signal, its 2x sample-replication at 16 kHz, and its
+    3x replication at 24 kHz — nearest k*r -> r downsampling picks
+    every k-th sample, inverting the replication bit-for-bit, so all
+    three normalize to the SAME stream and fingerprint at Hamming 0.
+    The oracle PREDICTS the outcome: 3n clips, exactly the 3
+    within-family pairs per family, none cross-family. Both stages are
+    map-only Arrow; the pair stage is the shared pigeonhole equi-join."""
+    from .multimodal.audio import _stdlib_wav_codec
+
+    _, _, _wav_enc, _ = _stdlib_wav_codec()
+
+    def _build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def lattice(seed: bytes, n: int = 8000) -> bytes:
+            out = bytearray()
+            i = 0
+            while len(out) < n:
+                out += hashlib.md5(
+                    seed + bytes([i & 0xFF, (i >> 8) & 0xFF])
+                ).digest()
+                i += 1
+            return bytes(out[:n])
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                u8 = lattice(hashlib.md5(text.encode("utf-8")).digest())
+                x = [(v - 128) << 8 for v in u8]
+                ids.append(doc_id * 10)
+                payloads.append(_wav_enc(8000, [x]))
+                ids.append(doc_id * 10 + 1)
+                payloads.append(
+                    _wav_enc(16000, [[v for v in x for _ in range(2)]])
+                )
+                ids.append(doc_id * 10 + 2)
+                payloads.append(
+                    _wav_enc(24000, [[v for v in x for _ in range(3)]])
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 6 == 2
+        ),
+        "doc_id",
+    )
+    n_docs = docs.count()
+    media = docs.select("doc_id", "text").mapInPandas(
+        _build, "doc_id long, payload binary"
+    )
+    # run the pipeline stages explicitly so n_clips counts the
+    # POST-normalize POST-fingerprint frame (a quarantine at either
+    # stage shrinks it); eager checkpoint so encode+resample+FFT runs
+    # exactly once before the count AND the LSH self-join
+    from .multimodal.audio import audio_fingerprints, resample_audio
+    from .multimodal.phash import hamming_near_pairs
+
+    norm = resample_audio(media, target_rate=8000).select(
+        "doc_id", "payload"
+    )
+    fps = audio_fingerprints(norm).localCheckpoint()
     n_clips = fps.count()
     fam = hamming_near_pairs(fps, sig_col="afp", max_hamming=4).select(
         (F.col("id_a") / 10).cast("long").alias("fam_a"),

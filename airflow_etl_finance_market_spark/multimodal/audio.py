@@ -414,16 +414,36 @@ def audio_near_dup_pairs(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     max_hamming: int = 4,
+    normalize_rate: int | None = None,
 ) -> DataFrame:
-    """End-to-end audio near-dup: spectral fingerprint ∘ Hamming
-    block-LSH (the shared :func:`.phash.hamming_near_pairs` /
-    ``_block_rows`` pigeonhole path). Re-encodes (bit depth, channel
-    layout, gain) of the same signal land at Hamming 0 by arithmetic;
-    nearest-resampled copies within a few bits (pinned empirically);
-    unrelated clips sit near Binomial(64, 1/2). Returns verified
-    ``(id_a, id_b, hamming)`` pairs."""
+    """End-to-end audio near-dup: [optional rate-normalize ∘] spectral
+    fingerprint ∘ Hamming block-LSH (the shared
+    :func:`.phash.hamming_near_pairs` / ``_block_rows`` pigeonhole
+    path). Re-encodes (bit depth, channel layout, gain) of the same
+    signal land at Hamming 0 by arithmetic; unrelated clips sit near
+    Binomial(64, 1/2).
+
+    ``normalize_rate`` is the NORMALIZE-THEN-FINGERPRINT posture the
+    raw kernel's docstring prescribes: run :func:`resample_audio` to a
+    common rate first, so rate variants of the same signal fingerprint
+    from the same sample stream. For sample-replicated rate variants
+    (a k-times nearest upsample, the audio twin of the image tier's
+    integer-upscale family) normalization is EXACT — nearest k*r → r
+    picks every k-th sample, inverting the replication bit-for-bit —
+    while generic resampled audio lands within the empirical few-bit
+    band. Without it, cross-RATE copies can drift past the gate radius
+    (pinned in tests). Returns verified ``(id_a, id_b, hamming)``."""
     from .phash import hamming_near_pairs
 
+    if normalize_rate is not None:
+        media = resample_audio(
+            media.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(payload_col).alias("payload"),
+            ),
+            target_rate=normalize_rate,
+        ).select("doc_id", "payload")
+        id_col, payload_col = "doc_id", "payload"
     return hamming_near_pairs(
         audio_fingerprints(media, id_col=id_col, payload_col=payload_col),
         id_col="doc_id",

@@ -337,3 +337,69 @@ class TestAudioFingerprint:
         assert len(pairs) == 6
         assert all(p.hamming == 0 for p in pairs)
         assert all(p.id_a // 10 == p.id_b // 10 for p in pairs)
+
+
+class TestNormalizeThenFingerprint:
+    """The cross-rate posture: raw fingerprints drift across sample
+    rates; normalize (resample_audio) first and sample-replicated rate
+    variants become EXACT — the audio_norm_near_dups gate's arithmetic."""
+
+    def test_replicated_rate_variants_exact_after_normalize(self):
+        _, dec, enc, res = _stdlib_wav_codec()
+        from airflow_etl_finance_market_spark.multimodal.audio import (
+            _audio_fingerprint_kernel,
+        )
+
+        fp = _audio_fingerprint_kernel()
+        for s in range(4):
+            x = [(v - 128) << 8 for v in _lattice(bytes([40 + s]))]
+            fps = []
+            for rate, k in ((8000, 1), (16000, 2), (24000, 3)):
+                payload = enc(rate, [[v for v in x for _ in range(k)]])
+                r, chans = dec(payload)
+                r2, mono = res(r, chans, 8000)
+                assert mono[0] == x  # nearest k*r -> r inverts exactly
+                fps.append(fp(*dec(enc(r2, mono))))
+            assert fps[0] == fps[1] == fps[2]
+
+    def test_raw_cross_rate_drift_pinned(self):
+        """WITHOUT normalization the 2x-replicated 16 kHz variant can
+        exceed the Hamming-4 gate radius (measured worst 5 over 20
+        seeds) — the limitation that motivates the normalized gate."""
+        from airflow_etl_finance_market_spark.multimodal.audio import (
+            _audio_fingerprint_kernel,
+        )
+
+        fp = _audio_fingerprint_kernel()
+        worst = 0
+        for s in range(20):
+            x = [(v - 128) << 8 for v in _lattice(bytes([s]))]
+            fa = fp(8000, [x])
+            fb = fp(16000, [[v for v in x for _ in range(2)]])
+            worst = max(worst, bin(fa ^ fb).count("1"))
+        assert 4 < worst <= 8
+
+    def test_normalized_pipeline_on_spark(self, spark):
+        """audio_near_dup_pairs(normalize_rate=...) finds the planted
+        cross-rate family the raw pipeline misses; quarantine carries
+        through both stages."""
+        from airflow_etl_finance_market_spark.multimodal.audio import (
+            audio_near_dup_pairs,
+        )
+
+        _, dec, enc, _ = _stdlib_wav_codec()
+        x = [(v - 128) << 8 for v in _lattice(b"norm-e2e")]
+        rows = [
+            (10, bytearray(enc(8000, [x]))),
+            (11, bytearray(enc(16000, [[v for v in x for _ in range(2)]]))),
+            (12, bytearray(enc(24000, [[v for v in x for _ in range(3)]]))),
+            (90, bytearray(b"not audio")),
+            (91, None),
+        ]
+        media = spark.createDataFrame(rows, "doc_id long, payload binary")
+        pairs = audio_near_dup_pairs(media, normalize_rate=8000).collect()
+        assert sorted((p.id_a, p.id_b, p.hamming) for p in pairs) == [
+            (10, 11, 0),
+            (10, 12, 0),
+            (11, 12, 0),
+        ]
