@@ -309,6 +309,15 @@ r09 NEW-tier first numbers (in-tier): audio_dedup audio_fp_hash
 tile_pairs 5.777 s over ~5k images (full/aligned-crop/GIF families;
 pairs re-hashes, the video tier's cumulative convention). Both
 map-only hash stages + the shared block-LSH pair shape.
+
+r09 one-off audio/tile x10 decades (same contract as the r08
+image/video one-offs — measured once solo over the x10 corpus so the
+new tiers carry decade evidence without adding ~1 min to every
+round): 50,001 clips — audio_fp_hash 5.107 s (6.4x for 10x clips),
+audio_pairs 5.257 s (4.7x); 50,001 images — tile_hash 13.281 s
+(5.8x), tile_pairs 31.468 s (5.4x, cumulative re-hash convention).
+All four SUB-linear: fixed costs amortize and the pair stages stay
+block-bucket-bounded, the shape that holds at 100 TB.
 """
 
 from __future__ import annotations
