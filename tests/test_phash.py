@@ -648,3 +648,31 @@ class TestTileCropNearDups:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_rgb_tile_slicing_matches_gray(self, spark):
+        """Channel-stride arithmetic: an RGB image with R=G=B must
+        produce the SAME tile signatures as its gray plane (the tile
+        extractor slices interleaved bytes; an off-by-ch bug would
+        scramble every tile)."""
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            image_tile_dhash,
+        )
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            _stdlib_png_codec,
+        )
+
+        _, _, png_enc, _ = _stdlib_png_codec()
+        gray = self._noise(b"rgb-tiles", 64, 64)
+        rgb = b"".join(bytes((v, v, v)) for v in gray)
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(png_enc(64, 64, 1, gray))),
+                (2, bytearray(png_enc(64, 64, 3, rgb))),
+            ],
+            "doc_id long, payload binary",
+        )
+        rows = image_tile_dhash(media).collect()
+        sigs = {}
+        for r in rows:
+            sigs.setdefault(r.doc_id, {})[r.tile_idx] = r.dhash
+        assert len(sigs[1]) == 4 and sigs[1] == sigs[2]
