@@ -67,7 +67,9 @@ def register(name: str, oracle: str | None = None):
 #: image_tile_crop_near_dups (NEW: tile-hash set-overlap crop-tolerant
 #: image dedup, closing the r08 crop-limitation contract) and
 #: audio_norm_near_dups (NEW: the cross-rate normalize-then-fingerprint
-#: pipeline gate, the rate axis the raw fingerprint gate cannot cover).
+#: pipeline gate, the rate axis the raw fingerprint gate cannot cover)
+#: and streaming_media_dedup_ingest (NEW: signature-keyed media dedup
+#: at the stream edge — the multimodal twin of streaming_dedup_ingest).
 #: Live under
 #: rule 2 (depended-on code changed this round):
 #: image_phash_near_dups, image_phash_dct_near_dups and
@@ -76,21 +78,22 @@ def register(name: str, oracle: str | None = None):
 #: multimodal_audio_features (audio.py gained the fingerprint tier on
 #: its module path). Live under rule 3: ALL 39 r06-green trail-2
 #: entries (the pre-committed cohort — staleness offenders the moment
-#: CORRECTNESS_r09.json lands) plus 4 of the r07 cohort, oldest-
-#: registered first (doc_exact_dedup, doc_jaccard_near_dups,
-#: embedding_topk) and ticker_pair_correlation (its r08 +43% drift is
-#: arbitrated in bench.py this round — a fresh driver row pins the
-#: entry alongside the arbitration).
-#: 39 + 3 + 4 + 4 = 50. Demoted: 37 r07-green entries (trail 2 at
+#: CORRECTNESS_r09.json lands) plus 3 of the r07 cohort, oldest-
+#: registered first (doc_exact_dedup, doc_jaccard_near_dups) and
+#: ticker_pair_correlation (its r08 +43% drift is arbitrated in
+#: bench.py this round — a fresh driver row pins the entry alongside
+#: the arbitration).
+#: 39 + 4 + 4 + 3 = 50. Demoted: 38 r07-green entries (trail 2 at
 #: r09 — MUST be live in r10; pre-committed as the r10 cohort's
 #: backbone) and 47 r08-green entries (trail 1, due r11; capacity:
-#: 37 + 13 of them fit r10, the remaining 34 fit r11 alongside 16 of
-#: the r09 cohort, whose last 34 then anchor r12 — the 134-entry
+#: 38 + 12 of them fit r10, the remaining 35 fit r11 alongside 15 of
+#: the r09 cohort, whose last 35 then anchor r12 — the 135-entry
 #: registry keeps cycling inside the 3-round re-verification period
-#: with ~13 spare slots across the cycle for new-entry headroom).
+#: with ~12 spare slots across the cycle for new-entry headroom).
 _WINDOW_DEMOTED = [
     # --- r07-green, trail 2 at r09: the PRE-COMMITTED r10 backbone
-    # (all 37 MUST be live the moment CORRECTNESS_r10.json lands) ---
+    # (all 38 MUST be live the moment CORRECTNESS_r10.json lands) ---
+    "embedding_topk",
     "embedding_near_dups",
     "price_percentiles",
     "windowed_event_kpis",
@@ -6206,6 +6209,158 @@ def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint()  # materialize before tmp cleanup
             )
         return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "streaming_media_dedup_ingest",
+    """
+SELECT COUNT(*) AS n_unique_clips,
+       true AS one_survivor_per_family
+FROM documents
+WHERE doc_id % 10 = 7
+""",
+)
+def q_streaming_media_dedup_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming MEDIA dedup-on-ingest HARD GATE — the multimodal twin
+    of streaming_dedup_ingest: the key is not a delivery id but the
+    audio FINGERPRINT, so byte-different re-encodes of the same content
+    collapse at the stream edge. Every 10th document seeds the audio
+    tier's 3-member re-encode family (mono PCM16 / stereo channel-dup /
+    8-bit-lattice PCM8 — identical fingerprints BY ARITHMETIC), each
+    family sharing one ingest timestamp; families land whole in one of
+    3 file micro-batches and replay as a REAL availableNow streaming
+    query: mapInPandas fingerprint stage (event-time column passed
+    THROUGH the stage — a watermark dies with any projection that drops
+    its column) → watermark → dropDuplicatesWithinWatermark on the
+    signature (state bounded by the watermark horizon x unique-content
+    rate — the property that lets ingest dedup run unbounded at 100 TB).
+    The oracle PREDICTS the outcome: exactly ONE survivor per family
+    (n docs → n clips out of 3n in), checked per-family so an
+    over-dedup (signature collision) or under-dedup (missed re-encode)
+    both flip the boolean."""
+    import os
+    import shutil
+    import tempfile
+
+    from .multimodal.audio import _stdlib_wav_codec, audio_fingerprints
+    from .streaming import dedup_by_signature, run_available_now
+
+    _, _, _wav_enc, _ = _stdlib_wav_codec()
+
+    global _STREAM_GATE_SEQ
+    _STREAM_GATE_SEQ += 1
+    seq = _STREAM_GATE_SEQ
+
+    def _build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def lattice(seed: bytes, n: int = 8000) -> bytes:
+            out = bytearray()
+            i = 0
+            while len(out) < n:
+                out += hashlib.md5(
+                    seed + bytes([i & 0xFF, (i >> 8) & 0xFF])
+                ).digest()
+                i += 1
+            return bytes(out[:n])
+
+        def pcm8_wav(rate: int, u8: bytes) -> bytes:
+            import struct
+
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+            out = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            out += b"data" + len(u8).to_bytes(4, "little") + u8
+            if len(u8) & 1:
+                out += b"\x00"
+            return b"RIFF" + len(out).to_bytes(4, "little") + out
+
+        for pdf in batches:
+            ids, tss, payloads = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                u8 = lattice(hashlib.md5(text.encode("utf-8")).digest())
+                x = [(v - 128) << 8 for v in u8]
+                # one ingest timestamp per family (micros); re-encodes
+                # of one upload arrive together
+                fam_ts = 1_700_000_000_000_000 + int(doc_id) * 1_000_000
+                for k, payload in enumerate(
+                    (
+                        _wav_enc(8000, [x]),
+                        _wav_enc(8000, [x, x]),
+                        pcm8_wav(8000, u8),
+                    )
+                ):
+                    ids.append(doc_id * 10 + k)
+                    tss.append(fam_ts)
+                    payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ts": pd.Series(tss, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 == 7
+        ),
+        "doc_id",
+    )
+    n_docs = docs.count()
+    media = docs.select("doc_id", "text").mapInPandas(
+        _build, "doc_id long, ts long, payload binary"
+    )
+    tmp = tempfile.mkdtemp(prefix="finmarket_media_dedup_gate_")
+    try:
+        # 3 ts-ordered file micro-batches; every family lands whole in
+        # one batch (keyed on the FAMILY id), so duplicate groups never
+        # straddle a batch boundary by construction
+        for i in range(3):
+            pdir = f"{tmp}/in/b{i}"
+            media.filter(
+                (F.col("doc_id") / 10).cast("long") % 3 == i
+            ).coalesce(1).write.mode("overwrite").parquet(pdir)
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    os.utime(f"{pdir}/{f}", (1_700_000_000 + i,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id long, ts long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/b*")
+            # event-time watermarks require TIMESTAMP (LTZ); the output
+            # carries no timestamp so no TZ rendering can leak
+            .withColumn("ts", F.expr("timestamp_micros(ts)"))
+        )
+        fps = audio_fingerprints(stream, passthrough=("ts",))
+        with _bounded_stream_shuffle(spark):
+            survivors = run_available_now(
+                dedup_by_signature(fps, sig_col="afp", ts="ts"),
+                f"_gate_media_dedup_{seq}",
+                output_mode="append",
+            )
+            per_fam = (
+                survivors.select(
+                    (F.col("doc_id") / 10).cast("long").alias("fam")
+                )
+                .groupBy("fam")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            row = per_fam.agg(
+                F.count(F.lit(1)).alias("n_fams"),
+                F.min(F.col("cnt") == 1).alias("all_single"),
+                F.sum("cnt").alias("n_unique"),
+            ).first()
+        ok = row["n_fams"] == n_docs and row["all_single"] is True
+        return spark.createDataFrame(
+            [(row["n_unique"], ok)],
+            "n_unique_clips long, one_survivor_per_family boolean",
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -370,6 +370,7 @@ def audio_fingerprints(
     *,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Map-only Arrow stage: ``(id, payload)`` → ``(doc_id, afp
     bigint)`` — the banded spectral-energy sign fingerprint
@@ -379,14 +380,26 @@ def audio_fingerprints(
     ``phash.hamming_near_pairs(sig_col="afp")``. Corrupt / truncated /
     non-PCM / too-short payloads QUARANTINE (row dropped), the frame
     path's posture; a 100 TB audio table reduces to 8 bytes per clip
-    with zero data movement."""
+    with zero data movement.
+
+    ``passthrough`` columns are copied verbatim onto each output row
+    (types inherited from the input schema) — the streaming dedup
+    caller needs the EVENT-TIME column to survive this stage, because a
+    watermark declared upstream dies with any projection that drops its
+    column."""
+    from pyspark.sql.types import StructField, StructType
+
     _, _wav_decode, _, _ = _stdlib_wav_codec()
     _fp = _audio_fingerprint_kernel()
+    extra = tuple(passthrough)
 
     def _stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            keep = []
             ids, fps = [], []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            for i, (doc_id, payload) in enumerate(
+                zip(pdf[id_col], pdf[payload_col])
+            ):
                 if payload is None:
                     continue
                 try:
@@ -395,17 +408,24 @@ def audio_fingerprints(
                 except Exception:
                     continue  # quarantine: undecodable or too short
                 ids.append(doc_id)
+                keep.append(i)
                 fps.append(hv - (1 << 64) if hv >= 1 << 63 else hv)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "afp": pd.Series(fps, dtype="int64"),
-                }
-            )
+            out = {"doc_id": pd.Series(ids, dtype="int64")}
+            for c in extra:
+                out[c] = pdf[c].iloc[keep].reset_index(drop=True)
+            out["afp"] = pd.Series(fps, dtype="int64")
+            yield pd.DataFrame(out)
 
+    schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [media.schema[c] for c in extra]
+        + [StructField("afp", LongType())]
+    )
     return media.select(
-        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
-    ).mapInPandas(_stage, schema="doc_id long, afp long")
+        F.col(id_col).alias(id_col),
+        F.col(payload_col).alias(payload_col),
+        *[F.col(c) for c in extra],
+    ).mapInPandas(_stage, schema=schema)
 
 
 def audio_near_dup_pairs(

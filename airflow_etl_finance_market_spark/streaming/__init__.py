@@ -18,6 +18,7 @@ differential oracle for the streaming path in tests.
 from .io import read_events_batch, read_events_stream, run_available_now
 from .stateful import pct_change_reordered, pct_change_stateful
 from .windows import (
+    dedup_by_signature,
     dedup_events,
     session_stats,
     windowed_event_kpis,
@@ -25,6 +26,7 @@ from .windows import (
 )
 
 __all__ = [
+    "dedup_by_signature",
     "dedup_events",
     "read_events_batch",
     "read_events_stream",

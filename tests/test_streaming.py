@@ -816,3 +816,64 @@ def test_funnel_retires_completed_and_idle_keys(spark, tmp_path):
         (2, 1, "view"), (2, 2, "click"),
         (3, 1, "view"),
     ]
+
+
+def test_media_signature_dedup_stream_equals_batch(spark, tmp_path):
+    """dedup_by_signature: byte-different re-encodes of the same audio
+    collapse to one survivor at the stream edge (fingerprint-keyed
+    dropDuplicatesWithinWatermark), and the batch twin agrees on the
+    surviving signature set. Quarantined payloads never reach the
+    dedup state."""
+    import hashlib
+
+    from airflow_etl_finance_market_spark.multimodal.audio import (
+        _stdlib_wav_codec,
+        audio_fingerprints,
+    )
+    from airflow_etl_finance_market_spark.streaming import dedup_by_signature
+
+    _, _, enc, _ = _stdlib_wav_codec()
+
+    def lattice(seed: bytes, n: int = 8000) -> bytes:
+        out = bytearray()
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(seed + bytes([i & 0xFF, i >> 8])).digest()
+            i += 1
+        return bytes(out[:n])
+
+    rows = []
+    for fam in range(3):
+        x = [(v - 128) << 8 for v in lattice(bytes([fam]))]
+        base_us = 1_700_000_000_000_000 + fam * 1_000_000
+        rows.append((fam * 10, base_us, bytearray(enc(8000, [x]))))
+        rows.append((fam * 10 + 1, base_us, bytearray(enc(8000, [x, x]))))
+    rows.append((90, 1_700_000_000_000_000, bytearray(b"junk")))
+    in_dir = str(tmp_path / "media_in")
+    spark.createDataFrame(
+        rows, "doc_id long, ts long, payload binary"
+    ).coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    def pipeline(media):
+        fps = audio_fingerprints(
+            media.withColumn("ts", F.expr("timestamp_micros(ts)")),
+            passthrough=("ts",),
+        )
+        return dedup_by_signature(fps, sig_col="afp", ts="ts")
+
+    batch = pipeline(
+        spark.read.schema("doc_id long, ts long, payload binary").parquet(
+            in_dir
+        )
+    )
+    stream = pipeline(
+        spark.readStream.schema(
+            "doc_id long, ts long, payload binary"
+        ).parquet(in_dir)
+    )
+    got = run_available_now(stream, "media_dedup_eq", output_mode="append")
+    stream_sigs = sorted(r.afp for r in got.collect())
+    batch_sigs = sorted(r.afp for r in batch.collect())
+    assert stream_sigs == batch_sigs
+    assert len(stream_sigs) == 3  # one per family; junk quarantined
+    assert all(r.doc_id // 10 in (0, 1, 2) for r in got.collect())
