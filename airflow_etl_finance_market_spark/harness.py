@@ -69,8 +69,10 @@ def register(name: str, oracle: str | None = None):
 #: audio_norm_near_dups (NEW: the cross-rate normalize-then-fingerprint
 #: pipeline gate, the rate axis the raw fingerprint gate cannot cover)
 #: and streaming_media_dedup_ingest (NEW: signature-keyed media dedup
-#: at the stream edge — the multimodal twin of streaming_dedup_ingest).
-#: Live under
+#: at the stream edge — the multimodal twin of streaming_dedup_ingest)
+#: and multimodal_corpus_prep (NEW: the cross-modal funnel — image-dedup
+#: survivorship gating document selection, the vision-LM twin of
+#: corpus_prep_pipeline). Live under
 #: rule 2 (depended-on code changed this round):
 #: image_phash_near_dups, image_phash_dct_near_dups and
 #: video_near_dups (phash.py block-LSH extraction into _block_rows —
@@ -78,21 +80,21 @@ def register(name: str, oracle: str | None = None):
 #: multimodal_audio_features (audio.py gained the fingerprint tier on
 #: its module path). Live under rule 3: ALL 39 r06-green trail-2
 #: entries (the pre-committed cohort — staleness offenders the moment
-#: CORRECTNESS_r09.json lands) plus 3 of the r07 cohort, oldest-
-#: registered first (doc_exact_dedup, doc_jaccard_near_dups) and
-#: ticker_pair_correlation (its r08 +43% drift is arbitrated in
-#: bench.py this round — a fresh driver row pins the entry alongside
-#: the arbitration).
-#: 39 + 4 + 4 + 3 = 50. Demoted: 38 r07-green entries (trail 2 at
+#: CORRECTNESS_r09.json lands) plus 2 of the r07 cohort:
+#: doc_exact_dedup (oldest-registered) and ticker_pair_correlation
+#: (its r08 +43% drift is arbitrated in bench.py this round — a fresh
+#: driver row pins the entry alongside the arbitration).
+#: 39 + 5 + 4 + 2 = 50. Demoted: 39 r07-green entries (trail 2 at
 #: r09 — MUST be live in r10; pre-committed as the r10 cohort's
 #: backbone) and 47 r08-green entries (trail 1, due r11; capacity:
-#: 38 + 12 of them fit r10, the remaining 35 fit r11 alongside 15 of
-#: the r09 cohort, whose last 35 then anchor r12 — the 135-entry
+#: 39 + 11 of them fit r10, the remaining 36 fit r11 alongside 14 of
+#: the r09 cohort, whose last 36 then anchor r12 — the 136-entry
 #: registry keeps cycling inside the 3-round re-verification period
-#: with ~12 spare slots across the cycle for new-entry headroom).
+#: with ~11 spare slots across the cycle for new-entry headroom).
 _WINDOW_DEMOTED = [
     # --- r07-green, trail 2 at r09: the PRE-COMMITTED r10 backbone
-    # (all 38 MUST be live the moment CORRECTNESS_r10.json lands) ---
+    # (all 39 MUST be live the moment CORRECTNESS_r10.json lands) ---
+    "doc_jaccard_near_dups",
     "embedding_topk",
     "embedding_near_dups",
     "price_percentiles",
@@ -5781,6 +5783,114 @@ def q_image_tile_crop_near_dups(
           row["families_fully_paired"])],
         "n_images long, n_pairs long, pairs_within_family boolean, "
         "families_fully_paired boolean",
+    )
+
+
+@register(
+    "multimodal_corpus_prep",
+    """
+WITH sel AS (
+    SELECT doc_id, lang FROM documents WHERE doc_id % 8 = 3
+), keep AS (
+    SELECT MIN(doc_id) AS doc_id FROM sel GROUP BY doc_id // 32
+)
+SELECT s.lang, COUNT(*) AS n_docs
+FROM sel s JOIN keep k USING (doc_id)
+GROUP BY s.lang
+""",
+)
+def q_multimodal_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL corpus-prep funnel: image-dedup survivorship gates
+    DOCUMENT selection — the vision-LM twin of corpus_prep_pipeline
+    (there the dedup key was a text fingerprint; here it is the image
+    dHash, so documents whose attached images are byte-different
+    re-encodes of the same pixels collapse to one survivor). Every 8th
+    document carries one image; documents in the same 32-id block share
+    PIXELS (seed = the block id) but each of the block's 4 members
+    ((doc_id // 8) % 4) publishes a different byte encoding — gray PNG,
+    gray-palette GIF, REVERSED-palette GIF (indices inverted, palette
+    inverted — same decoded values, different bytes), and RGB PNG with
+    R=G=B — all decoding to the IDENTICAL luma plane, hence
+    dHash-identical by arithmetic. (A 2x upscale variant would NOT be:
+    the 9-wide dHash grid does not divide 64, so upscaled pixel pairs
+    straddle grid columns — unlike the 32-grid DCT hash where integer
+    upscales are exact.) The funnel: map-only hash stage → exact-signature min-id
+    survivor (one hash-agg) → broadcast semi-join back to documents →
+    per-lang data card. The oracle re-derives survivorship PURELY from
+    id arithmetic (min doc_id per 32-block), so a hash drift, a missed
+    re-encode, or an over-dedup all break the per-lang counts. Scale
+    shape: pixels never shuffle (8 B/image out of the Arrow stage);
+    the survivor agg shuffles 8-byte hashes; the semi-join broadcasts
+    ≤ one row per image."""
+    from .multimodal.phash import image_dhash
+
+    def _build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        gray_pal = [(i, i, i) for i in range(256)]
+
+        def noise32(seed: bytes) -> bytes:
+            out = bytearray()
+            i = 0
+            while len(out) < 32 * 32:
+                out += hashlib.md5(seed + bytes([i])).digest()
+                i += 1
+            return bytes(out[: 32 * 32])
+
+        rev_pal = [(255 - i, 255 - i, 255 - i) for i in range(256)]
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                block = int(doc_id) // 32
+                pix = noise32(hashlib.md5(str(block).encode()).digest())
+                variant = (int(doc_id) // 8) % 4
+                if variant == 0:
+                    payload = _png_enc(32, 32, 1, pix)
+                elif variant == 1:
+                    payload = _gif_enc(32, 32, pix, gray_pal)
+                elif variant == 2:
+                    payload = _gif_enc(
+                        32, 32, bytes(255 - v for v in pix), rev_pal
+                    )
+                else:
+                    payload = _png_enc(
+                        32, 32, 3, b"".join(bytes((v, v, v)) for v in pix)
+                    )
+                ids.append(doc_id)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    from .multimodal.binary import _stdlib_png_codec
+    from .multimodal.gif import _stdlib_gif_codec
+
+    _, _, _png_enc, _ = _stdlib_png_codec()
+    _, _, _gif_enc = _stdlib_gif_codec()
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 8 == 3
+        ),
+        "doc_id",
+    ).select("doc_id", "lang")
+    media = docs.select("doc_id").mapInPandas(
+        _build, "doc_id long, payload binary"
+    )
+    sigs = image_dhash(media)
+    survivors = sigs.groupBy("dhash").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(survivors.select("doc_id")), "doc_id", "semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 

@@ -676,3 +676,37 @@ class TestTileCropNearDups:
         for r in rows:
             sigs.setdefault(r.doc_id, {})[r.tile_idx] = r.dhash
         assert len(sigs[1]) == 4 and sigs[1] == sigs[2]
+
+
+def test_four_byte_encodings_same_luma_hash_identically():
+    """The multimodal_corpus_prep gate's arithmetic: gray PNG, gray GIF,
+    REVERSED-palette GIF (inverted indices + inverted palette), and RGB
+    PNG with R=G=B all decode to the identical luma plane and therefore
+    dHash identically, while their payload bytes all differ."""
+    import hashlib
+
+    from airflow_etl_finance_market_spark.multimodal.phash import (
+        _decode_factory,
+        _dhash_from_pixels,
+    )
+
+    _, png_dec, png_enc, _ = _stdlib_png_codec()
+    _, gif_dec, gif_enc = _stdlib_gif_codec()
+    decode = _decode_factory()
+    gray_pal = [(i, i, i) for i in range(256)]
+    rev_pal = [(255 - i, 255 - i, 255 - i) for i in range(256)]
+    pix = bytearray()
+    i = 0
+    while len(pix) < 32 * 32:
+        pix += hashlib.md5(b"enc4" + bytes([i])).digest()
+        i += 1
+    pix = bytes(pix[: 32 * 32])
+    payloads = [
+        png_enc(32, 32, 1, pix),
+        gif_enc(32, 32, pix, gray_pal),
+        gif_enc(32, 32, bytes(255 - v for v in pix), rev_pal),
+        png_enc(32, 32, 3, b"".join(bytes((v, v, v)) for v in pix)),
+    ]
+    assert len({bytes(p) for p in payloads}) == 4  # byte-different
+    hashes = {_dhash_from_pixels(*decode(p)) for p in payloads}
+    assert len(hashes) == 1
