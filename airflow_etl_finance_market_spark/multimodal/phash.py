@@ -248,6 +248,7 @@ def image_dhash(
     *,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Map-only Arrow stage: ``(id, payload)`` → ``(id, dhash bigint)``.
 
@@ -256,7 +257,9 @@ def image_dhash(
     the row is dropped, never a task failure, matching the
     :mod:`.binary` frame-path posture. No shuffle; partitioning carries
     over from the source, so a 100 TB media table hashes with zero data
-    movement and 8 output bytes per image.
+    movement and 8 output bytes per image. ``passthrough`` columns are
+    copied verbatim (the streaming dedup caller's event-time column must
+    survive this stage — see ``audio.audio_fingerprints``).
     """
     return _image_signature_stage(
         media,
@@ -264,6 +267,7 @@ def image_dhash(
         sig_name="dhash",
         id_col=id_col,
         payload_col=payload_col,
+        passthrough=passthrough,
     )
 
 
@@ -272,6 +276,7 @@ def image_phash_dct(
     *,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Map-only Arrow stage: ``(id, payload)`` → ``(id, phash bigint)``
     — the DCT perceptual hash (:func:`_phash_kernel`) through the same
@@ -284,6 +289,7 @@ def image_phash_dct(
         sig_name="phash",
         id_col=id_col,
         payload_col=payload_col,
+        passthrough=passthrough,
     )
 
 
@@ -294,19 +300,24 @@ def _image_signature_stage(
     sig_name: str,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Shared decode→hash ``mapInPandas`` plumbing for the signature
     stages: decodes via :func:`_decode_factory`, quarantines anything
-    undecodable or below the kernel's grid, emits ``(doc_id, <sig>)``.
-    ``kernel`` must be a FACTORY PRODUCT (never a module-level function
-    — the pickle house rule)."""
+    undecodable or below the kernel's grid, emits ``(doc_id, <sig>)``
+    plus any ``passthrough`` columns copied verbatim (types inherited
+    from the input schema). ``kernel`` must be a FACTORY PRODUCT (never
+    a module-level function — the pickle house rule)."""
     _decode = _decode_factory()
     _kernel = kernel
+    extra = tuple(passthrough)
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, hashes = [], []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            ids, hashes, keep = [], [], []
+            for i, (doc_id, payload) in enumerate(
+                zip(pdf[id_col], pdf[payload_col])
+            ):
                 if payload is None:
                     continue
                 decoded = _decode(bytes(payload))
@@ -318,23 +329,24 @@ def _image_signature_stage(
                 except ValueError:
                     continue  # below-grid-size images can't be hashed
                 ids.append(doc_id)
+                keep.append(i)
                 # store as signed 64-bit (Spark bigint)
                 hashes.append(hv - (1 << 64) if hv >= 1 << 63 else hv)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    sig_name: pd.Series(hashes, dtype="int64"),
-                }
-            )
+            out = {"doc_id": pd.Series(ids, dtype="int64")}
+            for c in extra:
+                out[c] = pdf[c].iloc[keep].reset_index(drop=True)
+            out[sig_name] = pd.Series(hashes, dtype="int64")
+            yield pd.DataFrame(out)
 
     schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField(sig_name, LongType()),
-        ]
+        [StructField("doc_id", LongType())]
+        + [media.schema[c] for c in extra]
+        + [StructField(sig_name, LongType())]
     )
     return media.select(
-        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+        F.col(id_col).alias(id_col),
+        F.col(payload_col).alias(payload_col),
+        *[F.col(c) for c in extra],
     ).mapInPandas(_hash, schema=schema)
 
 

@@ -310,6 +310,15 @@ tile_pairs 5.777 s over ~5k images (full/aligned-crop/GIF families;
 pairs re-hashes, the video tier's cumulative convention). Both
 map-only hash stages + the shared block-LSH pair shape.
 
+r09 late addition: audio_norm_pairs joins the audio tier (the
+normalize-then-fingerprint pipeline behind the audio_norm_near_dups
+cross-rate gate) — solo at 5k clips: 2.371 s vs audio_pairs 1.268,
+i.e. the normalize stage (stdlib decode → exact-mean downmix → PCM16
+re-encode per clip) costs ~1.1 s at this scale, embarrassingly
+parallel map-only work. Postdates the committed r09 BENCH_LOCAL
+refresh — first in-tier numbers land in the driver's BENCH_r09 (the
+contamination_bloom precedent).
+
 r09 one-off audio/tile x10 decades (same contract as the r08
 image/video one-offs — measured once solo over the x10 corpus so the
 new tiers carry decade evidence without adding ~1 min to every
@@ -998,6 +1007,15 @@ def audio_dedup_section(spark, tmp: str) -> tuple[dict[str, float], int]:
     for name, thunk in (
         ("audio_fp_hash", lambda: _noop(audio_fingerprints(media))),
         ("audio_pairs", lambda: _noop(audio_near_dup_pairs(media))),
+        # r09: the normalize-then-fingerprint pipeline (resample_audio
+        # to 8 kHz before the FFT stage). The fixture is already 8 kHz,
+        # so this prices the normalize stage itself (decode → downmix →
+        # re-encode per clip) on top of audio_pairs — the honest cost a
+        # mixed-rate corpus pays for the cross-rate dedup contract.
+        (
+            "audio_norm_pairs",
+            lambda: _noop(audio_near_dup_pairs(media, normalize_rate=8000)),
+        ),
     ):
         best = float("inf")
         for _ in range(3):

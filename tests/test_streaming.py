@@ -877,3 +877,56 @@ def test_media_signature_dedup_stream_equals_batch(spark, tmp_path):
     assert stream_sigs == batch_sigs
     assert len(stream_sigs) == 3  # one per family; junk quarantined
     assert all(r.doc_id // 10 in (0, 1, 2) for r in got.collect())
+
+
+def test_image_signature_dedup_stream_equals_batch(spark, tmp_path):
+    """The image twin: dedup_by_signature(sig_col='dhash') over
+    image_dhash(passthrough=('ts',)) — re-encodes (PNG vs GIF palette)
+    of the same pixels collapse at the stream edge, stream ≡ batch."""
+    import hashlib
+
+    from airflow_etl_finance_market_spark.multimodal.binary import (
+        _stdlib_png_codec,
+    )
+    from airflow_etl_finance_market_spark.multimodal.gif import (
+        _stdlib_gif_codec,
+    )
+    from airflow_etl_finance_market_spark.multimodal.phash import image_dhash
+    from airflow_etl_finance_market_spark.streaming import dedup_by_signature
+
+    _, _, png_enc, _ = _stdlib_png_codec()
+    _, _, gif_enc = _stdlib_gif_codec()
+    gray_pal = [(i, i, i) for i in range(256)]
+    rows = []
+    for fam in range(3):
+        pix = bytearray()
+        i = 0
+        while len(pix) < 32 * 32:
+            pix += hashlib.md5(bytes([fam, i])).digest()
+            i += 1
+        pix = bytes(pix[: 32 * 32])
+        base_us = 1_700_000_000_000_000 + fam * 1_000_000
+        rows.append((fam * 10, base_us, bytearray(png_enc(32, 32, 1, pix))))
+        rows.append(
+            (fam * 10 + 1, base_us, bytearray(gif_enc(32, 32, pix, gray_pal)))
+        )
+    in_dir = str(tmp_path / "img_in")
+    spark.createDataFrame(
+        rows, "doc_id long, ts long, payload binary"
+    ).coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    def pipeline(media):
+        sigs = image_dhash(
+            media.withColumn("ts", F.expr("timestamp_micros(ts)")),
+            passthrough=("ts",),
+        )
+        return dedup_by_signature(sigs, sig_col="dhash", ts="ts")
+
+    schema = "doc_id long, ts long, payload binary"
+    batch = pipeline(spark.read.schema(schema).parquet(in_dir))
+    stream = pipeline(spark.readStream.schema(schema).parquet(in_dir))
+    got = run_available_now(stream, "img_dedup_eq", output_mode="append")
+    assert sorted(r.dhash for r in got.collect()) == sorted(
+        r.dhash for r in batch.collect()
+    )
+    assert got.count() == 3
