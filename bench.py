@@ -319,6 +319,21 @@ parallel map-only work. Postdates the committed r09 BENCH_LOCAL
 refresh — first in-tier numbers land in the driver's BENCH_r09 (the
 contamination_bloom precedent).
 
+r09 SECOND same-day refresh (after the late additions; the committed
+BENCH_LOCAL): headline 13.078 (first run 15.335 — the regime relaxed
+~15% within the day, underscoring the ratio rule), and the run
+CORROBORATES every r09 arbitration: weekly_activity_panel x100 back
+at 3.220 (the first run's 10.2 was a stall), flagship in-tier 8.488
+vs post-hygiene 8.843 — hygiene is NOISE-level here (the first run's
+-8% was too), which cements the decomposition: there is NO
+reclaimable tier state; same-day in-tier == solo == the honest
+number, and cross-day gaps are regimes. audio_norm_pairs first
+in-tier number 1.895 (solo 2.371). One new flag, arbitrated
+immediately: ticker_beta markets_x100 13.089 -> 16.166 (+24%) with
+solo best-of-3 x2 at 12.422 / 13.073 — at the prior level; in-tier
+jitter on a 60M-row entry, not a plan change (operators/markets.py
+untouched this round).
+
 r09 one-off audio/tile x10 decades (same contract as the r08
 image/video one-offs — measured once solo over the x10 corpus so the
 new tiers carry decade evidence without adding ~1 min to every
