@@ -930,3 +930,65 @@ def test_image_signature_dedup_stream_equals_batch(spark, tmp_path):
         r.dhash for r in batch.collect()
     )
     assert got.count() == 3
+
+
+def test_media_signature_dedup_carries_state_across_batches(spark, tmp_path):
+    """A re-encode arriving in a LATER micro-batch (same event time,
+    inside the watermark) must still dedup — dropDuplicatesWithinWatermark
+    state carries across batch boundaries until the watermark passes."""
+    import hashlib
+    import os
+
+    from airflow_etl_finance_market_spark.multimodal.audio import (
+        _stdlib_wav_codec,
+        audio_fingerprints,
+    )
+    from airflow_etl_finance_market_spark.streaming import dedup_by_signature
+
+    _, _, enc, _ = _stdlib_wav_codec()
+
+    def lattice(seed: bytes, n: int = 8000) -> bytes:
+        out = bytearray()
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(seed + bytes([i & 0xFF, i >> 8])).digest()
+            i += 1
+        return bytes(out[:n])
+
+    x = [(v - 128) << 8 for v in lattice(b"xbatch")]
+    y = [(v - 128) << 8 for v in lattice(b"other")]
+    t0 = 1_700_000_000_000_000
+    in_dir = tmp_path / "in"
+    # batch 0: original (mono) + an unrelated clip
+    spark.createDataFrame(
+        [(1, t0, bytearray(enc(8000, [x]))), (2, t0, bytearray(enc(8000, [y])))],
+        "doc_id long, ts long, payload binary",
+    ).coalesce(1).write.parquet(str(in_dir / "b0"))
+    # batch 1: the stereo re-encode of clip 1, 1 s later (within watermark)
+    spark.createDataFrame(
+        [(3, t0 + 1_000_000, bytearray(enc(8000, [x, x])))],
+        "doc_id long, ts long, payload binary",
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+    for i in range(2):
+        d = str(in_dir / f"b{i}")
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.utime(f"{d}/{f}", (1_700_000_000 + i,) * 2)
+    stream = (
+        spark.readStream.schema("doc_id long, ts long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "b*"))
+        .withColumn("ts", F.expr("timestamp_micros(ts)"))
+    )
+    got = run_available_now(
+        dedup_by_signature(
+            audio_fingerprints(stream, passthrough=("ts",)),
+            sig_col="afp",
+            ts="ts",
+            watermark="1 hour",
+        ),
+        "media_dedup_xbatch",
+        output_mode="append",
+    )
+    rows = sorted((r.doc_id for r in got.collect()))
+    assert rows == [1, 2]  # doc 3's re-encode deduped ACROSS the boundary
