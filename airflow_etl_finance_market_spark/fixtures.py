@@ -1,0 +1,197 @@
+"""Shared planted-family fixture builders for harness gates and bench.
+
+The WAV re-encode family and the PNG tile-crop family were copy-pasted
+between their driver gates and their bench sections (four WAV copies,
+two tile copies by round 9) — drift between a gate's construction and
+its bench twin would silently desynchronize what they measure (r09
+advice). This module is the ONE copy of each construction; both sides
+build their fixtures through it.
+
+Everything here follows the pickle house rule: each builder is a
+FACTORY whose product (a plain ``text -> [payload, ...]`` closure)
+captures its codec helpers BY VALUE, so a ``mapInPandas`` closure that
+captures the product ships self-contained to Spark workers that don't
+have this repo on ``sys.path``. The factories themselves run on the
+driver only.
+"""
+
+from __future__ import annotations
+
+
+def audio_fixture_primitives():
+    """Return ``(lattice, pcm8_wav)``: the md5-stream byte lattice and
+    the raw PCM8 RIFF writer every audio family is synthesized from.
+
+    ``lattice(seed, n)`` expands a seed into ``n`` deterministic bytes;
+    the audio families use them as 8-BIT-LATTICE samples
+    ``(u - 128) << 8`` so the 16->8-bit re-encode is LOSSLESS by
+    arithmetic. ``pcm8_wav`` writes an 8-bit unsigned PCM RIFF (the
+    package codec only ENCODES PCM16, so the 8-bit member needs its own
+    writer), word-aligning the data chunk per the RIFF spec."""
+    import hashlib
+    import struct
+
+    def lattice(seed: bytes, n: int = 8000) -> bytes:
+        out = bytearray()
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(
+                seed + bytes([i & 0xFF, (i >> 8) & 0xFF])
+            ).digest()
+            i += 1
+        return bytes(out[:n])
+
+    def pcm8_wav(rate: int, u8: bytes) -> bytes:
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+        out = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        out += b"data" + len(u8).to_bytes(4, "little") + u8
+        if len(u8) & 1:
+            out += b"\x00"  # RIFF chunks are word-aligned
+        return b"RIFF" + len(out).to_bytes(4, "little") + out
+
+    return lattice, pcm8_wav
+
+
+def wav_family_members():
+    """The 3-member WAV RE-ENCODE family: ``members(text) ->
+    [mono PCM16, stereo channel-dup PCM16, 8-bit-lattice PCM8]``.
+
+    All three decode to the SAME sample stream (the downmix is an exact
+    mean; 8-bit decodes to ``(u-128) << 8``), so their fingerprints are
+    equal BY ARITHMETIC — the construction behind the audio_near_dups
+    and streaming_media_dedup_ingest gates and the bench audio tier."""
+    import hashlib
+
+    from .multimodal.audio import _stdlib_wav_codec
+
+    _, _, _wav_enc, _ = _stdlib_wav_codec()
+    lattice, pcm8_wav = audio_fixture_primitives()
+
+    def members(text: str) -> list[bytes]:
+        u8 = lattice(hashlib.md5(text.encode("utf-8")).digest())
+        x = [(v - 128) << 8 for v in u8]
+        return [
+            _wav_enc(8000, [x]),
+            _wav_enc(8000, [x, x]),
+            pcm8_wav(8000, u8),
+        ]
+
+    return members
+
+
+def wav_rate_family_members():
+    """The 3-member CROSS-RATE family: ``members(text) -> [8 kHz base,
+    2x sample-replicated 16 kHz, 3x replicated 24 kHz]``.
+
+    Nearest ``k*r -> r`` downsampling picks every k-th sample, inverting
+    the replication bit-for-bit, so all three normalize to the SAME
+    stream — the audio_norm_near_dups gate's construction."""
+    import hashlib
+
+    from .multimodal.audio import _stdlib_wav_codec
+
+    _, _, _wav_enc, _ = _stdlib_wav_codec()
+    lattice, _ = audio_fixture_primitives()
+
+    def members(text: str) -> list[bytes]:
+        u8 = lattice(hashlib.md5(text.encode("utf-8")).digest())
+        x = [(v - 128) << 8 for v in u8]
+        return [
+            _wav_enc(8000, [x]),
+            _wav_enc(16000, [[v for v in x for _ in range(2)]]),
+            _wav_enc(24000, [[v for v in x for _ in range(3)]]),
+        ]
+
+    return members
+
+
+def wav_trim_family_members(window_samples: int = 2000):
+    """The 3-member TRIM family: ``members(text) -> [full 8000-sample
+    clip, trim dropping the FIRST window, stereo channel-dup of the
+    trim]`` (all mono-equivalent PCM16 at 8 kHz).
+
+    The trim removes exactly one ``window_samples`` block, so every
+    surviving window of the trimmed clip is byte-identical to a window
+    of the original (``trimmed[i*W:(i+1)*W] == original[(i+1)*W:
+    (i+2)*W]``) — window-subfingerprint set overlap is 1.0 on the
+    trim's side BY ARITHMETIC, while the whole-clip fingerprint's
+    segment boundaries all shift and its signature diverges. The
+    audio_window_trim_near_dups gate's construction."""
+    import hashlib
+
+    from .multimodal.audio import _stdlib_wav_codec
+
+    _, _, _wav_enc, _ = _stdlib_wav_codec()
+    lattice, _ = audio_fixture_primitives()
+    W = window_samples
+
+    def members(text: str) -> list[bytes]:
+        u8 = lattice(hashlib.md5(text.encode("utf-8")).digest())
+        x = [(v - 128) << 8 for v in u8]
+        trim = x[W:]
+        return [
+            _wav_enc(8000, [x]),
+            _wav_enc(8000, [trim]),
+            _wav_enc(8000, [trim, trim]),
+        ]
+
+    return members
+
+
+def image_fixture_primitives():
+    """Return ``(noise_pix, crop)``: the md5-stream grayscale noise
+    plane and the rectangular crop helper the tile families build on."""
+    import hashlib
+
+    def noise_pix(seed: bytes, w: int, h: int) -> bytes:
+        out = bytearray()
+        i = 0
+        while len(out) < w * h:
+            out += hashlib.md5(seed + i.to_bytes(2, "big")).digest()
+            i += 1
+        return bytes(out[: w * h])
+
+    def crop(
+        pix: bytes, w: int, x0: int, y0: int, cw: int, ch: int
+    ) -> bytes:
+        return b"".join(
+            pix[(y0 + y) * w + x0 : (y0 + y) * w + x0 + cw]
+            for y in range(ch)
+        )
+
+    return noise_pix, crop
+
+
+def tile_crop_family_members(crop_x: int = 32, crop_y: int = 32):
+    """The 3-member TILE-CROP family: ``members(text) -> [128x128 gray
+    PNG, PNG of its 96x96 interior crop at (crop_x, crop_y), GIF
+    re-encode of the same crop]``.
+
+    With the default (32, 32) offset the crop is TILE-ALIGNED for the
+    32-px tile grid, so its surviving tiles are byte-identical to the
+    original's interior tiles (the image_tile_crop_near_dups gate);
+    (16, 16) makes it HALF-tile-aligned — off the base grid but exactly
+    on the tile/2 offset phase, the two-phase gate's construction."""
+    import hashlib
+
+    from .multimodal.binary import _stdlib_png_codec
+    from .multimodal.gif import _stdlib_gif_codec
+
+    _, _, _png_enc, _ = _stdlib_png_codec()
+    _, _, _gif_enc = _stdlib_gif_codec()
+    noise_pix, crop = image_fixture_primitives()
+    gray_pal = [(i, i, i) for i in range(256)]
+    cx, cy = crop_x, crop_y
+
+    def members(text: str) -> list[bytes]:
+        pix = noise_pix(
+            hashlib.md5(text.encode("utf-8")).digest(), 128, 128
+        )
+        cr = crop(pix, 128, cx, cy, 96, 96)
+        return [
+            _png_enc(128, 128, 1, pix),
+            _png_enc(96, 96, 1, cr),
+            _gif_enc(96, 96, cr, gray_pal),
+        ]
+
+    return members

@@ -5466,46 +5466,21 @@ def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs per family, none cross-family. Resample robustness (not
     provable, only measurable — nearest 2x stays within ~6 bits) is
     pinned empirically in tests/test_audio.py, the JPEG-q90 pattern."""
-    from .multimodal.audio import _stdlib_wav_codec, audio_fingerprints
+    from .fixtures import wav_family_members
+    from .multimodal.audio import audio_fingerprints
     from .multimodal.phash import hamming_near_pairs
 
-    _, _, _wav_enc, _ = _stdlib_wav_codec()
+    _members = wav_family_members()
 
     def _build(batches):
-        import hashlib
-        import struct
-
         import pandas as pd
-
-        def lattice(seed: bytes, n: int = 8000) -> bytes:
-            out = bytearray()
-            i = 0
-            while len(out) < n:
-                out += hashlib.md5(
-                    seed + bytes([i & 0xFF, (i >> 8) & 0xFF])
-                ).digest()
-                i += 1
-            return bytes(out[:n])
-
-        def pcm8_wav(rate: int, u8: bytes) -> bytes:
-            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
-            out = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
-            out += b"data" + len(u8).to_bytes(4, "little") + u8
-            if len(u8) & 1:
-                out += b"\x00"  # RIFF chunks are word-aligned
-            return b"RIFF" + len(out).to_bytes(4, "little") + out
 
         for pdf in batches:
             ids, payloads = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                u8 = lattice(hashlib.md5(text.encode("utf-8")).digest())
-                samples = [(v - 128) << 8 for v in u8]
-                ids.append(doc_id * 10)
-                payloads.append(_wav_enc(8000, [samples]))
-                ids.append(doc_id * 10 + 1)
-                payloads.append(_wav_enc(8000, [samples, samples]))
-                ids.append(doc_id * 10 + 2)
-                payloads.append(pcm8_wav(8000, u8))
+                for k, payload in enumerate(_members(text)):
+                    ids.append(doc_id * 10 + k)
+                    payloads.append(payload)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -5579,40 +5554,19 @@ def q_audio_norm_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle PREDICTS the outcome: 3n clips, exactly the 3
     within-family pairs per family, none cross-family. Both stages are
     map-only Arrow; the pair stage is the shared pigeonhole equi-join."""
-    from .multimodal.audio import _stdlib_wav_codec
+    from .fixtures import wav_rate_family_members
 
-    _, _, _wav_enc, _ = _stdlib_wav_codec()
+    _members = wav_rate_family_members()
 
     def _build(batches):
-        import hashlib
-
         import pandas as pd
-
-        def lattice(seed: bytes, n: int = 8000) -> bytes:
-            out = bytearray()
-            i = 0
-            while len(out) < n:
-                out += hashlib.md5(
-                    seed + bytes([i & 0xFF, (i >> 8) & 0xFF])
-                ).digest()
-                i += 1
-            return bytes(out[:n])
 
         for pdf in batches:
             ids, payloads = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                u8 = lattice(hashlib.md5(text.encode("utf-8")).digest())
-                x = [(v - 128) << 8 for v in u8]
-                ids.append(doc_id * 10)
-                payloads.append(_wav_enc(8000, [x]))
-                ids.append(doc_id * 10 + 1)
-                payloads.append(
-                    _wav_enc(16000, [[v for v in x for _ in range(2)]])
-                )
-                ids.append(doc_id * 10 + 2)
-                payloads.append(
-                    _wav_enc(24000, [[v for v in x for _ in range(3)]])
-                )
+                for k, payload in enumerate(_members(text)):
+                    ids.append(doc_id * 10 + k)
+                    payloads.append(payload)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -5698,57 +5652,29 @@ def q_image_tile_crop_near_dups(
     family, none cross-family. Off-alignment crops degrade gracefully
     (gradient signs drift) — the honest residual pinned in
     tests/test_phash.py."""
+    from .fixtures import tile_crop_family_members
     from .multimodal.phash import (
         image_tile_dhash,
         image_tile_near_dup_pairs,
     )
 
+    _members = tile_crop_family_members()
+
     def _build(batches):
-        import hashlib
-
         import pandas as pd
-
-        gray_pal = [(i, i, i) for i in range(256)]
-
-        def noise_pix(seed: bytes, w: int, h: int) -> bytes:
-            out = bytearray()
-            i = 0
-            while len(out) < w * h:
-                out += hashlib.md5(seed + i.to_bytes(2, "big")).digest()
-                i += 1
-            return bytes(out[: w * h])
-
-        def crop(pix: bytes, w: int, x0: int, y0: int, cw: int, ch: int):
-            return b"".join(
-                pix[(y0 + y) * w + x0 : (y0 + y) * w + x0 + cw]
-                for y in range(ch)
-            )
 
         for pdf in batches:
             ids, payloads = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                pix = noise_pix(
-                    hashlib.md5(text.encode("utf-8")).digest(), 128, 128
-                )
-                cr = crop(pix, 128, 32, 32, 96, 96)
-                ids.append(doc_id * 10)
-                payloads.append(_png_enc(128, 128, 1, pix))
-                ids.append(doc_id * 10 + 1)
-                payloads.append(_png_enc(96, 96, 1, cr))
-                ids.append(doc_id * 10 + 2)
-                payloads.append(_gif_enc(96, 96, cr, gray_pal))
+                for k, payload in enumerate(_members(text)):
+                    ids.append(doc_id * 10 + k)
+                    payloads.append(payload)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "payload": pd.Series(payloads, dtype="object"),
                 }
             )
-
-    from .multimodal.binary import _stdlib_png_codec
-    from .multimodal.gif import _stdlib_gif_codec
-
-    _, _, _png_enc, _ = _stdlib_png_codec()
-    _, _, _gif_enc = _stdlib_gif_codec()
 
     docs = fan_out(
         load_fixture(spark, sf_dir, "documents").filter(
@@ -6360,55 +6286,26 @@ def q_streaming_media_dedup_ingest(
     import shutil
     import tempfile
 
-    from .multimodal.audio import _stdlib_wav_codec, audio_fingerprints
+    from .fixtures import wav_family_members
+    from .multimodal.audio import audio_fingerprints
     from .streaming import dedup_by_signature, run_available_now
 
-    _, _, _wav_enc, _ = _stdlib_wav_codec()
+    _members = wav_family_members()
 
     global _STREAM_GATE_SEQ
     _STREAM_GATE_SEQ += 1
     seq = _STREAM_GATE_SEQ
 
     def _build(batches):
-        import hashlib
-
         import pandas as pd
-
-        def lattice(seed: bytes, n: int = 8000) -> bytes:
-            out = bytearray()
-            i = 0
-            while len(out) < n:
-                out += hashlib.md5(
-                    seed + bytes([i & 0xFF, (i >> 8) & 0xFF])
-                ).digest()
-                i += 1
-            return bytes(out[:n])
-
-        def pcm8_wav(rate: int, u8: bytes) -> bytes:
-            import struct
-
-            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
-            out = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
-            out += b"data" + len(u8).to_bytes(4, "little") + u8
-            if len(u8) & 1:
-                out += b"\x00"
-            return b"RIFF" + len(out).to_bytes(4, "little") + out
 
         for pdf in batches:
             ids, tss, payloads = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                u8 = lattice(hashlib.md5(text.encode("utf-8")).digest())
-                x = [(v - 128) << 8 for v in u8]
                 # one ingest timestamp per family (micros); re-encodes
                 # of one upload arrive together
                 fam_ts = 1_700_000_000_000_000 + int(doc_id) * 1_000_000
-                for k, payload in enumerate(
-                    (
-                        _wav_enc(8000, [x]),
-                        _wav_enc(8000, [x, x]),
-                        pcm8_wav(8000, u8),
-                    )
-                ):
+                for k, payload in enumerate(_members(text)):
                     ids.append(doc_id * 10 + k)
                     tss.append(fam_ts)
                     payloads.append(payload)
@@ -6433,12 +6330,22 @@ def q_streaming_media_dedup_ingest(
     tmp = tempfile.mkdtemp(prefix="finmarket_media_dedup_gate_")
     try:
         # 3 ts-ordered file micro-batches; every family lands whole in
-        # one batch (keyed on the FAMILY id), so duplicate groups never
-        # straddle a batch boundary by construction
+        # one batch (partitioned on CONTIGUOUS family-id ranges), so
+        # duplicate groups never straddle a batch boundary AND event
+        # time is monotone non-decreasing across batches — the r09
+        # advice: the old fam % 3 assignment interleaved timestamps
+        # across batches, so correctness silently depended on the
+        # fixture's id span staying inside the 1-hour watermark; range
+        # batches stay valid at any fixture size.
+        fam = (F.col("doc_id") / 10).cast("long")
+        f_lo, f_hi = media.select(
+            F.min(fam).alias("lo"), F.max(fam).alias("hi")
+        ).first()
+        f_span = (f_hi - f_lo) // 3 + 1
         for i in range(3):
             pdir = f"{tmp}/in/b{i}"
             media.filter(
-                (F.col("doc_id") / 10).cast("long") % 3 == i
+                (fam >= f_lo + i * f_span) & (fam < f_lo + (i + 1) * f_span)
             ).coalesce(1).write.mode("overwrite").parquet(pdir)
             for f in os.listdir(pdir):
                 if f.endswith(".parquet"):

@@ -324,11 +324,22 @@ def _audio_fingerprint_kernel(
     :func:`resample_audio` to a common rate first; after that, copies
     differ only by encoding and land EXACT. Both facts pinned in
     tests/test_audio.py. Signals shorter than ``8 * n_segments``
-    samples raise ValueError (the Spark stage quarantines them)."""
+    samples raise ValueError (the Spark stage quarantines them), and so
+    do clips whose Nyquist sits below ``f_hi``: a rate under ``2*f_hi``
+    leaves the top bands structurally empty, so UNRELATED low-rate
+    clips would converge toward identical (even all-zero) fingerprints
+    and a signature-keyed dedup would silently drop distinct content —
+    quarantine is the same honesty rule as the too-short guard
+    (r09 advice)."""
 
     def fingerprint(rate: int, channels: list[list[int]]) -> int:
         import numpy as np
 
+        if rate < 2 * f_hi:
+            raise ValueError(
+                f"rate {rate} below 2*f_hi={2 * f_hi:g}: top bands would "
+                "be structurally empty and unrelated clips would collide"
+            )
         n = len(channels[0])
         if n < 8 * n_segments:
             raise ValueError(
@@ -426,6 +437,137 @@ def audio_fingerprints(
         F.col(payload_col).alias(payload_col),
         *[F.col(c) for c in extra],
     ).mapInPandas(_stage, schema=schema)
+
+
+def _audio_window_fingerprint_kernel(
+    window_samples: int = 2000,
+    n_segments: int = 9,
+    n_bands: int = 9,
+    f_lo: float = 200.0,
+    f_hi: float = 3600.0,
+):
+    """Per-WINDOW subfingerprints — the TRIM-robust audio signature
+    (r09 verdict #3), factory-nested per the pickle house rule.
+
+    The whole-clip kernel (:func:`_audio_fingerprint_kernel`) slices
+    the ENTIRE clip into 9 equal segments, so a 1-second trim shifts
+    every segment boundary and the signature diverges. The published
+    Haitsma-Kalker scheme is per-window subfingerprints matched as
+    SETS — exactly the machinery the video/tile tiers already provide.
+    This kernel evaluates the whole-clip kernel over NON-OVERLAPPING
+    fixed-SAMPLE windows from the clip start (``windows(rate, chans)
+    -> [(win_idx, bits), ...]``; the trailing partial window is
+    dropped — it would change under any edit). The arithmetic the gate
+    leans on: trimming k WHOLE windows off either end leaves every
+    surviving window's samples byte-identical
+    (``trimmed[i*W:(i+1)*W] == original[(i+k)*W:(i+k+1)*W]``), so its
+    subfingerprints are EXACTLY the original's — set overlap 1.0 on
+    the trim's side. Off-window-boundary trims shift every window and
+    degrade honestly (pinned in tests), the same residual contract as
+    the single-phase tile grid. All whole-clip invariances (gain,
+    channel layout, 8-bit lattice) carry over per window; clips
+    shorter than one window yield no rows (quarantine)."""
+    base = _audio_fingerprint_kernel(n_segments, n_bands, f_lo, f_hi)
+    W = window_samples
+
+    def windows(rate: int, channels: list[list[int]]):
+        n = len(channels[0])
+        out = []
+        for i in range(n // W):
+            seg = [c[i * W : (i + 1) * W] for c in channels]
+            out.append((i, base(rate, seg)))
+        return out
+
+    return windows
+
+
+def audio_window_fingerprints(
+    media: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window_samples: int = 2000,
+) -> DataFrame:
+    """Map-only Arrow stage: ``(id, payload)`` → ``(doc_id, win_idx,
+    afp)`` — one subfingerprint per fixed-sample window
+    (:func:`_audio_window_fingerprint_kernel`), the audio twin of
+    :func:`.phash.image_tile_dhash` / ``video_frame_dhash``. Feed the
+    rows to :func:`audio_window_near_dup_pairs` for trim-robust dedup.
+    ``win_idx`` rides along for debuggability only (a trim shifts every
+    surviving window's index, so position is deliberately NOT part of
+    the match). Corrupt / non-PCM / sub-window payloads QUARANTINE
+    (zero rows); a 100 TB audio table reduces to 8 bytes per window
+    with zero data movement."""
+    _, _wav_decode, _, _ = _stdlib_wav_codec()
+    _wins = _audio_window_fingerprint_kernel(window_samples)
+
+    def _stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    rate, chans = _wav_decode(bytes(payload))
+                    rows = _wins(rate, chans)
+                except Exception:
+                    continue  # quarantine: undecodable / low-rate clip
+                for k, hv in rows:
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    fps.append(hv - (1 << 64) if hv >= 1 << 63 else hv)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int64"),
+                    "afp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(_stage, schema="doc_id long, win_idx long, afp long")
+
+
+def audio_window_near_dup_pairs(
+    window_sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    sig_col: str = "afp",
+    max_hamming: int = 4,
+    min_match_frac: float = 0.8,
+    n_blocks: int | None = None,
+    block_ball: int = 0,
+) -> DataFrame:
+    """Trim-robust audio near-dup via WINDOW-HASH SET OVERLAP — the
+    video gate's machinery on :func:`audio_window_fingerprints` rows:
+    two clips are near-dups when ``>= min_match_frac`` of the smaller
+    one's distinct window subfingerprints have a
+    within-``max_hamming`` match in the other. A window-aligned trim
+    keeps every surviving window byte-identical, so trim↔original
+    overlap = 1 on the trim's side; unrelated clips share ~nothing and
+    a single-window collision is absorbed by the fraction threshold.
+    Plan shape inherited wholesale (per-clip DISTINCT hash sets, the
+    shared ``_block_candidates`` pigeonhole equi-join with the exact
+    multi-index mode available, one aggregate per candidate pair).
+    Returns ``(id_a, id_b, n_matched, match_frac)`` with
+    ``id_a < id_b``."""
+    from .phash import video_near_dup_pairs
+
+    return video_near_dup_pairs(
+        window_sigs,
+        video_col=id_col,
+        sig_col=sig_col,
+        max_hamming=max_hamming,
+        min_match_frac=min_match_frac,
+        n_blocks=n_blocks,
+        block_ball=block_ball,
+    ).select(
+        F.col("video_a").alias("id_a"),
+        F.col("video_b").alias("id_b"),
+        "n_matched",
+        "match_frac",
+    )
 
 
 def audio_near_dup_pairs(

@@ -40,10 +40,18 @@ LLM-data operator set, composed from the repo's own codec + dedup
 machinery.
 
 Scale notes: hashing is map-only (no shuffle; 8 bytes out per image).
-The pair stage shuffles on 16-bit block values — 64k buckets, the same
-bucket-space arithmetic as the text path; skewed buckets (near-identical
-corpora) AQE-split. At 100 TB of media the hash stage streams the binary
-column once and the join runs over the 8-byte hash table, not pixels.
+The pair stage shuffles on 12-16-bit block values (~81k keys under the
+default 5-block split); skewed buckets (near-identical corpora)
+AQE-split. At 100 TB of media the hash stage streams the binary column
+once and the join runs over the 8-byte hash table, not pixels. The
+default split's random-collision candidates grow as ~n^2/2048 — fine
+to ~10^7 items, the join's own cost at 10^8+; before a run that big,
+audit with :func:`block_bucket_stats` and switch the pair stage to the
+exact MULTI-INDEX mode (``n_blocks=3, block_ball=1`` — wider blocks,
+single-bit-flip probes, same exact radius, ~28x fewer candidates; see
+:func:`_block_candidates`), and collapse identical signatures to one
+representative first (exact-dup masses are the one skew no bucketing
+scheme can scatter).
 """
 
 from __future__ import annotations
@@ -391,6 +399,168 @@ def _block_rows(
     )
 
 
+def _block_widths(n_blocks: int, n_bits: int) -> list[int]:
+    """Per-block bit widths: equal splits, remainder widening the LAST
+    block (the :func:`_block_rows` convention)."""
+    width = n_bits // n_blocks
+    return [width] * (n_blocks - 1) + [n_bits - width * (n_blocks - 1)]
+
+
+def _block_candidates(
+    items: DataFrame,
+    *,
+    n_blocks: int,
+    n_bits: int,
+    ball: int = 0,
+) -> DataFrame:
+    """Candidate pairs for every block-LSH consumer: ``items`` is an
+    ``(id, sig)`` frame; returns DISTINCT ``(id_a, id_b, sig_a, sig_b)``
+    with ``id_a < id_b`` — the ONE join shape the image / video / tile
+    / audio pair stages all ride (so its cost model is audited once).
+
+    ``ball=0`` is the classic pigeonhole equi-join on exact block
+    values. ``ball=1`` is the EXACT MULTI-INDEX mode (Norouzi et al.'s
+    multi-index hashing, the r09 verdict's asymptote fix): the probe
+    side additionally emits every single-bit flip of each block value,
+    so two signatures collide when some block matches within Hamming 1
+    — which lets callers use FEWER, WIDER blocks for the same exact
+    recall radius. Why that matters at web scale: with ``n`` items and
+    block width ``w``, expected random-collision candidates grow as
+    ``n_blocks * ball_size * n^2 / 2^w`` — the 5x~13-bit default is
+    ~n^2/2048, invisible at 10^5 items but ~10^12 pairs at 10^9 images,
+    while 3x~21-bit blocks with ball-1 probes are ~n^2/57000 (~28x
+    fewer candidates, measured 49x on the skew fixture in
+    tests/test_phash.py) at a 22/5 probe-row premium, and the same
+    radius stays EXACT. Audit the tradeoff with
+    :func:`block_bucket_stats` before choosing. ``ball >= 2`` (even
+    wider blocks) is not implemented — enumerating C(w, 2) flips per
+    block needs a join-free bit-sliced layout to be worth it; raise
+    rather than quietly explode rows.
+    """
+    if ball not in (0, 1):
+        raise NotImplementedError(
+            f"per-block Hamming ball radius {ball} not supported "
+            "(0 = exact block match, 1 = single-bit-flip multi-index)"
+        )
+    blocks = _block_rows(
+        items, sig_col="sig", n_blocks=n_blocks, n_bits=n_bits
+    )
+    if ball == 0:
+        probe = blocks.select(
+            "id", "sig", "block_idx", F.col("block_val").alias("probe_val")
+        )
+    else:
+        widths = _block_widths(n_blocks, n_bits)
+        # flip = -1 keeps the unflipped value; 0..w-1 flip one bit.
+        # Per-row shift via pow(2, flip) — F.shiftleft takes only a
+        # literal shift count (exact in double up to 2^52 >> any block
+        # width).
+        probe = (
+            blocks.select(
+                "id",
+                "sig",
+                "block_idx",
+                "block_val",
+                F.explode(
+                    F.array(
+                        *[F.lit(j) for j in range(-1, max(widths))]
+                    )
+                ).alias("flip"),
+            )
+            .filter(
+                (F.col("flip") == -1)
+                | (
+                    F.col("flip")
+                    < F.element_at(
+                        F.array(*[F.lit(w) for w in widths]),
+                        F.col("block_idx").cast("int") + 1,
+                    )
+                )
+            )
+            .select(
+                "id",
+                "sig",
+                "block_idx",
+                F.when(
+                    F.col("flip") >= 0,
+                    F.col("block_val").bitwiseXOR(
+                        F.pow(F.lit(2.0), F.col("flip")).cast("long")
+                    ),
+                )
+                .otherwise(F.col("block_val"))
+                .alias("probe_val"),
+            )
+        )
+    a, b = blocks.alias("a"), probe.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.probe_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+
+
+def block_bucket_stats(
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    sig_col: str = "dhash",
+    max_hamming: int = 4,
+    n_bits: int = 64,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Bucket-size accounting for the block-LSH pair join (r09 verdict
+    #1: the join's cost was an unmeasured asymptote) — run this BEFORE
+    a large pair job to see what the equi-join will pay. One-row frame:
+
+    - ``n_items`` distinct ``(id, sig)`` rows in;
+    - ``n_buckets`` / ``max_bucket`` / ``avg_bucket`` over the
+      ``(block_idx, block_val)`` key space;
+    - ``candidate_pairs`` = sum over buckets of C(size, 2) — the EXACT
+      number of join-output rows a ball-0 pair stage generates before
+      dedup/verify (each same-bucket pair costs one row even if it
+      also collides in another block).
+
+    The stats job is one 8-byte-keyed aggregation — linear, no pair
+    blow-up — so it is safe to run at any scale the hash stage itself
+    survives. If ``candidate_pairs`` approaches n_items^2 territory,
+    switch the pair call to the multi-index mode (``n_blocks=3,
+    block_ball=1`` — see :func:`_block_candidates`) or dedup exact
+    signatures first (identical-signature masses are TRUE duplicate
+    groups; collapse them to one representative before near-dup
+    pairing, which bounds every bucket by the distinct-signature
+    count)."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    items = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
+    ).distinct()
+    buckets = _block_rows(
+        items, sig_col="sig", n_blocks=n_blocks, n_bits=n_bits
+    ).groupBy("block_idx", "block_val").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    n_items = items.count()
+    return buckets.agg(
+        F.lit(n_items).alias("n_items"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.round(F.avg("sz"), 6).alias("avg_bucket"),
+        F.sum(
+            (F.col("sz") * (F.col("sz") - 1) / 2).cast("long")
+        ).alias("candidate_pairs"),
+    )
+
+
 def hamming_near_pairs(
     sigs: DataFrame,
     *,
@@ -399,59 +569,61 @@ def hamming_near_pairs(
     max_hamming: int = 4,
     n_bits: int = 64,
     n_blocks: int | None = None,
+    block_ball: int = 0,
     allow_heuristic: bool = False,
 ) -> DataFrame:
     """Near-pairs over any 64-bit signature column: block LSH + Hamming
     verify — the ``simhash_near_pairs`` join form generalized to a
     caller-supplied signature (image dHash here).
 
-    Candidate generation is EXACT by pigeonhole only when
-    ``max_hamming <= n_blocks - 1``, so ``n_blocks`` defaults to
-    ``max_hamming + 1`` and an explicit violating value raises —
-    the r07 review caught the old ``n_blocks=4`` default silently
-    missing pairs at exactly Hamming 4 with one flipped bit per block.
-    Remainder bits (64 not divisible by n_blocks) widen the LAST
-    block, which only tightens buckets — uncovered bits would also
-    have been safe (all-blocks-equal still collides) but waste
-    selectivity. The block equi-join shuffles on
+    Candidate generation is EXACT by pigeonhole only when some block
+    must match within the probed ball: splitting into ``n_blocks``
+    blocks, a pair within Hamming ``max_hamming`` has some block within
+    ``floor(max_hamming / n_blocks)`` (all blocks further would sum
+    past the radius), so exactness requires ``floor(max_hamming /
+    n_blocks) <= block_ball``. ``n_blocks`` defaults to ``max_hamming
+    + 1`` with ``block_ball=0`` (the r07 review caught the old
+    ``n_blocks=4`` default silently missing pairs at exactly Hamming 4
+    with one flipped bit per block); ``n_blocks=3, block_ball=1`` is
+    the exact MULTI-INDEX mode for web-scale inputs — ~28x fewer
+    random-collision candidates via wider blocks, same exact radius
+    (see :func:`_block_candidates` for the arithmetic and
+    :func:`block_bucket_stats` for the audit query). A violating
+    combination raises. Remainder bits (64 not divisible by n_blocks)
+    widen the LAST block, which only tightens buckets — uncovered bits
+    would also have been safe (all-blocks-equal still collides) but
+    waste selectivity. The block equi-join shuffles on
     ``(block_idx, block_val)``; every candidate verifies JVM-side with
     ``bit_count(xor)``. Returns ``(id_a, id_b, hamming)`` with
     ``id_a < id_b``.
     """
     if n_blocks is None:
         n_blocks = max_hamming + 1
-    if max_hamming > n_blocks - 1 and not allow_heuristic:
+    if max_hamming // n_blocks > block_ball and not allow_heuristic:
         # allow_heuristic is the simhash caller's documented
         # high-recall/bounded-cost band (Manku-style); image dedup
         # keeps the exact contract
         raise ValueError(
-            "exact recall needs max_hamming <= n_blocks - 1 "
-            f"(got max_hamming={max_hamming}, n_blocks={n_blocks})"
+            "exact recall needs floor(max_hamming / n_blocks) <= "
+            f"block_ball (got max_hamming={max_hamming}, "
+            f"n_blocks={n_blocks}, block_ball={block_ball})"
         )
-    blocks = _block_rows(
-        sigs.select(
-            F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
-        ),
-        sig_col="sig",
-        n_blocks=n_blocks,
-        n_bits=n_bits,
-    )
-    a, b = blocks.alias("a"), blocks.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.id") < F.col("b.id")),
+        _block_candidates(
+            sigs.select(
+                F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
+            ),
+            n_blocks=n_blocks,
+            n_bits=n_bits,
+            ball=block_ball,
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.bit_count(
-                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
             ).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -521,6 +693,8 @@ def video_near_dup_pairs(
     max_hamming: int = 4,
     min_match_frac: float = 0.8,
     n_bits: int = 64,
+    n_blocks: int | None = None,
+    block_ball: int = 0,
 ) -> DataFrame:
     """Video-level near-dup via FRAME-HASH SET OVERLAP: two videos are
     near-dups when >= ``min_match_frac`` of the smaller one's distinct
@@ -531,35 +705,43 @@ def video_near_dup_pairs(
     which makes this gate MORE robust than its image sibling).
 
     Plan shape: per-video DISTINCT hash sets (tiny — 8 B x frames), the
-    same pigeonhole block equi-join as :func:`hamming_near_pairs`
-    keyed straight on the video ids, one distinct + one hash-aggregate
-    per video pair, broadcast-friendly per-video size join. Frame
-    PIXELS appear nowhere; candidate generation is never all-pairs.
+    same :func:`_block_candidates` pigeonhole equi-join as
+    :func:`hamming_near_pairs` keyed straight on the video ids (so the
+    exact multi-index mode — ``n_blocks=3, block_ball=1`` — and the
+    :func:`block_bucket_stats` audit apply here unchanged), one
+    distinct + one hash-aggregate per video pair, broadcast-friendly
+    per-video size join. Frame PIXELS appear nowhere; candidate
+    generation is never all-pairs.
     Returns ``(video_a, video_b, n_matched, match_frac)``.
     """
-    n_blocks = max_hamming + 1
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if max_hamming // n_blocks > block_ball:
+        raise ValueError(
+            "exact recall needs floor(max_hamming / n_blocks) <= "
+            f"block_ball (got max_hamming={max_hamming}, "
+            f"n_blocks={n_blocks}, block_ball={block_ball})"
+        )
     vs = frame_sigs.select(
         F.col(video_col).alias("vid"), F.col(sig_col).alias("sig")
     ).distinct()
-    blocks = _block_rows(vs, sig_col="sig", n_blocks=n_blocks, n_bits=n_bits)
-    a, b = blocks.alias("a"), blocks.alias("b")
     matched = (
-        a.join(
-            b,
-            (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.vid") < F.col("b.vid")),
+        _block_candidates(
+            vs.select(F.col("vid").alias("id"), "sig"),
+            n_blocks=n_blocks,
+            n_bits=n_bits,
+            ball=block_ball,
         )
         .filter(
-            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
             <= max_hamming
         )
         # one matched row per (pair, source hash): a hash of A counts
         # once no matter how many frames of B it matches
         .select(
-            F.col("a.vid").alias("video_a"),
-            F.col("b.vid").alias("video_b"),
-            F.col("a.sig").alias("sig_a"),
+            F.col("id_a").alias("video_a"),
+            F.col("id_b").alias("video_b"),
+            "sig_a",
         )
         .distinct()
         .groupBy("video_a", "video_b")
@@ -598,6 +780,8 @@ def image_tile_dhash(
     payload_col: str = "payload",
     tile_w: int = 32,
     tile_h: int = 32,
+    phase_offsets: tuple[tuple[int, int], ...] = ((0, 0),),
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Map-only Arrow stage: ``(id, payload)`` → ``(doc_id, tile_idx,
     dhash)`` — one dHash PER FIXED-SIZE TILE instead of one per image,
@@ -611,59 +795,95 @@ def image_tile_dhash(
     would re-stretch after a crop and change every cell, while
     fixed-size tiles of the uncropped region are pixel-identical, so a
     tile-boundary-aligned crop matches its surviving tiles at Hamming 0
-    BY ARITHMETIC. Off-alignment crops degrade gracefully (gradient
-    signs drift with the shift) — the honest residual pinned in tests.
-    Only complete tiles hash (``floor(w/tile_w) x floor(h/tile_h)``);
+    BY ARITHMETIC. Only complete tiles hash
+    (``floor((w-ox)/tile_w) x floor((h-oy)/tile_h)`` per phase);
     tile position is deliberately NOT part of the signature (a crop
     shifts every surviving tile's index), ``tile_idx`` rides along for
-    debuggability only. Same decode/quarantine plumbing as
-    :func:`image_dhash`; output is ~8 B x tiles per image and pixels
-    never leave the map stage.
+    debuggability only (phase encoded in its high digits). Same
+    decode/quarantine plumbing as :func:`image_dhash`; output is
+    ~8 B x tiles x phases per image and pixels never leave the map
+    stage.
+
+    ``phase_offsets`` (r09 verdict #4 — MISALIGNED crops): with the
+    default single ``(0, 0)`` phase, only tile-boundary-aligned crops
+    match exactly and off-grid crops degrade gracefully (gradient signs
+    drift with the shift — the honest residual pinned in tests). Adding
+    a second phase at ``(tile_w//2, tile_h//2)`` hashes every image on
+    TWO interleaved grids: a crop whose offset is congruent to 0 OR
+    tile/2 (mod tile) in each axis then shares byte-identical tiles
+    with one of the phases — the phase-0 tiles of a half-aligned crop
+    ARE phase-tile/2 tiles of the original — so the set-overlap gate
+    recovers it at exactly 2x hash cost. Crops off BOTH phases still
+    degrade honestly; full offset invariance needs keypoint methods,
+    out of scope. ``passthrough`` columns are copied verbatim (the
+    streaming dedup caller's event-time column must survive this
+    stage, like every sibling signature stage).
     """
     _decode = _decode_factory()
     _dhash = _dhash_kernel()
     tw, th = tile_w, tile_h
+    phases = tuple(phase_offsets)
+    extra = tuple(passthrough)
 
     def _stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, hashes = [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            ids, idxs, hashes, keep = [], [], [], []
+            for i, (doc_id, payload) in enumerate(
+                zip(pdf[id_col], pdf[payload_col])
+            ):
                 if payload is None:
                     continue
                 decoded = _decode(bytes(payload))
                 if decoded is None:
                     continue  # quarantine: corrupt/unsupported payload
                 w, h, ch, pix = decoded
-                n_tx, n_ty = w // tw, h // th
-                for ty in range(n_ty):
-                    for tx in range(n_tx):
-                        tile = b"".join(
-                            pix[
-                                ((ty * th + y) * w + tx * tw) * ch
-                                : ((ty * th + y) * w + (tx + 1) * tw) * ch
-                            ]
-                            for y in range(th)
-                        )
-                        try:
-                            hv = _dhash(tw, th, ch, tile)
-                        except ValueError:
-                            continue  # tile below the hash grid
-                        ids.append(doc_id)
-                        idxs.append(ty * n_tx + tx)
-                        hashes.append(
-                            hv - (1 << 64) if hv >= 1 << 63 else hv
-                        )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "tile_idx": pd.Series(idxs, dtype="int64"),
-                    "dhash": pd.Series(hashes, dtype="int64"),
-                }
-            )
+                for p, (ox, oy) in enumerate(phases):
+                    n_tx, n_ty = (w - ox) // tw, (h - oy) // th
+                    for ty in range(n_ty):
+                        for tx in range(n_tx):
+                            tile = b"".join(
+                                pix[
+                                    ((oy + ty * th + y) * w + ox + tx * tw)
+                                    * ch
+                                    : (
+                                        (oy + ty * th + y) * w
+                                        + ox
+                                        + (tx + 1) * tw
+                                    )
+                                    * ch
+                                ]
+                                for y in range(th)
+                            )
+                            try:
+                                hv = _dhash(tw, th, ch, tile)
+                            except ValueError:
+                                continue  # tile below the hash grid
+                            ids.append(doc_id)
+                            keep.append(i)
+                            idxs.append(p * 1_000_000 + ty * n_tx + tx)
+                            hashes.append(
+                                hv - (1 << 64) if hv >= 1 << 63 else hv
+                            )
+            out = {"doc_id": pd.Series(ids, dtype="int64")}
+            for c in extra:
+                out[c] = pdf[c].iloc[keep].reset_index(drop=True)
+            out["tile_idx"] = pd.Series(idxs, dtype="int64")
+            out["dhash"] = pd.Series(hashes, dtype="int64")
+            yield pd.DataFrame(out)
 
+    schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [media.schema[c] for c in extra]
+        + [
+            StructField("tile_idx", LongType()),
+            StructField("dhash", LongType()),
+        ]
+    )
     return media.select(
-        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
-    ).mapInPandas(_stage, schema="doc_id long, tile_idx long, dhash long")
+        F.col(id_col).alias(id_col),
+        F.col(payload_col).alias(payload_col),
+        *[F.col(c) for c in extra],
+    ).mapInPandas(_stage, schema=schema)
 
 
 def image_tile_near_dup_pairs(
@@ -673,6 +893,8 @@ def image_tile_near_dup_pairs(
     sig_col: str = "dhash",
     max_hamming: int = 4,
     min_match_frac: float = 0.8,
+    n_blocks: int | None = None,
+    block_ball: int = 0,
 ) -> DataFrame:
     """Crop-tolerant image near-dup via TILE-HASH SET OVERLAP — the
     video gate's machinery (:func:`video_near_dup_pairs`) applied to
@@ -684,7 +906,8 @@ def image_tile_near_dup_pairs(
     single-tile collision is absorbed by the fraction threshold.
 
     Plan shape is inherited wholesale: per-image DISTINCT tile-hash
-    sets, the shared :func:`_block_rows` pigeonhole equi-join, one
+    sets, the shared :func:`_block_candidates` pigeonhole equi-join
+    (multi-index mode and bucket-stats audit included), one
     aggregate per candidate pair, broadcast-friendly size join — never
     all-pairs. Returns ``(id_a, id_b, n_matched, match_frac)`` with
     ``id_a < id_b``.
@@ -695,6 +918,8 @@ def image_tile_near_dup_pairs(
         sig_col=sig_col,
         max_hamming=max_hamming,
         min_match_frac=min_match_frac,
+        n_blocks=n_blocks,
+        block_ball=block_ball,
     ).select(
         F.col("video_a").alias("id_a"),
         F.col("video_b").alias("id_b"),

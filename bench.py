@@ -951,50 +951,24 @@ def audio_dedup_section(spark, tmp: str) -> tuple[dict[str, float], int]:
     parquet outside the timers, same contract as the image tier."""
     import time as _time
 
+    from airflow_etl_finance_market_spark.fixtures import wav_family_members
     from airflow_etl_finance_market_spark.multimodal.audio import (
-        _stdlib_wav_codec,
         audio_fingerprints,
         audio_near_dup_pairs,
     )
     from airflow_etl_finance_market_spark.util import fan_out
 
-    _, _, _wav_enc, _ = _stdlib_wav_codec()
+    _members = wav_family_members()
 
     def _build(batches):
-        import hashlib
-        import struct
-
         import pandas as pd
-
-        def lattice(seed: bytes, n: int = 8000) -> bytes:
-            out = bytearray()
-            i = 0
-            while len(out) < n:
-                out += hashlib.md5(
-                    seed + bytes([i & 0xFF, (i >> 8) & 0xFF])
-                ).digest()
-                i += 1
-            return bytes(out[:n])
-
-        def pcm8_wav(rate: int, u8: bytes) -> bytes:
-            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
-            out = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
-            out += b"data" + len(u8).to_bytes(4, "little") + u8
-            if len(u8) & 1:
-                out += b"\x00"
-            return b"RIFF" + len(out).to_bytes(4, "little") + out
 
         for pdf in batches:
             ids, payloads = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                u8 = lattice(hashlib.md5(text.encode("utf-8")).digest())
-                samples = [(v - 128) << 8 for v in u8]
-                ids.append(doc_id * 10)
-                payloads.append(_wav_enc(8000, [samples]))
-                ids.append(doc_id * 10 + 1)
-                payloads.append(_wav_enc(8000, [samples, samples]))
-                ids.append(doc_id * 10 + 2)
-                payloads.append(pcm8_wav(8000, u8))
+                for k, payload in enumerate(_members(text)):
+                    ids.append(doc_id * 10 + k)
+                    payloads.append(payload)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -1051,11 +1025,8 @@ def image_tile_section(spark, tmp: str) -> tuple[dict[str, float], int]:
     Fixture written to parquet outside the timers."""
     import time as _time
 
-    from airflow_etl_finance_market_spark.multimodal.binary import (
-        _stdlib_png_codec,
-    )
-    from airflow_etl_finance_market_spark.multimodal.gif import (
-        _stdlib_gif_codec,
+    from airflow_etl_finance_market_spark.fixtures import (
+        tile_crop_family_members,
     )
     from airflow_etl_finance_market_spark.multimodal.phash import (
         image_tile_dhash,
@@ -1063,43 +1034,17 @@ def image_tile_section(spark, tmp: str) -> tuple[dict[str, float], int]:
     )
     from airflow_etl_finance_market_spark.util import fan_out
 
-    _, _, _png_enc, _ = _stdlib_png_codec()
-    _, _, _gif_enc = _stdlib_gif_codec()
+    _members = tile_crop_family_members()
 
     def _build(batches):
-        import hashlib
-
         import pandas as pd
-
-        gray_pal = [(i, i, i) for i in range(256)]
-
-        def noise_pix(seed: bytes, w: int, h: int) -> bytes:
-            out = bytearray()
-            i = 0
-            while len(out) < w * h:
-                out += hashlib.md5(seed + i.to_bytes(2, "big")).digest()
-                i += 1
-            return bytes(out[: w * h])
-
-        def crop(pix: bytes, w: int, x0: int, y0: int, cw: int, ch: int):
-            return b"".join(
-                pix[(y0 + y) * w + x0 : (y0 + y) * w + x0 + cw]
-                for y in range(ch)
-            )
 
         for pdf in batches:
             ids, payloads = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                pix = noise_pix(
-                    hashlib.md5(text.encode("utf-8")).digest(), 128, 128
-                )
-                cr = crop(pix, 128, 32, 32, 96, 96)
-                ids.append(doc_id * 10)
-                payloads.append(_png_enc(128, 128, 1, pix))
-                ids.append(doc_id * 10 + 1)
-                payloads.append(_png_enc(96, 96, 1, cr))
-                ids.append(doc_id * 10 + 2)
-                payloads.append(_gif_enc(96, 96, cr, gray_pal))
+                for k, payload in enumerate(_members(text)):
+                    ids.append(doc_id * 10 + k)
+                    payloads.append(payload)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

@@ -305,6 +305,33 @@ class TestAudioFingerprint:
         with pytest.raises(ValueError, match="too short"):
             fp(8000, [[0] * 71])  # < 8 * n_segments
 
+    def test_low_rate_nyquist_guard_raises(self):
+        """rate < 2*f_hi leaves the top bands structurally empty —
+        unrelated low-rate clips would converge toward identical
+        fingerprints, so the kernel REFUSES (r09 advice) and the Spark
+        stage quarantines, instead of silently colliding distinct
+        content at a signature-keyed dedup edge."""
+        fp = self._fp()
+        with pytest.raises(ValueError, match="below 2\\*f_hi"):
+            fp(4000, [[(v - 128) << 8 for v in _lattice(b"lo")]])
+
+    def test_low_rate_clips_quarantined_on_spark(self, spark):
+        from airflow_etl_finance_market_spark.multimodal.audio import (
+            audio_fingerprints,
+        )
+
+        _, _, enc, _ = _stdlib_wav_codec()
+        x = [(v - 128) << 8 for v in _lattice(b"lo-spark")]
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(enc(8000, [x]))),
+                (2, bytearray(enc(4000, [x]))),  # Nyquist below f_hi
+            ],
+            "doc_id long, payload binary",
+        )
+        rows = audio_fingerprints(media).collect()
+        assert [r.doc_id for r in rows] == [1]
+
     def test_spark_stage_quarantines_and_planted_recall(self, spark):
         """End-to-end on Spark: two planted families (3 re-encode
         variants each) + corrupt/short/NULL payloads. The fingerprint
@@ -337,6 +364,97 @@ class TestAudioFingerprint:
         assert len(pairs) == 6
         assert all(p.hamming == 0 for p in pairs)
         assert all(p.id_a // 10 == p.id_b // 10 for p in pairs)
+
+
+class TestWindowedSubfingerprints:
+    """Trim-robust audio dedup (r09 verdict #3): per-window
+    subfingerprints matched as sets — window-aligned trims are exact
+    by arithmetic, off-boundary trims degrade honestly, and the
+    whole-clip fingerprint misses what the windowed path finds."""
+
+    def test_kernel_trim_exactness_by_arithmetic(self):
+        from airflow_etl_finance_market_spark.multimodal.audio import (
+            _audio_window_fingerprint_kernel,
+        )
+
+        wins = _audio_window_fingerprint_kernel(2000)
+        x = [(v - 128) << 8 for v in _lattice(b"trim-kernel")]
+        full = wins(8000, [x])
+        trimmed = wins(8000, [x[2000:]])
+        assert len(full) == 4 and len(trimmed) == 3
+        assert [b for _, b in trimmed] == [b for _, b in full[1:]]
+        # stereo channel-dup of the trim fingerprints identically
+        stereo = wins(8000, [x[2000:], x[2000:]])
+        assert [b for _, b in stereo] == [b for _, b in trimmed]
+
+    def test_window_trim_found_whole_clip_misses(self, spark):
+        """THE closing test: the windowed path finds the trim pair the
+        whole-clip fingerprint misses — same data, same session."""
+        from airflow_etl_finance_market_spark.multimodal.audio import (
+            audio_near_dup_pairs,
+            audio_window_fingerprints,
+            audio_window_near_dup_pairs,
+        )
+
+        _, _, enc, _ = _stdlib_wav_codec()
+        x = [(v - 128) << 8 for v in _lattice(b"trim-e2e")]
+        y = [(v - 128) << 8 for v in _lattice(b"unrelated-clip")]
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(enc(8000, [x]))),
+                (2, bytearray(enc(8000, [x[2000:]]))),
+                (3, bytearray(enc(8000, [y]))),
+            ],
+            "doc_id long, payload binary",
+        )
+        assert audio_near_dup_pairs(media).collect() == []  # the miss
+        sigs = audio_window_fingerprints(media)
+        pairs = audio_window_near_dup_pairs(
+            sigs, min_match_frac=0.8
+        ).collect()
+        assert [
+            (r.id_a, r.id_b, r.n_matched, r.match_frac) for r in pairs
+        ] == [(1, 2, 3, 1.0)]
+
+    def test_misaligned_trim_degrades_honestly(self, spark):
+        """A trim by HALF a window shifts every window boundary — no
+        byte-identical windows survive, subfingerprints drift, and the
+        pair is missed. The residual contract, pinned: window overlap
+        buys WINDOW-ALIGNED trim/offset recall, not arbitrary-sample
+        edits (full offset invariance needs overlapping hops at
+        proportionally higher hash cost — same dial as the tile
+        phases)."""
+        from airflow_etl_finance_market_spark.multimodal.audio import (
+            audio_window_fingerprints,
+            audio_window_near_dup_pairs,
+        )
+
+        _, _, enc, _ = _stdlib_wav_codec()
+        x = [(v - 128) << 8 for v in _lattice(b"misaligned-trim")]
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(enc(8000, [x]))),
+                (2, bytearray(enc(8000, [x[1000:]]))),
+            ],
+            "doc_id long, payload binary",
+        )
+        pairs = audio_window_near_dup_pairs(
+            audio_window_fingerprints(media), min_match_frac=0.8
+        ).collect()
+        assert pairs == []
+
+    def test_sub_window_clips_quarantined(self, spark):
+        from airflow_etl_finance_market_spark.multimodal.audio import (
+            audio_window_fingerprints,
+        )
+
+        _, _, enc, _ = _stdlib_wav_codec()
+        x = [(v - 128) << 8 for v in _lattice(b"short", 1500)]
+        media = spark.createDataFrame(
+            [(1, bytearray(enc(8000, [x]))), (2, None)],
+            "doc_id long, payload binary",
+        )
+        assert audio_window_fingerprints(media).collect() == []
 
 
 class TestNormalizeThenFingerprint:

@@ -219,6 +219,135 @@ class TestImageDhashOnSpark:
         assert "bit_count" in plan
 
 
+class TestMultiIndexAndBucketStats:
+    """r09 verdict #1: the block-LSH pair join keyed on ~13-bit block
+    values is exact and sub-linear at measured scale but grows
+    ~n^2/2048 at web scale. These tests pin (a) the bucket-size audit
+    query, (b) the exact multi-index mode's candidate-count win on an
+    adversarially skewed signature set, and (c) that the mode stays
+    EXACT — identical verified pairs, including at exactly Hamming 4."""
+
+    @staticmethod
+    def _sig(seed: int) -> int:
+        return int.from_bytes(
+            hashlib.md5(b"mih%d" % seed).digest()[:8], "big"
+        ) & ((1 << 63) - 1)  # keep positive: createDataFrame longs
+
+    def _skewed_frame(self, spark, n=60):
+        """n signatures sharing the LOW 12 BITS (= block 0 of the
+        5-block default scheme, one full bucket) but random elsewhere —
+        mutually far in Hamming distance, so every same-bucket
+        candidate is a wasted verify."""
+        rows = [(i, (self._sig(i) & ~0xFFF) | 0xABC) for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, dhash long")
+
+    def test_bucket_stats_count_the_skewed_bucket(self, spark):
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            block_bucket_stats,
+        )
+
+        stats = block_bucket_stats(self._skewed_frame(spark)).first()
+        assert stats.n_items == 60
+        assert stats.max_bucket == 60  # the planted (block 0, 0xABC) mass
+        # every pair collides in block 0: candidate_pairs >= C(60, 2)
+        assert stats.candidate_pairs >= 60 * 59 // 2
+
+    def test_multi_index_bounds_skewed_candidates(self, spark):
+        """The adversarial case the r09 verdict asked for: on the
+        shared-low-bits set the ball-0 default generates the full
+        C(60,2) candidate blow-up while 3x~21-bit blocks with ball-1
+        probes scatter the shared 12 bits across a wider key space —
+        candidates stay bounded, verified output identical (empty)."""
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            _block_candidates,
+            hamming_near_pairs,
+        )
+        from pyspark.sql import functions as F
+
+        frame = self._skewed_frame(spark)
+        items = frame.select(
+            F.col("doc_id").alias("id"), F.col("dhash").alias("sig")
+        )
+        ball0 = _block_candidates(items, n_blocks=5, n_bits=64).count()
+        mih = _block_candidates(
+            items, n_blocks=3, n_bits=64, ball=1
+        ).count()
+        assert ball0 >= 60 * 59 // 2
+        assert mih < ball0 / 4  # bounded, not the full bucket blow-up
+        # and the verified pair sets agree (here: no real near-dups)
+        assert hamming_near_pairs(frame).count() == 0
+        assert (
+            hamming_near_pairs(frame, n_blocks=3, block_ball=1).count()
+            == 0
+        )
+
+    def test_multi_index_exact_same_pairs_including_hamming_4(self, spark):
+        """Exactness: a planted family at Hamming 0/2/4 (the radius
+        boundary, bits spread 2+2 across different 21-bit blocks — the
+        worst case for ball-1: min per-block distance exactly 1 needs
+        the flip enumeration) yields the SAME verified pairs under the
+        default and the multi-index mode."""
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            hamming_near_pairs,
+        )
+
+        base = self._sig(999)
+        rows = [
+            (1, base),
+            (2, base ^ 0b11),  # Hamming 2, inside block 0
+            # Hamming 4 spread 2/1/1 over the 21-bit blocks: min
+            # per-block distance is exactly 1, so ONLY the ball-1 flip
+            # enumeration can catch it (a ball-0 3-block split would
+            # miss it — which is why that combination raises)
+            (3, base ^ (1 << 1) ^ (1 << 20) ^ (1 << 25) ^ (1 << 50)),
+            # Hamming 5 from base: outside the radius vs id 1
+            (4, base ^ 0b11111),
+            (5, self._sig(1000)),  # unrelated
+        ]
+        frame = spark.createDataFrame(rows, "doc_id long, dhash long")
+        want = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_near_pairs(frame, max_hamming=4).collect()
+        )
+        got = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_near_pairs(
+                frame, max_hamming=4, n_blocks=3, block_ball=1
+            ).collect()
+        )
+        assert want == got
+        assert (1, 3, 4) in want  # the radius-boundary pair is present
+
+    def test_violating_ball_combination_raises(self, spark):
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            hamming_near_pairs,
+        )
+
+        frame = spark.createDataFrame(
+            [(1, 7)], "doc_id long, dhash long"
+        )
+        with pytest.raises(ValueError, match="exact recall"):
+            # floor(4/2) = 2 > ball 1: two blocks can't cover radius 4
+            hamming_near_pairs(
+                frame, max_hamming=4, n_blocks=2, block_ball=1
+            )
+        with pytest.raises(NotImplementedError):
+            from airflow_etl_finance_market_spark.multimodal.phash import (
+                _block_candidates,
+            )
+            from pyspark.sql import functions as F
+
+            _block_candidates(
+                frame.select(
+                    F.col("doc_id").alias("id"),
+                    F.col("dhash").alias("sig"),
+                ),
+                n_blocks=2,
+                n_bits=64,
+                ball=2,
+            )
+
+
 def test_hamming_exactly_max_distance_one_bit_per_block(spark):
     """r07 review regression: a pair at EXACTLY max_hamming=4 with one
     flipped bit in each 16-bit quarter shared no block under the old
@@ -245,7 +374,7 @@ def test_hamming_violating_explicit_blocks_raises(spark):
     )
 
     sigs = spark.createDataFrame([(0, 1)], "doc_id long, dhash long")
-    with pytest.raises(ValueError, match="max_hamming <= n_blocks - 1"):
+    with pytest.raises(ValueError, match="exact recall"):
         hamming_near_pairs(sigs, max_hamming=4, n_blocks=4)
 
 
@@ -571,6 +700,17 @@ class TestTileCropNearDups:
         ]
         whole_pairs = hamming_near_pairs(image_dhash(media)).collect()
         assert whole_pairs == []  # the pinned limitation, same data
+        # the exact multi-index mode rides the same set-overlap path
+        # (shared _block_candidates) and returns the identical gate
+        mih = image_tile_near_dup_pairs(
+            image_tile_dhash(media),
+            min_match_frac=0.8,
+            n_blocks=3,
+            block_ball=1,
+        ).collect()
+        assert [
+            (r.id_a, r.id_b, r.n_matched, r.match_frac) for r in mih
+        ] == [(1, 2, 9, 1.0)]
 
     def test_misaligned_crop_degrades_honestly(self, spark):
         """An off-grid crop (offset 40,40 — 8 pixels past the tile
@@ -601,6 +741,96 @@ class TestTileCropNearDups:
             image_tile_dhash(media), min_match_frac=0.8
         ).collect()
         assert pairs == []
+
+    def test_half_aligned_crop_found_with_two_phase_grid(self, spark):
+        """r09 verdict #4 CLOSING test: a crop at offset (16, 16) — off
+        the 32-px base grid but exactly on the tile/2 phase — is MISSED
+        by the single-phase tile path and FOUND by the two-phase grid
+        (offsets (0,0) and (16,16)): the crop's phase-0 tiles are
+        byte-identical to the original's phase-16 tiles (and the crop's
+        phase-16 tiles to the original's phase-0 interior), so overlap
+        is exact by arithmetic. Same data, both facts asserted."""
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            image_tile_dhash,
+            image_tile_near_dup_pairs,
+        )
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            _stdlib_png_codec,
+        )
+
+        _, _, png_enc, _ = _stdlib_png_codec()
+        pix = self._noise(b"half-aligned", 128, 128)
+        cr = self._crop(pix, 128, 16, 16, 96, 96)
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(png_enc(128, 128, 1, pix))),
+                (2, bytearray(png_enc(96, 96, 1, cr))),
+            ],
+            "doc_id long, payload binary",
+        )
+        single = image_tile_near_dup_pairs(
+            image_tile_dhash(media), min_match_frac=0.8
+        ).collect()
+        assert single == []  # the single-phase residual, same data
+        two_phase = image_tile_near_dup_pairs(
+            image_tile_dhash(media, phase_offsets=((0, 0), (16, 16))),
+            min_match_frac=0.8,
+        ).collect()
+        # crop sigs: 9 phase-0 tiles (== original's phase-16 grid) + 4
+        # phase-16 tiles (== original's phase-0 interior) = 13 distinct,
+        # ALL matched in the original's 16 + 9 = 25-signature union
+        assert [
+            (r.id_a, r.id_b, r.n_matched, r.match_frac) for r in two_phase
+        ] == [(1, 2, 13, 1.0)]
+
+    def test_off_both_phases_crop_still_degrades_honestly(self, spark):
+        """A crop at offset (8, 8) — off BOTH the base grid and the
+        tile/2 phase — still shares no byte-identical tiles under the
+        two-phase grid; the residual contract after r10 is 'crops
+        congruent to 0 or tile/2 (mod tile)', not arbitrary offsets."""
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            image_tile_dhash,
+            image_tile_near_dup_pairs,
+        )
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            _stdlib_png_codec,
+        )
+
+        _, _, png_enc, _ = _stdlib_png_codec()
+        pix = self._noise(b"off-both", 128, 128)
+        cr = self._crop(pix, 128, 8, 8, 96, 96)
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(png_enc(128, 128, 1, pix))),
+                (2, bytearray(png_enc(96, 96, 1, cr))),
+            ],
+            "doc_id long, payload binary",
+        )
+        pairs = image_tile_near_dup_pairs(
+            image_tile_dhash(media, phase_offsets=((0, 0), (16, 16))),
+            min_match_frac=0.8,
+        ).collect()
+        assert pairs == []
+
+    def test_tile_stage_passthrough_carries_columns(self, spark):
+        """The tile stage now carries passthrough columns like every
+        sibling signature stage (r09 advice) — the streaming dedup
+        caller's event-time column must survive the Arrow stage."""
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            image_tile_dhash,
+        )
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            _stdlib_png_codec,
+        )
+
+        _, _, png_enc, _ = _stdlib_png_codec()
+        pix = self._noise(b"pass", 64, 64)
+        media = spark.createDataFrame(
+            [(1, 1234, bytearray(png_enc(64, 64, 1, pix)))],
+            "doc_id long, ts long, payload binary",
+        )
+        rows = image_tile_dhash(media, passthrough=("ts",)).collect()
+        assert len(rows) == 4 and all(r.ts == 1234 for r in rows)
 
     def test_unrelated_images_zero_pairs(self, spark):
         from airflow_etl_finance_market_spark.multimodal.phash import (
