@@ -162,6 +162,93 @@ def image_fixture_primitives():
     return noise_pix, crop
 
 
+def image_encoding_variants():
+    """``variant(pix, k) -> bytes``: four byte-DIFFERENT encodings of
+    one 32x32 luma plane that decode IDENTICALLY (gray PNG /
+    gray-palette GIF / REVERSED-palette GIF with inverted indices and
+    inverted palette / RGB PNG with R=G=B) — dHash-equal by arithmetic,
+    the multimodal_corpus_prep construction (NOT an upscale: the 9-wide
+    dHash grid does not divide 64, so integer upscales are not
+    hash-exact for dHash)."""
+    from .multimodal.binary import _stdlib_png_codec
+    from .multimodal.gif import _stdlib_gif_codec
+
+    _, _, _png_enc, _ = _stdlib_png_codec()
+    _, _, _gif_enc = _stdlib_gif_codec()
+    gray_pal = [(i, i, i) for i in range(256)]
+    rev_pal = [(255 - i, 255 - i, 255 - i) for i in range(256)]
+
+    def variant(pix: bytes, k: int) -> bytes:
+        k = k % 4
+        if k == 0:
+            return _png_enc(32, 32, 1, pix)
+        if k == 1:
+            return _gif_enc(32, 32, pix, gray_pal)
+        if k == 2:
+            return _gif_enc(32, 32, bytes(255 - v for v in pix), rev_pal)
+        return _png_enc(32, 32, 3, b"".join(bytes((v, v, v)) for v in pix))
+
+    return variant
+
+
+def wav_encoding_variants():
+    """``variant(u8, k) -> bytes``: four byte-DIFFERENT encodings of one
+    8-bit-lattice sample stream whose FINGERPRINTS are equal by
+    arithmetic — mono PCM16, stereo channel-dup (exact-mean downmix),
+    PCM8 (lossless on the lattice), and HALF-GAIN PCM16 ((u-128)<<7:
+    scaling by a power of two is exact in IEEE float, so every band
+    energy scales by exactly 1/4 and the double-difference signs are
+    unchanged — the gain invariance pinned in tests/test_audio.py)."""
+    from .multimodal.audio import _stdlib_wav_codec
+
+    _, _, _wav_enc, _ = _stdlib_wav_codec()
+    _, pcm8_wav = audio_fixture_primitives()
+
+    def variant(u8: bytes, k: int) -> bytes:
+        k = k % 4
+        if k == 2:
+            return pcm8_wav(8000, u8)
+        if k == 3:
+            return _wav_enc(8000, [[(v - 128) << 7 for v in u8]])
+        x = [(v - 128) << 8 for v in u8]
+        return _wav_enc(8000, [x] if k == 0 else [x, x])
+
+    return variant
+
+
+def mjpeg_video_variants():
+    """``variant(seed, k) -> bytes``: two MJPEG/AVI containers over the
+    SAME deterministic 72x64 noise frames — member 0 carries 5 frames,
+    member 1 the first 4 (a frame-SAMPLE variant, not a re-encode: the
+    JPEG encoder is deterministic, so shared frames are byte-identical
+    and dHash-equal by arithmetic; frame-set overlap = 4/min(5,4) = 1)."""
+    import hashlib
+
+    from .multimodal.jpeg import _stdlib_jpeg_codec
+    from .multimodal.video import _stdlib_avi_codec
+
+    _, _, _jpeg_enc = _stdlib_jpeg_codec()
+    _, _, _avi_enc = _stdlib_avi_codec()
+
+    def noise(seed: bytes, n: int) -> bytes:
+        out = bytearray()
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(seed + i.to_bytes(2, "big")).digest()
+            i += 1
+        return bytes(out[:n])
+
+    def variant(seed: bytes, k: int) -> bytes:
+        frames = [
+            _jpeg_enc(72, 64, 1, noise(seed + bytes([fi]), 72 * 64),
+                      quality=90)
+            for fi in range(5 if k % 2 == 0 else 4)
+        ]
+        return _avi_enc(frames, fps=10, width=72, height=64)
+
+    return variant
+
+
 def tile_crop_family_members(crop_x: int = 32, crop_y: int = 32):
     """The 3-member TILE-CROP family: ``members(text) -> [128x128 gray
     PNG, PNG of its 96x96 interior crop at (crop_x, crop_y), GIF

@@ -5621,6 +5621,106 @@ def q_audio_norm_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_window_trim_near_dups",
+    """
+SELECT COUNT(*) * 3 AS n_clips,
+       COUNT(*) * 3 AS n_pairs,
+       true AS pairs_within_family,
+       true AS families_fully_paired
+FROM documents
+WHERE doc_id % 14 = 9
+""",
+)
+def q_audio_window_trim_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRIM-robust audio near-dup via WINDOW-subfingerprint set overlap
+    (multimodal/audio.py audio_window_fingerprints ∘
+    audio_window_near_dup_pairs) — closes the r09 whole-clip-only
+    limitation (What's missing #2): the whole-clip fingerprint slices
+    the ENTIRE clip into 9 segments, so any trim shifts every boundary
+    and the signature diverges; per-window subfingerprints matched as
+    SETS are the published Haitsma-Kalker shape, riding the video/tile
+    gates' overlap machinery wholesale. Every 14th document seeds a
+    3-member family: (a) a 1 s / 8 kHz lattice clip (4 windows of 2000
+    samples), (b) its WINDOW-ALIGNED trim dropping the first window
+    (the 3 surviving windows are byte-identical to the original's —
+    trimmed[i*W:(i+1)*W] == original[(i+1)*W:(i+2)*W], so their
+    subfingerprints match at Hamming 0 BY ARITHMETIC), and (c) a
+    stereo channel-dup of the trim (exact-mean downmix → identical
+    windows). Overlap fractions: trim↔full = 3/min(4,3) = 1,
+    trim↔trim = 1 — all three pairs pass min_match_frac=0.8, while a
+    cross-family single-window collision contributes at most 1/3 <
+    0.8. The oracle PREDICTS the outcome: 3n clips with >= 1 window
+    (a quarantine shrinks the count), exactly 3 within-family pairs
+    per family, none cross-family. Off-boundary trims degrade
+    honestly (every window shifts) — pinned in tests/test_audio.py,
+    the tile tier's residual-contract pattern."""
+    from .fixtures import wav_trim_family_members
+    from .multimodal.audio import (
+        audio_window_fingerprints,
+        audio_window_near_dup_pairs,
+    )
+
+    _members = wav_trim_family_members()
+
+    def _build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for k, payload in enumerate(_members(text)):
+                    ids.append(doc_id * 10 + k)
+                    payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 14 == 9
+        ),
+        "doc_id",
+    )
+    n_docs = docs.count()
+    media = docs.select("doc_id", "text").mapInPandas(
+        _build, "doc_id long, payload binary"
+    )
+    # the window frame feeds the count AND the overlap self-join: eager
+    # checkpoint so decode + 3-4 window FFTs per clip run exactly once
+    sigs = audio_window_fingerprints(media).localCheckpoint()
+    n_clips = sigs.select("doc_id").distinct().count()
+    fam = audio_window_near_dup_pairs(
+        sigs, max_hamming=4, min_match_frac=0.8
+    ).select(
+        (F.col("id_a") / 10).cast("long").alias("fam_a"),
+        (F.col("id_b") / 10).cast("long").alias("fam_b"),
+    )
+    per_fam = fam.groupBy("fam_a").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
+    )
+    row = per_fam.agg(
+        F.sum("cnt").alias("n_pairs"),
+        F.min("within").alias("pairs_within_family"),
+        (
+            F.min((F.col("cnt") == 3) & F.col("within"))
+            & (F.count(F.lit(1)) == F.lit(n_docs))
+        ).alias("families_fully_paired"),
+    ).first()
+    return spark.createDataFrame(
+        [(n_clips, row["n_pairs"], row["pairs_within_family"],
+          row["families_fully_paired"])],
+        "n_clips long, n_pairs long, pairs_within_family boolean, "
+        "families_fully_paired boolean",
+    )
+
+
+@register(
     "image_tile_crop_near_dups",
     """
 SELECT COUNT(*) * 3 AS n_images,
@@ -5717,6 +5817,109 @@ def q_image_tile_crop_near_dups(
 
 
 @register(
+    "image_tile_phase_crop_near_dups",
+    """
+SELECT COUNT(*) * 3 AS n_images,
+       COUNT(*) * 3 AS n_pairs,
+       true AS pairs_within_family,
+       true AS families_fully_paired
+FROM documents
+WHERE doc_id % 15 = 8
+""",
+)
+def q_image_tile_phase_crop_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MISALIGNED-crop image near-dup via the TWO-PHASE tile grid
+    (multimodal/phash.py image_tile_dhash with phase_offsets=((0,0),
+    (16,16)) ∘ image_tile_near_dup_pairs) — closes the r09 residual
+    (What's missing #1: real-world crops are rarely 32-px aligned; the
+    single-phase tier recovers only tile-aligned ones). Every 15th
+    document seeds a 3-member family: (a) a 128x128 grayscale PNG of
+    md5(text)-stream pixels, (b) a PNG of its 96x96 crop at offset
+    (16, 16) — OFF the 32-px base grid but exactly on the tile/2
+    phase, so the crop's phase-0 tiles are byte-identical to the
+    original's phase-16 tiles (9 of them) and the crop's phase-16
+    tiles to the original's phase-0 interior (4) — and (c) a GIF
+    palette re-encode of the same crop (identical luma). Signature
+    sets: original 16+9 = 25, crop 9+4 = 13, every crop signature
+    matched in the original at Hamming 0 BY ARITHMETIC → overlap
+    fractions 13/min(25,13) = 1 and crop↔crop = 1, all three pairs
+    past min_match_frac=0.8, cross-family single-tile collisions
+    ≤ a few/13 < 0.8. The oracle PREDICTS the outcome: 3n images
+    hashed, exactly 3 within-family pairs per family, none
+    cross-family. The closing pytest (same data, single phase misses /
+    two phases find) and the off-BOTH-phases honest-degradation
+    residual live in tests/test_phash.py. Cost contract: exactly 2x
+    the hash bytes, pair machinery unchanged."""
+    from .fixtures import tile_crop_family_members
+    from .multimodal.phash import (
+        image_tile_dhash,
+        image_tile_near_dup_pairs,
+    )
+
+    _members = tile_crop_family_members(crop_x=16, crop_y=16)
+
+    def _build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for k, payload in enumerate(_members(text)):
+                    ids.append(doc_id * 10 + k)
+                    payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 15 == 8
+        ),
+        "doc_id",
+    )
+    n_docs = docs.count()
+    media = docs.select("doc_id", "text").mapInPandas(
+        _build, "doc_id long, payload binary"
+    )
+    # the two-phase tile frame feeds the count AND the overlap
+    # self-join: eager checkpoint so decode + up-to-25 dHashes per
+    # image run exactly once
+    sigs = image_tile_dhash(
+        media, phase_offsets=((0, 0), (16, 16))
+    ).localCheckpoint()
+    n_images = sigs.select("doc_id").distinct().count()
+    fam = image_tile_near_dup_pairs(
+        sigs, max_hamming=4, min_match_frac=0.8
+    ).select(
+        (F.col("id_a") / 10).cast("long").alias("fam_a"),
+        (F.col("id_b") / 10).cast("long").alias("fam_b"),
+    )
+    per_fam = fam.groupBy("fam_a").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
+    )
+    row = per_fam.agg(
+        F.sum("cnt").alias("n_pairs"),
+        F.min("within").alias("pairs_within_family"),
+        (
+            F.min((F.col("cnt") == 3) & F.col("within"))
+            & (F.count(F.lit(1)) == F.lit(n_docs))
+        ).alias("families_fully_paired"),
+    ).first()
+    return spark.createDataFrame(
+        [(n_images, row["n_pairs"], row["pairs_within_family"],
+          row["families_fully_paired"])],
+        "n_images long, n_pairs long, pairs_within_family boolean, "
+        "families_fully_paired boolean",
+    )
+
+
+@register(
     "multimodal_corpus_prep",
     """
 WITH sel AS (
@@ -5752,14 +5955,15 @@ def q_multimodal_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: pixels never shuffle (8 B/image out of the Arrow stage);
     the survivor agg shuffles 8-byte hashes; the semi-join broadcasts
     ≤ one row per image."""
+    from .fixtures import image_encoding_variants
     from .multimodal.phash import image_dhash
+
+    _variant = image_encoding_variants()
 
     def _build(batches):
         import hashlib
 
         import pandas as pd
-
-        gray_pal = [(i, i, i) for i in range(256)]
 
         def noise32(seed: bytes) -> bytes:
             out = bytearray()
@@ -5769,40 +5973,19 @@ def q_multimodal_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i += 1
             return bytes(out[: 32 * 32])
 
-        rev_pal = [(255 - i, 255 - i, 255 - i) for i in range(256)]
-
         for pdf in batches:
             ids, payloads = [], []
             for doc_id in pdf["doc_id"]:
                 block = int(doc_id) // 32
                 pix = noise32(hashlib.md5(str(block).encode()).digest())
-                variant = (int(doc_id) // 8) % 4
-                if variant == 0:
-                    payload = _png_enc(32, 32, 1, pix)
-                elif variant == 1:
-                    payload = _gif_enc(32, 32, pix, gray_pal)
-                elif variant == 2:
-                    payload = _gif_enc(
-                        32, 32, bytes(255 - v for v in pix), rev_pal
-                    )
-                else:
-                    payload = _png_enc(
-                        32, 32, 3, b"".join(bytes((v, v, v)) for v in pix)
-                    )
                 ids.append(doc_id)
-                payloads.append(payload)
+                payloads.append(_variant(pix, (int(doc_id) // 8) % 4))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "payload": pd.Series(payloads, dtype="object"),
                 }
             )
-
-    from .multimodal.binary import _stdlib_png_codec
-    from .multimodal.gif import _stdlib_gif_codec
-
-    _, _, _png_enc, _ = _stdlib_png_codec()
-    _, _, _gif_enc = _stdlib_gif_codec()
 
     docs = fan_out(
         load_fixture(spark, sf_dir, "documents").filter(
@@ -5821,6 +6004,207 @@ def q_multimodal_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(survivors.select("doc_id")), "doc_id", "semi")
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "multimodal_corpus_prep_full",
+    """
+WITH sel AS (
+    SELECT doc_id, lang FROM documents WHERE doc_id % 4 = 1
+), img AS (
+    SELECT MIN(doc_id) AS doc_id FROM sel GROUP BY doc_id // 32
+), aud AS (
+    SELECT MIN(doc_id) AS doc_id FROM sel GROUP BY doc_id // 16
+), vid AS (
+    SELECT MIN(doc_id) AS doc_id FROM sel GROUP BY doc_id // 8
+)
+SELECT s.lang,
+       COUNT(*) AS n_docs,
+       (SELECT COUNT(*) FROM img) AS n_img_survivors,
+       (SELECT COUNT(*) FROM aud) AS n_audio_survivors,
+       (SELECT COUNT(*) FROM vid) AS n_video_survivors
+FROM sel s
+JOIN img USING (doc_id)
+JOIN aud USING (doc_id)
+JOIN vid USING (doc_id)
+GROUP BY s.lang
+""",
+)
+def q_multimodal_corpus_prep_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL multimodal-LM prep funnel (r09 verdict #7): a document
+    is selected only if it survives dedup in ALL THREE media modalities
+    — image dHash, audio fingerprint, AND video frame-set — each
+    grouping content at a DIFFERENT granularity so every modality has
+    independent teeth. Every 4th document carries one of each medium:
+
+    - IMAGE: 32-id blocks share pixels; the 8 selected members cycle
+      the four byte-different dHash-exact encodings (gray PNG / gray
+      GIF / REVERSED-palette GIF / RGB PNG — fixtures.py
+      image_encoding_variants). Survivor = min doc_id per dhash.
+    - AUDIO: 16-id blocks share an 8-bit-lattice stream; the 4 members
+      cycle mono PCM16 / stereo dup / PCM8 / HALF-GAIN PCM16 (all
+      fingerprint-equal by arithmetic — wav_encoding_variants).
+      Survivor = min doc_id per afp.
+    - VIDEO: 8-id blocks share 5 deterministic MJPEG frames; the 2
+      members carry 5 vs first-4 frames (byte-identical JPEGs —
+      frame-set overlap 4/min(5,4) = 1). Survivors = videos never the
+      LARGER id of a >= 0.8-overlap pair (anti-join on video_b).
+
+    Because a block's min id is also the min of its nested sub-blocks,
+    the intersection equals the 32-block survivors — but the THREE
+    reported survivor counts break independently: a missed re-encode,
+    gain drift, or dropped frame-set pair in ANY modality inflates or
+    deflates its count (over- AND under-dedup both visible). The
+    oracle re-derives everything PURELY from id arithmetic. Scale
+    shape: three map-only signature stages (pixels/samples/frames
+    never shuffle; 8 B per item out), two 8-byte hash-aggs + one
+    block-bounded pair join, three broadcast semi/anti-joins back to
+    documents, survivor counts crossJoined as broadcast 1-row frames."""
+    from .fixtures import (
+        image_encoding_variants,
+        mjpeg_video_variants,
+        wav_encoding_variants,
+    )
+    from .multimodal.audio import audio_fingerprints
+    from .multimodal.phash import (
+        image_dhash,
+        video_frame_dhash,
+        video_near_dup_pairs,
+    )
+
+    _img = image_encoding_variants()
+    _wav = wav_encoding_variants()
+    _vid = mjpeg_video_variants()
+
+    def _mk_builder(kind):
+        img_v, wav_v, vid_v = _img, _wav, _vid
+
+        def _build(batches):
+            import hashlib
+
+            import pandas as pd
+
+            def noise32(seed: bytes) -> bytes:
+                out = bytearray()
+                i = 0
+                while len(out) < 32 * 32:
+                    out += hashlib.md5(seed + bytes([i])).digest()
+                    i += 1
+                return bytes(out[: 32 * 32])
+
+            def lattice(seed: bytes, n: int = 8000) -> bytes:
+                out = bytearray()
+                i = 0
+                while len(out) < n:
+                    out += hashlib.md5(
+                        seed + bytes([i & 0xFF, (i >> 8) & 0xFF])
+                    ).digest()
+                    i += 1
+                return bytes(out[:n])
+
+            for pdf in batches:
+                ids, payloads = [], []
+                for doc_id in pdf["doc_id"]:
+                    d = int(doc_id)
+                    k = d // 4
+                    if kind == "image":
+                        seed = hashlib.md5(
+                            b"img%d" % (d // 32)
+                        ).digest()
+                        payload = img_v(noise32(seed), k % 4)
+                    elif kind == "audio":
+                        seed = hashlib.md5(
+                            b"aud%d" % (d // 16)
+                        ).digest()
+                        payload = wav_v(lattice(seed), k % 4)
+                    else:
+                        seed = hashlib.md5(b"vid%d" % (d // 8)).digest()
+                        payload = vid_v(seed, k % 2)
+                    ids.append(doc_id)
+                    payloads.append(payload)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "payload": pd.Series(payloads, dtype="object"),
+                    }
+                )
+
+        return _build
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 4 == 1
+        ),
+        "doc_id",
+    ).select("doc_id", "lang")
+    ids = docs.select("doc_id")
+
+    img_surv = (
+        image_dhash(ids.mapInPandas(
+            _mk_builder("image"), "doc_id long, payload binary"
+        ))
+        .groupBy("dhash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    aud_surv = (
+        audio_fingerprints(ids.mapInPandas(
+            _mk_builder("audio"), "doc_id long, payload binary"
+        ))
+        .groupBy("afp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # video: pair stage (frame hashes are per-frame, not one per video,
+    # so survivorship goes through the overlap gate) — checkpoint the
+    # 8-byte sig frame so the container walk + JPEG decodes run once
+    # for the pair join's both sides
+    vid_sigs = video_frame_dhash(
+        ids.mapInPandas(
+            _mk_builder("video"), "doc_id long, payload binary"
+        )
+    ).localCheckpoint()
+    vid_pairs = video_near_dup_pairs(
+        vid_sigs, min_match_frac=0.8
+    )
+    vid_surv = (
+        vid_sigs.select(F.col("video_id").alias("doc_id"))
+        .distinct()
+        .join(
+            F.broadcast(
+                vid_pairs.select(F.col("video_b").alias("doc_id"))
+            ),
+            "doc_id",
+            "anti",
+        )
+    )
+
+    counts = [
+        surv.agg(F.count(F.lit(1)).alias(name))
+        for surv, name in (
+            (img_surv, "n_img_survivors"),
+            (aud_surv, "n_audio_survivors"),
+            (vid_surv, "n_video_survivors"),
+        )
+    ]
+    out = (
+        docs.join(F.broadcast(img_surv), "doc_id", "semi")
+        .join(F.broadcast(aud_surv), "doc_id", "semi")
+        .join(F.broadcast(vid_surv), "doc_id", "semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    for c in counts:
+        out = out.crossJoin(F.broadcast(c))
+    return out.select(
+        "lang",
+        "n_docs",
+        "n_img_survivors",
+        "n_audio_survivors",
+        "n_video_survivors",
     )
 
 

@@ -812,6 +812,22 @@ def image_phash_section(spark, tmp: str) -> tuple[dict[str, float], int]:
                 )
             ),
         ),
+        # r10: the exact MULTI-INDEX pair mode (3x~21-bit blocks,
+        # ball-1 probes — the web-scale candidate-bound escape) priced
+        # against the default so the tradeoff stays measured: more
+        # probe rows per signature, ~28x fewer random-collision
+        # candidates (the term that dominates past ~10^7 items)
+        (
+            "phash_pairs_mih3",
+            lambda: _noop(
+                hamming_near_pairs(
+                    image_dhash(media),
+                    max_hamming=4,
+                    n_blocks=3,
+                    block_ball=1,
+                )
+            ),
+        ),
     ):
         best = float("inf")
         for _ in range(3):
@@ -955,6 +971,8 @@ def audio_dedup_section(spark, tmp: str) -> tuple[dict[str, float], int]:
     from airflow_etl_finance_market_spark.multimodal.audio import (
         audio_fingerprints,
         audio_near_dup_pairs,
+        audio_window_fingerprints,
+        audio_window_near_dup_pairs,
     )
     from airflow_etl_finance_market_spark.util import fan_out
 
@@ -1004,6 +1022,21 @@ def audio_dedup_section(spark, tmp: str) -> tuple[dict[str, float], int]:
         (
             "audio_norm_pairs",
             lambda: _noop(audio_near_dup_pairs(media, normalize_rate=8000)),
+        ),
+        # r10: the trim-robust windowed-subfingerprint tier (4 windows
+        # per 8000-sample clip) — hash stage and the full window-set
+        # overlap chain (the video gate's machinery on window sigs)
+        (
+            "audio_window_hash",
+            lambda: _noop(audio_window_fingerprints(media)),
+        ),
+        (
+            "audio_window_pairs",
+            lambda: _noop(
+                audio_window_near_dup_pairs(
+                    audio_window_fingerprints(media)
+                )
+            ),
         ),
     ):
         best = float("inf")
@@ -1075,6 +1108,16 @@ def image_tile_section(spark, tmp: str) -> tuple[dict[str, float], int]:
             "tile_pairs",
             lambda: _noop(
                 image_tile_near_dup_pairs(image_tile_dhash(media))
+            ),
+        ),
+        # r10: the two-phase grid (misaligned-crop coverage) — prices
+        # the "exactly 2x hash cost" claim of the phase tier
+        (
+            "tile_hash_2phase",
+            lambda: _noop(
+                image_tile_dhash(
+                    media, phase_offsets=((0, 0), (16, 16))
+                )
             ),
         ),
     ):
@@ -1563,6 +1606,22 @@ def main() -> None:
             mkx, n_li100 = markets_x100_section(spark, qs, tmp)
             payload["markets_x100"] = mkx
             payload["markets_x100_rows"] = {"lineitem": n_li100}
+
+    # r10 (verdict #6): the host-regime anchor as STRUCTURED DATA — the
+    # same-day flagship triplet every cross-round comparison normalizes
+    # by (tools/regime_delta.py reads it mechanically instead of via
+    # docstring archaeology). flagship_sf01 is the headline
+    # weekly_volatility point; the x100 pair exists only when the x100
+    # tiers ran.
+    payload["regime_anchor"] = {
+        "flagship_sf01": payload["queries"].get("weekly_volatility"),
+        "flagship_x100_intier": payload.get("markets_x100", {}).get(
+            "weekly_volatility"
+        ),
+        "flagship_x100_posthygiene": payload.get("markets_x100", {}).get(
+            "weekly_volatility_posthygiene"
+        ),
+    }
 
     # ARTIFACT CONTRACT (r06 verdict #1): the r06 payload outgrew the
     # driver's tail capture and the HEADLINE total was truncated into
