@@ -414,9 +414,15 @@ def _block_candidates(
     ball: int = 0,
 ) -> DataFrame:
     """Candidate pairs for every block-LSH consumer: ``items`` is an
-    ``(id, sig)`` frame; returns DISTINCT ``(id_a, id_b, sig_a, sig_b)``
-    with ``id_a < id_b`` — the ONE join shape the image / video / tile
-    / audio pair stages all ride (so its cost model is audited once).
+    ``(id, sig)`` frame; returns ``(id_a, id_b, sig_a, sig_b)`` with
+    ``id_a < id_b`` — the ONE join shape the image / video / tile /
+    audio pair stages all ride (so its cost model is audited once).
+    Rows are NOT deduplicated: a pair colliding in several blocks (or
+    several ball probes) appears once per collision, and each caller
+    applies its own distinct exactly as cheap as its output shape
+    allows. For ``ball=0`` the row count equals
+    :func:`block_bucket_stats`'s ``candidate_pairs`` EXACTLY — the
+    audit query prices this join to the row.
 
     ``ball=0`` is the classic pigeonhole equi-join on exact block
     values. ``ball=1`` is the EXACT MULTI-INDEX mode (Norouzi et al.'s
@@ -429,13 +435,23 @@ def _block_candidates(
     ``n_blocks * ball_size * n^2 / 2^w`` — the 5x~13-bit default is
     ~n^2/2048, invisible at 10^5 items but ~10^12 pairs at 10^9 images,
     while 3x~21-bit blocks with ball-1 probes are ~n^2/57000 (~28x
-    fewer candidates, measured 49x on the skew fixture in
-    tests/test_phash.py) at a 22/5 probe-row premium, and the same
-    radius stays EXACT. Audit the tradeoff with
-    :func:`block_bucket_stats` before choosing. ``ball >= 2`` (even
-    wider blocks) is not implemented — enumerating C(w, 2) flips per
-    block needs a join-free bit-sliced layout to be worth it; raise
-    rather than quietly explode rows.
+    fewer random collisions; measured 49x on the adversarial skew
+    fixture in tests/test_phash.py and 17.4x on the realistic 150k-
+    image x10 fixture, where planted TRUE near-dup families are
+    candidates under every scheme — see bench.py r10 notes) at a 22/5
+    probe-row premium, and the same radius stays EXACT. Audit the
+    tradeoff with :func:`block_bucket_stats` before choosing.
+    ``ball >= 2`` (even wider blocks) is not implemented — enumerating
+    C(w, 2) flips per block needs a join-free bit-sliced layout to be
+    worth it; raise rather than quietly explode rows.
+
+    Two cost notes callers must know: (1) for ``ball=0`` the two join
+    sides are PLAN-IDENTICAL on purpose, so Spark's ReusedExchange
+    evaluates the upstream signature stage once; (2) for ``ball=1``
+    the probe side is necessarily a different subplan, so an
+    UNPERSISTED signature frame's decode/hash work runs TWICE —
+    ``localCheckpoint()`` or persist the sigs before a multi-index
+    pair run (at web scale they are a written table anyway).
     """
     if ball not in (0, 1):
         raise NotImplementedError(
@@ -446,8 +462,23 @@ def _block_candidates(
         items, sig_col="sig", n_blocks=n_blocks, n_bits=n_bits
     )
     if ball == 0:
-        probe = blocks.select(
-            "id", "sig", "block_idx", F.col("block_val").alias("probe_val")
+        # the probe side must be PLAN-IDENTICAL to the index side —
+        # Spark only reuses the shuffled exchange (ReusedExchange) for
+        # byte-equal subplans, and without the reuse the upstream
+        # signature stage (decode + FFT/dHash mapInPandas) evaluates
+        # TWICE, doubling the whole pair chain (caught live in r10:
+        # audio_pairs 1.2 -> 2.1 s from an innocent-looking rename)
+        a, b = blocks.alias("a"), blocks.alias("b")
+        return a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
     else:
         widths = _block_widths(n_blocks, n_bits)
@@ -492,20 +523,16 @@ def _block_candidates(
             )
         )
     a, b = blocks.alias("a"), probe.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_val") == F.col("b.probe_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .distinct()
+    return a.join(
+        b,
+        (F.col("a.block_idx") == F.col("b.block_idx"))
+        & (F.col("a.block_val") == F.col("b.probe_val"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.sig").alias("sig_a"),
+        F.col("b.sig").alias("sig_b"),
     )
 
 
@@ -624,6 +651,7 @@ def hamming_near_pairs(
                 F.col("sig_a").bitwiseXOR(F.col("sig_b"))
             ).alias("hamming"),
         )
+        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
 

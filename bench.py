@@ -342,6 +342,66 @@ audio_pairs 5.257 s (4.7x); 50,001 images — tile_hash 13.281 s
 (5.8x), tile_pairs 31.468 s (5.4x, cumulative re-hash convention).
 All four SUB-linear: fixed costs amortize and the pair stages stay
 block-bucket-bounded, the shape that holds at 100 TB.
+
+r10 star_revenue arbitration (the r09 verdict's What's wrong #2 —
++48%, 0.536 -> 0.794, the one headline entry past the regime
+multiplier without a written arbitration): solo best-of-3 x3 in
+fresh JVMs measured 0.658 / 0.600 / 0.769 s best — the r09 driver
+value 0.794 sits at the top of the solo band and r08's 0.536 times
+the r09 regime factor (~1.3x) lands inside it; sub-second noise on
+an unchanged plan (plans/analytics.py untouched r08-r10), not a
+plan change. Steady state ~0.60-0.77 s in the current regime.
+star_revenue also rotates back into the driver window this round so
+the arbitration carries a fresh driver row.
+
+r10 candidate-count decade (the r09 verdict's What's wrong #1 done
+criterion — the media pair join's asymptote is now measured, bounded,
+and escapable): over the x10 image fixture (150,000 images, the r08
+one-off recipe), the default 5-block ball-0 join generates
+45,099,201 candidate rows — EXACTLY block_bucket_stats's
+candidate_pairs prediction, so the audit query prices the join to
+the row before it runs (max bucket 624) — while the exact
+MULTI-INDEX mode (n_blocks=3, block_ball=1) generates 2,592,837 —
+17.4x fewer for the SAME verified pair set (150,720 pairs, equality
+asserted). Walls at this scale favor the default (1.86 vs 2.98 s
+over checkpointed sigs): at 150k items the mode's 22/5 probe-row
+premium costs more than 45M candidates do, and the n^2/2048
+candidate term only dominates past ~10^7 items — which is exactly
+when the 17x cut pays; the crossover is measured, not asserted.
+phash_pairs_mih3 joins the per-round image tier so the mode's wall
+stays tracked (NOTE its bench number includes hashing TWICE: ball-1
+probe plans differ from the index side so an unpersisted sig frame
+re-evaluates — callers at scale checkpoint sigs first, see
+_block_candidates); block_bucket_stats is the pre-flight audit for
+any big media pair job. r10 also adds audio_window_hash/
+audio_window_pairs (the trim-robust windowed-subfingerprint tier at
+~5k clips, 4 windows/clip) and tile_hash_2phase (the misaligned-crop
+two-phase grid — prices the "2x hash bytes" claim against tile_hash;
+measured ~parity walls because the stdlib DECODE, not the tile hash,
+dominates the stage at this scale, and the second phase adds only
+~1.5x tiles on 128px images).
+
+r10 REGRESSION CAUGHT BY THE REFRESH, fixed same-day: the first
+_block_candidates cut renamed the ball-0 probe column
+(block_val -> probe_val), making the self-join's two sides
+plan-DIFFERENT — Spark's ReusedExchange no longer fired and the
+upstream signature stage (decode + FFT/dHash mapInPandas) evaluated
+TWICE, doubling every media pair chain (audio_pairs 1.2 -> 2.0-2.2 s
+solo-reproduced across 3 JVMs, audio_norm_pairs 2.4 -> 4.4-4.9).
+Fix: ball-0 keeps byte-identical join sides; solo post-fix
+audio_pairs 1.49 / audio_norm_pairs 2.69 — back at the r09 level
+times the day's regime factor. Lesson recorded: an
+innocent-looking projection rename on ONE side of a self-join is a
+2x data-plane regression when the shared subtree is expensive.
+
+r10 protocol addition: every refresh records regime_anchor (the
+same-day flagship triplet) in the artifact; tools/regime_delta.py
+prints regime-NORMALIZED round-over-round deltas so cross-round
+comparison starts from the anchor ratio instead of absolute walls
+(it mechanically reproduces the r09 host-regime arbitration:
+BENCH_r08 -> BENCH_r09 regime 1.185, sole surviving flag
+part_supplier_pagerank +28% normalized — the entry r09
+solo-arbitrated).
 """
 
 from __future__ import annotations
@@ -450,6 +510,25 @@ def build_x10_fixture(spark, tmp: str) -> str:
 
 def noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def reclaim(spark) -> None:
+    """Release reclaimable JVM state between heavy tiers: clearCache +
+    driver GC (+ Python GC). localCheckpoint blocks (the CC rounds in
+    dedup_clusters, gate-style checkpointed frames) are NON-EVICTABLE
+    storage until ContextCleaner notices the RDD is unreachable — which
+    needs a driver GC. Without this, the last tier in the JVM
+    (markets_x100) inherits every prior tier's leftover blocks and the
+    8g unified manager can hit UNABLE_TO_ACQUIRE_MEMORY on its 60M-row
+    window sorts (first seen r10 as the bench grew). Called at the top
+    of each x100 section; cheap (~100 ms), and the flagship's
+    in-tier/posthygiene pair already showed hygiene is TIMING-neutral —
+    this is about storage headroom, not speed."""
+    import gc
+
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    gc.collect()
 
 
 def best_of_3_each(jobs) -> dict[str, float]:
@@ -622,6 +701,7 @@ def build_x100_events_fixture(spark, tmp: str) -> tuple[str, int]:
 
 
 def events_x100_section(spark, qs, tmp: str) -> tuple[dict[str, float], int]:
+    reclaim(spark)
     x100e, n_rows = build_x100_events_fixture(spark, tmp)
     return best_of_3_each(entry_jobs(spark, qs, EVENTS_X100, x100e)), n_rows
 
@@ -687,6 +767,7 @@ def markets_x100_section(
     OS-level (page cache) and the in-tier number is the
     scale-representative one. Either way both numbers land in the
     artifact so the arbitration is reproducible."""
+    reclaim(spark)
     x100m, n_rows = build_x100_market_fixture(spark, tmp)
     out = best_of_3_each(entry_jobs(spark, qs, MARKETS_X100, x100m))
     import gc
@@ -1248,6 +1329,7 @@ def ann_x100_section(spark, tmp: str) -> tuple[dict[str, float], int]:
 
     from airflow_etl_finance_market_spark.operators import similarity as S
 
+    reclaim(spark)
     x100e = build_x100_embeddings_fixture(spark, tmp)
     emb = spark.read.parquet(f"{x100e}/embeddings.parquet")
     n_vecs = emb.count()
@@ -1308,6 +1390,7 @@ def corpus_x100_section(
 
     from airflow_etl_finance_market_spark.operators import dedup as D
 
+    reclaim(spark)
     x100 = build_x100_docs_fixture(spark, tmp)
     docs = spark.read.parquet(f"{x100}/documents.parquet")
     n_docs = docs.count()
