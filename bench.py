@@ -402,6 +402,55 @@ comparison starts from the anchor ratio instead of absolute walls
 BENCH_r08 -> BENCH_r09 regime 1.185, sole surviving flag
 part_supplier_pagerank +28% normalized — the entry r09
 solo-arbitrated).
+
+r10 final-refresh arbitrations (regime 0.983 vs r09 — same regime,
+so normalized == raw; every flag solo-arbitrated best-of-3, fresh
+JVMs, and NONE is a plan change — no code touched any flagged path
+this round; plan-shape pins all green):
+- corpus_x10 minhash_sigs 1.083 -> 1.361 (+28%): solo 1.36/1.88/1.36
+  — recorded value IS the solo floor; the old 1.083 was a fast min.
+- minhash_full_portable 4.969 -> 6.352 (+30%): solo 4.94/5.29/4.95 —
+  below the recorded in-tier value and at the old one; in-tier stall.
+- ann_lsh_query 1.022 -> 1.264 (+26%): solo 1.62/1.38/1.14 — the
+  band covers both recorded rounds; warm-index query jitter.
+- tile_dedup tile_pairs 4.105 -> 5.361 (+33%): solo 4.88/6.64/6.06 —
+  recorded mid-band; this cumulative re-hash entry wanders 4.1-6.6
+  across same-day JVMs (r09's own driver run read 5.777).
+- events_x100 weekly_activity_panel 2.927 -> 3.990 (+39%): solo
+  4.26/3.61 — at the recorded value; the r09 steady band (3.1-3.7)
+  widened ~10% today. weekly_user_kmv_rollup 1.514 -> 2.208 (+48%):
+  solo 1.90/1.84 — between the rounds; in-tier high.
+- markets_x100 (the 60M-row tier, ran last even with reclaim()):
+  ohlcv 15.0 -> 19.6 (+33%): solo 17.1/14.8 — recorded was in-tier
+  high, band straddles r09; drawdown 7.1 -> 10.2 (+45%): solo
+  7.1/9.3 (trials to 11.9) — widest jitter of the day, band spans
+  both rounds; beta 13.5 -> 16.9 (+27%): solo 14.5/18.0 — recorded
+  mid-band. The flagship INSIDE the same tier was steady
+  (8.3-8.6 in-tier vs 8.59-9.16 r09 solo band), which is exactly
+  why the anchor triplet, not per-entry absolutes, carries the
+  cross-round signal.
+
+r10 one-off audio-window x10 decade (same contract as the r09
+one-offs) — AND the live crossover demo for the multi-index mode:
+50,001 clips -> 200,004 window sigs. audio_window_hash_x10 10.695 s
+(8.8x for 10x clips — sub-linear, map-only). audio_window_pairs_x10
+cumulative 51.134 s (20.4x — SUPER-linear, decomposed): over
+CHECKPOINTED sigs the ball-0 join alone is 32.1 s because the
+random-collision candidate term now dominates (block_bucket_stats:
+106,717,503 candidate pairs, max bucket 4005 — at 4.4x the sig count
+of the 150k-image one-off the n^2/2048 term is 10x bigger, exactly
+the asymptote the r09 verdict flagged), while the exact MULTI-INDEX
+mode (n_blocks=3, block_ball=1) runs the SAME join in 16.8 s — 1.9x
+faster for the identical 50,091-pair gate output (equality
+asserted). This is the measured crossover: below ~10^5 sigs ball-0
+wins on probe-row cost (the 150k-image note above), above it the
+candidate cut pays and grows with n. The per-round
+audio_window_pairs entry stays ball-0 at 5k clips (below crossover);
+a deployment sizes the mode with block_bucket_stats first. The
+cumulative 51.1 also includes ~2x the hash stage (block exchange +
+per-clip sizes agg are different subplans over the unpersisted sig
+frame) — at scale signatures are a written table, the checkpointed
+decomposition is the deployment-representative number.
 """
 
 from __future__ import annotations
