@@ -289,3 +289,51 @@ def token_entropy_from(toks: Column | str) -> Column:
         F.lit(0.0),
         lambda acc, c: acc - (c / n) * F.log(c / n),
     )
+
+
+def html_to_text(col: Column | str) -> Column:
+    """HTML → plain text: the web-corpus boilerplate-extraction stage
+    (what trafilatura/jusText do structurally, in its deterministic
+    rule-based core) as ONE pure-Catalyst regexp/replace chain — no
+    UDF, runs inside WholeStageCodegen, embarrassingly parallel over a
+    100 TB crawl column.
+
+    Order matters and is part of the contract (the oracle replays it):
+
+    1. drop ``<script>``/``<style>`` ELEMENTS wholesale (their text is
+       code, not content — and a naive tag-strip would leak ``1 < 2``
+       style payloads or break on ``<`` inside code);
+    2. drop ``<!-- comments -->``;
+    3. strip every remaining tag to a SPACE (block boundaries must not
+       glue words together);
+    4. unescape the five XML entities + ``&nbsp;`` AFTER tag-stripping
+       (``&lt;script&gt;`` in content must never become a real tag);
+       ``&amp;`` is unescaped LAST so ``&amp;lt;`` decodes to the
+       literal ``&lt;`` exactly like a browser;
+    5. collapse whitespace runs and trim.
+
+    Regex subset chosen to be engine-portable: non-greedy dotall
+    matches, no backreferences (RE2 — the DuckDB oracle's engine — has
+    none), inline flags on the Spark side mirrored by flag arguments on
+    the SQL side. Malformed HTML degrades gracefully: an unclosed tag
+    strips to the next ``>``; an unclosed script eats to end-of-string
+    (the conservative choice — code must never leak into training
+    text).
+    """
+    c = F.regexp_replace(_c(col), r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    # after the closed-element pass, any remaining opener is UNCLOSED:
+    # eat to end-of-string so truncated pages never leak code into text
+    c = F.regexp_replace(c, r"(?is)<(script|style)[^>]*>.*", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -61,7 +61,7 @@ def register(name: str, oracle: str | None = None):
 #: fails the suite, not the judge.
 #:
 #: Round-10 rotation (executing the plan pre-committed in the r09
-#: comment, amended for this round's four NEW entries): live under
+#: comment, amended for this round's six NEW entries): live under
 #: rule 1: audio_window_trim_near_dups (NEW: windowed subfingerprints
 #: matched as sets — the trim/offset-robust audio tier the r09 verdict
 #: asked for, the audio twin of the tile tier),
@@ -69,10 +69,15 @@ def register(name: str, oracle: str | None = None):
 #: crops aligned to tile/2 now match byte-identical tiles of the offset
 #: phase, the r09 misaligned-crop ask), multimodal_corpus_prep_full
 #: (NEW: the full three-modality funnel — image AND audio AND video
-#: survivorship gating document selection) and media_pair_bucket_audit
+#: survivorship gating document selection), media_pair_bucket_audit
 #: (NEW: the block-LSH pair-join cost audit, oracle-replayed bucket
 #: accounting + the live stats==join identity — the instrument behind
-#: the r09 asymptote fix). Rule 2 (depended-on code changed this round
+#: the r09 asymptote fix), html_text_extract (NEW: web-corpus HTML
+#: boilerplate extraction — the crawl-prep stage every published
+#: pipeline starts with; pure-Catalyst chain, oracle replays it
+#: verbatim) and doc_paragraph_dedup (NEW: Dolma-style paragraph-level
+#: dedup with reassembly — globally-first-occurrence winners, the
+#: boilerplate tier between document dedup and span stats). Rule 2 (depended-on code changed this round
 #: — phash.py gained bucket-size stats + the exact multi-index mode
 #: around the SHARED _block_rows path; audio.py gained the Nyquist
 #: guard + window kernel) is carried by those same NEW gates: each
@@ -80,23 +85,27 @@ def register(name: str, oracle: str | None = None):
 #: row on them, and the r09 gates over the same code are trail-0 with
 #: local parity green. Live under rule 3: ALL 39 r07-green trail-2
 #: entries (the pre-committed backbone — staleness offenders the
-#: moment CORRECTNESS_r10.json lands) plus the 7 OLDEST-registered
+#: moment CORRECTNESS_r10.json lands) plus the 5 OLDEST-registered
 #: r08-green entries, including star_revenue (its r09 +48% drift is
 #: arbitrated in bench.py this round — the fresh driver row pins the
 #: entry alongside the arbitration, the ticker_pair_correlation
-#: precedent). 39 + 4 + 7 = 50. The r09 plan sketched "39 + 11 of the
+#: precedent). 39 + 6 + 5 = 50. The r09 plan sketched "39 + 11 of the
 #: r08 cohort" assuming no new registrations; rule 1 outranks backfill,
-#: so 4 of those 11 slots go to the new gates and the r08 remainder
-#: (40 entries, trail 2 at r10 — inside the budget) is pre-committed
-#: as the r11 backbone. Demoted: those 40 r08-green entries (MUST be
+#: so 6 of those 11 slots go to the new gates and the r08 remainder
+#: (42 entries, trail 2 at r10 — inside the budget) is pre-committed
+#: as the r11 backbone. Demoted: those 42 r08-green entries (MUST be
 #: live at r11) and all 50 r09-green entries (trail 1, due r12;
-#: capacity: 40 r08 + 10 of the r09 cohort fit r11, the remaining 40
-#: r09 anchor r12 alongside headroom — the 140-entry registry keeps
-#: cycling inside the 3-round re-verification period with ~10 spare
-#: slots per cycle for new-entry headroom).
+#: capacity: 42 r08 + 8 of the r09 cohort fit r11, the remaining 42
+#: r09 anchor r12 alongside this round's 6 new entries (due r13, and
+#: r12 has the 8 slots of slack) — the 142-entry registry keeps
+#: cycling inside the 3-round re-verification period; headroom is now
+#: thin (~2 spare slots/cycle), so growth beyond r11 should retire or
+#: merge gates rather than only adding).
 _WINDOW_DEMOTED = [
     # --- r08-green, trail 2 at r10: the PRE-COMMITTED r11 backbone
-    # (all 40 MUST be live the moment CORRECTNESS_r11.json lands) ---
+    # (all 42 MUST be live the moment CORRECTNESS_r11.json lands) ---
+    "segment_balance",
+    "distinct_counts",
     "customers_without_big_orders",
     "customers_with_big_orders",
     "dim_instrumento",
@@ -5620,6 +5629,156 @@ def q_audio_norm_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
           row["families_fully_paired"])],
         "n_clips long, n_pairs long, pairs_within_family boolean, "
         "families_fully_paired boolean",
+    )
+
+
+@register(
+    "doc_paragraph_dedup",
+    """
+WITH pages AS (
+    SELECT doc_id,
+           'SUBSCRIBE to our newsletter today' || chr(10) || chr(10)
+           || text || chr(10) || chr(10)
+           || 'copyright 2024 all rights reserved' AS page
+    FROM documents WHERE doc_id % 9 = 1
+), split AS (
+    SELECT doc_id, string_split(page, chr(10) || chr(10)) AS parts
+    FROM pages
+), paras AS (
+    SELECT doc_id, i.i - 1 AS pos, parts[i.i] AS para
+    FROM split, unnest(generate_series(1, len(parts))) AS i(i)
+), ranked AS (
+    SELECT doc_id, pos, para,
+           ROW_NUMBER() OVER (
+               PARTITION BY para ORDER BY doc_id, pos
+           ) AS rn
+    FROM paras
+)
+SELECT doc_id,
+       string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+       COUNT(*) AS n_paras_kept
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+""",
+)
+def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-level dedup with REASSEMBLY (r10 — the Dolma recipe):
+    boilerplate repeats across pages at paragraph granularity, below
+    document dedup (the whole texts differ) and above span stats
+    (which only report, never rewrite). Every 9th document becomes a
+    synthetic page — a shared SUBSCRIBE banner, the document body, a
+    shared copyright footer — and operators/corpus.paragraph_dedup
+    keeps each distinct paragraph's globally FIRST occurrence
+    (doc id, then position), reassembling survivors in order: the
+    first selected document keeps all three paragraphs, every other
+    page keeps only its own body (and documents whose fixture text is
+    an exact duplicate lose that too — the planted exact-dup structure
+    gives the gate real cross-doc body collisions, not just the
+    banners). The oracle replays split/rank/reassemble verbatim
+    (ROW_NUMBER over paragraph, string_agg ORDER BY position), so an
+    off-by-one in position order, a wrong winner, a dropped separator,
+    or an undropped empty document all hash-mismatch. Plan: one
+    generate + one hash-keyed window + one id-keyed aggregate — the
+    corpus shuffles once, the Dolma shape at 100 TB."""
+    from .operators.corpus import paragraph_dedup
+
+    pages = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 9 == 1
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.lit("SUBSCRIBE to our newsletter today"),
+            F.col("text"),
+            F.lit("copyright 2024 all rights reserved"),
+        ).alias("text"),
+    )
+    return paragraph_dedup(pages)
+
+
+@register(
+    "html_text_extract",
+    """
+WITH raw AS (
+    SELECT doc_id,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+           || '</title><script type="text/javascript">var x = 1 < 2 '
+           || '&& "a&b";</script><style>.nav { color: red; }</style>'
+           || '</head><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+           || '</h1><p>' || replace(text, 'and', '&amp;') || '</p>'
+           || '<div id="nav"><ul><li>Home</li><li>About</li></ul></div>'
+           || '<!-- footer --></body></html>' AS html
+    FROM documents WHERE doc_id % 7 = 5
+), stripped AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(
+               html,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?is)<(script|style)[^>]*>.*', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]*>', ' ', 'g') AS t
+    FROM raw
+), unesc AS (
+    SELECT doc_id,
+           trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(t,
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS text
+    FROM stripped
+)
+SELECT doc_id, text, length(text) AS n_chars FROM unesc
+""",
+)
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEB-CORPUS BOILERPLATE EXTRACTION (r10): HTML → training text as
+    one pure-Catalyst chain (functions/text.html_to_text — script/style
+    elements dropped WHOLESALE including their '<'-bearing payloads,
+    comments dropped, tags stripped to spaces, entities unescaped
+    after stripping with &amp; last, whitespace collapsed). The one
+    crawl-prep stage the text tier lacked: every published pipeline
+    (C4, Gopher, RefinedWeb, Dolma) starts here. Every 7th document is
+    wrapped in a deterministic full page (title/script/style/h1/
+    entity-escaped body/nav list/comment — _HTML_PRE/_HTML_POST) and
+    the oracle rebuilds the page AND replays the extraction chain
+    verbatim (regex subset chosen RE2-portable: non-greedy dotall,
+    inline flags, no backreferences), so a missed script payload, a
+    glued word at a block boundary, an entity decoded before
+    tag-stripping, or a whitespace-collapse drift all hash-mismatch.
+    Map-only, codegen, zero shuffles — the 100 TB posture for a
+    per-document string stage."""
+    from .functions.text import html_to_text
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 7 == 5
+        ),
+        "doc_id",
+    )
+    html = F.concat(
+        F.lit('<html><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><script type="text/javascript">var x = 1 < 2 '
+            '&& "a&b";</script><style>.nav { color: red; }</style>'
+            "</head><body><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.replace(F.col("text"), F.lit("and"), F.lit("&amp;")),
+        F.lit(
+            '</p><div id="nav"><ul><li>Home</li><li>About</li></ul>'
+            "</div><!-- footer --></body></html>"
+        ),
+    )
+    extracted = html_to_text(html).alias("text")
+    return docs.select("doc_id", extracted).select(
+        "doc_id", "text", F.length("text").alias("n_chars")
     )
 
 

@@ -686,3 +686,61 @@ def cross_doc_ngram_overlap(
             ).alias("shared_frac"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-level PARAGRAPH dedup with REASSEMBLY — the Dolma recipe
+    (Soldaini et al. 2024): boilerplate (nav strings, subscribe
+    banners, license footers) repeats across millions of pages at
+    paragraph granularity, below document dedup and above span stats.
+    Split each document on ``sep``, keep only the GLOBALLY FIRST
+    occurrence of each distinct paragraph (total order: document id,
+    then position — deterministic and engine-portable), drop documents
+    with no surviving paragraph, and reassemble survivors in original
+    order. Returns ``(id, text, n_paras_kept)``.
+
+    Plan shape for 100 TB: one generate (posexplode over the split —
+    map-side), one window keyed on the PARAGRAPH HASH (the portable
+    60-bit md5 — full paragraph text never becomes a shuffle KEY; the
+    winner check compares ids, so an astronomically unlikely hash
+    collision costs a dropped paragraph, never a wrong winner order),
+    one id-keyed aggregate to reassemble. No joins, no all-pairs
+    anything; the shuffle volume is the corpus itself once —
+    the same bill document-level exact dedup pays.
+    """
+    from pyspark.sql import Window
+
+    paras = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("para"), 1, 15), 16, 10).cast("bigint")
+    )
+    w = Window.partitionBy("h").orderBy("id", "pos")
+    kept = (
+        paras.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "h")
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "para"))
+                    ),
+                    lambda s: s["para"],
+                ),
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_paras_kept"),
+        )
+        .select(F.col("id").alias(id_col), "text", "n_paras_kept")
+    )

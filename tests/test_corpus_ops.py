@@ -869,3 +869,102 @@ class TestCrossDocNgramOverlap:
         assert out[2].n_shared == 0 and out[2].shared_frac == 0.0
         # symmetric: doc 1 shares the same grams back
         assert out[1].n_shared == len(g1 & (g0 | g2))
+
+
+class TestHtmlToText:
+    """html_to_text (r10): the web-corpus boilerplate-extraction chain
+    — script payloads with '<' removed wholesale, entities unescaped
+    AFTER tag-stripping, graceful degradation on malformed HTML."""
+
+    def _extract(self, spark, html: str) -> str:
+        from pyspark.sql import functions as F
+
+        from airflow_etl_finance_market_spark.functions.text import (
+            html_to_text,
+        )
+
+        return (
+            spark.createDataFrame([(html,)], "html string")
+            .select(html_to_text(F.col("html")).alias("t"))
+            .first()["t"]
+        )
+
+    def test_full_page(self, spark):
+        html = (
+            '<html><head><title>T</title><script>if (1 < 2) { x("</p>"); }'
+            "</script><style>p { color: red; }</style></head>"
+            "<body><h1>Head</h1><p>body&nbsp;text &amp; more</p>"
+            '<ul><li>a</li><li>b</li></ul><!-- hidden --></body></html>'
+        )
+        assert self._extract(spark, html) == "T Head body text & more a b"
+
+    def test_entities_unescape_after_stripping(self, spark):
+        # &lt;script&gt; in CONTENT must surface as literal text, never
+        # execute as a tag; &amp;lt; double-escape decodes one level
+        html = "<p>use &lt;script&gt; tags &amp;lt;carefully&amp;gt;</p>"
+        assert (
+            self._extract(spark, html)
+            == "use <script> tags &lt;carefully&gt;"
+        )
+
+    def test_block_boundaries_do_not_glue_words(self, spark):
+        assert (
+            self._extract(spark, "<p>alpha</p><p>beta</p><br>gamma")
+            == "alpha beta gamma"
+        )
+
+    def test_malformed_html_degrades_gracefully(self, spark):
+        # unclosed script eats to end (code never leaks); unclosed tag
+        # strips to the next '>'
+        assert self._extract(spark, "text <script>var x = 1;") == "text"
+        assert self._extract(spark, "a <b unclosed attr='x' b>c") == "a c"
+
+    def test_plain_text_passthrough(self, spark):
+        assert self._extract(spark, "  just   plain\n text ") == (
+            "just plain text"
+        )
+
+
+class TestParagraphDedup:
+    """paragraph_dedup (r10): globally-first-occurrence winners with
+    in-order reassembly — the Dolma boilerplate-removal recipe."""
+
+    def _run(self, spark, rows):
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            paragraph_dedup,
+        )
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.doc_id: (r.text, r.n_paras_kept)
+            for r in paragraph_dedup(docs).collect()
+        }
+
+    def test_boilerplate_survives_only_in_first_doc(self, spark):
+        out = self._run(
+            spark,
+            [
+                (1, "BANNER\n\nalpha body\n\nFOOTER"),
+                (2, "BANNER\n\nbeta body\n\nFOOTER"),
+                (3, "BANNER\n\ngamma body\n\nFOOTER"),
+            ],
+        )
+        assert out[1] == ("BANNER\n\nalpha body\n\nFOOTER", 3)
+        assert out[2] == ("beta body", 1)
+        assert out[3] == ("gamma body", 1)
+
+    def test_all_duplicate_doc_is_dropped(self, spark):
+        out = self._run(
+            spark,
+            [(1, "same\n\nthing"), (2, "same\n\nthing")],
+        )
+        assert out == {1: ("same\n\nthing", 2)}
+
+    def test_within_doc_repeat_kept_once_order_preserved(self, spark):
+        out = self._run(spark, [(1, "x\n\ny\n\nx\n\nz")])
+        assert out[1] == ("x\n\ny\n\nz", 3)
+
+    def test_position_order_survives_reassembly(self, spark):
+        text = "\n\n".join(f"p{i:02d}" for i in range(12))
+        out = self._run(spark, [(1, text)])
+        assert out[1] == (text, 12)
