@@ -1574,6 +1574,16 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         "corpus_prep": lambda: _noop(
             qs["corpus_prep_pipeline"](spark, x10)
         ),
+        # r10: crawl-prep stages at 50k docs — HTML boilerplate
+        # extraction (pure-Catalyst regexp chain, map-only) and
+        # Dolma-style paragraph dedup with reassembly (generate +
+        # hash-keyed window + id-keyed aggregate). Both postdate the
+        # committed r10 BENCH_LOCAL refresh — first numbers land in
+        # the driver's BENCH_r10 (the contamination_bloom precedent).
+        "html_extract": lambda: _noop(qs["html_text_extract"](spark, x10)),
+        "paragraph_dedup": lambda: _noop(
+            qs["doc_paragraph_dedup"](spark, x10)
+        ),
     }
 
     def best_of_3(thunk, *, cold: bool = False) -> float:
