@@ -592,3 +592,25 @@ def test_kmv_rollup_is_join_free_array_arithmetic(spark, sf_dir):
     plan = plan_of(kmv_rollup_estimates(kmv_daily_user_sketches(ev)))
     for shape in ("Join", "CartesianProduct"):
         assert shape not in plan, shape
+
+
+def test_html_extract_is_shuffle_free_codegen(spark, sf_dir):
+    """html_to_text is ONE pure-Catalyst string chain: the extraction
+    gate's plan must contain NO exchange beyond the fixture fan-out and
+    NO Python stage — a UDF here would put every crawl byte through
+    the Python boundary at 100 TB."""
+    plan = plan_of(harness.queries()["html_text_extract"](spark, sf_dir))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    # exactly the fan_out repartition, nothing data-dependent
+    assert plan.count("Exchange") == 1
+
+
+def test_paragraph_dedup_single_window_single_agg(spark, sf_dir):
+    """paragraph_dedup: one generate, one hash-keyed window (winner
+    selection), one id-keyed aggregate (reassembly) — and the window
+    key must be the 60-bit hash, never the full paragraph text (the
+    shuffle-key-width contract for 100 TB)."""
+    plan = plan_of(harness.queries()["doc_paragraph_dedup"](spark, sf_dir))
+    assert "Generate" in plan and "Window" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "hashpartitioning(h#" in plan  # window shuffles on the hash
