@@ -430,6 +430,22 @@ this round; plan-shape pins all green):
   why the anchor triplet, not per-entry absolutes, carries the
   cross-round signal.
 
+r10 SECOND same-day refresh (the committed BENCH_LOCAL; the r09
+corroboration precedent): regime 1.044 vs the first refresh, and it
+CORROBORATES every r10 arbitration — minhash_full_portable back at
+4.634 (solo band 4.94-5.29), weekly_activity_panel 3.16 (the r09
+steady state), weekly_user_kmv_rollup 1.604, ticker_max_drawdown
+7.625, ohlcv 15.58, beta 14.37 (all flagged x100 values regressed to
+the mean — in-tier jitter, as arbitrated), audio_pairs 1.255 (the
+ReusedExchange fix holds in-tier). First in-tier numbers for the
+crawl-prep stages at 50k docs: html_extract 0.443 s,
+paragraph_dedup 0.776 s — both the linear map/window shapes their
+plans pin. One NEW entry moved past the rule between its first two
+samples ever: audio_window_pairs 2.510 -> 3.488 (+33% normalized) —
+treat 2.5-3.5 s as this entry's starting jitter band until a third
+round establishes it (its fixture and plan are unchanged between the
+two runs, so this is the entry's own variance, not drift).
+
 r10 one-off audio-window x10 decade (same contract as the r09
 one-offs) — AND the live crossover demo for the multi-index mode:
 50,001 clips -> 200,004 window sigs. audio_window_hash_x10 10.695 s
