@@ -504,3 +504,41 @@ def test_gif_roundtrip_exact_on_random_indexed_images(w, h, data):
     dw, dh, ch, pix = gif_decode(b)
     assert (dw, dh, ch) == (w, h, 3)
     assert pix == b"".join(bytes(pal[v]) for v in idx)
+
+
+_word = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8
+)
+_tagname = st.sampled_from(["p", "div", "span", "h2", "li", "em", "b"])
+
+
+@st.composite
+def _tagged_doc(draw):
+    """Words wrapped in arbitrary nesting of benign tags + noise
+    elements: the extraction must return exactly the words, in order,
+    single-spaced, regardless of tag structure."""
+    words = draw(st.lists(_word, min_size=1, max_size=12))
+    html_parts = []
+    for w in words:
+        tag = draw(_tagname)
+        attr = draw(st.sampled_from(["", ' class="x"', " id='a' data-k=1"]))
+        html_parts.append(f"<{tag}{attr}>{w}</{tag}>")
+        if draw(st.booleans()):
+            html_parts.append("<script>var junk = 1 < 2;</script>")
+        if draw(st.booleans()):
+            html_parts.append("<!-- noise -->")
+    return " ".join(words), "".join(html_parts)
+
+
+@given(doc=_tagged_doc())
+@settings(**SETTINGS)
+def test_html_extract_recovers_words_under_any_tag_nesting(spark, doc):
+    from airflow_etl_finance_market_spark.functions.text import html_to_text
+
+    want, html = doc
+    got = (
+        spark.createDataFrame([(html,)], "html string")
+        .select(html_to_text(F.col("html")).alias("t"))
+        .first()["t"]
+    )
+    assert got == want
