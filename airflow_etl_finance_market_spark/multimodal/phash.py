@@ -458,6 +458,16 @@ def _block_candidates(
             f"per-block Hamming ball radius {ball} not supported "
             "(0 = exact block match, 1 = single-bit-flip multi-index)"
         )
+    if ball == 1 and max(_block_widths(n_blocks, n_bits)) > 63:
+        # pow(2.0, 63).cast('long') saturates to Long.MAX_VALUE
+        # (2^63-1) and would silently probe a 62-bit-soup mask instead
+        # of bit 63 (r10 ADVICE). A 64-bit-wide block is n_blocks=1
+        # over a full signature — use ball=0 there.
+        raise NotImplementedError(
+            f"ball=1 block width {max(_block_widths(n_blocks, n_bits))}"
+            " > 63: the flip-mask arithmetic is exact only below the "
+            "signed-long sign bit; split into more blocks or use ball=0"
+        )
     blocks = _block_rows(
         items, sig_col="sig", n_blocks=n_blocks, n_bits=n_bits
     )
@@ -483,9 +493,9 @@ def _block_candidates(
     else:
         widths = _block_widths(n_blocks, n_bits)
         # flip = -1 keeps the unflipped value; 0..w-1 flip one bit.
-        # Per-row shift via pow(2, flip) — F.shiftleft takes only a
-        # literal shift count (exact in double up to 2^52 >> any block
-        # width).
+        # Per-row shift via pow(2, flip) — exact in double for any
+        # power of two up to 2^62, and widths are capped at 63 above
+        # so flip <= 62.
         probe = (
             blocks.select(
                 "id",

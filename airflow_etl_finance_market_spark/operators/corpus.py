@@ -713,12 +713,26 @@ def paragraph_dedup(
     one id-keyed aggregate to reassemble. No joins, no all-pairs
     anything; the shuffle volume is the corpus itself once —
     the same bill document-level exact dedup pays.
+
+    ``sep`` is treated as a LITERAL string on both sides: the split
+    pattern escapes regex metacharacters so a separator like ``"||"``
+    or ``"..."`` splits on the same boundaries ``concat_ws``
+    reassembles on (r10 ADVICE: the unescaped form silently mis-split).
     """
     from pyspark.sql import Window
 
+    # Escape only Java-regex metacharacters; non-special chars (incl.
+    # literal newlines) stay as-is — a backslash before them would be
+    # an invalid or surprising Java escape.
+    sep_pattern = "".join(
+        "\\" + c if c in ".$^{[(|)*+?\\" else c for c in sep
+    )
+
     paras = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(
+            F.split(F.col(text_col), sep_pattern)
+        ).alias("pos", "para"),
     ).withColumn(
         "h", F.conv(F.substring(F.md5("para"), 1, 15), 16, 10).cast("bigint")
     )

@@ -467,6 +467,15 @@ cumulative 51.1 also includes ~2x the hash stage (block exchange +
 per-clip sizes agg are different subplans over the unpersisted sig
 frame) — at scale signatures are a written table, the checkpointed
 decomposition is the deployment-representative number.
+
+r11 brand_scores arbitration (the r10 verdict's What's wrong #1 —
++68%, 0.161 -> 0.270 driver-to-driver, the one flagged headline
+entry without a band on record): solo best-of-3 x3 in fresh JVMs
+measured 0.288 / 0.242 / 0.283 s best. The r10 driver value 0.270
+sits mid-band; the r09 0.161 was a fast min below today's floor —
+the doc_token_stats class of sub-second tiny-entry jitter on an
+unchanged plan (operators/scoring.py untouched since r08; plan pin
+green). Steady state ~0.24-0.29 s in the current regime.
 """
 
 from __future__ import annotations
@@ -1593,9 +1602,9 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         # r10: crawl-prep stages at 50k docs — HTML boilerplate
         # extraction (pure-Catalyst regexp chain, map-only) and
         # Dolma-style paragraph dedup with reassembly (generate +
-        # hash-keyed window + id-keyed aggregate). Both postdate the
-        # committed r10 BENCH_LOCAL refresh — first numbers land in
-        # the driver's BENCH_r10 (the contamination_bloom precedent).
+        # hash-keyed window + id-keyed aggregate). First local numbers
+        # landed in the second same-day r10 BENCH_LOCAL refresh
+        # (4b47638: 0.443 s / 0.776 s).
         "html_extract": lambda: _noop(qs["html_text_extract"](spark, x10)),
         "paragraph_dedup": lambda: _noop(
             qs["doc_paragraph_dedup"](spark, x10)

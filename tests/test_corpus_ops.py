@@ -968,3 +968,26 @@ class TestParagraphDedup:
         text = "\n\n".join(f"p{i:02d}" for i in range(12))
         out = self._run(spark, [(1, text)])
         assert out[1] == (text, 12)
+
+    def test_regex_metacharacter_separator_is_literal(self, spark):
+        """r10 ADVICE: sep was regex on the split side but literal on
+        the reassembly side — '||' used to split between EVERY char."""
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            paragraph_dedup,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha||beta||gamma"),
+                (2, "alpha||delta"),
+                (3, "a.b||a.b"),  # '.' literal too: 'a.b' != 'axb'
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: (r.text, r.n_paras_kept)
+            for r in paragraph_dedup(docs, sep="||").collect()
+        }
+        assert out[1] == ("alpha||beta||gamma", 3)
+        assert out[2] == ("delta", 1)
+        assert out[3] == ("a.b", 1)

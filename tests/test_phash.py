@@ -347,6 +347,30 @@ class TestMultiIndexAndBucketStats:
                 ball=2,
             )
 
+    def test_ball1_full_width_block_raises(self, spark):
+        """r10 ADVICE: with a 64-bit-wide block, the ball-1 flip mask
+        for bit 63 saturates the double->long cast to Long.MAX_VALUE
+        and silently probes a wrong mask — must raise, not mis-probe."""
+        from pyspark.sql import functions as F
+
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            _block_candidates,
+        )
+
+        frame = spark.createDataFrame(
+            [(1, 7)], "doc_id long, dhash long"
+        ).select(
+            F.col("doc_id").alias("id"), F.col("dhash").alias("sig")
+        )
+        with pytest.raises(NotImplementedError, match="63"):
+            _block_candidates(frame, n_blocks=1, n_bits=64, ball=1)
+        # 32-bit-wide blocks stay allowed: flip <= 31 < the sign bit.
+        assert (
+            _block_candidates(frame, n_blocks=2, n_bits=64, ball=1)
+            .count()
+            == 0
+        )
+
 
 def test_hamming_exactly_max_distance_one_bit_per_block(spark):
     """r07 review regression: a pair at EXACTLY max_hamming=4 with one
