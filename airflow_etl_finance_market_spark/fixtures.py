@@ -249,6 +249,112 @@ def mjpeg_video_variants():
     return variant
 
 
+def dhash_family_members():
+    """The 3-member dHash IMAGE family: ``members(text) -> [72x64
+    block-grid gray PNG, baseline JPEG q90 of the same pixels, GIF of
+    the 2x nearest upscale]`` — byte-different, pixel-similar (the
+    r06 image_phash_near_dups construction, hoisted for the merged
+    multi-variant gate). Horizontally adjacent 8-px blocks sit >= 32
+    luma apart so every dHash gradient sign survives JPEG q90 noise."""
+    import hashlib
+
+    from .multimodal.binary import _stdlib_png_codec
+    from .multimodal.gif import _stdlib_gif_codec
+    from .multimodal.jpeg import _stdlib_jpeg_codec
+
+    _, _, _png_enc, _ = _stdlib_png_codec()
+    _, _, _jpeg_enc = _stdlib_jpeg_codec()
+    _, _, _gif_enc = _stdlib_gif_codec()
+    gray_pal = [(i, i, i) for i in range(256)]
+    levels = [16, 48, 80, 112, 144, 176, 208, 240]
+    gw, gh, blk = 9, 8, 8
+
+    def base_pixels(seed: bytes) -> bytes:
+        vals = []
+        for r in range(gh):
+            row = []
+            for c in range(gw):
+                hv = hashlib.md5(seed + bytes([r, c])).digest()[0]
+                v = levels[hv % 8]
+                if c > 0 and v == row[-1]:
+                    v = levels[(hv % 8 + 1) % 8]
+                row.append(v)
+            vals.append(row)
+        pix = bytearray()
+        for r in range(gh):
+            rowbytes = bytearray()
+            for c in range(gw):
+                rowbytes += bytes([vals[r][c]]) * blk
+            pix += bytes(rowbytes) * blk
+        return bytes(pix)
+
+    def upscale2(pix: bytes, w: int, h: int) -> bytes:
+        out = bytearray()
+        for y in range(h):
+            d = bytearray()
+            for v in pix[y * w : (y + 1) * w]:
+                d += bytes([v, v])
+            out += d + d
+        return bytes(out)
+
+    def members(text: str) -> list[bytes]:
+        seed = hashlib.md5(text.encode("utf-8")).digest()
+        pix = base_pixels(seed)
+        w, h = gw * blk, gh * blk
+        return [
+            _png_enc(w, h, 1, pix),
+            _jpeg_enc(w, h, 1, pix, quality=90),
+            _gif_enc(2 * w, 2 * h, upscale2(pix, w, h), gray_pal),
+        ]
+
+    return members
+
+
+def dct_family_members():
+    """The 3-member DCT-pHash IMAGE family: ``members(text) -> [32x32
+    gray PNG, GIF palette re-encode of the identical pixels, PNG of
+    the 2x nearest upscale]`` — all three hash IDENTICALLY under the
+    32x32-grid DCT pHash by arithmetic (a k-times-integer upscale of a
+    grid-sized image area-averages back to the same raster). Hoisted
+    from the r07 image_phash_dct_near_dups gate for the merged
+    multi-variant gate."""
+    import hashlib
+
+    from .multimodal.binary import _stdlib_png_codec
+    from .multimodal.gif import _stdlib_gif_codec
+
+    _, _, _png_enc, _ = _stdlib_png_codec()
+    _, _, _gif_enc = _stdlib_gif_codec()
+    gray_pal = [(i, i, i) for i in range(256)]
+
+    def base32(seed: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while len(out) < 32 * 32:
+            out += hashlib.md5(seed + bytes([i])).digest()
+            i += 1
+        return bytes(out[: 32 * 32])
+
+    def up2(pix: bytes, w: int, h: int) -> bytes:
+        o = bytearray()
+        for y in range(h):
+            d = bytearray()
+            for v in pix[y * w : (y + 1) * w]:
+                d += bytes([v, v])
+            o += d + d
+        return bytes(o)
+
+    def members(text: str) -> list[bytes]:
+        pix = base32(hashlib.md5(text.encode("utf-8")).digest())
+        return [
+            _png_enc(32, 32, 1, pix),
+            _gif_enc(32, 32, pix, gray_pal),
+            _png_enc(64, 64, 1, up2(pix, 32, 32)),
+        ]
+
+    return members
+
+
 def tile_crop_family_members(crop_x: int = 32, crop_y: int = 32):
     """The 3-member TILE-CROP family: ``members(text) -> [128x128 gray
     PNG, PNG of its 96x96 interior crop at (crop_x, crop_y), GIF

@@ -60,96 +60,52 @@ def register(name: str, oracle: str | None = None):
 #: test_demoted_entries_within_staleness_budget, so a forgotten rotation
 #: fails the suite, not the judge.
 #:
-#: Round-10 rotation (executing the plan pre-committed in the r09
-#: comment, amended for this round's six NEW entries): live under
-#: rule 1: audio_window_trim_near_dups (NEW: windowed subfingerprints
-#: matched as sets — the trim/offset-robust audio tier the r09 verdict
-#: asked for, the audio twin of the tile tier),
-#: image_tile_phase_crop_near_dups (NEW: two-phase tile grid — off-grid
-#: crops aligned to tile/2 now match byte-identical tiles of the offset
-#: phase, the r09 misaligned-crop ask), multimodal_corpus_prep_full
-#: (NEW: the full three-modality funnel — image AND audio AND video
-#: survivorship gating document selection), media_pair_bucket_audit
-#: (NEW: the block-LSH pair-join cost audit, oracle-replayed bucket
-#: accounting + the live stats==join identity — the instrument behind
-#: the r09 asymptote fix), html_text_extract (NEW: web-corpus HTML
-#: boilerplate extraction — the crawl-prep stage every published
-#: pipeline starts with; pure-Catalyst chain, oracle replays it
-#: verbatim) and doc_paragraph_dedup (NEW: Dolma-style paragraph-level
-#: dedup with reassembly — globally-first-occurrence winners, the
-#: boilerplate tier between document dedup and span stats). Rule 2 (depended-on code changed this round
-#: — phash.py gained bucket-size stats + the exact multi-index mode
-#: around the SHARED _block_rows path; audio.py gained the Nyquist
-#: guard + window kernel) is carried by those same NEW gates: each
-#: rides the changed module paths end-to-end and earns a fresh driver
-#: row on them, and the r09 gates over the same code are trail-0 with
-#: local parity green. Live under rule 3: ALL 39 r07-green trail-2
-#: entries (the pre-committed backbone — staleness offenders the
-#: moment CORRECTNESS_r10.json lands) plus the 5 OLDEST-registered
-#: r08-green entries, including star_revenue (its r09 +48% drift is
-#: arbitrated in bench.py this round — the fresh driver row pins the
-#: entry alongside the arbitration, the ticker_pair_correlation
-#: precedent). 39 + 6 + 5 = 50. The r09 plan sketched "39 + 11 of the
-#: r08 cohort" assuming no new registrations; rule 1 outranks backfill,
-#: so 6 of those 11 slots go to the new gates and the r08 remainder
-#: (42 entries, trail 2 at r10 — inside the budget) is pre-committed
-#: as the r11 backbone. Demoted: those 42 r08-green entries (MUST be
-#: live at r11) and all 50 r09-green entries (trail 1, due r12;
-#: capacity: 42 r08 + 8 of the r09 cohort fit r11, the remaining 42
-#: r09 anchor r12 alongside this round's 6 new entries (due r13, and
-#: r12 has the 8 slots of slack) — the 142-entry registry keeps
-#: cycling inside the 3-round re-verification period; headroom is now
-#: thin (~2 spare slots/cycle), so growth beyond r11 should retire or
-#: merge gates rather than only adding).
+#: Round-11 rotation — HEADROOM ROUND (executing the r10 verdict's #1:
+#: the 142-entry registry against a 50-slot/trail-2 window caps at 150
+#: and r10 consumed the slack, so this round RETIRES ten gates into
+#: five merged multi-variant gates before adding anything new; registry
+#: now 140). Retirements, each with its assertions preserved verbatim
+#: in the successor (rationales also in the merged gates' docstrings):
+#:   - customers_with_big_orders + customers_without_big_orders ->
+#:     customer_big_order_split (same semi/anti functions, and the
+#:     union now ALSO pins the exact partition of the customer table);
+#:   - doc_contamination + doc_contamination_bloom ->
+#:     doc_contamination_dual (they always shared one oracle because
+#:     bloom==exact by construction; the union asserts that identity
+#:     live on every driver run instead of across two rows of the
+#:     ledger);
+#:   - image_phash_near_dups + image_phash_dct_near_dups ->
+#:     image_phash_multi_near_dups (same planted families via the
+#:     hoisted fixtures builders, both kernels through the ONE
+#:     hamming_near_pairs path — one gate, two variant rows);
+#:   - audio_near_dups + audio_norm_near_dups ->
+#:     audio_multi_near_dups (ditto for the re-encode and cross-rate
+#:     axes of the shared audio fingerprint kernel);
+#:   - orc_roundtrip_ingest + jsonl_roundtrip_ingest ->
+#:     file_roundtrip_ingest (two format rows, and the stronger JSONL
+#:     aggregate — total_text_len — now also covers ORC).
+#: Live under rule 1: the 5 merged gates plus the round's 3 NEW
+#: feature gates (c4_line_filter, audio_cdc_trim_near_dups,
+#: streaming_windowed_media_dedup) = 8. Live under rule 2:
+#: html_text_extract (its oracle was REFORMULATED this round to derive
+#: expected text from the fixture's construction instead of replaying
+#: the engine's regex chain — r10 verdict What's wrong #2 — so the
+#: fresh driver row must validate the new oracle). Live under rule 3:
+#: ALL 38 surviving r08-green trail-2 entries (the pre-committed r11
+#: backbone was the 42 r08 cohort; 4 of them were retired into merges
+#: above) plus the 3 OLDEST-registered r09 entries (weekly_volatility,
+#: market_overview, ticker_report_stats). 38 + 8 + 1 + 3 = 50.
+#: Demoted: the remaining 43 r09-green entries (trail 2 at r11 — due
+#: and PRE-COMMITTED live at r12) and 47 r10-green entries (trail 1,
+#: due r13; r12 has 50 - 43 = 7 slots of slack to start refreshing
+#: them early, so the r13 backbone is <= 47 - 7 = 40 with 10 slots for
+#: r11's 11 rule-1/rule-2 entries and new registrations). At 140
+#: entries the 3-round cycle needs an average 46.7 live slots — the
+#: ceiling is real again but no longer binding; keep future growth
+#: paired with retirements.
 _WINDOW_DEMOTED = [
-    # --- r08-green, trail 2 at r10: the PRE-COMMITTED r11 backbone
-    # (all 42 MUST be live the moment CORRECTNESS_r11.json lands) ---
-    "segment_balance",
-    "distinct_counts",
-    "customers_without_big_orders",
-    "customers_with_big_orders",
-    "dim_instrumento",
-    "dim_tempo",
-    "quality_gate_exact",
-    "fk_orphan_check",
-    "brand_scores",
-    "returnflag_correlation",
-    "latest_event_per_user",
-    "events_json_kpi",
-    "doc_token_stats",
-    "multimodal_features",
-    "sql_api_nation_rank",
-    "rolling_close_avg",
-    "qty_rollup",
-    "customer_set_ops",
-    "status_flag_pivot",
-    "sliding_window_kpis",
-    "pricey_parts_vs_brand_avg",
-    "customer_order_coverage",
-    "top_performers",
-    "train_test_split",
-    "doc_chunks",
-    "doc_contamination",
-    "doc_incremental_probe",
-    "doc_bm25_topk",
-    "doc_bigram_logprob",
-    "doc_edit_distance_near_dups",
-    "doc_containment_pairs",
-    "multimodal_image_codec_real",
-    "dsir_importance_weights",
-    "bpe_merges",
-    "weekly_user_kmv_rollup",
-    "bpe_token_counts",
-    "cross_doc_ngram_overlap",
-    "doc_nb_lang_classifier",
-    "corpus_prep_pipeline",
-    "jsonl_roundtrip_ingest",
-    "term_heavy_hitters",
-    "weekly_value_quantile_rollup",
-    # --- r09-green, trail 1 (due r12; 11 of these rotate at r11) ---
-    "weekly_volatility",
-    "market_overview",
-    "ticker_report_stats",
+    # --- r09-green, trail 2 at r11: the PRE-COMMITTED r12 backbone
+    # (all 43 MUST be live the moment CORRECTNESS_r12.json lands) ---
     "recent_extract",
     "quality_gate",
     "doc_exact_dedup",
@@ -190,13 +146,58 @@ _WINDOW_DEMOTED = [
     "weekly_activity_panel",
     "multimodal_audio_features",
     "video_near_dups",
-    "image_phash_near_dups",
-    "image_phash_dct_near_dups",
-    "audio_near_dups",
-    "audio_norm_near_dups",
     "image_tile_crop_near_dups",
     "multimodal_corpus_prep",
     "streaming_media_dedup_ingest",
+    # --- r10-green, trail 1 (due r13; r12 has 7 slots of slack to
+    # start refreshing the oldest of these early) ---
+    "top_avg_volatility",
+    "pricing_summary",
+    "ticker_metrics",
+    "volume_leaders",
+    "star_revenue",
+    "doc_jaccard_near_dups",
+    "embedding_topk",
+    "embedding_near_dups",
+    "price_percentiles",
+    "windowed_event_kpis",
+    "embedding_topk_lsh",
+    "approx_event_stats",
+    "curated_corpus",
+    "streaming_pct_change_vol",
+    "streaming_pct_change_reordered",
+    "doc_dedup_clusters",
+    "reorder_within_30d",
+    "doc_pii_redaction",
+    "qty_cube",
+    "event_value_outliers",
+    "view_click_attribution",
+    "doc_length_deciles",
+    "doc_near_dup_triangles",
+    "doc_near_dup_triangles_degree",
+    "price_trend_regression",
+    "customer_tier_scd2",
+    "trailing_7d_avg_price",
+    "doc_token_entropy",
+    "corpus_lang_source_chi2",
+    "multimodal_frame_sample",
+    "doc_weighted_sample",
+    "doc_lang_rebalance",
+    "ticker_stats_unpivot",
+    "doc_duplicate_spans",
+    "events_daily_ffill",
+    "hll_user_rollup",
+    "order_price_percent_rank",
+    "multimodal_video_frames_real",
+    "doc_paragraph_dedup",
+    "media_pair_bucket_audit",
+    "audio_window_trim_near_dups",
+    "image_tile_phase_crop_near_dups",
+    "multimodal_corpus_prep_full",
+    "embedding_semantic_dedup",
+    "gopher_quality_flags",
+    "streaming_dedup_ingest",
+    "embedding_contrastive_negatives",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
@@ -614,9 +615,16 @@ def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "customers_without_big_orders",
+    "customer_big_order_split",
     """
-SELECT c_custkey, c_name, c_mktsegment
+SELECT 'with' AS side, c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+)
+UNION ALL
+SELECT 'without' AS side, c_custkey, c_name, c_mktsegment
 FROM customer c
 WHERE NOT EXISTS (
     SELECT 1 FROM orders o
@@ -624,35 +632,28 @@ WHERE NOT EXISTS (
 )
 """,
 )
-def q_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join — the ON CONFLICT DO NOTHING shape (J3/S6)."""
-    from .plans.analytics import customers_without_big_orders
-
-    return customers_without_big_orders(
-        load_fixture(spark, sf_dir, "customer"),
-        load_fixture(spark, sf_dir, "orders"),
+def q_customer_big_order_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) + left-anti (the ON CONFLICT DO NOTHING
+    shape, J3/S6) in ONE gate — the r10 verdict's registry-headroom
+    merge of ``customers_with_big_orders`` + ``customers_without_big_
+    orders``: both sides still run the genuine semi/anti functions,
+    and the union pins the exact PARTITION of the customer table (the
+    two oracles' row sets are complementary by construction, so a
+    customer leaking into both sides or neither breaks the hash)."""
+    from .plans.analytics import (
+        customers_with_big_orders,
+        customers_without_big_orders,
     )
 
-
-@register(
-    "customers_with_big_orders",
-    """
-SELECT c_custkey, c_name, c_mktsegment
-FROM customer c
-WHERE EXISTS (
-    SELECT 1 FROM orders o
-    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
-)
-""",
-)
-def q_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi twin (EXISTS)."""
-    from .plans.analytics import customers_with_big_orders
-
-    return customers_with_big_orders(
-        load_fixture(spark, sf_dir, "customer"),
-        load_fixture(spark, sf_dir, "orders"),
+    c = load_fixture(spark, sf_dir, "customer")
+    o = load_fixture(spark, sf_dir, "orders")
+    with_side = customers_with_big_orders(c, o).select(
+        F.lit("with").alias("side"), "*"
     )
+    without_side = customers_without_big_orders(c, o).select(
+        F.lit("without").alias("side"), "*"
+    )
+    return with_side.unionByName(without_side)
 
 
 @register(
@@ -2184,36 +2185,44 @@ WHERE d.doc_id % 50 != 0
 """
 
 
-@register("doc_contamination", _CONTAM_ORACLE_SQL)
-def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: every 50th doc plays the held-out eval
-    set; corpus docs are flagged on any shared word trigram. Benchmark
-    gram set broadcasts; corpus side stays map-local
-    (operators.corpus.contamination_flags)."""
+@register(
+    "doc_contamination_dual",
+    f"""
+SELECT 'bloom' AS path, * FROM ({_CONTAM_ORACLE_SQL})
+UNION ALL
+SELECT 'exact' AS path, * FROM ({_CONTAM_ORACLE_SQL})
+""",
+)
+def q_doc_contamination_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through BOTH physical paths in ONE
+    gate — the r10 verdict's registry-headroom merge of
+    ``doc_contamination`` + ``doc_contamination_bloom``, which always
+    shared one oracle: every 50th doc plays the held-out eval set;
+    corpus docs are flagged on any shared word trigram.
+
+    Path 'exact' broadcasts the benchmark gram set and verifies
+    directly (operators.corpus.contamination_flags); path 'bloom'
+    pre-gates the corpus gram stream MAP-SIDE with an m-bit xxhash64
+    bitmap (operators/bloom.py — the runtime-filter / semi-join-
+    reduction pattern by hand) before the same exact verify join.
+    Bloom has no false negatives and the verify join drops its false
+    positives, so both paths' outputs — and therefore both oracle
+    branches — are identical by construction; the union asserts that
+    identity on every driver run. At real benchmark sizes the bloom
+    broadcast shrinks from the gram string set to m/8 bytes (8 KB)."""
+    from .operators.bloom import bloom_pregated_contamination
     from .operators.corpus import contamination_flags
 
     docs = load_fixture(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
-    return contamination_flags(corpus, bench, n=3)
-
-
-@register("doc_contamination_bloom", _CONTAM_ORACLE_SQL)
-def q_doc_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-pre-gated decontamination (operators/bloom.py — the
-    runtime-filter / semi-join-reduction pattern by hand): an m-bit
-    bitmap over the benchmark grams (xxhash64, k=3) prunes the corpus
-    gram stream MAP-SIDE in pure Catalyst arithmetic before the exact
-    verify join. Bloom has no false negatives and the verify join drops
-    its false positives, so the output — and therefore the oracle — is
-    doc_contamination's verbatim; at real benchmark sizes the broadcast
-    shrinks from the gram string set to m/8 bytes (8 KB)."""
-    from .operators.bloom import bloom_pregated_contamination
-
-    docs = load_fixture(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 50 != 0)
-    bench = docs.filter(F.col("doc_id") % 50 == 0)
-    return bloom_pregated_contamination(corpus, bench, n=3)
+    exact = contamination_flags(corpus, bench, n=3).select(
+        F.lit("exact").alias("path"), "*"
+    )
+    bloom = bloom_pregated_contamination(corpus, bench, n=3).select(
+        F.lit("bloom").alias("path"), "*"
+    )
+    return exact.unionByName(bloom)
 
 
 @register(
@@ -5193,87 +5202,22 @@ def q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "image_phash_near_dups",
-    """
-SELECT COUNT(*) * 3 AS n_images,
-       COUNT(*) * 3 AS n_pairs,
-       true AS pairs_within_family,
-       true AS families_fully_paired
-FROM documents
-WHERE doc_id % 5 = 0
-""",
-)
-def q_image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup via perceptual hash (multimodal/phash.py —
-    decode → luma → 9x8 dHash → Hamming block-LSH → verify), the
-    multimodal dedup modality next to the five text tiers (r06 verdict
-    #5). Every 5th document seeds a 3-member planted near-dup family:
-    the SAME 72x64 block-grid pixels (md5(text)-derived, horizontally
-    adjacent blocks >= 32 luma apart so every gradient sign survives
-    codec noise) published as (a) PNG, (b) baseline JPEG q90, and
-    (c) GIF of the 2x nearest upscale — byte-different, pixel-similar:
-    exactly what exact dedup misses and text dedup can't see. The
-    oracle PREDICTS the full outcome from first principles: all 3n
-    images hash (n_images — a quarantine shrinks the count), the
-    verified pair set is exactly the 3 within-family pairs per family
-    (n_pairs = 3n), no pair crosses families, and every family is
-    fully paired. Hash stage is map-only Arrow; the pair stage is the
-    64k-bucket block equi-join + bit_count verify — never all-pairs."""
-    from .multimodal.phash import hamming_near_pairs, image_dhash
-
-    _LEVELS = [16, 48, 80, 112, 144, 176, 208, 240]
+def _family_media_builder(members):
+    """``mapInPandas`` closure for the planted 3-member media families:
+    ``(doc_id, text)`` -> ``(doc_id*10 + k, payload)`` for each family
+    member ``k``. ``members`` is a fixtures.py factory PRODUCT, so the
+    closure ships self-contained to bare workers (the pickle house
+    rule)."""
 
     def _build(batches):
-        import hashlib
-
         import pandas as pd
-
-        gw, gh, blk = 9, 8, 8
-        gray_pal = [(i, i, i) for i in range(256)]
-
-        def base_pixels(seed: bytes) -> bytes:
-            vals = []
-            for r in range(gh):
-                row = []
-                for c in range(gw):
-                    hv = hashlib.md5(seed + bytes([r, c])).digest()[0]
-                    v = _LEVELS[hv % 8]
-                    if c > 0 and v == row[-1]:
-                        v = _LEVELS[(hv % 8 + 1) % 8]
-                    row.append(v)
-                vals.append(row)
-            pix = bytearray()
-            for r in range(gh):
-                rowbytes = bytearray()
-                for c in range(gw):
-                    rowbytes += bytes([vals[r][c]]) * blk
-                pix += bytes(rowbytes) * blk
-            return bytes(pix)
-
-        def upscale2(pix: bytes, w: int, h: int) -> bytes:
-            out = bytearray()
-            for y in range(h):
-                d = bytearray()
-                for v in pix[y * w : (y + 1) * w]:
-                    d += bytes([v, v])
-                out += d + d
-            return bytes(out)
 
         for pdf in batches:
             ids, payloads = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                seed = hashlib.md5(text.encode("utf-8")).digest()
-                pix = base_pixels(seed)
-                w, h = gw * blk, gh * blk
-                ids.append(doc_id * 10)
-                payloads.append(_png_enc(w, h, 1, pix))
-                ids.append(doc_id * 10 + 1)
-                payloads.append(_jpeg_enc(w, h, 1, pix, quality=90))
-                ids.append(doc_id * 10 + 2)
-                payloads.append(
-                    _gif_enc(2 * w, 2 * h, upscale2(pix, w, h), gray_pal)
-                )
+                for k, payload in enumerate(members(text)):
+                    ids.append(doc_id * 10 + k)
+                    payloads.append(payload)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -5281,146 +5225,22 @@ def q_image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    from .multimodal.binary import _stdlib_png_codec
-    from .multimodal.gif import _stdlib_gif_codec
-    from .multimodal.jpeg import _stdlib_jpeg_codec
-
-    _, _, _png_enc, _ = _stdlib_png_codec()
-    _, _, _jpeg_enc = _stdlib_jpeg_codec()
-    _, _, _gif_enc = _stdlib_gif_codec()
-
-    docs = fan_out(
-        load_fixture(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % 5 == 0
-        ),
-        "doc_id",
-    )
-    n_docs = docs.count()
-    media = docs.select("doc_id", "text").mapInPandas(
-        _build, "doc_id long, payload binary"
-    )
-    # the hash frame feeds the count AND a self-join (block LSH): eager
-    # checkpoint so the pure-Python encode+decode+hash runs exactly once
-    hashes = image_dhash(media).localCheckpoint()
-    n_images = hashes.count()
-    fam = hamming_near_pairs(hashes, max_hamming=4).select(
-        (F.col("id_a") / 10).cast("long").alias("fam_a"),
-        (F.col("id_b") / 10).cast("long").alias("fam_b"),
-    )
-    per_fam = fam.groupBy("fam_a").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
-    )
-    row = per_fam.agg(
-        F.sum("cnt").alias("n_pairs"),
-        F.min("within").alias("pairs_within_family"),
-        (
-            F.min((F.col("cnt") == 3) & F.col("within"))
-            & (F.count(F.lit(1)) == F.lit(n_docs))
-        ).alias("families_fully_paired"),
-    ).first()
-    return spark.createDataFrame(
-        [(n_images, row["n_pairs"], row["pairs_within_family"],
-          row["families_fully_paired"])],
-        "n_images long, n_pairs long, pairs_within_family boolean, "
-        "families_fully_paired boolean",
-    )
+    return _build
 
 
-@register(
-    "image_phash_dct_near_dups",
-    """
-SELECT COUNT(*) * 3 AS n_images,
-       COUNT(*) * 3 AS n_pairs,
-       true AS pairs_within_family,
-       true AS families_fully_paired
-FROM documents
-WHERE doc_id % 7 = 3
-""",
-)
-def q_image_phash_dct_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup via the DCT perceptual hash (multimodal/phash.py
-    image_phash_dct — luma → 32x32 area-average → orthonormal 2-D DCT
-    → 63 median-sign bits), the GLOBAL-spectral sibling of the dHash
-    gate, through the SAME hamming_near_pairs block-LSH. Every 7th
-    document seeds a 3-member family whose equality is EXACT BY
-    ARITHMETIC, not by tolerance: (a) 32x32 grayscale PNG of
-    md5(text)-stream pixels, (b) GIF palette re-encode of the IDENTICAL
-    pixels (decodes to the same luma bit-for-bit), and (c) PNG of the
-    2x nearest upscale — a k-times-integer upscale of a grid-sized
-    image area-averages back to the SAME raster (every 2x2 box is
-    constant), so all three variants hash IDENTICALLY (Hamming 0) by
-    construction, while cross-family signatures sit near Binomial(63,
-    1/2) (~32; measured min 18 over seeds). The oracle PREDICTS the
-    full outcome: 3n images hashed, the verified pair set is exactly
-    the 3 within-family pairs per family, none cross-family. JPEG
-    robustness (not provable, only measurable) is pinned empirically in
-    tests/test_phash.py instead of gated here."""
-    from .multimodal.phash import hamming_near_pairs, image_phash_dct
+def _family_pair_outcome(fps, *, sig_col, n_docs, max_hamming=4):
+    """Shared verdict aggregate for every planted 3-member-family media
+    gate: run the block-LSH pair stage over the (already checkpointed)
+    signature frame and reduce to the 4-tuple the oracles predict —
+    ``(n_items, n_pairs, pairs_within_family, families_fully_paired)``
+    with family = id div 10. Hoisted r11 from four near-identical gate
+    bodies when the dHash/DCT and raw/normalized-audio gate pairs were
+    merged (registry-headroom work, r10 verdict #1)."""
+    from .multimodal.phash import hamming_near_pairs
 
-    def _build(batches):
-        import hashlib
-
-        import pandas as pd
-
-        gray_pal = [(i, i, i) for i in range(256)]
-
-        def base32(seed: bytes) -> bytes:
-            out = bytearray()
-            i = 0
-            while len(out) < 32 * 32:
-                out += hashlib.md5(seed + bytes([i])).digest()
-                i += 1
-            return bytes(out[: 32 * 32])
-
-        def up2(pix: bytes, w: int, h: int) -> bytes:
-            o = bytearray()
-            for y in range(h):
-                d = bytearray()
-                for v in pix[y * w : (y + 1) * w]:
-                    d += bytes([v, v])
-                o += d + d
-            return bytes(o)
-
-        for pdf in batches:
-            ids, payloads = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                pix = base32(hashlib.md5(text.encode("utf-8")).digest())
-                ids.append(doc_id * 10)
-                payloads.append(_png_enc(32, 32, 1, pix))
-                ids.append(doc_id * 10 + 1)
-                payloads.append(_gif_enc(32, 32, pix, gray_pal))
-                ids.append(doc_id * 10 + 2)
-                payloads.append(_png_enc(64, 64, 1, up2(pix, 32, 32)))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "payload": pd.Series(payloads, dtype="object"),
-                }
-            )
-
-    from .multimodal.binary import _stdlib_png_codec
-    from .multimodal.gif import _stdlib_gif_codec
-
-    _, _, _png_enc, _ = _stdlib_png_codec()
-    _, _, _gif_enc = _stdlib_gif_codec()
-
-    docs = fan_out(
-        load_fixture(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % 7 == 3
-        ),
-        "doc_id",
-    )
-    n_docs = docs.count()
-    media = docs.select("doc_id", "text").mapInPandas(
-        _build, "doc_id long, payload binary"
-    )
-    # hash frame feeds the count AND the LSH self-join: eager checkpoint
-    # so the pure-Python decode + numpy DCT runs exactly once
-    hashes = image_phash_dct(media).localCheckpoint()
-    n_images = hashes.count()
+    n_items = fps.count()
     fam = hamming_near_pairs(
-        hashes, sig_col="phash", max_hamming=4
+        fps, sig_col=sig_col, max_hamming=max_hamming
     ).select(
         (F.col("id_a") / 10).cast("long").alias("fam_a"),
         (F.col("id_b") / 10).cast("long").alias("fam_b"),
@@ -5431,24 +5251,113 @@ def q_image_phash_dct_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     row = per_fam.agg(
         F.sum("cnt").alias("n_pairs"),
-        F.min("within").alias("pairs_within_family"),
+        F.min("within").alias("within"),
         (
             F.min((F.col("cnt") == 3) & F.col("within"))
             & (F.count(F.lit(1)) == F.lit(n_docs))
-        ).alias("families_fully_paired"),
+        ).alias("fully"),
     ).first()
+    return n_items, row["n_pairs"], row["within"], row["fully"]
+
+
+@register(
+    "image_phash_multi_near_dups",
+    """
+SELECT 'dct' AS variant,
+       COUNT(*) * 3 AS n_images,
+       COUNT(*) * 3 AS n_pairs,
+       true AS pairs_within_family,
+       true AS families_fully_paired
+FROM documents
+WHERE doc_id % 7 = 3
+UNION ALL
+SELECT 'dhash' AS variant,
+       COUNT(*) * 3 AS n_images,
+       COUNT(*) * 3 AS n_pairs,
+       true AS pairs_within_family,
+       true AS families_fully_paired
+FROM documents
+WHERE doc_id % 5 = 0
+""",
+)
+def q_image_phash_multi_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IMAGE near-dup through BOTH perceptual-hash kernels in ONE gate
+    — the r10 verdict's registry-headroom merge of
+    ``image_phash_near_dups`` (r06) + ``image_phash_dct_near_dups``
+    (r07); every assertion of both retired gates survives as one
+    variant row here, and both kernels still ride the SAME
+    hamming_near_pairs block-LSH.
+
+    Variant 'dhash' (multimodal/phash.py image_dhash — decode -> luma
+    -> 9x8 gradient-sign hash): every 5th document seeds a 3-member
+    family (72x64 block-grid PNG / baseline JPEG q90 / GIF of the 2x
+    nearest upscale; fixtures.dhash_family_members) — byte-different,
+    pixel-similar, with adjacent blocks >= 32 luma apart so every
+    gradient sign survives codec noise.
+
+    Variant 'dct' (image_phash_dct — luma -> 32x32 area-average ->
+    orthonormal 2-D DCT -> 63 median-sign bits): every 7th document
+    seeds a family EXACT BY ARITHMETIC (gray PNG / GIF palette
+    re-encode of identical pixels / PNG of the 2x nearest upscale,
+    which area-averages back to the same raster;
+    fixtures.dct_family_members).
+
+    The oracle PREDICTS both outcomes from first principles: 3n images
+    hash per variant (a quarantine shrinks the count), the verified
+    pair set is exactly the 3 within-family pairs per family, none
+    cross-family. Hash stages are map-only Arrow; the pair stage is
+    the 64k-bucket block equi-join + bit_count verify — never
+    all-pairs. JPEG robustness of the DCT kernel (not provable, only
+    measurable) stays pinned empirically in tests/test_phash.py."""
+    from .fixtures import dct_family_members, dhash_family_members
+    from .multimodal.phash import image_dhash, image_phash_dct
+
+    rows = []
+    for variant, mod, rem, members, hash_fn, sig_col in (
+        ("dhash", 5, 0, dhash_family_members(), image_dhash, "dhash"),
+        ("dct", 7, 3, dct_family_members(), image_phash_dct, "phash"),
+    ):
+        docs = fan_out(
+            load_fixture(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % mod == rem
+            ),
+            "doc_id",
+        )
+        n_docs = docs.count()
+        media = docs.select("doc_id", "text").mapInPandas(
+            _family_media_builder(members), "doc_id long, payload binary"
+        )
+        # the hash frame feeds the count AND the LSH self-join: eager
+        # checkpoint so the pure-Python decode + hash runs exactly once
+        fps = hash_fn(media).localCheckpoint()
+        rows.append(
+            (variant,)
+            + _family_pair_outcome(
+                fps, sig_col=sig_col, n_docs=n_docs, max_hamming=4
+            )
+        )
     return spark.createDataFrame(
-        [(n_images, row["n_pairs"], row["pairs_within_family"],
-          row["families_fully_paired"])],
-        "n_images long, n_pairs long, pairs_within_family boolean, "
-        "families_fully_paired boolean",
+        rows,
+        "variant string, n_images long, n_pairs long, "
+        "pairs_within_family boolean, families_fully_paired boolean",
     )
 
 
 @register(
-    "audio_near_dups",
+    "audio_multi_near_dups",
     """
-SELECT COUNT(*) * 3 AS n_clips,
+SELECT 'norm' AS variant,
+       COUNT(*) * 3 AS n_clips,
+       COUNT(*) * 3 AS n_pairs,
+       true AS pairs_within_family,
+       true AS families_fully_paired
+FROM documents
+WHERE doc_id % 6 = 2
+UNION ALL
+SELECT 'raw' AS variant,
+       COUNT(*) * 3 AS n_clips,
        COUNT(*) * 3 AS n_pairs,
        true AS pairs_within_family,
        true AS families_fully_paired
@@ -5456,179 +5365,72 @@ FROM documents
 WHERE doc_id % 9 = 4
 """,
 )
-def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AUDIO near-dup via banded spectral-energy sign fingerprint
-    (multimodal/audio.py audio_fingerprints — the Haitsma-Kalker shape:
-    9 time segments x 9 absolute-Hz bands, 64 sign bits of the
-    time-differenced band-energy differences) through the SAME
-    hamming_near_pairs block-LSH as the image/video tiers — audio was
-    the one dedup-less modality (r08 verdict, What's missing #1).
-    Every 9th document seeds a 3-member family whose equality is EXACT
-    BY ARITHMETIC: a 1 s / 8 kHz signal synthesized on the 8-BIT
-    LATTICE (md5(text)-stream bytes u, samples (u-128)<<8) published
-    as (a) mono PCM16 WAV, (b) stereo PCM16 with both channels equal
-    (the downmix is an exact mean → identical mono), and (c) mono
-    PCM8 (the codec decodes 8-bit to (u-128)<<8, so the 16→8-bit
-    re-encode is LOSSLESS on the lattice). All three decode to the
-    same sample stream → identical FFT inputs → Hamming 0 by
-    construction, while cross-family fingerprints sit near
-    Binomial(64, 1/2) (measured min 14 over 60 seeds). The oracle
-    PREDICTS the outcome: 3n clips fingerprinted (a quarantine shrinks
-    the count), the verified pair set is exactly the 3 within-family
-    pairs per family, none cross-family. Resample robustness (not
-    provable, only measurable — nearest 2x stays within ~6 bits) is
-    pinned empirically in tests/test_audio.py, the JPEG-q90 pattern."""
-    from .fixtures import wav_family_members
-    from .multimodal.audio import audio_fingerprints
-    from .multimodal.phash import hamming_near_pairs
+def q_audio_multi_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup through BOTH ingest pipelines in ONE gate — the
+    r10 verdict's registry-headroom merge of ``audio_near_dups`` (r08)
+    + ``audio_norm_near_dups`` (r09); every assertion of both retired
+    gates survives as one variant row here, and both pipelines still
+    feed the SAME banded spectral-energy sign fingerprint
+    (multimodal/audio.py audio_fingerprints — the Haitsma-Kalker
+    shape) and the SAME hamming_near_pairs block-LSH.
 
-    _members = wav_family_members()
+    Variant 'raw' (same-rate RE-ENCODE axis): every 9th document seeds
+    a 3-member family on the 8-BIT LATTICE (mono PCM16 / stereo
+    channel-dup PCM16 / mono PCM8; fixtures.wav_family_members) — all
+    three decode to the same sample stream, so fingerprints collide at
+    Hamming 0 by arithmetic while cross-family sits near
+    Binomial(64, 1/2).
 
-    def _build(batches):
-        import pandas as pd
+    Variant 'norm' (cross-RATE axis, where raw fingerprints drift past
+    the Hamming-4 radius — measured 5 bits, pinned in pytest): every
+    6th document seeds a family at 8/16/24 kHz by sample replication
+    (fixtures.wav_rate_family_members); nearest k*r -> r downsampling
+    inverts the replication bit-for-bit, so normalize-then-fingerprint
+    (resample_audio to 8 kHz first) is exact.
 
-        for pdf in batches:
-            ids, payloads = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for k, payload in enumerate(_members(text)):
-                    ids.append(doc_id * 10 + k)
-                    payloads.append(payload)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "payload": pd.Series(payloads, dtype="object"),
-                }
-            )
-
-    docs = fan_out(
-        load_fixture(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % 9 == 4
-        ),
-        "doc_id",
-    )
-    n_docs = docs.count()
-    media = docs.select("doc_id", "text").mapInPandas(
-        _build, "doc_id long, payload binary"
-    )
-    # the fingerprint frame feeds the count AND the LSH self-join: eager
-    # checkpoint so the WAV decode + FFT runs exactly once
-    fps = audio_fingerprints(media).localCheckpoint()
-    n_clips = fps.count()
-    fam = hamming_near_pairs(fps, sig_col="afp", max_hamming=4).select(
-        (F.col("id_a") / 10).cast("long").alias("fam_a"),
-        (F.col("id_b") / 10).cast("long").alias("fam_b"),
-    )
-    per_fam = fam.groupBy("fam_a").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
-    )
-    row = per_fam.agg(
-        F.sum("cnt").alias("n_pairs"),
-        F.min("within").alias("pairs_within_family"),
-        (
-            F.min((F.col("cnt") == 3) & F.col("within"))
-            & (F.count(F.lit(1)) == F.lit(n_docs))
-        ).alias("families_fully_paired"),
-    ).first()
-    return spark.createDataFrame(
-        [(n_clips, row["n_pairs"], row["pairs_within_family"],
-          row["families_fully_paired"])],
-        "n_clips long, n_pairs long, pairs_within_family boolean, "
-        "families_fully_paired boolean",
-    )
-
-
-@register(
-    "audio_norm_near_dups",
-    """
-SELECT COUNT(*) * 3 AS n_clips,
-       COUNT(*) * 3 AS n_pairs,
-       true AS pairs_within_family,
-       true AS families_fully_paired
-FROM documents
-WHERE doc_id % 6 = 2
-""",
-)
-def q_audio_norm_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CROSS-RATE audio near-dup via the NORMALIZE-THEN-FINGERPRINT
-    pipeline (multimodal/audio.py audio_near_dup_pairs with
-    normalize_rate — resample_audio to a common 8 kHz, then the banded
-    spectral fingerprint through the shared block-LSH). The raw
-    fingerprint gate (audio_near_dups) covers same-rate re-encodes;
-    THIS gate covers the rate axis, where raw fingerprints drift past
-    the Hamming-4 radius (measured worst 5 bits — pinned in pytest).
-    Every 6th document seeds a 3-member family at THREE DIFFERENT
-    RATES whose normalization is EXACT BY ARITHMETIC: the base 1 s /
-    8 kHz lattice signal, its 2x sample-replication at 16 kHz, and its
-    3x replication at 24 kHz — nearest k*r -> r downsampling picks
-    every k-th sample, inverting the replication bit-for-bit, so all
-    three normalize to the SAME stream and fingerprint at Hamming 0.
-    The oracle PREDICTS the outcome: 3n clips, exactly the 3
-    within-family pairs per family, none cross-family. Both stages are
-    map-only Arrow; the pair stage is the shared pigeonhole equi-join."""
-    from .fixtures import wav_rate_family_members
-
-    _members = wav_rate_family_members()
-
-    def _build(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids, payloads = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for k, payload in enumerate(_members(text)):
-                    ids.append(doc_id * 10 + k)
-                    payloads.append(payload)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "payload": pd.Series(payloads, dtype="object"),
-                }
-            )
-
-    docs = fan_out(
-        load_fixture(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % 6 == 2
-        ),
-        "doc_id",
-    )
-    n_docs = docs.count()
-    media = docs.select("doc_id", "text").mapInPandas(
-        _build, "doc_id long, payload binary"
-    )
-    # run the pipeline stages explicitly so n_clips counts the
-    # POST-normalize POST-fingerprint frame (a quarantine at either
-    # stage shrinks it); eager checkpoint so encode+resample+FFT runs
-    # exactly once before the count AND the LSH self-join
+    The oracle PREDICTS both outcomes: 3n clips fingerprinted per
+    variant, exactly the 3 within-family pairs per family, none
+    cross-family. Both stages are map-only Arrow; the pair stage is
+    the shared pigeonhole equi-join. Resample robustness on real
+    signals (not provable, only measurable) stays pinned empirically
+    in tests/test_audio.py."""
+    from .fixtures import wav_family_members, wav_rate_family_members
     from .multimodal.audio import audio_fingerprints, resample_audio
-    from .multimodal.phash import hamming_near_pairs
 
-    norm = resample_audio(media, target_rate=8000).select(
-        "doc_id", "payload"
-    )
-    fps = audio_fingerprints(norm).localCheckpoint()
-    n_clips = fps.count()
-    fam = hamming_near_pairs(fps, sig_col="afp", max_hamming=4).select(
-        (F.col("id_a") / 10).cast("long").alias("fam_a"),
-        (F.col("id_b") / 10).cast("long").alias("fam_b"),
-    )
-    per_fam = fam.groupBy("fam_a").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
-    )
-    row = per_fam.agg(
-        F.sum("cnt").alias("n_pairs"),
-        F.min("within").alias("pairs_within_family"),
-        (
-            F.min((F.col("cnt") == 3) & F.col("within"))
-            & (F.count(F.lit(1)) == F.lit(n_docs))
-        ).alias("families_fully_paired"),
-    ).first()
+    rows = []
+    for variant, mod, rem, members, normalize in (
+        ("raw", 9, 4, wav_family_members(), False),
+        ("norm", 6, 2, wav_rate_family_members(), True),
+    ):
+        docs = fan_out(
+            load_fixture(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % mod == rem
+            ),
+            "doc_id",
+        )
+        n_docs = docs.count()
+        media = docs.select("doc_id", "text").mapInPandas(
+            _family_media_builder(members), "doc_id long, payload binary"
+        )
+        if normalize:
+            media = resample_audio(media, target_rate=8000).select(
+                "doc_id", "payload"
+            )
+        # n_clips counts the POST-normalize POST-fingerprint frame (a
+        # quarantine at either stage shrinks it); eager checkpoint so
+        # the WAV decode (+resample) + FFT runs exactly once before
+        # the count AND the LSH self-join
+        fps = audio_fingerprints(media).localCheckpoint()
+        rows.append(
+            (variant,)
+            + _family_pair_outcome(
+                fps, sig_col="afp", n_docs=n_docs, max_hamming=4
+            )
+        )
     return spark.createDataFrame(
-        [(n_clips, row["n_pairs"], row["pairs_within_family"],
-          row["families_fully_paired"])],
-        "n_clips long, n_pairs long, pairs_within_family boolean, "
-        "families_fully_paired boolean",
+        rows,
+        "variant string, n_clips long, n_pairs long, "
+        "pairs_within_family boolean, families_fully_paired boolean",
     )
 
 
@@ -7104,48 +6906,6 @@ def q_doc_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "orc_roundtrip_ingest",
-    """
-SELECT lang, source,
-       COUNT(*) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars
-FROM documents
-GROUP BY lang, source
-""",
-)
-def q_orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC interchange gate (sources/readers.read_orc/write_orc): the
-    documents table is written to a lang-partitioned ORC layout (the
-    Hive/Trino estate format) and read BACK, and the returned aggregate
-    runs over the round-tripped frame — the oracle aggregates the parquet
-    source directly, so equality proves the ORC sink+source preserve
-    rows, types, and the partition column end-to-end. Partitioned layout
-    mirrors the parquet sink contract; stripe splits parallelize the
-    re-read the way row groups do."""
-    import shutil
-    import tempfile
-
-    from .sources.readers import read_orc, write_orc
-
-    docs = load_fixture(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="finmarket_orc_rt_")
-    try:
-        path = f"{tmp}/documents_orc"
-        write_orc(docs, path, partition_by=("lang",))
-        back = read_orc(spark, path)
-        return (
-            back.groupBy("lang", "source")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_chars").alias("total_chars"),
-            )
-            .localCheckpoint()  # materialize before tmp cleanup
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-
-
-@register(
     "corpus_prep_pipeline",
     """
 WITH base AS (
@@ -7252,9 +7012,16 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "jsonl_roundtrip_ingest",
+    "file_roundtrip_ingest",
     """
-SELECT lang, source,
+SELECT 'jsonl' AS fmt, lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+FROM documents
+GROUP BY lang, source
+UNION ALL
+SELECT 'orc' AS fmt, lang, source,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(length(text)) AS BIGINT) AS total_text_len
@@ -7262,28 +7029,39 @@ FROM documents
 GROUP BY lang, source
 """,
 )
-def q_jsonl_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONL interchange gate (sources/readers.read_jsonl_corpus /
-    write_jsonl_corpus), the ORC gate's sibling for the wire format text
-    corpora actually ship in (The Pile / Dolma / CC derivatives): the
-    documents table is exported to JSON-Lines and read BACK schema-first
-    FAILFAST, and the returned aggregate runs over the round-tripped
-    frame — the oracle aggregates the parquet source directly, so
-    equality proves the JSONL sink+source preserve rows, types, AND the
-    text payload byte length end-to-end (a lost escape or mangled
-    unicode shifts total_text_len). Newline-split files parallelize the
-    re-read without fan_out."""
+def q_file_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-format roundtrip through BOTH sinks in ONE gate —
+    the r10 verdict's registry-headroom merge of
+    ``orc_roundtrip_ingest`` (r07) + ``jsonl_roundtrip_ingest`` (r08);
+    every assertion of both retired gates survives as one format row
+    set here, now with the stronger of the two aggregates (the JSONL
+    gate's ``total_text_len``) applied to BOTH formats.
+
+    Format 'orc' (sources/readers.read_orc/write_orc): the documents
+    table is written to a lang-PARTITIONED ORC layout (the Hive/Trino
+    estate format) and read back; stripe splits parallelize the
+    re-read the way parquet row groups do. Format 'jsonl'
+    (read_jsonl_corpus/write_jsonl_corpus, schema-first FAILFAST): the
+    wire format text corpora actually ship in (The Pile / Dolma / CC
+    derivatives); newline-split files parallelize the re-read without
+    fan_out. The oracle aggregates the parquet source directly, so
+    equality proves each sink+source pair preserves rows, types, the
+    partition column, AND the text payload byte length end-to-end (a
+    lost escape or mangled unicode shifts total_text_len)."""
     import shutil
     import tempfile
 
-    from .sources.readers import read_jsonl_corpus, write_jsonl_corpus
+    from .sources.readers import (
+        read_jsonl_corpus,
+        read_orc,
+        write_jsonl_corpus,
+        write_orc,
+    )
 
     docs = load_fixture(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="finmarket_jsonl_rt_")
-    try:
-        path = f"{tmp}/documents_jsonl"
-        write_jsonl_corpus(docs, path)
-        back = read_jsonl_corpus(spark, path, docs.schema)
+    tmp = tempfile.mkdtemp(prefix="finmarket_fmt_rt_")
+
+    def _agg(back: DataFrame, fmt: str) -> DataFrame:
         return (
             back.groupBy("lang", "source")
             .agg(
@@ -7291,8 +7069,21 @@ def q_jsonl_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_chars").alias("total_chars"),
                 F.sum(F.length("text")).alias("total_text_len"),
             )
-            .localCheckpoint()  # materialize before tmp cleanup
+            .select(F.lit(fmt).alias("fmt"), "*")
         )
+
+    try:
+        write_orc(docs, f"{tmp}/documents_orc", partition_by=("lang",))
+        write_jsonl_corpus(docs, f"{tmp}/documents_jsonl")
+        out = _agg(read_orc(spark, f"{tmp}/documents_orc"), "orc").unionByName(
+            _agg(
+                read_jsonl_corpus(
+                    spark, f"{tmp}/documents_jsonl", docs.schema
+                ),
+                "jsonl",
+            )
+        )
+        return out.localCheckpoint()  # materialize before tmp cleanup
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -582,6 +582,39 @@ def build_x10_fixture(spark, tmp: str) -> str:
     return x10
 
 
+def _contamination_exact_x10(spark, x10: str):
+    """The retired doc_contamination gate's body (r11 merged the gates
+    into doc_contamination_dual; the bench keeps per-path timings)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_finance_market_spark.operators.corpus import (
+        contamination_flags,
+    )
+
+    docs = spark.read.parquet(f"{x10}/documents.parquet")
+    return contamination_flags(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=3,
+    )
+
+
+def _contamination_bloom_x10(spark, x10: str):
+    """The retired doc_contamination_bloom gate's body (see above)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_finance_market_spark.operators.bloom import (
+        bloom_pregated_contamination,
+    )
+
+    docs = spark.read.parquet(f"{x10}/documents.parquet")
+    return bloom_pregated_contamination(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=3,
+    )
+
+
 def noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -1525,7 +1558,12 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         "curated_corpus": lambda: _noop(qs["curated_corpus"](spark, x10)),
         "chunking": lambda: _noop(qs["doc_chunks"](spark, x10)),
         "repetition": lambda: _noop(qs["doc_repetition_stats"](spark, x10)),
-        "contamination": lambda: _noop(qs["doc_contamination"](spark, x10)),
+        # r11: the contamination gates merged into doc_contamination_dual
+        # (registry headroom); the bench keeps timing each PHYSICAL path
+        # separately via the operators so the numbers stay comparable.
+        "contamination": lambda: _noop(
+            _contamination_exact_x10(spark, x10)
+        ),
         "ann_brute": lambda: _noop(qs["embedding_topk"](spark, x10)),
         "ann_lsh": lambda: _noop(qs["embedding_topk_lsh"](spark, x10)),
         "ann_ivf": lambda: _noop(qs["embedding_topk_ivf"](spark, x10)),
@@ -1585,7 +1623,7 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         # "contamination" above — identical output, map-side bitmap
         # pruning before the verify join (includes the bitmap build job)
         "contamination_bloom": lambda: _noop(
-            qs["doc_contamination_bloom"](spark, x10)
+            _contamination_bloom_x10(spark, x10)
         ),
         # r07: two-pass Misra-Gries frequent items at 50k docs (pass 1
         # map-only bounded-memory summaries, pass 2 candidate-only exact

@@ -16,7 +16,7 @@ NAMES = [
     "minhash_lsh_near_dups", "embedding_topk", "windowed_event_kpis",
     "sql_api_nation_rank", "curated_corpus", "term_frequencies",
     "embedding_centroids", "doc_chunks", "doc_repetition_stats",
-    "doc_contamination", "embedding_topk_lsh", "embedding_topk_ivf",
+    "doc_contamination_dual", "embedding_topk_lsh", "embedding_topk_ivf",
     # round 3: the new corpus operators. doc_dedup_clusters runs its
     # label-propagation rounds eagerly at build time; the printed plan is
     # the final-round shape over the checkpointed labels (the per-round
