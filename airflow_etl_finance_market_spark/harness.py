@@ -5504,37 +5504,17 @@ def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "html_text_extract",
     """
-WITH raw AS (
-    SELECT doc_id,
-           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-           || '</title><script type="text/javascript">var x = 1 < 2 '
-           || '&& "a&b";</script><style>.nav { color: red; }</style>'
-           || '</head><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
-           || '</h1><p>' || replace(text, 'and', '&amp;') || '</p>'
-           || '<div id="nav"><ul><li>Home</li><li>About</li></ul></div>'
-           || '<!-- footer --></body></html>' AS html
-    FROM documents WHERE doc_id % 7 = 5
-), stripped AS (
-    SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-           regexp_replace(
-               html,
-               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-               '(?is)<(script|style)[^>]*>.*', ' ', 'g'),
-               '(?s)<!--.*?-->', ' ', 'g'),
-               '<[^>]*>', ' ', 'g') AS t
-    FROM raw
-), unesc AS (
+WITH expected AS (
     SELECT doc_id,
            trim(regexp_replace(
-               replace(replace(replace(replace(replace(replace(t,
-                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                   '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+               'Doc ' || CAST(doc_id AS VARCHAR)
+               || ' Doc ' || CAST(doc_id AS VARCHAR)
+               || ' ' || replace(text, 'and', '&')
+               || ' Home About',
                '\\s+', ' ', 'g')) AS text
-    FROM stripped
+    FROM documents WHERE doc_id % 7 = 5
 )
-SELECT doc_id, text, length(text) AS n_chars FROM unesc
+SELECT doc_id, text, length(text) AS n_chars FROM expected
 """,
 )
 def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5546,14 +5526,20 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl-prep stage the text tier lacked: every published pipeline
     (C4, Gopher, RefinedWeb, Dolma) starts here. Every 7th document is
     wrapped in a deterministic full page (title/script/style/h1/
-    entity-escaped body/nav list/comment — _HTML_PRE/_HTML_POST) and
-    the oracle rebuilds the page AND replays the extraction chain
-    verbatim (regex subset chosen RE2-portable: non-greedy dotall,
-    inline flags, no backreferences), so a missed script payload, a
-    glued word at a block boundary, an entity decoded before
-    tag-stripping, or a whitespace-collapse drift all hash-mismatch.
-    Map-only, codegen, zero shuffles — the 100 TB posture for a
-    per-document string stage."""
+    entity-escaped body/nav list/comment) and the oracle derives the
+    expected text FROM THE CONSTRUCTION, not from the chain: the page
+    is built from known parts, so the expected output is the direct
+    concatenation 'Doc N  Doc N  <body with and->&>  Home About'
+    whitespace-collapsed — an INDEPENDENT formulation (r11, replacing
+    the r10 replayed-chain oracle the verdict flagged as a shared
+    blindspot: both sides wrong identically would have passed). A
+    missed script payload, a glued word at a block boundary, an
+    entity decoded before tag-stripping, an entity-ordering bug
+    (&amp; before the others), or a whitespace-collapse drift now
+    all diverge from construction truth. The construction assumes
+    the fixture corpus is markup-free (verified: no '<'/'>'/'&' in
+    documents.text at any SF). Map-only, codegen, zero shuffles —
+    the 100 TB posture for a per-document string stage."""
     from .functions.text import html_to_text
 
     docs = fan_out(
