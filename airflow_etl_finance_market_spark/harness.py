@@ -5570,6 +5570,145 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The c4_line_filter gate's planted page: boilerplate lines that each
+#: trip exactly one C4 line rule, the document body flattened to one
+#: terminated line, three guaranteed full sentences, and a per-doc
+#: page-level payload (lorem-ipsum / curly-brace / clean) chosen by
+#: doc_id % 3. The oracle rebuilds the page identically and replays
+#: the published line rules verbatim (the gopher_quality_flags
+#: pattern); per-rule single-line behavior is pinned independently in
+#: tests/test_corpus_ops.py.
+_C4_PAGE_LINES_SQL = """
+'Home | About | Contact' || chr(10) ||
+'Please enable Javascript to view the comments.' || chr(10) ||
+'This site uses cookies to improve your browsing experience.' || chr(10) ||
+'Ok.' || chr(10) ||
+regexp_replace(text, '\\s+', ' ', 'g') || '.' || chr(10) ||
+'This is a perfectly normal first sentence for the page.' || chr(10) ||
+'Here is another complete sentence with enough words.' || chr(10) ||
+'Finally a third full sentence closes the page nicely.' || chr(10) ||
+CASE WHEN doc_id % 3 = 0
+     THEN 'lorem ipsum dolor sit amet is boilerplate filler text.'
+     WHEN doc_id % 3 = 1 THEN 'function f() { return 1; }'
+     ELSE 'A closing remark rounds out the document body.' END
+"""
+
+
+@register(
+    "c4_line_filter",
+    f"""
+WITH pages AS (
+    SELECT doc_id, {_C4_PAGE_LINES_SQL} AS page
+    FROM documents WHERE doc_id % 11 = 6
+), l AS (
+    SELECT doc_id, page,
+           list_transform(string_split(page, chr(10)),
+                          x -> trim(x)) AS lines
+    FROM pages
+), k AS (
+    SELECT doc_id, page, lines,
+           list_filter(lines, t ->
+               regexp_matches(t, '[.!?"”]$')
+               AND len(regexp_split_to_array(t, '\\s+')) >= 5
+               AND NOT contains(lower(t), 'javascript')
+               AND NOT (contains(lower(t), 'terms of use')
+                    OR contains(lower(t), 'privacy policy')
+                    OR contains(lower(t), 'cookie policy')
+                    OR contains(lower(t), 'uses cookies')
+                    OR contains(lower(t), 'use of cookies')
+                    OR contains(lower(t), 'use cookies'))) AS kept
+    FROM l
+), agg AS (
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS text,
+           len(lines) AS n_lines,
+           len(kept) AS n_lines_kept,
+           len(list_filter(lines, t ->
+               NOT regexp_matches(t, '[.!?"”]$'))) AS n_no_terminal_punct,
+           len(list_filter(lines, t ->
+               len(regexp_split_to_array(t, '\\s+')) < 5)) AS n_short_lines,
+           len(list_filter(lines, t ->
+               contains(lower(t), 'javascript'))) AS n_javascript_lines,
+           len(list_filter(lines, t ->
+               contains(lower(t), 'terms of use')
+               OR contains(lower(t), 'privacy policy')
+               OR contains(lower(t), 'cookie policy')
+               OR contains(lower(t), 'uses cookies')
+               OR contains(lower(t), 'use of cookies')
+               OR contains(lower(t), 'use cookies'))) AS n_policy_lines,
+           len(regexp_extract_all(array_to_string(kept, chr(10)),
+                                  '[.!?]+')) AS n_sentences,
+           contains(lower(page), 'lorem ipsum') AS has_lorem_ipsum,
+           contains(page, '{{') AS has_brace
+    FROM k
+)
+SELECT doc_id, text,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(n_lines_kept AS INT) AS n_lines_kept,
+       CAST(n_no_terminal_punct AS INT) AS n_no_terminal_punct,
+       CAST(n_short_lines AS INT) AS n_short_lines,
+       CAST(n_javascript_lines AS INT) AS n_javascript_lines,
+       CAST(n_policy_lines AS INT) AS n_policy_lines,
+       CAST(n_sentences AS INT) AS n_sentences,
+       has_lorem_ipsum, has_brace,
+       (n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_brace)
+           AS keep
+FROM agg
+""",
+)
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 LINE-LEVEL QUALITY FILTERING (r11 — the r10 verdict's What's
+    missing #3): the published single-doc boilerplate stage between
+    html_to_text and the Gopher bundle
+    (operators/corpus.c4_line_quality — Raffel et al. 2020 §2.2 line
+    rules: terminal punctuation, >= 5 words, no javascript mention, no
+    policy-boilerplate substring; page rules: lorem ipsum, curly
+    brace, >= 3 sentences in the retained text). Every 11th document
+    becomes a synthetic page of planted boilerplate lines (each
+    tripping exactly one line rule), the flattened document body, and
+    three guaranteed sentences, with a page-level payload cycling
+    clean / lorem-ipsum / curly-brace by doc_id % 3 — so the gate
+    exercises every rule in BOTH directions on every driver run. The
+    oracle rebuilds the page and replays the published rules verbatim
+    (per the r10 html precedent, per-rule single-line truth is pinned
+    independently in pytest). Map-only, one projection, no shuffle —
+    the 100 TB posture for a per-document string stage."""
+    from .operators.corpus import c4_line_quality
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 11 == 6
+        ),
+        "doc_id",
+    )
+    page = F.concat_ws(
+        "\n",
+        F.lit("Home | About | Contact"),
+        F.lit("Please enable Javascript to view the comments."),
+        F.lit(
+            "This site uses cookies to improve your browsing experience."
+        ),
+        F.lit("Ok."),
+        F.concat(
+            F.regexp_replace(F.col("text"), r"\s+", " "), F.lit(".")
+        ),
+        F.lit("This is a perfectly normal first sentence for the page."),
+        F.lit("Here is another complete sentence with enough words."),
+        F.lit("Finally a third full sentence closes the page nicely."),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(
+                "lorem ipsum dolor sit amet is boilerplate filler text."
+            ),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit("function f() { return 1; }"))
+        .otherwise(
+            F.lit("A closing remark rounds out the document body.")
+        ),
+    )
+    return c4_line_quality(docs.select("doc_id", page.alias("text")))
+
+
 @register(
     "media_pair_bucket_audit",
     """

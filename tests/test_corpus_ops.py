@@ -991,3 +991,112 @@ class TestParagraphDedup:
         assert out[1] == ("alpha||beta||gamma", 3)
         assert out[2] == ("delta", 1)
         assert out[3] == ("a.b", 1)
+
+
+class TestC4LineQuality:
+    """c4_line_quality (r11): the published C4 line rules (Raffel et
+    al. 2020 §2.2), each pinned by a single planted line so the driver
+    gate's replay oracle can never share a blindspot with these."""
+
+    def _run(self, spark, text, **kw):
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            c4_line_quality,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        return c4_line_quality(docs, **kw).collect()[0]
+
+    GOOD = (
+        "This sentence is long enough and ends properly.\n"
+        "Another complete sentence with plenty of words follows.\n"
+        "Finally a third full sentence closes things out."
+    )
+
+    def test_clean_page_fully_kept(self, spark):
+        r = self._run(spark, self.GOOD)
+        assert r.n_lines == 3 and r.n_lines_kept == 3
+        assert r.n_sentences == 3 and r.keep
+        assert r.text == self.GOOD
+
+    def test_terminal_punctuation_rule(self, spark):
+        # each terminal mark keeps the line; a bare word ending drops it
+        for tail, kept in [
+            (".", 1), ("!", 1), ("?", 1), ('"', 1), ("”", 1),
+            ("", 0), (",", 0),
+        ]:
+            r = self._run(
+                spark, f"Here are five good words{tail}\n" + self.GOOD
+            )
+            assert r.n_lines_kept == 3 + kept, (tail, r)
+        r = self._run(spark, "No terminal punctuation here at all\n")
+        assert r.n_no_terminal_punct == 2  # incl. trailing empty line
+
+    def test_min_words_per_line_rule(self, spark):
+        r5 = self._run(spark, "One two three four five." + "\n" + self.GOOD)
+        r4 = self._run(spark, "One two three four." + "\n" + self.GOOD)
+        assert r5.n_lines_kept == 4 and r5.n_short_lines == 0
+        assert r4.n_lines_kept == 3 and r4.n_short_lines == 1
+
+    def test_javascript_rule_case_insensitive(self, spark):
+        for js in ("Javascript", "JAVASCRIPT", "javascript"):
+            r = self._run(
+                spark,
+                f"Please enable {js} to continue reading this page.\n"
+                + self.GOOD,
+            )
+            assert r.n_javascript_lines == 1 and r.n_lines_kept == 3
+
+    def test_policy_substring_rules(self, spark):
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            C4_POLICY_SUBSTRINGS,
+        )
+
+        for p in C4_POLICY_SUBSTRINGS:
+            r = self._run(
+                spark,
+                f"Please read our {p} before continuing here.\n"
+                + self.GOOD,
+            )
+            assert r.n_policy_lines == 1, p
+            assert r.n_lines_kept == 3, p
+
+    def test_lorem_ipsum_page_flag(self, spark):
+        r = self._run(
+            spark,
+            self.GOOD + "\nLorem Ipsum dolor sit amet filler text here.",
+        )
+        assert r.has_lorem_ipsum and not r.keep
+        assert r.n_lines_kept == 4  # line-level rules all pass
+
+    def test_brace_page_flag(self, spark):
+        r = self._run(spark, self.GOOD + "\nvar x = { a: 1 };")
+        assert r.has_brace and not r.keep
+
+    def test_min_sentences_boundary(self, spark):
+        two = (
+            "This sentence is long enough and ends properly.\n"
+            "Another complete sentence with plenty of words follows."
+        )
+        assert not self._run(spark, two).keep
+        assert self._run(spark, two, min_sentences=2).keep
+
+    def test_sentences_count_maximal_punct_runs(self, spark):
+        r = self._run(
+            spark,
+            "Is this really the best sentence ever?!\n" + self.GOOD,
+        )
+        # "?!" is ONE sentence terminator run, not two
+        assert r.n_sentences == 4
+
+    def test_lines_trimmed_before_checks_and_output(self, spark):
+        r = self._run(
+            spark,
+            "   This sentence is long enough and ends properly.   \n"
+            + self.GOOD,
+        )
+        assert r.n_lines_kept == 4
+        assert r.text.split("\n")[0] == (
+            "This sentence is long enough and ends properly."
+        )
