@@ -138,6 +138,44 @@ def wav_trim_family_members(window_samples: int = 2000):
     return members
 
 
+def wav_cdc_trim_family_members(
+    n_samples: int = 16000, trim_front: int = 1234, trim_back: int = 777
+):
+    """The 3-member ARBITRARY-TRIM family for the CDC tier:
+    ``members(text) -> [full n_samples clip, trim dropping
+    trim_front/trim_back samples off the edges, stereo channel-dup of
+    the trim]`` (PCM16 at 8 kHz on the md5 lattice).
+
+    The trim offsets are deliberately NOT multiples of the fixed-window
+    tier's 2000-sample grid — every fixed window of the trim straddles
+    two windows of the original, so window-subfingerprint overlap is
+    ~0 (the case audio_window_trim_near_dups pins as honest
+    degradation) — while content-defined segmentation re-synchronizes
+    after at most one segment per edited edge, so CDC segment overlap
+    stays high (measured worst 0.83 over 120 seeds at the kernel
+    defaults). The audio_cdc_trim_near_dups gate's construction."""
+    import hashlib
+
+    from .multimodal.audio import _stdlib_wav_codec
+
+    _, _, _wav_enc, _ = _stdlib_wav_codec()
+    lattice, _ = audio_fixture_primitives()
+
+    def members(text: str) -> list[bytes]:
+        u8 = lattice(
+            hashlib.md5(text.encode("utf-8")).digest(), n_samples
+        )
+        x = [(v - 128) << 8 for v in u8]
+        trim = x[trim_front : n_samples - trim_back]
+        return [
+            _wav_enc(8000, [x]),
+            _wav_enc(8000, [trim]),
+            _wav_enc(8000, [trim, trim]),
+        ]
+
+    return members
+
+
 def image_fixture_primitives():
     """Return ``(noise_pix, crop)``: the md5-stream grayscale noise
     plane and the rectangular crop helper the tile families build on."""

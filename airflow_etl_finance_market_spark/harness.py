@@ -5891,6 +5891,89 @@ def q_audio_window_trim_near_dups(
 
 
 @register(
+    "audio_cdc_trim_near_dups",
+    """
+SELECT COUNT(*) * 3 AS n_clips,
+       COUNT(*) * 3 AS n_pairs,
+       true AS pairs_within_family,
+       true AS families_fully_paired
+FROM documents
+WHERE doc_id % 13 = 11
+""",
+)
+def q_audio_cdc_trim_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ARBITRARY-OFFSET audio near-dup via CONTENT-DEFINED segmentation
+    (multimodal/audio.py audio_cdc_fingerprints ∘ the shared
+    set-overlap pair machinery) — closes the r10 coverage-lattice gap
+    (What's missing #2): the fixed-window tier is exact only for trims
+    aligned to its 2000-sample grid, and this fixture's trims (1234
+    front / 777 back) are deliberately OFF that grid — every fixed
+    window of the trim straddles two of the original's, so the
+    fixed-window overlap is ~0 (the closing pytest pins exactly that
+    on the same members), while CDC boundaries are chosen by a Gear
+    rolling hash of the CONTENT, so the trim's segmentation
+    re-synchronizes at its first interior anchor and its interior
+    segments fingerprint identically to the original's. Every 13th
+    document seeds a 3-member family: (a) a 2 s / 8 kHz lattice clip,
+    (b) its arbitrary-offset trim, (c) a stereo channel-dup of the
+    trim (exact-mean downmix → identical mono stream → identical
+    anchors AND fingerprints). Measured overlap across 120 lattice
+    seeds: worst 0.83 trim↔full, 1.0 trim↔stereo, 0.0 cross-family —
+    the 0.5 gate threshold sits far from both sides. The oracle
+    PREDICTS the outcome: 3n clips with >= 1 segment (a quarantine
+    shrinks the count), exactly 3 within-family pairs per family,
+    none cross-family. Both signature stages map-only Arrow; the pair
+    stage is the ONE shared block-bounded equi-join."""
+    from .fixtures import wav_cdc_trim_family_members
+    from .multimodal.audio import (
+        audio_cdc_fingerprints,
+        audio_window_near_dup_pairs,
+    )
+
+    media = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 13 == 11
+        ),
+        "doc_id",
+    ).select("doc_id", "text")
+    n_docs = media.count()
+    media = media.mapInPandas(
+        _family_media_builder(wav_cdc_trim_family_members()),
+        "doc_id long, payload binary",
+    )
+    # the segment frame feeds the count AND the overlap self-join:
+    # eager checkpoint so decode + per-segment FFTs run exactly once
+    sigs = audio_cdc_fingerprints(media).localCheckpoint()
+    n_clips = sigs.select("doc_id").distinct().count()
+    fam = audio_window_near_dup_pairs(
+        sigs, max_hamming=4, min_match_frac=0.5
+    ).select(
+        (F.col("id_a") / 10).cast("long").alias("fam_a"),
+        (F.col("id_b") / 10).cast("long").alias("fam_b"),
+    )
+    per_fam = fam.groupBy("fam_a").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
+    )
+    row = per_fam.agg(
+        F.sum("cnt").alias("n_pairs"),
+        F.min("within").alias("pairs_within_family"),
+        (
+            F.min((F.col("cnt") == 3) & F.col("within"))
+            & (F.count(F.lit(1)) == F.lit(n_docs))
+        ).alias("families_fully_paired"),
+    ).first()
+    return spark.createDataFrame(
+        [(n_clips, row["n_pairs"], row["pairs_within_family"],
+          row["families_fully_paired"])],
+        "n_clips long, n_pairs long, pairs_within_family boolean, "
+        "families_fully_paired boolean",
+    )
+
+
+@register(
     "image_tile_crop_near_dups",
     """
 SELECT COUNT(*) * 3 AS n_images,
