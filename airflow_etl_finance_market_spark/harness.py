@@ -7023,6 +7023,180 @@ def q_streaming_media_dedup_ingest(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+
+@register(
+    "streaming_windowed_media_dedup",
+    """
+SELECT COUNT(*) * 3 AS n_clips,
+       COUNT(*) AS n_survivors,
+       COUNT(*) * 2 AS n_duplicates,
+       true AS survivors_are_originals,
+       true AS dups_attributed_within_family
+FROM documents
+WHERE doc_id % 12 = 5
+""",
+)
+def q_streaming_windowed_media_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming WINDOWED-signature media dedup HARD GATE — closes the
+    r10 composition gap (#6): ``dedup_by_signature`` collapses only
+    whole-content signatures at the ingest edge, so the trim/crop-robust
+    tiers (window/tile/frame subfingerprints matched as SETS) were
+    batch-only. ``windowed_signature_ownership`` moves them to the
+    stream: per-window subfingerprints explode into max_hamming+1
+    pigeonhole blocks, ``applyInPandasWithState`` keeps a per-block
+    registry of hashes seen within the retention horizon (state bounded
+    by horizon x unique-window rate — evicted at last_seen + retain),
+    rows buffer until the watermark passes them (the
+    pct_change_reordered discipline, so ownership is a pure function of
+    EVENT time), and ``windowed_dedup_verdicts`` reduces ownership rows
+    to per-clip duplicate verdicts.
+
+    Fixture: every 12th document seeds the trim tier's 3-member family
+    (full 4-window lattice clip / its WINDOW-ALIGNED trim — surviving
+    windows byte-identical BY ARITHMETIC / a stereo channel-dup of the
+    trim), planted across 3 ts-ordered file micro-batches BY MEMBER:
+    all fulls land at ts B in batch 0, all trims at B+600s in batch 1,
+    all stereo dups at B+1200s in batch 2 — so every duplicate's
+    matching state entry was REGISTERED IN AN EARLIER MICRO-BATCH (the
+    cross-batch carry is the point of the gate), and a later-stamped
+    sentinel clip (batch 3) pushes the final watermark past every real
+    row (append-mode: unfinalized = unemitted). The oracle PREDICTS the
+    outcome: 3n verdict rows (a quarantine or an unflushed buffer
+    shrinks the count), the n survivors are EXACTLY the fulls, and all
+    2n duplicates attribute to their own family's full (trim overlap =
+    3/min(4,3) = 1.0 >= 0.8 on the smaller side; a cross-family
+    single-window collision is absorbed by the fraction threshold)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .fixtures import wav_trim_family_members
+    from .multimodal.audio import audio_window_fingerprints
+    from .streaming import (
+        run_available_now,
+        windowed_dedup_verdicts,
+        windowed_signature_ownership,
+    )
+
+    _members = wav_trim_family_members()
+
+    global _STREAM_GATE_SEQ
+    _STREAM_GATE_SEQ += 1
+    seq = _STREAM_GATE_SEQ
+
+    base_us = 1_700_000_000_000_000
+
+    def _build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, tss, payloads = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for k, payload in enumerate(_members(text)):
+                    ids.append(doc_id * 10 + k)
+                    # member k of EVERY family shares one ingest time:
+                    # the duplicate always lands in a later micro-batch
+                    # than its original, never alongside it
+                    tss.append(base_us + k * 600_000_000)
+                    payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ts": pd.Series(tss, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 12 == 5
+        ),
+        "doc_id",
+    )
+    n_docs = docs.count()
+    media = docs.select("doc_id", "text").mapInPandas(
+        _build, "doc_id long, ts long, payload binary"
+    )
+    tmp = tempfile.mkdtemp(prefix="finmarket_wsd_gate_")
+    try:
+        # batch k = member k of every family (ts monotone across
+        # batches by construction); batch 3 = the sentinel clip whose
+        # timestamp drags the final watermark past every real row
+        for i in range(3):
+            pdir = f"{tmp}/in/b{i}"
+            media.filter(F.col("doc_id") % 10 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(pdir)
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    os.utime(f"{pdir}/{f}", (1_700_000_000 + i,) * 2)
+        sentinel = spark.createDataFrame(
+            [(-1, base_us + 10_800_000_000,
+              bytearray(_members("wsd sentinel")[0]))],
+            "doc_id long, ts long, payload binary",
+        )
+        pdir = f"{tmp}/in/b3"
+        sentinel.coalesce(1).write.mode("overwrite").parquet(pdir)
+        for f in os.listdir(pdir):
+            if f.endswith(".parquet"):
+                os.utime(f"{pdir}/{f}", (1_700_000_003,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id long, ts long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/b*")
+            .withColumn("ts", F.expr("timestamp_micros(ts)"))
+        )
+        fps = audio_window_fingerprints(stream, passthrough=("ts",))
+        own = windowed_signature_ownership(
+            fps, delay="5 minutes", retain="1 hour", max_hamming=4
+        )
+        with _bounded_stream_shuffle(spark):
+            own_tbl = run_available_now(
+                own, f"_gate_wsd_{seq}", output_mode="append"
+            )
+            v = windowed_dedup_verdicts(
+                own_tbl.filter(F.col("doc_id") >= 0), min_match_frac=0.8
+            )
+            fam = (F.col("doc_id") / 10).cast("long") * 10
+            row = v.agg(
+                F.count(F.lit(1)).alias("n_clips"),
+                F.sum(
+                    F.when(~F.col("is_duplicate"), 1).otherwise(0)
+                ).alias("n_survivors"),
+                F.sum(
+                    F.when(F.col("is_duplicate"), 1).otherwise(0)
+                ).alias("n_duplicates"),
+                F.min(
+                    F.when(
+                        ~F.col("is_duplicate"),
+                        F.col("doc_id") % 10 == 0,
+                    )
+                ).alias("survivors_ok"),
+                F.min(
+                    F.when(
+                        F.col("is_duplicate"), F.col("dup_of") == fam
+                    )
+                ).alias("dups_ok"),
+            ).first()
+        return spark.createDataFrame(
+            [(
+                row["n_clips"],
+                row["n_survivors"],
+                row["n_duplicates"],
+                bool(row["survivors_ok"])
+                and row["n_survivors"] == n_docs,
+                bool(row["dups_ok"]),
+            )],
+            "n_clips long, n_survivors long, n_duplicates long, "
+            "survivors_are_originals boolean, "
+            "dups_attributed_within_family boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register(
     "cross_doc_ngram_overlap",
     f"""

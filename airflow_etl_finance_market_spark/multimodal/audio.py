@@ -487,6 +487,7 @@ def audio_window_fingerprints(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     window_samples: int = 2000,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Map-only Arrow stage: ``(id, payload)`` → ``(doc_id, win_idx,
     afp)`` — one subfingerprint per fixed-sample window
@@ -497,14 +498,27 @@ def audio_window_fingerprints(
     surviving window's index, so position is deliberately NOT part of
     the match). Corrupt / non-PCM / sub-window payloads QUARANTINE
     (zero rows); a 100 TB audio table reduces to 8 bytes per window
-    with zero data movement."""
+    with zero data movement.
+
+    ``passthrough`` columns are copied verbatim onto each output row
+    (every window of a clip inherits the clip's values) — the streaming
+    windowed-dedup caller needs the EVENT-TIME column to survive this
+    stage, because a watermark declared upstream dies with any
+    projection that drops its column (same contract as
+    :func:`audio_fingerprints`)."""
+    from pyspark.sql.types import StructField, StructType
+
     _, _wav_decode, _, _ = _stdlib_wav_codec()
     _wins = _audio_window_fingerprint_kernel(window_samples)
+    extra = tuple(passthrough)
 
     def _stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            keep = []
             ids, idxs, fps = [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            for i, (doc_id, payload) in enumerate(
+                zip(pdf[id_col], pdf[payload_col])
+            ):
                 if payload is None:
                     continue
                 try:
@@ -514,19 +528,26 @@ def audio_window_fingerprints(
                     continue  # quarantine: undecodable / low-rate clip
                 for k, hv in rows:
                     ids.append(doc_id)
+                    keep.append(i)
                     idxs.append(k)
                     fps.append(hv - (1 << 64) if hv >= 1 << 63 else hv)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "win_idx": pd.Series(idxs, dtype="int64"),
-                    "afp": pd.Series(fps, dtype="int64"),
-                }
-            )
+            out = {"doc_id": pd.Series(ids, dtype="int64")}
+            for c in extra:
+                out[c] = pdf[c].iloc[keep].reset_index(drop=True)
+            out["win_idx"] = pd.Series(idxs, dtype="int64")
+            out["afp"] = pd.Series(fps, dtype="int64")
+            yield pd.DataFrame(out)
 
+    schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [media.schema[c] for c in extra]
+        + [StructField("win_idx", LongType()), StructField("afp", LongType())]
+    )
     return media.select(
-        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
-    ).mapInPandas(_stage, schema="doc_id long, win_idx long, afp long")
+        F.col(id_col).alias(id_col),
+        F.col(payload_col).alias(payload_col),
+        *[F.col(c) for c in extra],
+    ).mapInPandas(_stage, schema=schema)
 
 
 def audio_window_near_dup_pairs(

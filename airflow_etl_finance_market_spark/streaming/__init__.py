@@ -16,7 +16,12 @@ differential oracle for the streaming path in tests.
 """
 
 from .io import read_events_batch, read_events_stream, run_available_now
-from .stateful import pct_change_reordered, pct_change_stateful
+from .stateful import (
+    pct_change_reordered,
+    pct_change_stateful,
+    windowed_dedup_verdicts,
+    windowed_signature_ownership,
+)
 from .windows import (
     dedup_by_signature,
     dedup_events,
@@ -34,6 +39,8 @@ __all__ = [
     "pct_change_reordered",
     "pct_change_stateful",
     "session_stats",
+    "windowed_dedup_verdicts",
     "windowed_event_kpis",
+    "windowed_signature_ownership",
     "windowed_volatility",
 ]

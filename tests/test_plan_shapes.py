@@ -614,3 +614,40 @@ def test_paragraph_dedup_single_window_single_agg(spark, sf_dir):
     assert "Generate" in plan and "Window" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "hashpartitioning(h#" in plan  # window shuffles on the hash
+
+
+def test_windowed_dedup_verdicts_join_free_agg_chain(spark):
+    """The streaming set-overlap verdict reduction must stay three
+    CHAINED hash aggregates — a join-bearing formulation (the first
+    draft's per_doc ⋈ modal self-join) doubles the shuffle bill and
+    breaks on self-join attribute dedup over memory-sink frames."""
+    from airflow_etl_finance_market_spark.streaming import (
+        windowed_dedup_verdicts,
+    )
+
+    own = spark.createDataFrame(
+        [(1, 10, None, None), (2, 11, 1, 5)],
+        "doc_id long, afp long, owner_id long, owner_ts long",
+    ).withColumn("ts", F.expr("timestamp_micros(owner_ts)"))
+    plan = plan_of(windowed_dedup_verdicts(own))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # a pure aggregate chain
+
+
+def test_windowed_ownership_batch_twin_block_join_no_cartesian(spark):
+    """The batch twin's candidate stage must be the pigeonhole block
+    EQUI-join (+ bit_count verify filter) — never a cartesian/NL join,
+    the same bill as every other media pair stage."""
+    from airflow_etl_finance_market_spark.streaming import (
+        windowed_signature_ownership,
+    )
+
+    sigs = spark.createDataFrame(
+        [(1, 1_700_000_000_000_000, 7), (2, 1_700_000_000_001_000, 8)],
+        "doc_id long, tsu long, afp long",
+    ).select("doc_id", F.expr("timestamp_micros(tsu)").alias("ts"), "afp")
+    plan = plan_of(windowed_signature_ownership(sigs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bit_count" in plan  # the hamming verify stays JVM-side

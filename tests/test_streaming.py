@@ -992,3 +992,276 @@ def test_media_signature_dedup_carries_state_across_batches(spark, tmp_path):
     )
     rows = sorted((r.doc_id for r in got.collect()))
     assert rows == [1, 2]  # doc 3's re-encode deduped ACROSS the boundary
+
+
+# ---------------------------------------------------------------------------
+# windowed_signature_ownership / windowed_dedup_verdicts — the SET-overlap
+# (trim/crop-robust) dedup tier at the ingest edge (r10 verdict, gap #6)
+# ---------------------------------------------------------------------------
+
+_WSD_T0 = 1_700_000_000_000_000  # epoch micros
+
+
+def _wsd_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, tsu long, afp long"
+    ).select("doc_id", F.expr("timestamp_micros(tsu)").alias("ts"), "afp")
+
+
+def _wsd_plant(spark, tmp_path, batches, name):
+    """Write one parquet file per micro-batch, mtime-ordered."""
+    in_dir = tmp_path / name
+    for i, rows in enumerate(batches):
+        d = str(in_dir / f"b{i}")
+        _wsd_df(spark, rows).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.utime(f"{d}/{f}", (1_700_000_000 + i,) * 2)
+    return (
+        spark.readStream.schema("doc_id long, ts timestamp, afp long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "b*"))
+    )
+
+
+def _wsd_verdicts(df):
+    from airflow_etl_finance_market_spark.streaming import (
+        windowed_dedup_verdicts,
+        windowed_signature_ownership,
+    )
+
+    own = windowed_signature_ownership(
+        df, delay="5 minutes", retain="1 hour", max_hamming=4
+    )
+    if own.isStreaming:
+        own = run_available_now(
+            own, "wsd_own_" + str(abs(hash(df)) % 10_000), output_mode="append"
+        )
+    return windowed_dedup_verdicts(
+        own.filter("doc_id >= 0"), min_match_frac=0.8
+    )
+
+
+_H = [0x1111111111111111, 0x2222222222222222, -0x3333333333333334,
+      0x4444444444444444]
+_G = [0x5555555555555555, -0x6666666666666667, 0x0F0F0F0F0F0F0F0F]
+
+
+def test_windowed_signature_dedup_stream_equals_batch(spark, tmp_path):
+    """The full contract on synthetic window-hash sets: an exact-subset
+    clip (window-aligned trim) and a within-Hamming-4 re-encode both
+    dedup against the original ACROSS micro-batch boundaries; an
+    unrelated clip survives; stream verdicts == batch-twin verdicts
+    row for row (the reorder-buffer discipline makes ownership a pure
+    function of event time)."""
+    b0 = [(1, _WSD_T0, x) for x in _H]
+    b1 = [(2, _WSD_T0 + 600_000_000, x) for x in _H[1:]] + [
+        (3, _WSD_T0 + 600_000_000, x) for x in _G
+    ]
+    b2 = [(4, _WSD_T0 + 1_200_000_000, _H[1] ^ 0b11)] + [
+        (4, _WSD_T0 + 1_200_000_000, x) for x in _H[2:]
+    ]
+    sentinel = [(-1, _WSD_T0 + 10_800_000_000, 0x7777777777777777)]
+    all_rows = b0 + b1 + b2 + sentinel
+
+    batch_v = _rows(_wsd_verdicts(_wsd_df(spark, all_rows)))
+    stream = _wsd_plant(spark, tmp_path, [b0, b1, b2, sentinel], "wsd_eq")
+    stream_v = _rows(_wsd_verdicts(stream))
+    assert stream_v == batch_v
+    got = {r[0]: (r[5], r[6]) for r in stream_v}  # doc -> (is_dup, dup_of)
+    assert got[1] == (False, None)
+    assert got[2] == (True, 1)  # subset of 1's windows
+    assert got[3] == (False, None)  # unrelated
+    assert got[4] == (True, 1)  # hamming-2 variant of 1's windows
+
+
+def test_windowed_signature_dedup_out_of_order_arrival(spark, tmp_path):
+    """Rows buffer until the watermark passes them and are processed in
+    EVENT-TIME order, so a clip whose rows ARRIVE first but are stamped
+    later still loses ownership to the earlier-stamped clip — within
+    the delay horizon any arrival order yields the batch result."""
+    late_arriving_original = [(1, _WSD_T0, x) for x in _H]
+    early_arriving_copy = [(2, _WSD_T0 + 120_000_000, x) for x in _H]
+    sentinel = [(-1, _WSD_T0 + 10_800_000_000, 0x7777777777777777)]
+
+    batch_v = _rows(
+        _wsd_verdicts(
+            _wsd_df(
+                spark,
+                late_arriving_original + early_arriving_copy + sentinel,
+            )
+        )
+    )
+    # copy's file lands FIRST; original's event time is earlier
+    stream = _wsd_plant(
+        spark,
+        tmp_path,
+        [early_arriving_copy, late_arriving_original, sentinel],
+        "wsd_ooo",
+    )
+    stream_v = _rows(_wsd_verdicts(stream))
+    assert stream_v == batch_v
+    got = {r[0]: (r[5], r[6]) for r in stream_v}
+    assert got[1] == (False, None)  # earlier event time owns
+    assert got[2] == (True, 1)
+
+
+def test_windowed_signature_hamming_boundary(spark):
+    """Exactly max_hamming matches; max_hamming+1 does not (the
+    pigeonhole block filter is lossless at the configured radius) —
+    pinned on the batch twin, which shares the radius semantics."""
+    from airflow_etl_finance_market_spark.streaming import (
+        windowed_dedup_verdicts,
+        windowed_signature_ownership,
+    )
+
+    flip4 = _H[0] ^ 0b1111
+    flip5 = _H[0] ^ 0b11111
+    rows = [(1, _WSD_T0, _H[0]), (2, _WSD_T0 + 1_000_000, flip4),
+            (3, _WSD_T0 + 2_000_000, flip5)]
+    v = windowed_dedup_verdicts(
+        windowed_signature_ownership(
+            _wsd_df(spark, rows), delay="5 minutes", max_hamming=4
+        ),
+        min_match_frac=0.8,
+    )
+    got = {r.doc_id: (r.is_duplicate, r.dup_of) for r in v.collect()}
+    assert got[2] == (True, 1)
+    # doc 3 is hamming 5 from doc 1 but hamming 1 from doc 2's variant —
+    # chained drift attributes to the nearest REGISTERED hash, which is
+    # exactly the sequential first-writer contract
+    assert got[3] == (True, 2)
+    lone = windowed_dedup_verdicts(
+        windowed_signature_ownership(
+            _wsd_df(spark, [rows[0], (9, _WSD_T0 + 1_000_000, flip5)]),
+            delay="5 minutes",
+            max_hamming=4,
+        ),
+        min_match_frac=0.8,
+    )
+    got2 = {r.doc_id: r.is_duplicate for r in lone.collect()}
+    assert got2[9] is False
+
+
+def test_windowed_signature_self_repeat_and_frac(spark):
+    """A clip repeating its own window hash never matches itself, and
+    the verdict counts DISTINCT hashes: 1 shared window out of 4
+    distinct (0.25 < 0.8) stays a survivor."""
+    from airflow_etl_finance_market_spark.streaming import (
+        windowed_dedup_verdicts,
+        windowed_signature_ownership,
+    )
+
+    rows = (
+        [(1, _WSD_T0, x) for x in _H]
+        + [(1, _WSD_T0, _H[0])]  # repeated window within the same clip
+        + [(2, _WSD_T0 + 1_000_000, _H[0])]
+        + [(2, _WSD_T0 + 1_000_000, x) for x in _G]
+    )
+    v = windowed_dedup_verdicts(
+        windowed_signature_ownership(_wsd_df(spark, rows), delay="5 minutes"),
+        min_match_frac=0.8,
+    )
+    got = {r.doc_id: r for r in v.collect()}
+    assert got[1].n_windows == 4 and got[1].n_matched == 0
+    assert not got[1].is_duplicate
+    assert got[2].n_windows == 4 and got[2].n_matched == 1
+    assert not got[2].is_duplicate
+    assert abs(got[2].match_frac - 0.25) < 1e-9
+
+
+def test_windowed_signature_state_eviction_past_retain(spark, tmp_path):
+    """Ownership EXPIRES at the retention horizon: an exact re-upload
+    arriving later than ``retain`` after the original's last sighting
+    is NOT deduped (it re-registers as the new owner) — the bound that
+    keeps ingest state O(horizon), with years-old re-uploads left to
+    the stored-table batch tier."""
+    from airflow_etl_finance_market_spark.streaming import (
+        windowed_dedup_verdicts,
+        windowed_signature_ownership,
+    )
+
+    orig = [(1, _WSD_T0, x) for x in _H]
+    # 3 minutes later: past retain=2 minutes
+    reupload = [(2, _WSD_T0 + 180_000_000, x) for x in _H]
+    sentinel = [(-1, _WSD_T0 + 10_800_000_000, 0x7777777777777777)]
+    stream = _wsd_plant(
+        spark, tmp_path, [orig, reupload, sentinel], "wsd_evict"
+    )
+    own = windowed_signature_ownership(
+        stream, delay="1 minute", retain="2 minutes", max_hamming=4
+    )
+    tbl = run_available_now(own, "wsd_evict_own", output_mode="append")
+    v = windowed_dedup_verdicts(tbl.filter("doc_id >= 0"))
+    got = {r.doc_id: r.is_duplicate for r in v.collect()}
+    assert got == {1: False, 2: False}
+
+
+def test_audio_windowed_dedup_ingest_stream_equals_batch(spark, tmp_path):
+    """End-to-end media shape (the gate's pipeline): WAV payloads →
+    audio_window_fingerprints(passthrough=ts) → ownership → verdicts.
+    A window-aligned trim and its stereo re-encode arriving in LATER
+    micro-batches dedup against the original via state carried across
+    batch boundaries; the unrelated family survives; stream == batch."""
+    from airflow_etl_finance_market_spark.fixtures import (
+        wav_trim_family_members,
+    )
+    from airflow_etl_finance_market_spark.multimodal.audio import (
+        audio_window_fingerprints,
+    )
+    from airflow_etl_finance_market_spark.streaming import (
+        windowed_dedup_verdicts,
+        windowed_signature_ownership,
+    )
+
+    members = wav_trim_family_members()
+    fams = {fam: members(f"wsd media {fam}") for fam in (1, 2)}
+    batches = [
+        [(fam * 10, _WSD_T0, bytearray(fams[fam][0])) for fam in fams],
+        [(fam * 10 + 1, _WSD_T0 + 600_000_000, bytearray(fams[fam][1]))
+         for fam in fams],
+        [(fam * 10 + 2, _WSD_T0 + 1_200_000_000, bytearray(fams[fam][2]))
+         for fam in fams],
+        [(-1, _WSD_T0 + 10_800_000_000,
+          bytearray(fams[1][0]))],  # sentinel: flushes the watermark
+    ]
+    in_dir = tmp_path / "wsd_audio"
+    for i, rows in enumerate(batches):
+        d = str(in_dir / f"b{i}")
+        spark.createDataFrame(
+            rows, "doc_id long, tsu long, payload binary"
+        ).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.utime(f"{d}/{f}", (1_700_000_000 + i,) * 2)
+
+    def pipeline(media):
+        fps = audio_window_fingerprints(
+            media.withColumn("ts", F.expr("timestamp_micros(tsu)")),
+            passthrough=("ts",),
+        )
+        own = windowed_signature_ownership(
+            fps, delay="5 minutes", retain="1 hour", max_hamming=4
+        )
+        if own.isStreaming:
+            own = run_available_now(
+                own, "wsd_audio_own", output_mode="append"
+            )
+        return windowed_dedup_verdicts(
+            own.filter("doc_id >= 0"), min_match_frac=0.8
+        )
+
+    schema = "doc_id long, tsu long, payload binary"
+    batch_v = _rows(pipeline(spark.read.schema(schema).parquet(
+        str(in_dir / "b*"))))
+    stream_v = _rows(pipeline(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "b*"))
+    ))
+    assert stream_v == batch_v
+    got = {r[0]: (r[5], r[6]) for r in stream_v}
+    for fam in (1, 2):
+        assert got[fam * 10] == (False, None)  # the original survives
+        assert got[fam * 10 + 1] == (True, fam * 10)  # aligned trim
+        assert got[fam * 10 + 2] == (True, fam * 10)  # stereo re-encode
