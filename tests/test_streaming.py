@@ -1265,3 +1265,122 @@ def test_audio_windowed_dedup_ingest_stream_equals_batch(spark, tmp_path):
         assert got[fam * 10] == (False, None)  # the original survives
         assert got[fam * 10 + 1] == (True, fam * 10)  # aligned trim
         assert got[fam * 10 + 2] == (True, fam * 10)  # stereo re-encode
+
+
+def test_windowed_dedup_checkpoint_restart_restores_registry(
+    spark, tmp_path
+):
+    """Kill-and-restart for the windowed-signature tier: run availableNow
+    over the original's batch with a checkpoint, stop, then deliver an
+    exact copy in a NEW file and re-run with the SAME checkpoint. The
+    restart must (a) process only the new file, (b) restore the
+    per-block hash registry so the copy's windows match entries
+    REGISTERED IN THE PREVIOUS RUN, (c) never duplicate sink rows —
+    the restartable daily-ingest shape."""
+    from airflow_etl_finance_market_spark.streaming import (
+        windowed_dedup_verdicts,
+        windowed_signature_ownership,
+    )
+    from airflow_etl_finance_market_spark.streaming.io import (
+        run_available_now_to_parquet,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def plant(name, rows, mtime):
+        d = str(src / name)
+        _wsd_df(spark, rows).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.utime(f"{d}/{f}", (mtime,) * 2)
+
+    # run 1: the original + a mid sentinel that advances the watermark
+    # far enough for the original to emit and REGISTER before shutdown
+    plant("b0", [(1, _WSD_T0, x) for x in _H], 1_700_000_000)
+    plant("b1", [(-2, _WSD_T0 + 1_200_000_000, 0x7777777777777777)],
+          1_700_000_001)
+
+    def own_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, ts timestamp, afp long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "b*"))
+        )
+        return windowed_signature_ownership(
+            stream, delay="5 minutes", retain="1 hour", max_hamming=4
+        )
+
+    run_available_now_to_parquet(own_stream(), out, ckpt)
+    rows_after_first = spark.read.parquet(out).count()
+    assert rows_after_first == len(_H)  # original's presence rows only
+
+    # run 2: an exact copy arrives in a new file; the final sentinel
+    # flushes it. Same checkpoint -> offsets + state restored.
+    plant("b2", [(2, _WSD_T0 + 1_500_000_000, x) for x in _H],
+          1_700_000_002)
+    plant("b3", [(-3, _WSD_T0 + 10_800_000_000, 0x0F0F0F0F0F0F0F0F)],
+          1_700_000_003)
+    run_available_now_to_parquet(own_stream(), out, ckpt)
+
+    sink = spark.read.parquet(out)
+    v = windowed_dedup_verdicts(sink.filter("doc_id >= 0"))
+    got = {r.doc_id: (r.is_duplicate, r.dup_of) for r in v.collect()}
+    assert got[1] == (False, None)
+    assert got[2] == (True, 1)  # matched the RESTORED registry
+    # exactly-once: the original's rows were not re-emitted on restart
+    assert sink.filter("doc_id = 1").count() == len(_H)
+
+
+def test_windowed_dedup_state_bounded_by_retention(spark, tmp_path):
+    """The state-store row count must DROP once the watermark passes
+    last_seen + retain — the mechanical form of the bounded-state
+    claim (buckets are removed via event-time timeouts, not merely
+    ignored). Peak state covers the original's 4 hashes x 5 blocks;
+    after the horizon only the final flusher's held buckets remain."""
+    from airflow_etl_finance_market_spark.streaming import (
+        windowed_signature_ownership,
+    )
+
+    src = tmp_path / "evict_src"
+    batches = [
+        [(1, _WSD_T0, x) for x in _H],
+        [(-2, _WSD_T0 + 180_000_000, 0x7777777777777777)],
+        [(-3, _WSD_T0 + 1_800_000_000, 0x0F0F0F0F0F0F0F0F)],
+    ]
+    for i, rows in enumerate(batches):
+        d = str(src / f"b{i}")
+        _wsd_df(spark, rows).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.utime(f"{d}/{f}", (1_700_000_000 + i,) * 2)
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, afp long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    own = windowed_signature_ownership(
+        stream, delay="1 minute", retain="2 minutes", max_hamming=4
+    )
+    q = (
+        own.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wsd_state_bound")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        counts = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+    finally:
+        q.stop()
+    peak, final = max(counts), counts[-1]
+    # original: 4 hashes x 5 blocks = 20 buckets at peak (plus flusher
+    # buckets); final: only the unflushed -3 row's 5 held buckets
+    assert peak >= 20
+    assert final <= 6
+    assert final < peak
