@@ -1384,3 +1384,88 @@ def test_windowed_dedup_state_bounded_by_retention(spark, tmp_path):
     assert peak >= 20
     assert final <= 6
     assert final < peak
+
+
+def test_windowed_dedup_foreachbatch_survivor_sink(spark, tmp_path):
+    """run_windowed_dedup_to_parquet: the end-to-end ingest shape —
+    ownership stream → per-micro-batch verdicts → only SURVIVORS reach
+    the parquet table. Per-batch reduction is exact because a clip's
+    ownership rows all flush in one trigger; the survivor set equals
+    the whole-sink batch reduction."""
+    from airflow_etl_finance_market_spark.streaming import (
+        windowed_signature_ownership,
+    )
+    from airflow_etl_finance_market_spark.streaming.io import (
+        run_windowed_dedup_to_parquet,
+    )
+
+    b0 = [(1, _WSD_T0, x) for x in _H]
+    b1 = [(2, _WSD_T0 + 600_000_000, x) for x in _H[1:]] + [
+        (3, _WSD_T0 + 600_000_000, x) for x in _G
+    ]
+    sentinel = [(-1, _WSD_T0 + 10_800_000_000, 0x7777777777777777)]
+    stream = _wsd_plant(spark, tmp_path, [b0, b1, sentinel], "wsd_sink")
+    own = windowed_signature_ownership(stream, delay="5 minutes")
+    out = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "wsd_sink_ckpt")
+    run_windowed_dedup_to_parquet(own, out, ckpt)
+    got = spark.read.parquet(out).filter("doc_id >= 0")
+    assert sorted(r.doc_id for r in got.collect()) == [1, 3]
+    assert "is_duplicate" not in got.columns  # survivors-only projection
+
+
+def test_windowed_dedup_is_modality_agnostic_image_tiles(spark, tmp_path):
+    """The SAME ownership operator closes the CROP-robust image tier at
+    the ingest edge: tile dHashes (image_tile_dhash with the event-time
+    passthrough) through windowed_signature_ownership — a tile-aligned
+    crop arriving in a LATER micro-batch dedups against its original;
+    the unrelated image survives."""
+    from airflow_etl_finance_market_spark.fixtures import (
+        tile_crop_family_members,
+    )
+    from airflow_etl_finance_market_spark.multimodal.phash import (
+        image_tile_dhash,
+    )
+    from airflow_etl_finance_market_spark.streaming import (
+        windowed_dedup_verdicts,
+        windowed_signature_ownership,
+    )
+
+    members = tile_crop_family_members()
+    fam_a = members("wsd img A")  # full 128x128 / aligned crop / GIF crop
+    fam_b = members("wsd img B")
+    batches = [
+        [(10, _WSD_T0, bytearray(fam_a[0])),
+         (20, _WSD_T0, bytearray(fam_b[0]))],
+        [(11, _WSD_T0 + 600_000_000, bytearray(fam_a[1]))],
+        [(-1, _WSD_T0 + 10_800_000_000, bytearray(fam_b[0]))],
+    ]
+    src = tmp_path / "wsd_img"
+    for i, rows in enumerate(batches):
+        d = str(src / f"b{i}")
+        spark.createDataFrame(
+            rows, "doc_id long, tsu long, payload binary"
+        ).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.utime(f"{d}/{f}", (1_700_000_000 + i,) * 2)
+    stream = (
+        spark.readStream.schema("doc_id long, tsu long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+        .withColumn("ts", F.expr("timestamp_micros(tsu)"))
+    )
+    sigs = image_tile_dhash(stream, passthrough=("ts",))
+    own = windowed_signature_ownership(
+        sigs, sig_col="dhash", delay="5 minutes", max_hamming=4
+    )
+    tbl = run_available_now(own, "wsd_img_own", output_mode="append")
+    v = windowed_dedup_verdicts(
+        tbl.filter("doc_id >= 0"), sig_col="dhash", min_match_frac=0.8
+    )
+    got = {r.doc_id: (r.is_duplicate, r.dup_of) for r in v.collect()}
+    assert got[10] == (False, None)
+    assert got[20] == (False, None)
+    # the crop's 9 tiles are 9 of the original's 16 — overlap 1.0 on
+    # the crop's side, cross-micro-batch via the restored registry
+    assert got[11] == (True, 10)
