@@ -337,3 +337,83 @@ def html_to_text(col: Column | str) -> Column:
     ):
         c = F.replace(c, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+#: Tracking query parameters stripped by URL canonicalization — the
+#: published analytics/click-id families (RefinedWeb-class URL hygiene):
+#: utm_* (Google Analytics), fbclid/igshid (Meta), gclid/gclsrc (Google
+#: Ads), msclkid (Bing), mc_cid/mc_eid (Mailchimp), plus the bare `ref`
+#: referrer tag.
+_TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9_]+|fbclid|igshid|gclid|gclsrc|msclkid|mc_cid|mc_eid"
+    r"|ref)="
+)
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """URL canonicalization for URL-keyed crawl dedup (the stage every
+    published crawl pipeline runs before or alongside content dedup —
+    RefinedWeb's url filtering/dedup, C4's page-level provenance): map
+    the byte-variants a crawler sees of ONE page onto one canonical
+    string, as a pure-Catalyst expression chain (regexp split + HOF
+    param filter + array_sort) — no UDF, codegen, zero shuffles,
+    embarrassingly parallel over a 100 TB url column.
+
+    Rules (each deterministic and order-independent cross-engine):
+    - scheme and host LOWERCASED (path/query case preserved — paths are
+      case-sensitive by spec);
+    - default ports stripped (``:80`` for http, ``:443`` for https);
+    - leading ``www.`` stripped from the host;
+    - the FRAGMENT dropped (never sent to the server);
+    - repeated path slashes collapsed, the trailing slash stripped
+      (``/a/b/`` ≡ ``/a/b``; the root path normalizes to empty);
+    - tracking parameters dropped (:data:`_TRACKING_PARAM_RE` — utm_*,
+      click ids, mailchimp ids, bare ``ref``), empty params dropped;
+    - surviving query params SORTED lexicographically (param order is
+      almost never semantic; sorting makes ``?a=1&b=2`` ≡ ``?b=2&a=1``).
+
+    Deliberately NOT done (documented residuals): percent-decoding
+    (decoding can change semantics for encoded delimiters), userinfo
+    stripping, IDN/punycode folding, and per-site parameter semantics —
+    a production deployment layers site rules on top. Non-URL strings
+    (no ``scheme://``) pass through with only fragment/whitespace
+    hygiene, so a mixed-quality url column never throws."""
+    url = F.trim(F.col(col) if isinstance(col, str) else col)
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    # non-URL passthrough: keep the raw string (sans fragment, trimmed
+    # again — stripping the fragment can expose trailing space) so a
+    # malformed row canonicalizes to itself instead of ''
+    return F.when(scheme != "", canonical).otherwise(
+        F.trim(F.regexp_replace(url, r"#.*$", ""))
+    )

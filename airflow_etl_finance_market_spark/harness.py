@@ -86,15 +86,22 @@ def register(name: str, oracle: str | None = None):
 #:     aggregate — total_text_len — now also covers ORC).
 #: Live under rule 1: the 5 merged gates plus the round's 3 NEW
 #: feature gates (c4_line_filter, audio_cdc_trim_near_dups,
-#: streaming_windowed_media_dedup) = 8. Live under rule 2:
+#: streaming_windowed_media_dedup) = 8. LATE-r11 addendum (growth
+#: paired with retirement, same registry total): dim_instrumento +
+#: dim_tempo -> dim_snapshots (sixth merge — same one-expression plan
+#: shape each, plans/dims.py:18,35; the union pins both derivations
+#: under one hash), funding the NEW url_canonical_dedup gate
+#: (RefinedWeb-class URL canonicalization + url-keyed dedup).
+#: Live under rule 2:
 #: html_text_extract (its oracle was REFORMULATED this round to derive
 #: expected text from the fixture's construction instead of replaying
 #: the engine's regex chain — r10 verdict What's wrong #2 — so the
 #: fresh driver row must validate the new oracle). Live under rule 3:
-#: ALL 38 surviving r08-green trail-2 entries (the pre-committed r11
-#: backbone was the 42 r08 cohort; 4 of them were retired into merges
-#: above) plus the 3 OLDEST-registered r09 entries (weekly_volatility,
-#: market_overview, ticker_report_stats). 38 + 8 + 1 + 3 = 50.
+#: ALL 36 surviving r08-green trail-2 entries (the pre-committed r11
+#: backbone was the 42 r08 cohort; 4 retired into the r10-style merges
+#: above, 2 more into dim_snapshots) plus the 3 OLDEST-registered r09
+#: entries (weekly_volatility, market_overview, ticker_report_stats).
+#: 36 + 8 + 2 + 1 + 3 = 50.
 #: Demoted: the remaining 43 r09-green entries (trail 2 at r11 — due
 #: and PRE-COMMITTED live at r12) and 47 r10-green entries (trail 1,
 #: due r13; r12 has 50 - 43 = 7 slots of slack to start refreshing
@@ -657,41 +664,125 @@ def q_customer_big_order_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dim_instrumento",
+    "dim_snapshots",
     """
-SELECT DISTINCT
-    p_brand AS ticker,
-    'Ativo ' || p_brand AS nome_ativo,
-    'Acao' AS tipo_ativo
-FROM part
-""",
-)
-def q_dim_instrumento(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Instrument dim derivation (A8, F8, F9)."""
-    from .plans.dims import build_dim_instrumento
-
-    return build_dim_instrumento(
-        load_fixture(spark, sf_dir, "part"), symbol_col="p_brand"
-    )
-
-
-@register(
-    "dim_tempo",
-    """
-SELECT DISTINCT
-    o_orderdate::DATE AS data_id,
-    CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS ano,
-    CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mes,
-    CAST(EXTRACT(DOW FROM o_orderdate) AS INT) AS dia_da_semana
+SELECT 'instrumento' AS dim,
+       p_brand AS k1,
+       'Ativo ' || p_brand AS k2,
+       'Acao' AS k3,
+       CAST(NULL AS VARCHAR) AS k4
+FROM (SELECT DISTINCT p_brand FROM part)
+UNION ALL
+SELECT DISTINCT 'tempo',
+       CAST(o_orderdate::DATE AS VARCHAR),
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR),
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS VARCHAR),
+       CAST(EXTRACT(DOW FROM o_orderdate) AS VARCHAR)
 FROM orders
 """,
 )
-def q_dim_tempo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date dim with PG DOW numbering (A8, F2-F4 incl. the DOW-1 fix)."""
-    from .plans.dims import build_dim_tempo
+def q_dim_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both dimension derivations in ONE multi-variant gate (A8 DISTINCT
+    dedup, F2-F4 incl. the PG DOW-1 fix, F8 concat, F9 literal) —
+    round-11 merge of `dim_instrumento` + `dim_tempo` (the registry
+    headroom rule: growth paired with retirements). RETIREMENT
+    RATIONALE: the two gates exercised the same one-expression plan
+    shape each (plans/dims.py:18,35 — narrow-key hash-agg distinct then
+    computed columns), always green together since r02; the union pins
+    BOTH derivations under one hash (a drift in either flips it), each
+    row type discriminated by `dim` and projected to a common VARCHAR
+    schema (dates/ints cast to strings — injective, so DISTINCT sets
+    are preserved exactly). Their pytest coverage (test_pipeline)
+    is untouched."""
+    from .plans.dims import build_dim_instrumento, build_dim_tempo
 
-    return build_dim_tempo(
+    inst = build_dim_instrumento(
+        load_fixture(spark, sf_dir, "part"), symbol_col="p_brand"
+    ).select(
+        F.lit("instrumento").alias("dim"),
+        F.col("ticker").alias("k1"),
+        F.col("nome_ativo").alias("k2"),
+        F.col("tipo_ativo").alias("k3"),
+        F.lit(None).cast("string").alias("k4"),
+    )
+    tempo = build_dim_tempo(
         load_fixture(spark, sf_dir, "orders"), date_col="o_orderdate"
+    ).select(
+        F.lit("tempo").alias("dim"),
+        F.col("data_id").cast("string").alias("k1"),
+        F.col("ano").cast("string").alias("k2"),
+        F.col("mes").cast("string").alias("k3"),
+        F.col("dia_da_semana").cast("string").alias("k4"),
+    )
+    return inst.unionAll(tempo)
+
+
+@register(
+    "url_canonical_dedup",
+    """
+WITH g AS (
+    SELECT doc_id, ((doc_id - 2) // 9) // 3 AS fam
+    FROM documents WHERE doc_id % 9 = 2
+)
+SELECT fam,
+       'https://example' || fam || '.com/a/b?id=' || fam || '&p=1'
+           AS canonical_url,
+       COUNT(*) AS n_in,
+       MIN(doc_id) AS survivor_id
+FROM g
+GROUP BY fam
+""",
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization + URL-keyed crawl dedup HARD GATE
+    (functions/text.canonicalize_url ∘ operators/corpus.url_dedup) —
+    the provenance stage published crawl pipelines run before content
+    dedup (RefinedWeb's url hygiene): every selected document triple
+    (consecutive docs with doc_id % 9 = 2, grouped 3-by-3) carries
+    three byte-DIFFERENT urls of one page — (a) the clean form, (b) an
+    UPPERCASED scheme+host with the default :443 port, a trailing
+    slash, a utm_ tracking param, reordered query params and a
+    fragment, (c) a www. + doubled-slash variant with a trailing
+    tracking param — built JVM-side from doc_id arithmetic. The chain
+    must collapse each triple to ONE survivor (the smallest doc_id)
+    whose canonical string EQUALS the clean form. The oracle derives
+    everything from the CONSTRUCTION (the r10 independent-formulation
+    rule: fam arithmetic + string concat — it never runs a regex), so
+    a canonicalization drift in ANY rule (case, port, www, slashes,
+    trailing slash, fragment, tracking filter, param sort) breaks the
+    canonical_url hash, and an over-merge or under-merge breaks
+    n_in/survivor_id."""
+    sel = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 9 == 2
+    )
+    k = ((F.col("doc_id") - 2) / 9).cast("long")
+    fam = (k / 3).cast("long")
+    variant = k % 3
+    f = fam.cast("string")
+    v0 = F.concat(
+        F.lit("https://example"), f, F.lit(".com/a/b?id="), f, F.lit("&p=1")
+    )
+    v1 = F.concat(
+        F.lit("HTTPS://EXAMPLE"), f,
+        F.lit(".COM:443/a/b/?utm_source=x&p=1&id="), f, F.lit("#frag"),
+    )
+    v2 = F.concat(
+        F.lit("https://www.example"), f, F.lit(".com//a//b?p=1&id="), f,
+        F.lit("&utm_campaign=y"),
+    )
+    from .operators.corpus import url_dedup
+
+    pages = sel.select(
+        "doc_id",
+        F.when(variant == 0, v0).when(variant == 1, v1).otherwise(v2)
+        .alias("url"),
+    )
+    survivors = url_dedup(fan_out(pages, "doc_id"))
+    return survivors.select(
+        (((F.col("doc_id") - 2) / 9) / 3).cast("long").alias("fam"),
+        "canonical_url",
+        F.col("n_dups").alias("n_in"),
+        F.col("doc_id").alias("survivor_id"),
     )
 
 

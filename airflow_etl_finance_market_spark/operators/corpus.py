@@ -879,3 +879,49 @@ def paragraph_dedup(
         )
         .select(F.col("id").alias(id_col), "text", "n_paras_kept")
     )
+
+
+def url_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """URL-keyed crawl dedup over CANONICALIZED urls — the provenance
+    twin of exact content dedup (RefinedWeb runs it before any content
+    pass: re-crawls, mirror hosts, tracking-tagged share links and
+    fragment variants are the same PAGE regardless of byte-identical
+    text): canonicalize every url
+    (:func:`..functions.text.canonicalize_url`), keep exactly one
+    document per canonical url — the smallest ``id`` (first-crawled
+    under monotone ids; deterministic and engine-portable). Returns the
+    surviving rows plus ``canonical_url`` and ``n_dups`` (how many
+    rows collapsed into the survivor — the re-crawl rate observable).
+
+    Plan shape for 100 TB: the canonicalization is a map-side codegen
+    expression chain; the keep-first is ONE window keyed on the
+    portable 60-bit md5 of the canonical url (the full url string
+    never becomes a shuffle KEY — the paragraph_dedup discipline), so
+    the corpus shuffles once on 8-byte keys. A hash collision costs a
+    spuriously dropped page at ~2^-60 per pair, never a wrong winner
+    order (the winner rank compares ids)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import canonicalize_url
+
+    canon = docs.withColumn("canonical_url", canonicalize_url(url_col))
+    canon = canon.withColumn(
+        "_uh",
+        F.conv(
+            F.substring(F.md5("canonical_url"), 1, 15), 16, 10
+        ).cast("bigint"),
+    )
+    w = Window.partitionBy("_uh").orderBy(id_col)
+    return (
+        canon.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count(F.lit(1)).over(
+            Window.partitionBy("_uh")
+        ))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "_uh")
+    )

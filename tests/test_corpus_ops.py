@@ -1100,3 +1100,92 @@ class TestC4LineQuality:
         assert r.text.split("\n")[0] == (
             "This sentence is long enough and ends properly."
         )
+
+
+class TestUrlCanonicalDedup:
+    """canonicalize_url rule-by-rule + url_dedup keep-first semantics."""
+
+    def _canon(self, spark, url):
+        from airflow_etl_finance_market_spark.functions.text import (
+            canonicalize_url,
+        )
+
+        return (
+            spark.createDataFrame([(url,)], "url string")
+            .select(canonicalize_url("url").alias("c"))
+            .first()["c"]
+        )
+
+    def test_scheme_host_case_and_default_port(self, spark):
+        assert (
+            self._canon(spark, "HTTPS://ExAmPle.COM:443/Path/X")
+            == "https://example.com/Path/X"
+        )
+        assert (
+            self._canon(spark, "HTTP://example.com:80/a")
+            == "http://example.com/a"
+        )
+        # a NON-default port survives; path case is preserved
+        assert (
+            self._canon(spark, "https://example.com:8443/A")
+            == "https://example.com:8443/A"
+        )
+
+    def test_www_fragment_slashes_trailing(self, spark):
+        assert (
+            self._canon(spark, "https://www.example.com//a///b/#sec-2")
+            == "https://example.com/a/b"
+        )
+        # the root path normalizes to the bare host
+        assert (
+            self._canon(spark, "http://example.com/")
+            == "http://example.com"
+        )
+
+    def test_tracking_params_dropped_rest_sorted(self, spark):
+        assert (
+            self._canon(
+                spark,
+                "https://e.com/p?utm_source=tw&b=2&fbclid=xyz&a=1&gclid=9",
+            )
+            == "https://e.com/p?a=1&b=2"
+        )
+        # all params tracking -> no '?' at all
+        assert (
+            self._canon(spark, "https://e.com/p?utm_medium=m&ref=hn")
+            == "https://e.com/p"
+        )
+        # a LEGITIMATE param whose name merely contains 'ref' survives
+        assert (
+            self._canon(spark, "https://e.com/p?referrer_page=2")
+            == "https://e.com/p?referrer_page=2"
+        )
+
+    def test_param_order_invariance(self, spark):
+        a = self._canon(spark, "https://e.com/p?z=1&a=2&m=3")
+        b = self._canon(spark, "https://e.com/p?m=3&z=1&a=2")
+        assert a == b == "https://e.com/p?a=2&m=3&z=1"
+
+    def test_non_url_passthrough(self, spark):
+        assert self._canon(spark, "  not a url #frag ") == "not a url"
+
+    def test_url_dedup_keeps_smallest_id_counts_dups(self, spark):
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            url_dedup,
+        )
+
+        rows = [
+            (5, "https://e.com/x?p=1"),
+            (3, "HTTPS://E.COM:443/x/?p=1&utm_source=a#f"),
+            (9, "https://www.e.com//x?utm_campaign=c&p=1"),
+            (7, "https://other.com/y"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {
+            r.doc_id: (r.canonical_url, r.n_dups)
+            for r in url_dedup(df).collect()
+        }
+        assert got == {
+            3: ("https://e.com/x?p=1", 3),  # smallest id survives
+            7: ("https://other.com/y", 1),
+        }
