@@ -87,21 +87,24 @@ def register(name: str, oracle: str | None = None):
 #: Live under rule 1: the 5 merged gates plus the round's 3 NEW
 #: feature gates (c4_line_filter, audio_cdc_trim_near_dups,
 #: streaming_windowed_media_dedup) = 8. LATE-r11 addendum (growth
-#: paired with retirement, same registry total): dim_instrumento +
-#: dim_tempo -> dim_snapshots (sixth merge — same one-expression plan
-#: shape each, plans/dims.py:18,35; the union pins both derivations
-#: under one hash), funding the NEW url_canonical_dedup gate
-#: (RefinedWeb-class URL canonicalization + url-keyed dedup).
+#: paired with retirement, registry total UNCHANGED at 140):
+#: dim_instrumento + dim_tempo -> dim_snapshots (sixth merge — same
+#: one-expression plan shape each, plans/dims.py:18,35) and
+#: bpe_merges + bpe_token_counts -> bpe_pipeline (seventh merge —
+#: both started from the same bpe_train call, so the old pair paid
+#: the 30-round training loop twice per verification; the union pins
+#: train AND apply off one run), funding the TWO new provenance-tier
+#: gates url_canonical_dedup and domain_blocklist_filter.
 #: Live under rule 2:
 #: html_text_extract (its oracle was REFORMULATED this round to derive
 #: expected text from the fixture's construction instead of replaying
 #: the engine's regex chain — r10 verdict What's wrong #2 — so the
 #: fresh driver row must validate the new oracle). Live under rule 3:
-#: ALL 36 surviving r08-green trail-2 entries (the pre-committed r11
+#: ALL 34 surviving r08-green trail-2 entries (the pre-committed r11
 #: backbone was the 42 r08 cohort; 4 retired into the r10-style merges
-#: above, 2 more into dim_snapshots) plus the 3 OLDEST-registered r09
-#: entries (weekly_volatility, market_overview, ticker_report_stats).
-#: 36 + 8 + 2 + 1 + 3 = 50.
+#: above, 2 into dim_snapshots, 2 into bpe_pipeline) plus the 3
+#: OLDEST-registered r09 entries (weekly_volatility, market_overview,
+#: ticker_report_stats). 34 + 8 + 4 + 1 + 3 = 50.
 #: Demoted: the remaining 43 r09-green entries (trail 2 at r11 — due
 #: and PRE-COMMITTED live at r12) and 47 r10-green entries (trail 1,
 #: due r13; r12 has 50 - 43 = 7 slots of slack to start refreshing
@@ -6804,24 +6807,131 @@ GROUP BY occ.doc_id
     )
 
 
-@register("bpe_merges", _bpe_merge_replay_oracle(30))
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL BPE merge training (Sennrich et al. 2016) on the corpus
-    (operators/bpe.bpe_train): one corpus pass builds the word-type
-    histogram, then every merge round runs on the vocab-bounded table —
-    pair explode + hash-agg + a 1-row argmax collect — with the
-    segmentation frame localCheckpoint-ed per round. Returns the merge
-    table (rank, left, right, pair_count) a tokenizer would ship.
-    Correctness is double-pinned: the pytest differential against a
-    pure-Python reference BPE (tests/test_corpus_ops.py::TestBpe) AND
-    the unrolled 30-round DuckDB replay oracle
-    (:func:`_bpe_merge_replay_oracle`)."""
-    from .operators.bpe import bpe_train
+@register(
+    "bpe_pipeline",
+    f"""
+SELECT 'merge' AS kind,
+       CAST("rank" AS VARCHAR) AS k1,
+       "left" AS k2,
+       "right" AS k3,
+       CAST(pair_count AS VARCHAR) AS k4
+FROM ({_bpe_merge_replay_oracle(30)}) AS m
+UNION ALL
+SELECT 'doc',
+       CAST(doc_id AS VARCHAR),
+       CAST(n_words AS VARCHAR),
+       CAST(n_bpe_tokens AS VARCHAR),
+       CAST(NULL AS VARCHAR)
+FROM ({_bpe_token_stats_oracle(30)}) AS d
+""",
+)
+def q_bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train + apply in ONE multi-variant gate — round-11 merge of
+    `bpe_merges` + `bpe_token_counts` (growth paired with retirement).
+    RETIREMENT RATIONALE: both gates started from the same
+    ``bpe_train`` call (the apply gate TRAINED AGAIN to get the
+    segmentation table), so the registry paid the 30-round training
+    loop twice per verification for one code path; the union pins the
+    merge table AND the corpus tokenization off a single training run
+    (a drift in either half flips the hash), projected to a common
+    VARCHAR schema with a `kind` discriminator. The pure-Python
+    reference differential (tests/test_corpus_ops.py::TestBpe) is
+    untouched.
 
-    merges, _ = bpe_train(
-        load_fixture(spark, sf_dir, "documents"), num_merges=30
+    Training (Sennrich et al. 2016): one corpus pass builds the
+    word-type histogram, then every merge round runs on the
+    vocab-bounded table — pair explode + hash-agg + a 1-row argmax
+    collect — with the segmentation frame localCheckpoint-ed per
+    round. Apply: the learned segmentation is a vocab-bounded
+    broadcast, so tokenizing the corpus is ONE explode + one broadcast
+    join + one doc-keyed aggregate — no per-token merge replay
+    anywhere (the distributed half a 100 TB tokenizer job actually
+    needs; see the honest-ceiling note in operators/bpe.py)."""
+    from .operators.bpe import bpe_token_stats, bpe_train
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    merges, segments = bpe_train(docs, num_merges=30)
+    m = merges.select(
+        F.lit("merge").alias("kind"),
+        F.col("rank").cast("string").alias("k1"),
+        F.col("left").alias("k2"),
+        F.col("right").alias("k3"),
+        F.col("pair_count").cast("string").alias("k4"),
     )
-    return merges
+    t = bpe_token_stats(docs, segments).select(
+        F.lit("doc").alias("kind"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("n_words").cast("string").alias("k2"),
+        F.col("n_bpe_tokens").cast("string").alias("k3"),
+        F.lit(None).cast("string").alias("k4"),
+    )
+    return m.unionAll(t)
+
+
+@register(
+    "domain_blocklist_filter",
+    """
+WITH sel AS (
+    SELECT doc_id, ((doc_id - 3) // 7) % 4 AS cat
+    FROM documents WHERE doc_id % 7 = 3
+)
+SELECT doc_id,
+       CASE WHEN cat = 0 THEN 'ok' || doc_id || '.com'
+            ELSE 'nottracker' || doc_id || '.net' END AS host
+FROM sel WHERE cat IN (0, 3)
+""",
+)
+def q_domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist URL hygiene HARD GATE
+    (operators/corpus.domain_blocklist_filter) — the third leg of the
+    r11 provenance tier (canonicalize → url-dedup → blocklist): every
+    7th document gets a host by category (k = (doc_id-3)//7, cat=k%4):
+    cat 0 `ok{id}.com` (clean), cat 1 `bad{id}.com` (blocked EXACTLY),
+    cat 2 `ads.tracker{id}.net` (blocked via the PARENT-DOMAIN entry
+    `tracker{id}.net` — the suffix-walk the operator exists for),
+    cat 3 `nottracker{id}.net` (its blocklist sibling `tracker{id}.net`
+    is present but must NOT match — label-boundary semantics; a
+    substring matcher fails exactly here). The blocklist itself is
+    derived from the same id arithmetic, so the oracle PREDICTS the
+    survivor rows (ids and hosts) from the construction alone — over-
+    blocking (cat 0/3 missing) and under-blocking (cat 1/2 present)
+    both break the hash. Host extraction is map-side codegen; the
+    suffix explode carries (host, suffix) rows only; the blocklist
+    broadcasts."""
+    sel = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 3
+    )
+    cat = (((F.col("doc_id") - 3) / 7).cast("long") % 4).alias("cat")
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("cat") == 0,
+               F.concat(F.lit("https://ok"), i, F.lit(".com/x")))
+        .when(F.col("cat") == 1,
+              F.concat(F.lit("https://bad"), i, F.lit(".com/x")))
+        .when(F.col("cat") == 2,
+              F.concat(F.lit("https://ads.tracker"), i, F.lit(".net/x")))
+        .otherwise(
+            F.concat(F.lit("https://nottracker"), i, F.lit(".net/x")))
+    )
+    pages = fan_out(
+        sel.select("doc_id", cat), "doc_id"
+    ).withColumn("url", url)
+    blocklist = pages.select(
+        F.when(
+            F.col("cat") == 1,
+            F.concat(F.lit("bad"), i, F.lit(".com")),
+        )
+        .when(
+            F.col("cat").isin(2, 3),
+            F.concat(F.lit("tracker"), i, F.lit(".net")),
+        )
+        .alias("domain")
+    ).filter(F.col("domain").isNotNull())
+    from .operators.corpus import domain_blocklist_filter
+
+    return domain_blocklist_filter(pages, blocklist).select(
+        "doc_id", "host"
+    )
 
 
 @register(
@@ -6886,23 +6996,6 @@ def q_weekly_user_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = kmv_daily_user_sketches(load_fixture(spark, sf_dir, "events"))
     return kmv_rollup_estimates(daily)
-
-
-@register("bpe_token_counts", _bpe_token_stats_oracle(30))
-def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE APPLY at corpus scale (operators/bpe.bpe_token_stats): the
-    trained segmentation table is a vocab-bounded broadcast, so
-    tokenizing the corpus under a learned BPE is ONE explode + one
-    broadcast join + one doc-keyed aggregate — no per-token merge
-    replay anywhere (the distributed half a 100 TB tokenizer job
-    actually needs; see the honest-ceiling note in operators/bpe.py).
-    Returns (doc_id, n_words, n_bpe_tokens); the oracle replays the
-    merge chain to the final segmentation and mirrors the join."""
-    from .operators.bpe import bpe_token_stats, bpe_train
-
-    docs = load_fixture(spark, sf_dir, "documents")
-    _, segments = bpe_train(docs, num_merges=30)
-    return bpe_token_stats(docs, segments)
 
 
 @register(

@@ -925,3 +925,50 @@ def url_dedup(
         .filter(F.col("rn") == 1)
         .drop("rn", "_uh")
     )
+
+
+def domain_blocklist_filter(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    *,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Domain-blocklist filtering on LABEL-BOUNDARY suffix match — the
+    RefinedWeb/UT1-class URL hygiene stage next to
+    :func:`url_dedup`: a document is dropped when its url's host OR
+    ANY PARENT DOMAIN of it appears in the blocklist
+    (``ads.tracker.net`` is blocked by a ``tracker.net`` entry), and
+    suffixes are whole dot-separated labels only (``nottracker.net``
+    is NOT blocked by ``tracker.net`` — the false positive a substring
+    match would produce). Returns the surviving rows with the matched
+    ``host`` column added.
+
+    Plan shape for 100 TB: host extraction is map-side codegen; each
+    doc explodes into its ≤ label-count domain suffixes (a handful of
+    short rows — never the url, never the text) and anti-joins the
+    blocklist. A UT1-scale list (a few M short strings) still fits a
+    broadcast; beyond that the join degrades to a shuffle on the
+    8-byte-hashable suffix, with the corpus side carrying only
+    (id, suffix). The text column rides the final anti-join only."""
+    host = F.lower(
+        F.regexp_extract(
+            F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+        )
+    )
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    with_host = docs.withColumn("host", host)
+    parts = F.split(F.col("host"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+    )
+    sufs = with_host.select(
+        F.col("host").alias("_h"),
+        F.explode(suffixes).alias("_suffix"),
+    ).distinct()
+    blocked_hosts = sufs.join(
+        F.broadcast(blocklist.select(F.col(domain_col).alias("_suffix"))),
+        "_suffix",
+    ).select(F.col("_h").alias("host")).distinct()
+    return with_host.join(blocked_hosts, "host", "left_anti")

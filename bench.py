@@ -1158,6 +1158,7 @@ def audio_dedup_section(spark, tmp: str) -> tuple[dict[str, float], int]:
     from airflow_etl_finance_market_spark.fixtures import wav_family_members
     from airflow_etl_finance_market_spark.multimodal.audio import (
         audio_fingerprints,
+        audio_cdc_fingerprints,
         audio_near_dup_pairs,
         audio_window_fingerprints,
         audio_window_near_dup_pairs,
@@ -1194,10 +1195,13 @@ def audio_dedup_section(spark, tmp: str) -> tuple[dict[str, float], int]:
     ).parquet(media_path)
     media = spark.read.parquet(media_path)
     n_clips = media.count()
-    # stored window sigs for the join-only pair timer (_sigs entry):
-    # materialized OUTSIDE the timers, like the crossover demo
+    # stored window/CDC sigs for the join-only pair timers (_sigs
+    # entries): materialized OUTSIDE the timers, like the crossover demo
     audio_window_fingerprints(media).write.mode("overwrite").parquet(
         f"{tmp}/audio_window_sigs.parquet"
+    )
+    audio_cdc_fingerprints(media).write.mode("overwrite").parquet(
+        f"{tmp}/audio_cdc_sigs.parquet"
     )
 
     def _noop(df):
@@ -1243,6 +1247,23 @@ def audio_dedup_section(spark, tmp: str) -> tuple[dict[str, float], int]:
             lambda: _noop(
                 audio_window_near_dup_pairs(
                     spark.read.parquet(f"{tmp}/audio_window_sigs.parquet")
+                )
+            ),
+        ),
+        # r11: the content-defined-segmentation tier — hash stage over
+        # the same clips (Gear anchors + per-segment FFTs), pair stage
+        # join-only over stored sigs (the _sigs convention; CDC match
+        # threshold 0.5 per the gate's measured overlap band)
+        (
+            "audio_cdc_hash",
+            lambda: _noop(audio_cdc_fingerprints(media)),
+        ),
+        (
+            "audio_cdc_pairs_sigs",
+            lambda: _noop(
+                audio_window_near_dup_pairs(
+                    spark.read.parquet(f"{tmp}/audio_cdc_sigs.parquet"),
+                    min_match_frac=0.5,
                 )
             ),
         ),
@@ -1682,6 +1703,15 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         "html_extract": lambda: _noop(qs["html_text_extract"](spark, x10)),
         "paragraph_dedup": lambda: _noop(
             qs["doc_paragraph_dedup"](spark, x10)
+        ),
+        # r11: the remaining crawl-prep stages at 50k docs — C4
+        # line-level filtering (generate + id-keyed aggregate, the
+        # paragraph_dedup bill without the cross-doc window) and URL
+        # canonicalization + url-keyed dedup (map-side codegen chain +
+        # one 8-byte-keyed window)
+        "c4_filter": lambda: _noop(qs["c4_line_filter"](spark, x10)),
+        "url_dedup": lambda: _noop(
+            qs["url_canonical_dedup"](spark, x10)
         ),
     }
 

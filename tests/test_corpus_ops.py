@@ -1189,3 +1189,58 @@ class TestUrlCanonicalDedup:
             3: ("https://e.com/x?p=1", 3),  # smallest id survives
             7: ("https://other.com/y", 1),
         }
+
+
+class TestDomainBlocklistFilter:
+    def _run(self, spark, docs_rows, domains):
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            domain_blocklist_filter,
+        )
+
+        docs = spark.createDataFrame(docs_rows, "doc_id long, url string")
+        bl = spark.createDataFrame(
+            [(d,) for d in domains], "domain string"
+        )
+        return sorted(
+            r.doc_id for r in domain_blocklist_filter(docs, bl).collect()
+        )
+
+    def test_exact_parent_and_label_boundary(self, spark):
+        rows = [
+            (1, "https://ok.com/x"),
+            (2, "https://bad.com/x"),          # exact entry
+            (3, "https://ads.tracker.net/x"),  # parent-domain entry
+            (4, "https://nottracker.net/x"),   # label boundary: SURVIVES
+            (5, "https://deep.a.b.bad.com/x"),  # multi-level parent walk
+        ]
+        assert self._run(
+            spark, rows, ["bad.com", "tracker.net"]
+        ) == [1, 4]
+
+    def test_case_and_port_insensitive_host(self, spark):
+        rows = [(1, "HTTPS://BAD.COM:8443/x"), (2, "http://ok.com:80/y")]
+        assert self._run(spark, rows, ["bad.com"]) == [2]
+
+    def test_tld_entry_blocks_whole_tld(self, spark):
+        # a bare-TLD entry is legal and blocks every host under it —
+        # the suffix walk reaches the last label
+        rows = [(1, "https://x.example/x"), (2, "https://y.test/x")]
+        assert self._run(spark, rows, ["test"]) == [1]
+
+
+def test_domain_blocklist_plan_broadcasts(spark):
+    """The blocklist side must broadcast; no cartesian anywhere."""
+    from airflow_etl_finance_market_spark.operators.corpus import (
+        domain_blocklist_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.b.com/x")], "doc_id long, url string"
+    )
+    bl = spark.createDataFrame([("b.com",)], "domain string")
+    plan = (
+        domain_blocklist_filter(docs, bl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
