@@ -476,6 +476,38 @@ sits mid-band; the r09 0.161 was a fast min below today's floor —
 the doc_token_stats class of sub-second tiny-entry jitter on an
 unchanged plan (operators/scoring.py untouched since r08; plan pin
 green). Steady state ~0.24-0.29 s in the current regime.
+
+r11 refresh (two same-day runs; the committed BENCH_LOCAL is the
+FIRST): regime 1.043 vs the r10 artifact (anchor 0.679 -> 0.708).
+THE PAIR-BENCH SPLIT LANDED (r10 verdict #7): every media pair tier
+now carries a join-only twin over STORED sigs next to the cumulative
+E2E entry — audio_window_pairs 2.48 cumulative vs
+audio_window_pairs_sigs 1.03 (the re-hash was ~60% of the cumulative
+number at this scale), tile_pairs 4.98 vs tile_pairs_sigs 2.18
+(~56%). Read _sigs for the join the block cost model prices,
+cumulative for the pipeline bill. First numbers for the r11 stages:
+c4_filter 0.53 s / url_dedup 0.72 s at 50k docs (both linear
+map/window shapes, the html_extract class), audio_cdc_hash 2.53 s
+(~2x the fixed-window hash — Gear anchor scan + per-segment FFTs
+over ~2x the segment count, the expected constant) and
+audio_cdc_pairs_sigs 2.98 s at 5k clips.
+
+r11 arbitration by second refresh (regime 0.918 run-to-run): run 1's
+ann_x100 section ran uniformly ~2x high (brute 2.84, ivf 1.98, pq
+4.76) and run 2 regressed the WHOLE section to the r10 mean (1.99 /
+1.07 / 2.16 — the late-tier JVM-state pattern the r10 notes
+document); same verdict for flagship_posthygiene (11.94 -> 8.10 vs
+r10 7.16) and weekly_user_kmv_rollup (1.00 -> 0.78 vs r10 0.63):
+transients, not drift. video_hash is the one entry HIGH IN BOTH runs
+(4.29 / 4.25 vs r10 3.15): solo best-of-3 x3 in fresh JVMs measured
+4.825 / 3.886 / 3.938 — the in-tier values sit mid-band, the r10
+3.15 was a faster-regime value below today's solo floor; code and
+plan untouched (multimodal/video.py unchanged since r09, pins
+green), so the recorded cross-regime band is ~3.1-4.8 s. The media
+tiers wander +25-95% between the two same-day runs at identical
+code (tile_hash_2phase 2.51/4.49 — still under the promised 2x
+bound vs tile_hash in BOTH runs: 1.12x and 1.93x); per the regime
+rule these arbitrate by the same-day anchor, not absolutes.
 """
 
 from __future__ import annotations
