@@ -508,6 +508,17 @@ tiers wander +25-95% between the two same-day runs at identical
 code (tile_hash_2phase 2.51/4.49 — still under the promised 2x
 bound vs tile_hash in BOTH runs: 1.12x and 1.93x); per the regime
 rule these arbitrate by the same-day anchor, not absolutes.
+
+r11 one-off crawl-stage x100 decade (500k docs, same contract as the
+other one-offs): html_extract 0.598 s (1.4x for 10x docs),
+c4_filter 0.962 s (1.8x), url_dedup 0.849 s (1.2x),
+paragraph_dedup 0.943 s (1.4x). Honest reading: at this absolute
+scale all four are OVERHEAD-dominated (sub-second walls on 32
+cores), so the ratios mostly measure fixed cost, not the linear
+map/window terms — the decade evidence is that NOTHING in these
+shapes grew super-linearly when the explode/window row counts grew
+10x, which is what their plans (generate + id-keyed agg; one
+8-byte-keyed window) predict.
 """
 
 from __future__ import annotations
