@@ -886,6 +886,7 @@ def url_dedup(
     *,
     id_col: str = "doc_id",
     url_col: str = "url",
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """URL-keyed crawl dedup over CANONICALIZED urls — the provenance
     twin of exact content dedup (RefinedWeb runs it before any content
@@ -897,6 +898,11 @@ def url_dedup(
     under monotone ids; deterministic and engine-portable). Returns the
     surviving rows plus ``canonical_url`` and ``n_dups`` (how many
     rows collapsed into the survivor — the re-crawl rate observable).
+    With ``prefer_col``, the survivor is instead the row with the
+    LARGEST value of that column (quality score, text length, crawl
+    recency), ids breaking ties — the keep-best posture a production
+    re-crawl pipeline wants (the newest fetch of a page usually
+    supersedes the stale one).
 
     Plan shape for 100 TB: the canonicalization is a map-side codegen
     expression chain; the keep-first is ONE window keyed on the
@@ -916,7 +922,12 @@ def url_dedup(
             F.substring(F.md5("canonical_url"), 1, 15), 16, 10
         ).cast("bigint"),
     )
-    w = Window.partitionBy("_uh").orderBy(id_col)
+    if prefer_col is not None:
+        w = Window.partitionBy("_uh").orderBy(
+            F.col(prefer_col).desc(), F.col(id_col)
+        )
+    else:
+        w = Window.partitionBy("_uh").orderBy(id_col)
     return (
         canon.withColumn("rn", F.row_number().over(w))
         .withColumn("n_dups", F.count(F.lit(1)).over(

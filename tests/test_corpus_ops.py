@@ -1244,3 +1244,54 @@ def test_domain_blocklist_plan_broadcasts(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_url_dedup_prefer_col_keeps_best(spark):
+    """prefer_col flips the survivor rule to keep-best (largest value,
+    id tiebreak) — the re-crawl posture where the newest fetch wins."""
+    from airflow_etl_finance_market_spark.operators.corpus import url_dedup
+
+    rows = [
+        (1, "https://e.com/x", 10.0),
+        (2, "https://e.com/x#frag", 30.0),   # best quality wins
+        (3, "https://www.e.com/x", 30.0),    # tie -> smaller id (2)
+        (4, "https://other.com/y", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, q double")
+    got = sorted(
+        r.doc_id for r in url_dedup(df, prefer_col="q").collect()
+    )
+    assert got == [2, 4]
+
+
+def test_canonicalize_url_idempotent_property(spark):
+    """canonicalize_url is IDEMPOTENT: canon(canon(u)) == canon(u) for a
+    broad generated url population (schemes x hosts x ports x paths x
+    param soups x fragments) — the property that makes it safe to run
+    the stage at any pipeline position, including over already-clean
+    urls. One DataFrame, all cases, compared column-to-column."""
+    import itertools
+
+    from airflow_etl_finance_market_spark.functions.text import (
+        canonicalize_url,
+    )
+
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["E.com", "www.sub.E.com", "x.org:443", "y.net:8080"]
+    paths = ["", "/", "//a//b/", "/A/b.c"]
+    queries = ["", "?utm_source=t", "?z=1&a=2&ref=r", "?a=&b=%20c&a=2"]
+    frags = ["", "#f", "#a#b"]
+    urls = [
+        f"{s}://{h}{p}{q}{f}"
+        for s, h, p, q, f in itertools.product(
+            schemes, hosts, paths, queries, frags
+        )
+    ] + ["no scheme here", "  spaced  ", "weird://", "http://"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonicalize_url("url")
+    out = df.select(
+        "url",
+        once.alias("c1"),
+    ).select("url", "c1", canonicalize_url("c1").alias("c2"))
+    bad = [r for r in out.collect() if r.c1 != r.c2]
+    assert bad == [], f"non-idempotent: {bad[:5]}"
