@@ -251,14 +251,53 @@ def _dhash_from_pixels(
     return _dhash_kernel(grid_w, grid_h)(w, h, ch, pix)
 
 
+def _mirror_canonical_kernel(base_kernel):
+    """Wrap a pixel-hash kernel into its HORIZONTAL-MIRROR-canonical
+    form: hash the pixels AND their left-right flip, return the
+    UNSIGNED min of the two 64-bit values. A mirrored re-encode decodes
+    to exactly the flipped pixel buffer, so original and mirror share
+    one canonical signature BY ARITHMETIC — the cheap half of
+    orientation-invariance (mirrors are the common social-media
+    repost transform; 90-degree rotations change the aspect ratio and
+    stay out of scope — pinned as the honest residual in tests).
+    Exactly 2x hash cost, pair machinery unchanged — the phase-grid
+    trade shape. Factory-nested per the pickle house rule."""
+
+    def flip_h(w: int, h: int, ch: int, pix: bytes) -> bytes:
+        rb = w * ch
+        out = bytearray(len(pix))
+        for y in range(h):
+            base = y * rb
+            for x in range(w):
+                s = base + x * ch
+                d = base + (w - 1 - x) * ch
+                out[d:d + ch] = pix[s:s + ch]
+        return bytes(out)
+
+    def canonical(w: int, h: int, ch: int, pix: bytes) -> int:
+        return min(
+            base_kernel(w, h, ch, pix),
+            base_kernel(w, h, ch, flip_h(w, h, ch, pix)),
+        )
+
+    return canonical
+
+
 def image_dhash(
     media: DataFrame,
     *,
     id_col: str = "doc_id",
     payload_col: str = "payload",
     passthrough: tuple[str, ...] = (),
+    mirror_canonical: bool = False,
 ) -> DataFrame:
     """Map-only Arrow stage: ``(id, payload)`` → ``(id, dhash bigint)``.
+
+    ``mirror_canonical=True`` hashes each image AND its left-right flip
+    and keeps the unsigned min (:func:`_mirror_canonical_kernel`), so
+    mirrored reposts collapse to one signature at exactly 2x hash cost
+    — vertical flips and 90-degree rotations remain out of scope (the
+    documented residual).
 
     Decodes through the REAL codec tier (Pillow when installed, else the
     stdlib PNG/JPEG/GIF/WebP codecs) and quarantines anything undecodable —
@@ -269,9 +308,12 @@ def image_dhash(
     copied verbatim (the streaming dedup caller's event-time column must
     survive this stage — see ``audio.audio_fingerprints``).
     """
+    kernel = _dhash_kernel()
+    if mirror_canonical:
+        kernel = _mirror_canonical_kernel(kernel)
     return _image_signature_stage(
         media,
-        _dhash_kernel(),
+        kernel,
         sig_name="dhash",
         id_col=id_col,
         payload_col=payload_col,
@@ -285,15 +327,21 @@ def image_phash_dct(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     passthrough: tuple[str, ...] = (),
+    mirror_canonical: bool = False,
 ) -> DataFrame:
     """Map-only Arrow stage: ``(id, payload)`` → ``(id, phash bigint)``
     — the DCT perceptual hash (:func:`_phash_kernel`) through the same
     decode/quarantine plumbing as :func:`image_dhash`. The second
     signature column of the image-dedup tier: feed it to
-    :func:`hamming_near_pairs` with ``sig_col="phash"``."""
+    :func:`hamming_near_pairs` with ``sig_col="phash"``.
+    ``mirror_canonical`` works as on :func:`image_dhash` (the wrapper
+    flips PIXELS, so it composes with any kernel)."""
+    kernel = _phash_kernel()
+    if mirror_canonical:
+        kernel = _mirror_canonical_kernel(kernel)
     return _image_signature_stage(
         media,
-        _phash_kernel(),
+        kernel,
         sig_name="phash",
         id_col=id_col,
         payload_col=payload_col,

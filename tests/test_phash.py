@@ -964,3 +964,98 @@ def test_four_byte_encodings_same_luma_hash_identically():
     assert len({bytes(p) for p in payloads}) == 4  # byte-different
     hashes = {_dhash_from_pixels(*decode(p)) for p in payloads}
     assert len(hashes) == 1
+
+
+class TestMirrorCanonical:
+    """mirror_canonical: mirrored reposts collapse; the default path
+    misses them (the closing-test pattern); rotations stay the honest
+    residual."""
+
+    def _noise(self, seed: bytes, w: int = 32, h: int = 32) -> bytes:
+        import hashlib
+
+        pix = bytearray()
+        i = 0
+        while len(pix) < w * h:
+            pix += hashlib.md5(seed + bytes([i])).digest()
+            i += 1
+        return bytes(pix[: w * h])
+
+    def _mirror(self, pix: bytes, w: int, h: int) -> bytes:
+        out = bytearray()
+        for y in range(h):
+            row = pix[y * w : (y + 1) * w]
+            out += row[::-1]
+        return bytes(out)
+
+    def _hashes(self, spark, rows, **kw):
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            image_dhash,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        return {
+            r.doc_id: r.dhash for r in image_dhash(df, **kw).collect()
+        }
+
+    def test_mirror_collapses_canonical_misses_default(self, spark):
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            _stdlib_png_codec,
+        )
+
+        _, _, png_enc, _ = _stdlib_png_codec()
+        pix = self._noise(b"mirror fam")
+        rows = [
+            (1, bytearray(png_enc(32, 32, 1, pix))),
+            (2, bytearray(png_enc(32, 32, 1, self._mirror(pix, 32, 32)))),
+            (3, bytearray(png_enc(32, 32, 1, self._noise(b"other")))),
+        ]
+        default = self._hashes(spark, rows)
+        assert default[1] != default[2]  # the gap the option closes
+        canon = self._hashes(spark, rows, mirror_canonical=True)
+        assert canon[1] == canon[2]  # EXACT collapse by arithmetic
+        assert canon[1] != canon[3]  # unrelated stays apart
+
+    def test_canonical_is_involution_stable_and_idempotent_on_symmetric(
+        self, spark
+    ):
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            _stdlib_png_codec,
+        )
+
+        _, _, png_enc, _ = _stdlib_png_codec()
+        pix = self._noise(b"stable")
+        half = self._noise(b"sym", 16, 32)
+        sym = bytearray()
+        for y in range(32):
+            row = half[y * 16 : (y + 1) * 16]
+            sym += row + row[::-1]
+        sym = bytes(sym)
+        rows = [
+            (1, bytearray(png_enc(32, 32, 1, pix))),
+            (2, bytearray(png_enc(32, 32, 1, self._mirror(pix, 32, 32)))),
+            (3, bytearray(png_enc(32, 32, 1, sym))),
+        ]
+        canon = self._hashes(spark, rows, mirror_canonical=True)
+        # canonical of the mirror == canonical of the original (min is
+        # order-free), and a left-right SYMMETRIC image is its own
+        # mirror so both kernel evaluations agree
+        assert canon[1] == canon[2]
+        assert isinstance(canon[3], int)
+
+    def test_vertical_flip_stays_residual(self, spark):
+        from airflow_etl_finance_market_spark.multimodal.binary import (
+            _stdlib_png_codec,
+        )
+
+        _, _, png_enc, _ = _stdlib_png_codec()
+        pix = self._noise(b"vert")
+        vflip = bytearray()
+        for y in reversed(range(32)):
+            vflip += pix[y * 32 : (y + 1) * 32]
+        rows = [
+            (1, bytearray(png_enc(32, 32, 1, pix))),
+            (2, bytearray(png_enc(32, 32, 1, bytes(vflip)))),
+        ]
+        canon = self._hashes(spark, rows, mirror_canonical=True)
+        assert canon[1] != canon[2]  # documented out-of-scope
