@@ -983,3 +983,89 @@ def domain_blocklist_filter(
         "_suffix",
     ).select(F.col("_h").alias("host")).distinct()
     return with_host.join(blocked_hosts, "host", "left_anti")
+
+
+def token_budget_select(
+    docs: DataFrame,
+    *,
+    budget: int,
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Greedy corpus selection under a TOKEN BUDGET: keep documents in
+    (``score`` DESC, ``id`` ASC) order while the running token total
+    stays within ``budget`` — the "take the best docs until N tokens"
+    step every published data-mixing recipe ends with once quality
+    scores exist. PREFIX-greedy semantics, exact: selection STOPS at
+    the first document that would overflow the budget (ties break on
+    id) — the "truncate at N tokens" recipe, expressible as one
+    running-sum cut; the skip-and-continue knapsack variant is
+    deliberately out of scope (sequentially dependent — not a window).
+    Pytest-pinned against a pure-Python reference.
+
+    Plan shape for 100 TB — deliberately NOT the naive
+    ``SUM() OVER (ORDER BY score DESC)``, which plans a single-
+    partition window (one task sees the whole corpus): instead
+    (1) docs are range-bucketed on score via approxQuantile splits
+    (equal scores always share a bucket, so bucket boundaries can
+    never split a tie group and greedy order is preserved);
+    (2) ONE hash-agg computes per-bucket token sums; the ~``n_buckets``
+    rows come to the driver, where the cumulative scan finds the
+    THRESHOLD bucket;
+    (3) strictly-better buckets are kept wholesale (a pushed-down
+    filter), and only the threshold bucket — ~1/``n_buckets`` of the
+    corpus — pays an exact sort + running sum for the boundary cut.
+    Total: one narrow agg + one small single-partition window instead
+    of a corpus-wide serial scan. ``budget >= total`` short-circuits
+    to the input."""
+    from pyspark.sql import Window
+
+    score = F.col(score_col)
+    # (1) score splits; approx is fine — buckets only partition work,
+    # never change the greedy order (equal scores share a bucket)
+    splits = sorted(
+        set(
+            docs.stat.approxQuantile(
+                score_col,
+                [i / n_buckets for i in range(1, n_buckets)],
+                0.001,
+            )
+        )
+    )
+    bucket = F.lit(0)
+    for s in splits:  # higher score -> LOWER bucket index
+        bucket = bucket + F.when(score <= F.lit(s), 1).otherwise(0)
+    ranked = docs.withColumn("_b", bucket)
+    # (2) per-bucket token sums -> driver-side cumulative scan
+    totals = {
+        r["_b"]: r["t"]
+        for r in ranked.groupBy("_b")
+        .agg(F.sum(tokens_col).alias("t"))
+        .collect()
+    }
+    cum = 0
+    threshold_bucket = None
+    remaining = budget
+    for b in sorted(totals):
+        if cum + totals[b] > budget:
+            threshold_bucket = b
+            remaining = budget - cum
+            break
+        cum += totals[b]
+    if threshold_bucket is None:
+        return docs  # whole corpus fits the budget
+    whole = ranked.filter(F.col("_b") < threshold_bucket).drop("_b")
+    # (3) exact boundary inside the threshold bucket only
+    w = (
+        Window.orderBy(score.desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    edge = (
+        ranked.filter(F.col("_b") == threshold_bucket)
+        .withColumn("_cum", F.sum(tokens_col).over(w))
+        .filter(F.col("_cum") <= F.lit(remaining))
+        .drop("_b", "_cum")
+    )
+    return whole.unionAll(edge)

@@ -1295,3 +1295,66 @@ def test_canonicalize_url_idempotent_property(spark):
     ).select("url", "c1", canonicalize_url("c1").alias("c2"))
     bad = [r for r in out.collect() if r.c1 != r.c2]
     assert bad == [], f"non-idempotent: {bad[:5]}"
+
+
+class TestTokenBudgetSelect:
+    """token_budget_select: exact greedy semantics pinned against a
+    pure-Python reference, including tie groups and boundary docs."""
+
+    def _reference(self, rows, budget):
+        # PREFIX greedy: stop at the first overflowing doc — the
+        # "sort by quality, truncate at N tokens" recipe (the
+        # skip-and-continue knapsack variant is sequential and
+        # deliberately out of scope; see the operator docstring)
+        picked, cum = [], 0
+        for doc_id, score, toks in sorted(
+            rows, key=lambda r: (-r[1], r[0])
+        ):
+            if cum + toks > budget:
+                break
+            picked.append(doc_id)
+            cum += toks
+        return sorted(picked)
+
+    def _run(self, spark, rows, budget, **kw):
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            token_budget_select,
+        )
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, score double, n_tokens long"
+        )
+        got = token_budget_select(
+            df, budget=budget, score_col="score",
+            tokens_col="n_tokens", **kw
+        )
+        return sorted(r.doc_id for r in got.collect())
+
+    def test_differential_random_with_ties(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, float(rng.choice([0.1, 0.5, 0.5, 0.9, 0.9, 0.9])),
+             rng.randint(1, 50))
+            for i in range(400)
+        ]
+        for budget in (0, 37, 500, 2_000, 10_000_000):
+            assert self._run(spark, rows, budget) == self._reference(
+                rows, budget
+            ), f"budget={budget}"
+
+    def test_boundary_doc_excluded_not_truncated(self, spark):
+        rows = [(1, 3.0, 10), (2, 2.0, 10), (3, 1.0, 10)]
+        # budget 25: docs 1,2 fit (20); doc 3 would overflow -> excluded
+        assert self._run(spark, rows, 25) == [1, 2]
+
+    def test_whole_corpus_fits_short_circuit(self, spark):
+        rows = [(i, float(i), 5) for i in range(10)]
+        assert self._run(spark, rows, 10_000) == list(range(10))
+
+    def test_few_distinct_scores_degenerate_buckets(self, spark):
+        # all scores equal: one giant tie group, splits collapse — the
+        # greedy order is pure id order
+        rows = [(i, 1.0, 7) for i in range(100)]
+        assert self._run(spark, rows, 70, n_buckets=16) == list(range(10))
