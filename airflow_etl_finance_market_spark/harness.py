@@ -60,108 +60,33 @@ def register(name: str, oracle: str | None = None):
 #: test_demoted_entries_within_staleness_budget, so a forgotten rotation
 #: fails the suite, not the judge.
 #:
-#: Round-11 rotation — HEADROOM ROUND (executing the r10 verdict's #1:
-#: the 142-entry registry against a 50-slot/trail-2 window caps at 150
-#: and r10 consumed the slack, so this round RETIRES ten gates into
-#: five merged multi-variant gates before adding anything new; registry
-#: now 140). Retirements, each with its assertions preserved verbatim
-#: in the successor (rationales also in the merged gates' docstrings):
-#:   - customers_with_big_orders + customers_without_big_orders ->
-#:     customer_big_order_split (same semi/anti functions, and the
-#:     union now ALSO pins the exact partition of the customer table);
-#:   - doc_contamination + doc_contamination_bloom ->
-#:     doc_contamination_dual (they always shared one oracle because
-#:     bloom==exact by construction; the union asserts that identity
-#:     live on every driver run instead of across two rows of the
-#:     ledger);
-#:   - image_phash_near_dups + image_phash_dct_near_dups ->
-#:     image_phash_multi_near_dups (same planted families via the
-#:     hoisted fixtures builders, both kernels through the ONE
-#:     hamming_near_pairs path — one gate, two variant rows);
-#:   - audio_near_dups + audio_norm_near_dups ->
-#:     audio_multi_near_dups (ditto for the re-encode and cross-rate
-#:     axes of the shared audio fingerprint kernel);
-#:   - orc_roundtrip_ingest + jsonl_roundtrip_ingest ->
-#:     file_roundtrip_ingest (two format rows, and the stronger JSONL
-#:     aggregate — total_text_len — now also covers ORC).
-#: Live under rule 1: the 5 merged gates plus the round's 3 NEW
-#: feature gates (c4_line_filter, audio_cdc_trim_near_dups,
-#: streaming_windowed_media_dedup) = 8. LATE-r11 addendum (growth
-#: paired with retirement, registry total UNCHANGED at 140):
-#: dim_instrumento + dim_tempo -> dim_snapshots (sixth merge — same
-#: one-expression plan shape each, plans/dims.py:18,35) and
-#: bpe_merges + bpe_token_counts -> bpe_pipeline (seventh merge —
-#: both started from the same bpe_train call, so the old pair paid
-#: the 30-round training loop twice per verification; the union pins
-#: train AND apply off one run), funding the TWO new provenance-tier
-#: gates url_canonical_dedup and domain_blocklist_filter.
-#: Live under rule 2:
-#: html_text_extract (its oracle was REFORMULATED this round to derive
-#: expected text from the fixture's construction instead of replaying
-#: the engine's regex chain — r10 verdict What's wrong #2 — so the
-#: fresh driver row must validate the new oracle). Live under rule 3:
-#: ALL 34 surviving r08-green trail-2 entries (the pre-committed r11
-#: backbone was the 42 r08 cohort; 4 retired into the r10-style merges
-#: above, 2 into dim_snapshots, 2 into bpe_pipeline) plus the 3
-#: OLDEST-registered r09 entries (weekly_volatility, market_overview,
-#: ticker_report_stats). 34 + 8 + 4 + 1 + 3 = 50.
-#: Demoted: the remaining 43 r09-green entries (trail 2 at r11 — due
-#: and PRE-COMMITTED live at r12) and 47 r10-green entries (trail 1,
-#: due r13; r12 has 50 - 43 = 7 slots of slack to start refreshing
-#: them early, so the r13 backbone is <= 47 - 7 = 40 with 10 slots for
-#: r11's 11 rule-1/rule-2 entries and new registrations). At 140
-#: entries the 3-round cycle needs an average 46.7 live slots — the
-#: ceiling is real again but no longer binding; keep future growth
-#: paired with retirements.
+#: Round-12 rotation — BACKBONE ROUND (executing the r11 verdict's #1,
+#: the binding obligation pre-committed in the r11 docstring): ALL 43
+#: r09-green trail-2 entries are live this round — they are exactly the
+#: registry entries NOT in this list. The remaining live slots hold,
+#: under rule 1, the round's new registrations (token_budget_select,
+#: content-defined image segmentation, mirror-canonical, gain-robust
+#: audio CDC gates as they land); under rule 2, url_canonical_dedup and
+#: domain_blocklist_filter (both re-enter because their depended-on
+#: code changes this round: percent-decoding of unreserved characters
+#: in canonicalize_url + the r11 ADVICE query/fragment fix, and the
+#: blocklist-side normalization + gated broadcast hint); and under
+#: rule 3, top_avg_volatility (the oldest r10-green entry, refreshed
+#: early to shrink the r13 backbone). Demoted: the 46 remaining
+#: r10-green entries (trail 2 at r12 — due and PRE-COMMITTED live at
+#: r13) and the 48 remaining r11-green entries (trail 1, due r14).
+#: Registry 140 + the round's new registrations against the 150
+#: ceiling; cohort sizes after this round (r12: ~50, r13: 46, r14: 48)
+#: all fit the 50-slot window, so the 3-round cycle stays feasible
+#: without retirement — but the ceiling is close: keep pairing growth
+#: with retirements.
+#: (Round-11 history — seven merges funding 11 rule-1/rule-2 slots —
+#: lives in the r11 ledger and VERDICT_r11; the merged gates' docstrings
+#: carry their retirement rationales.)
 _WINDOW_DEMOTED = [
-    # --- r09-green, trail 2 at r11: the PRE-COMMITTED r12 backbone
-    # (all 43 MUST be live the moment CORRECTNESS_r12.json lands) ---
-    "recent_extract",
-    "quality_gate",
-    "doc_exact_dedup",
-    "doc_lang_id",
-    "purchase_attribution",
-    "user_sessions",
-    "minhash_lsh_near_dups",
-    "simhash_near_dups",
-    "embedding_topk_ivf",
-    "top_docs_per_lang",
-    "term_frequencies",
-    "doc_repetition_stats",
-    "embedding_centroids",
-    "split_balance",
-    "doc_tfidf_top_terms",
-    "doc_seq_packing",
-    "doc_winnow_fingerprints",
-    "doc_stratified_sample",
-    "doc_unigram_logprob",
-    "event_funnel",
-    "user_retention_cohorts",
-    "doc_inverted_index",
-    "term_pmi_pairs",
-    "embedding_quantization",
-    "event_transition_matrix",
-    "top_event_trigrams",
-    "regional_supplier_volume",
-    "ohlcv_weekly_bars",
-    "ticker_max_drawdown",
-    "ticker_beta",
-    "doc_source_quota_sample",
-    "ticker_pair_correlation",
-    "part_supplier_pagerank",
-    "embedding_topk_pq",
-    "embedding_topk_ivfpq",
-    "user_funnel_times",
-    "streaming_funnel_ooo",
-    "weekly_activity_panel",
-    "multimodal_audio_features",
-    "video_near_dups",
-    "image_tile_crop_near_dups",
-    "multimodal_corpus_prep",
-    "streaming_media_dedup_ingest",
-    # --- r10-green, trail 1 (due r13; r12 has 7 slots of slack to
-    # start refreshing the oldest of these early) ---
-    "top_avg_volatility",
+    # --- r10-green, trail 2 at r12: the PRE-COMMITTED r13 backbone
+    # (all 46 MUST be live the moment CORRECTNESS_r13.json lands;
+    # top_avg_volatility was refreshed early at r12) ---
     "pricing_summary",
     "ticker_metrics",
     "volume_leaders",
@@ -208,6 +133,56 @@ _WINDOW_DEMOTED = [
     "gopher_quality_flags",
     "streaming_dedup_ingest",
     "embedding_contrastive_negatives",
+    # --- r11-green, trail 1 (due r14; slack slots at r13 can start
+    # refreshing the oldest of these early) ---
+    "weekly_volatility",
+    "market_overview",
+    "ticker_report_stats",
+    "segment_balance",
+    "distinct_counts",
+    "customer_big_order_split",
+    "dim_snapshots",
+    "quality_gate_exact",
+    "fk_orphan_check",
+    "brand_scores",
+    "returnflag_correlation",
+    "latest_event_per_user",
+    "events_json_kpi",
+    "doc_token_stats",
+    "multimodal_features",
+    "sql_api_nation_rank",
+    "rolling_close_avg",
+    "qty_rollup",
+    "customer_set_ops",
+    "status_flag_pivot",
+    "sliding_window_kpis",
+    "pricey_parts_vs_brand_avg",
+    "customer_order_coverage",
+    "top_performers",
+    "train_test_split",
+    "doc_chunks",
+    "doc_contamination_dual",
+    "doc_incremental_probe",
+    "doc_bm25_topk",
+    "doc_bigram_logprob",
+    "doc_edit_distance_near_dups",
+    "doc_containment_pairs",
+    "multimodal_image_codec_real",
+    "image_phash_multi_near_dups",
+    "audio_multi_near_dups",
+    "html_text_extract",
+    "c4_line_filter",
+    "audio_cdc_trim_near_dups",
+    "dsir_importance_weights",
+    "bpe_pipeline",
+    "weekly_user_kmv_rollup",
+    "streaming_windowed_media_dedup",
+    "cross_doc_ngram_overlap",
+    "doc_nb_lang_classifier",
+    "corpus_prep_pipeline",
+    "file_roundtrip_ingest",
+    "term_heavy_hitters",
+    "weekly_value_quantile_rollup",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
