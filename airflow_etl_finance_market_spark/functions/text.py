@@ -349,6 +349,33 @@ _TRACKING_PARAM_RE = (
     r"|ref)="
 )
 
+#: RFC 3986 §2.3 unreserved characters: percent-decoding these (and ONLY
+#: these) is semantics-preserving for any URI, so ``%41`` ≡ ``A``. Every
+#: delimiter (``/ ? # & = %`` …) stays encoded — decoding those CAN
+#: change meaning, which is exactly why the generic-decode shortcut is
+#: wrong and this whitelist is the published rule.
+_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    "0123456789-._~"
+)
+
+
+def _percent_decode_unreserved(c: Column) -> Column:
+    """One-pass percent-decode of the RFC 3986 unreserved set: a chain
+    of literal ``REPLACE`` calls (one per code, both hex-digit cases),
+    all JVM-side string intrinsics inside codegen. Single-pass by
+    construction — a decoded character is never re-examined, so nested
+    double-encodings (``%2541`` → ``%41``) survive one level per
+    canonicalization, the documented residual (decoding ``%25`` itself
+    is NOT semantics-preserving; it is the escape character)."""
+    for ch in _UNRESERVED:
+        hi = "%%%02X" % ord(ch)
+        c = F.replace(c, F.lit(hi), F.lit(ch))
+        lo = hi.lower()
+        if lo != hi:
+            c = F.replace(c, F.lit(lo), F.lit(ch))
+    return c
+
 
 def canonicalize_url(col: Column | str) -> Column:
     """URL canonicalization for URL-keyed crawl dedup (the stage every
@@ -370,15 +397,25 @@ def canonicalize_url(col: Column | str) -> Column:
     - tracking parameters dropped (:data:`_TRACKING_PARAM_RE` — utm_*,
       click ids, mailchimp ids, bare ``ref``), empty params dropped;
     - surviving query params SORTED lexicographically (param order is
-      almost never semantic; sorting makes ``?a=1&b=2`` ≡ ``?b=2&a=1``).
+      almost never semantic; sorting makes ``?a=1&b=2`` ≡ ``?b=2&a=1``);
+    - percent-encoded UNRESERVED characters decoded
+      (:func:`_percent_decode_unreserved`, RFC 3986 §2.3: ``%41`` ≡
+      ``A`` always — applied FIRST, before any component is parsed,
+      which is safe precisely because no unreserved character is a
+      delimiter).
 
-    Deliberately NOT done (documented residuals): percent-decoding
-    (decoding can change semantics for encoded delimiters), userinfo
-    stripping, IDN/punycode folding, and per-site parameter semantics —
-    a production deployment layers site rules on top. Non-URL strings
-    (no ``scheme://``) pass through with only fragment/whitespace
-    hygiene, so a mixed-quality url column never throws."""
-    url = F.trim(F.col(col) if isinstance(col, str) else col)
+    Deliberately NOT done (documented residuals): percent-decoding of
+    RESERVED characters (decoding those can change semantics — that is
+    the RFC's own line), multi-level double-encoding (``%2541``
+    unwraps one level per pass — single-pass decode, pinned in tests),
+    userinfo stripping, http↔https folding, IDN/punycode folding, and
+    per-site parameter semantics — a production deployment layers site
+    rules on top. Non-URL strings (no ``scheme://``) pass through with
+    only fragment/whitespace/percent-decode hygiene, so a mixed-quality
+    url column never throws."""
+    url = _percent_decode_unreserved(
+        F.trim(F.col(col) if isinstance(col, str) else col)
+    )
     scheme = F.lower(
         F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     )
@@ -396,7 +433,11 @@ def canonicalize_url(col: Column | str) -> Column:
     )
     path = F.regexp_replace(path, r"/{2,}", "/")
     path = F.regexp_replace(path, r"/$", "")
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # the query starts at the first '?' BEFORE any '#': '[^#?]*\?'
+    # refuses to cross a fragment, so 'https://a/p#sec?x=1' (a
+    # fragment-only variant — no real query) yields '' instead of
+    # resurrecting fragment content as a phantom query (r11 ADVICE)
+    query = F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1)
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),

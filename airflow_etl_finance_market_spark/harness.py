@@ -699,7 +699,7 @@ def q_dim_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     "url_canonical_dedup",
     """
 WITH g AS (
-    SELECT doc_id, ((doc_id - 2) // 9) // 3 AS fam
+    SELECT doc_id, ((doc_id - 2) // 9) // 4 AS fam
     FROM documents WHERE doc_id % 9 = 2
 )
 SELECT fam,
@@ -715,27 +715,33 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization + URL-keyed crawl dedup HARD GATE
     (functions/text.canonicalize_url ∘ operators/corpus.url_dedup) —
     the provenance stage published crawl pipelines run before content
-    dedup (RefinedWeb's url hygiene): every selected document triple
-    (consecutive docs with doc_id % 9 = 2, grouped 3-by-3) carries
-    three byte-DIFFERENT urls of one page — (a) the clean form, (b) an
+    dedup (RefinedWeb's url hygiene): every selected document QUAD
+    (consecutive docs with doc_id % 9 = 2, grouped 4-by-4) carries
+    four byte-DIFFERENT urls of one page — (a) the clean form, (b) an
     UPPERCASED scheme+host with the default :443 port, a trailing
     slash, a utm_ tracking param, reordered query params and a
     fragment, (c) a www. + doubled-slash variant with a trailing
-    tracking param — built JVM-side from doc_id arithmetic. The chain
-    must collapse each triple to ONE survivor (the smallest doc_id)
-    whose canonical string EQUALS the clean form. The oracle derives
+    tracking param, (d) [r12, with the percent-decode rule] a
+    PERCENT-ENCODED variant (path letters as %61/%62, a param name as
+    %70 — all RFC 3986 unreserved, so decoding is semantics-
+    preserving) with a fragment-only '?' trap appended (#frag?x=9 —
+    the r11 ADVICE phantom-query case: that '?' must NOT resurrect as
+    a query) — built JVM-side from doc_id arithmetic. The chain must
+    collapse each quad to ONE survivor (the smallest doc_id) whose
+    canonical string EQUALS the clean form. The oracle derives
     everything from the CONSTRUCTION (the r10 independent-formulation
     rule: fam arithmetic + string concat — it never runs a regex), so
     a canonicalization drift in ANY rule (case, port, www, slashes,
-    trailing slash, fragment, tracking filter, param sort) breaks the
+    trailing slash, fragment, tracking filter, param sort,
+    percent-decode, fragment/query precedence) breaks the
     canonical_url hash, and an over-merge or under-merge breaks
     n_in/survivor_id."""
     sel = load_fixture(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 9 == 2
     )
     k = ((F.col("doc_id") - 2) / 9).cast("long")
-    fam = (k / 3).cast("long")
-    variant = k % 3
+    fam = (k / 4).cast("long")
+    variant = k % 4
     f = fam.cast("string")
     v0 = F.concat(
         F.lit("https://example"), f, F.lit(".com/a/b?id="), f, F.lit("&p=1")
@@ -748,16 +754,23 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("https://www.example"), f, F.lit(".com//a//b?p=1&id="), f,
         F.lit("&utm_campaign=y"),
     )
+    v3 = F.concat(
+        F.lit("https://example"), f, F.lit(".com/%61/%62?%70=1&id="), f,
+        F.lit("#frag?x=9"),
+    )
     from .operators.corpus import url_dedup
 
     pages = sel.select(
         "doc_id",
-        F.when(variant == 0, v0).when(variant == 1, v1).otherwise(v2)
+        F.when(variant == 0, v0)
+        .when(variant == 1, v1)
+        .when(variant == 2, v2)
+        .otherwise(v3)
         .alias("url"),
     )
     survivors = url_dedup(fan_out(pages, "doc_id"))
     return survivors.select(
-        (((F.col("doc_id") - 2) / 9) / 3).cast("long").alias("fam"),
+        (((F.col("doc_id") - 2) / 9) / 4).cast("long").alias("fam"),
         "canonical_url",
         F.col("n_dups").alias("n_in"),
         F.col("doc_id").alias("survivor_id"),

@@ -260,8 +260,18 @@ def _mirror_canonical_kernel(base_kernel):
     orientation-invariance (mirrors are the common social-media
     repost transform; 90-degree rotations change the aspect ratio and
     stay out of scope — pinned as the honest residual in tests).
-    Exactly 2x hash cost, pair machinery unchanged — the phase-grid
-    trade shape. Factory-nested per the pickle house rule."""
+    Exactly 2x hash cost, EXACT-radius pair machinery unchanged — the
+    phase-grid trade shape. Factory-nested per the pickle house rule.
+
+    NEAR-radius honesty note (r11 ADVICE): the branch choice compares
+    two pseudo-random 64-bit values, so two near-duplicate NON-mirror
+    images a few Hamming bits apart can resolve to OPPOSITE branches
+    when a differing high bit flips the min — their canonical
+    signatures are then unrelated even though their raw hashes were
+    near. Canonical signatures are therefore an EXACT-match
+    (max_hamming=0) tier: byte-identical luma and its mirror collapse
+    BY ARITHMETIC; for near-radius recall run the plain kernel
+    alongside (both pinned in tests/test_phash.py)."""
 
     def flip_h(w: int, h: int, ch: int, pix: bytes) -> bytes:
         rb = w * ch

@@ -944,6 +944,7 @@ def domain_blocklist_filter(
     *,
     url_col: str = "url",
     domain_col: str = "domain",
+    broadcast_blocklist: bool = True,
 ) -> DataFrame:
     """Domain-blocklist filtering on LABEL-BOUNDARY suffix match — the
     RefinedWeb/UT1-class URL hygiene stage next to
@@ -955,13 +956,20 @@ def domain_blocklist_filter(
     match would produce). Returns the surviving rows with the matched
     ``host`` column added.
 
+    Blocklist entries are normalized (lowercased + trimmed) before the
+    join — published lists (UT1-class) carry no case/whitespace
+    guarantee, and an unnormalized entry would silently never block
+    (r11 ADVICE).
+
     Plan shape for 100 TB: host extraction is map-side codegen; each
     doc explodes into its ≤ label-count domain suffixes (a handful of
     short rows — never the url, never the text) and anti-joins the
     blocklist. A UT1-scale list (a few M short strings) still fits a
-    broadcast; beyond that the join degrades to a shuffle on the
-    8-byte-hashable suffix, with the corpus side carrying only
-    (id, suffix). The text column rides the final anti-join only."""
+    broadcast (the default hint); pass ``broadcast_blocklist=False``
+    beyond broadcast scale and the join degrades to an AQE-planned
+    shuffle on the 8-byte-hashable suffix, with the corpus side
+    carrying only (id, suffix). The text column rides the final
+    anti-join only."""
     host = F.lower(
         F.regexp_extract(
             F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
@@ -978,10 +986,18 @@ def domain_blocklist_filter(
         F.col("host").alias("_h"),
         F.explode(suffixes).alias("_suffix"),
     ).distinct()
-    blocked_hosts = sufs.join(
-        F.broadcast(blocklist.select(F.col(domain_col).alias("_suffix"))),
-        "_suffix",
-    ).select(F.col("_h").alias("host")).distinct()
+    # \s-strip, not F.trim: published lists pad with tabs too, and
+    # F.trim removes only ASCII spaces
+    bl = blocklist.select(
+        F.lower(
+            F.regexp_replace(F.col(domain_col), r"^\s+|\s+$", "")
+        ).alias("_suffix")
+    )
+    if broadcast_blocklist:
+        bl = F.broadcast(bl)
+    blocked_hosts = sufs.join(bl, "_suffix").select(
+        F.col("_h").alias("host")
+    ).distinct()
     return with_host.join(blocked_hosts, "host", "left_anti")
 
 
@@ -992,7 +1008,8 @@ def token_budget_select(
     score_col: str = "score",
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
+    max_bucket_rows: int = 1_000_000,
 ) -> DataFrame:
     """Greedy corpus selection under a TOKEN BUDGET: keep documents in
     (``score`` DESC, ``id`` ASC) order while the running token total
@@ -1019,12 +1036,33 @@ def token_budget_select(
     corpus — pays an exact sort + running sum for the boundary cut.
     Total: one narrow agg + one small single-partition window instead
     of a corpus-wide serial scan. ``budget >= total`` short-circuits
-    to the input."""
+    to the input.
+
+    ``n_buckets`` defaults to SCALING WITH THE CORPUS (r11 verdict):
+    ``max(64, ceil(n_rows / max_bucket_rows))``, so the threshold
+    bucket's single-task sort is bounded by ~``max_bucket_rows`` rows
+    at any corpus size instead of growing as corpus/64 — at 100 TB the
+    boundary cut stays a one-executor-sized task by construction. The
+    bound is approximate, not absolute: quantile estimation error adds
+    ~0.1% slack, and a tie group larger than a bucket must share one
+    bucket (ties are indivisible under deterministic greedy order — a
+    corpus scored by a constant degenerates to the serial scan, the
+    honest worst case of ANY order-exact selection).
+
+    NULL scores sort LAST (``DESC NULLS LAST`` on both engines) and
+    bucket PAST the worst finite bucket (r11 ADVICE: the naive
+    when-chain sent NULL comparisons to bucket 0, selecting unscored
+    docs ahead of every scored one), so they are taken only after
+    every scored doc fits."""
     from pyspark.sql import Window
 
     score = F.col(score_col)
+    if n_buckets is None:
+        n_buckets = max(64, -(-docs.count() // max_bucket_rows))
     # (1) score splits; approx is fine — buckets only partition work,
-    # never change the greedy order (equal scores share a bucket)
+    # never change the greedy order (equal scores share a bucket).
+    # approxQuantile ignores NULLs; NULL scores get the sentinel
+    # bucket AFTER the worst finite one.
     splits = sorted(
         set(
             docs.stat.approxQuantile(
@@ -1034,9 +1072,12 @@ def token_budget_select(
             )
         )
     )
-    bucket = F.lit(0)
+    finite = F.lit(0)
     for s in splits:  # higher score -> LOWER bucket index
-        bucket = bucket + F.when(score <= F.lit(s), 1).otherwise(0)
+        finite = finite + F.when(score <= F.lit(s), 1).otherwise(0)
+    bucket = F.when(score.isNull(), F.lit(len(splits) + 1)).otherwise(
+        finite
+    )
     ranked = docs.withColumn("_b", bucket)
     # (2) per-bucket token sums -> driver-side cumulative scan
     totals = {
@@ -1059,7 +1100,7 @@ def token_budget_select(
     whole = ranked.filter(F.col("_b") < threshold_bucket).drop("_b")
     # (3) exact boundary inside the threshold bucket only
     w = (
-        Window.orderBy(score.desc(), F.col(id_col))
+        Window.orderBy(score.desc_nulls_last(), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     edge = (

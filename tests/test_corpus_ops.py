@@ -1279,7 +1279,12 @@ def test_canonicalize_url_idempotent_property(spark):
     schemes = ["http", "HTTPS", "ftp"]
     hosts = ["E.com", "www.sub.E.com", "x.org:443", "y.net:8080"]
     paths = ["", "/", "//a//b/", "/A/b.c"]
-    queries = ["", "?utm_source=t", "?z=1&a=2&ref=r", "?a=&b=%20c&a=2"]
+    queries = [
+        "", "?utm_source=t", "?z=1&a=2&ref=r", "?a=&b=%20c&a=2",
+        # percent-codes: unreserved (decode once, then stable),
+        # reserved (never decoded), double-encoded (outer %25 stays)
+        "?n=%41b%2D%7e", "?x=%2Fp%20q", "?d=%2541",
+    ]
     frags = ["", "#f", "#a#b"]
     urls = [
         f"{s}://{h}{p}{q}{f}"
@@ -1358,3 +1363,167 @@ class TestTokenBudgetSelect:
         # greedy order is pure id order
         rows = [(i, 1.0, 7) for i in range(100)]
         assert self._run(spark, rows, 70, n_buckets=16) == list(range(10))
+
+    def test_null_scores_selected_last(self, spark):
+        # r11 ADVICE: the when-chain sent NULL comparisons to bucket 0,
+        # selecting unscored docs ahead of every scored one. NULL must
+        # sort LAST (DESC NULLS LAST) and bucket past the worst finite
+        # bucket: with budget for exactly the scored docs, no NULL doc
+        # is picked; widen the budget and NULLs fill in id order.
+        rows = [
+            (1, 2.0, 10),
+            (2, None, 10),
+            (3, 1.0, 10),
+            (4, None, 10),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, score double, n_tokens long"
+        )
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            token_budget_select,
+        )
+
+        pick = lambda b: sorted(
+            r.doc_id
+            for r in token_budget_select(df, budget=b).collect()
+        )
+        assert pick(20) == [1, 3]       # scored docs exhaust the budget
+        assert pick(30) == [1, 2, 3]    # first NULL doc (id order) next
+        assert pick(40) == [1, 2, 3, 4]
+
+    def test_auto_bucket_sizing_bounds_threshold_task(self, spark):
+        # auto n_buckets = max(64, ceil(n / max_bucket_rows)): with 400
+        # distinct scores and max_bucket_rows=5 the quantile grid is 80
+        # buckets, so NO bucket (hence no single-task boundary sort)
+        # exceeds ~max_bucket_rows plus quantile slack — replicated
+        # here by re-deriving the splits exactly as the operator does.
+        rows = [(i, float(i), 3) for i in range(400)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, score double, n_tokens long"
+        )
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            token_budget_select,
+        )
+
+        got = sorted(
+            r.doc_id
+            for r in token_budget_select(
+                df, budget=150, max_bucket_rows=5
+            ).collect()
+        )
+        # greedy order is score DESC = id DESC; 150/3 = 50 docs
+        assert got == list(range(350, 400))
+        n_buckets = max(64, -(-400 // 5))
+        assert n_buckets == 80
+        splits = sorted(
+            set(
+                df.stat.approxQuantile(
+                    "score",
+                    [i / n_buckets for i in range(1, n_buckets)],
+                    0.001,
+                )
+            )
+        )
+        import bisect
+
+        sizes = {}
+        for _i, s, _t in rows:
+            b = bisect.bisect_left(splits, s)
+            # operator counts buckets via score <= split (same edges)
+            b = sum(1 for sp in splits if s <= sp)
+            sizes[b] = sizes.get(b, 0) + 1
+        assert max(sizes.values()) <= 3 * 5, sizes
+
+
+def test_canonicalize_url_fragment_only_no_phantom_query(spark):
+    """r11 ADVICE (medium): a '?' INSIDE the fragment must not
+    resurrect as a query — fragment-only variants of one page must
+    canonicalize identically."""
+    from airflow_etl_finance_market_spark.functions.text import (
+        canonicalize_url,
+    )
+
+    urls = [
+        "https://a.com/p",
+        "https://a.com/p#sec?x=1",
+        "https://a.com/p#?y=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.c for r in df.select(canonicalize_url("url").alias("c")).collect()}
+    assert got == {"https://a.com/p"}
+    # a REAL query before the fragment still survives, fragment gone
+    one = (
+        spark.createDataFrame(
+            [("https://a.com/p?x=1#sec?z=9",)], "url string"
+        )
+        .select(canonicalize_url("url").alias("c"))
+        .first()["c"]
+    )
+    assert one == "https://a.com/p?x=1"
+
+
+def test_canonicalize_url_percent_decodes_unreserved_only(spark):
+    """RFC 3986 §2.3: %-codes of unreserved characters decode (both
+    hex-digit cases); reserved/other codes stay encoded; decoding is
+    single-pass so a double-encoding unwraps exactly one level (the
+    documented residual)."""
+    from airflow_etl_finance_market_spark.functions.text import (
+        canonicalize_url,
+    )
+
+    def canon(u):
+        return (
+            spark.createDataFrame([(u,)], "url string")
+            .select(canonicalize_url("url").alias("c"))
+            .first()["c"]
+        )
+
+    assert (
+        canon("https://e.com/%7Euser/%41bc%2D1?n=%76%5F2")
+        == "https://e.com/~user/Abc-1?n=v_2"
+    )
+    # lowercase hex digits decode identically
+    assert canon("https://e.com/%7euser") == "https://e.com/~user"
+    # reserved / non-unreserved codes survive: %2F (/), %20 (space),
+    # %25 (%), %3D (=)
+    assert (
+        canon("https://e.com/a%2Fb?x=%20y&k%3Dv=1")
+        == "https://e.com/a%2Fb?k%3Dv=1&x=%20y"
+    )
+    # single-pass: %2541 unwraps to %41 only via the OUTER %25 staying
+    # put — nothing decodes here, and the output is idempotent
+    assert canon("https://e.com/%2541") == "https://e.com/%2541"
+    # the one-level residual, pinned: a malformed '%%34%31' becomes
+    # '%41' after one pass (the inner digits decoded) — a SECOND pass
+    # would decode further; production runs the stage once
+    assert canon("https://e.com/%%34%31") == "https://e.com/%41"
+
+
+def test_domain_blocklist_entries_normalized_and_unhinted_join(spark):
+    """r11 ADVICE: mixed-case / whitespace-padded blocklist entries
+    (UT1-class lists carry no case guarantee) must still block; with
+    broadcast_blocklist=False the operator plans without the forced
+    hint and returns the same rows."""
+    from airflow_etl_finance_market_spark.operators.corpus import (
+        domain_blocklist_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ok.com/x"),
+            (2, "https://bad.com/x"),
+            (3, "https://ads.Tracker.NET/x"),
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("BAD.com",), ("  tracker.net \t",)], "domain string"
+    )
+    for hint in (True, False):
+        got = sorted(
+            r.doc_id
+            for r in domain_blocklist_filter(
+                docs, bl, broadcast_blocklist=hint
+            ).collect()
+        )
+        assert got == [1], f"broadcast_blocklist={hint}"

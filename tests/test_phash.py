@@ -1059,3 +1059,37 @@ class TestMirrorCanonical:
         ]
         canon = self._hashes(spark, rows, mirror_canonical=True)
         assert canon[1] != canon[2]  # documented out-of-scope
+
+
+def test_mirror_canonical_near_radius_branch_instability_pinned():
+    """r11 ADVICE residual, pinned at the kernel level: canonical =
+    min(h, h_flipped) compares pseudo-random 64-bit values, so two
+    NEAR-dup non-mirror images (raw hashes 1 bit apart) can resolve to
+    OPPOSITE branches and land on unrelated canonical signatures —
+    canonical signatures are an EXACT-match tier (max_hamming=0);
+    near-radius recall runs the plain kernel alongside."""
+    from airflow_etl_finance_market_spark.multimodal.phash import (
+        _mirror_canonical_kernel,
+    )
+
+    # 1x2 gray images: flip swaps the two bytes
+    a, a_f = b"\x00\x01", b"\x01\x00"
+    b_, b_f = b"\x02\x03", b"\x03\x02"
+    table = {
+        a: 0xFFFF_FFFF_FFFF_FFF0,    # h(A)
+        a_f: 0x8123_4567_89AB_CDEF,  # h(mirror A) < h(A) -> wins
+        b_: 0xFFFF_FFFF_FFFF_FFF1,   # h(B): Hamming 1 from h(A)
+        b_f: 0xFFFF_0000_0000_0000,  # h(mirror B) < h(B) -> wins
+    }
+    canon = _mirror_canonical_kernel(lambda w, h, ch, pix: table[pix])
+    ca = canon(2, 1, 1, a)
+    cb = canon(2, 1, 1, b_)
+    assert ca == table[a_f] and cb == table[b_f]
+    # raw distance 1 bit; canonical distance is UNRELATED (here 27
+    # bits) — the documented near-radius residual
+    raw_d = bin(table[a] ^ table[b_]).count("1")
+    canon_d = bin(ca ^ cb).count("1")
+    assert raw_d == 1 and canon_d > 8
+    # while the exact-collapse contract is untouched: mirror pairs
+    # still canonicalize identically
+    assert canon(2, 1, 1, a_f) == ca and canon(2, 1, 1, b_f) == cb
