@@ -7758,3 +7758,72 @@ def q_weekly_value_quantile_rollup(
         load_fixture(spark, sf_dir, "events")
     )
     return histogram_rollup_quantiles(daily)
+
+
+@register(
+    "token_budget_corpus_select",
+    """
+WITH scored AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 3 THEN NULL
+                ELSE CAST(doc_id % 7 AS DOUBLE) END AS score,
+           10 + doc_id % 23 AS n_tokens
+    FROM documents
+), ranked AS (
+    SELECT doc_id,
+           SUM(n_tokens) OVER (
+               ORDER BY score DESC NULLS LAST, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM scored
+), mid AS (
+    SELECT CAST(SUM(n_tokens) * 2 / 5 AS BIGINT) + 7 AS b FROM scored
+)
+SELECT 'mid' AS variant, doc_id FROM ranked WHERE cum <= (SELECT b FROM mid)
+UNION ALL
+SELECT 'all' AS variant, doc_id FROM ranked
+""",
+)
+def q_token_budget_corpus_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOKEN-BUDGET corpus selection HARD GATE
+    (operators/corpus.token_budget_select) — the step every published
+    data-mixing recipe ends with once quality scores exist ("take the
+    best docs until N tokens"), the last corpus operator whose
+    correctness rested only on a pytest differential (r11 verdict #2).
+    Scores and token counts are planted from doc_id arithmetic: score
+    = doc_id % 7 (large tie groups, so bucket boundaries MUST respect
+    ties and the boundary cut MUST tie-break on id), score = NULL on
+    every doc_id % 11 = 3 (the r11 ADVICE case: NULLs must sort LAST,
+    not first), n_tokens = 10 + doc_id % 23. Three budgets run through
+    the ONE operator: 0 (selects nothing), a mid budget at 40% of
+    total + 7 (derived by the same arithmetic on both sides — lands
+    INSIDE a tie group, forcing the id-tiebreak boundary cut), and
+    over-total (selects everything, short-circuit path). Output is the
+    full per-doc membership (variant, doc_id), so the driver hash pins
+    the EXACT selected set of each variant — any greedy-order drift
+    (tie handling, NULL placement, boundary doc inclusion) flips it.
+    The oracle is the naive corpus-wide running-sum window — exactly
+    the single-partition plan the operator's bucketed design avoids;
+    auto-sized n_buckets (max_bucket_rows=500 here) keeps the
+    engine-side boundary sort a bounded task at any corpus size."""
+    from .operators.corpus import token_budget_select
+
+    docs = load_fixture(spark, sf_dir, "documents").select("doc_id")
+    scored = fan_out(docs, "doc_id").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 3, F.lit(None).cast("double"))
+        .otherwise((F.col("doc_id") % 7).cast("double"))
+        .alias("score"),
+        (F.lit(10) + F.col("doc_id") % 23).alias("n_tokens"),
+    )
+    total = scored.agg(F.sum("n_tokens")).first()[0]
+    budgets = [("mid", int(total) * 2 // 5 + 7), ("all", int(total) + 1)]
+    picked = None
+    for label, b in [("zero", 0)] + budgets:
+        sel = token_budget_select(
+            scored, budget=b, max_bucket_rows=500
+        ).select(F.lit(label).alias("variant"), "doc_id")
+        picked = sel if picked is None else picked.unionAll(sel)
+    return picked
