@@ -402,7 +402,10 @@ def tile_crop_family_members(crop_x: int = 32, crop_y: int = 32):
     32-px tile grid, so its surviving tiles are byte-identical to the
     original's interior tiles (the image_tile_crop_near_dups gate);
     (16, 16) makes it HALF-tile-aligned — off the base grid but exactly
-    on the tile/2 offset phase, the two-phase gate's construction."""
+    on the tile/2 offset phase, the two-phase gate's construction;
+    (17, 23) is off BOTH phases in both axes — the case the phase-grid
+    tier pins as honest degradation and the row-CDC tier
+    (image_cdc_crop_near_dups gate) recovers at any offset."""
     import hashlib
 
     from .multimodal.binary import _stdlib_png_codec

@@ -7827,3 +7827,86 @@ def q_token_budget_corpus_select(
         ).select(F.lit(label).alias("variant"), "doc_id")
         picked = sel if picked is None else picked.unionAll(sel)
     return picked
+
+
+@register(
+    "image_cdc_crop_near_dups",
+    """
+SELECT COUNT(*) * 3 AS n_images,
+       COUNT(*) * 3 AS n_pairs,
+       true AS pairs_within_family,
+       true AS families_fully_paired
+FROM documents
+WHERE doc_id % 16 = 7
+""",
+)
+def q_image_cdc_crop_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ARBITRARY-OFFSET image crop near-dup via per-row CONTENT-DEFINED
+    segmentation (multimodal/phash.py image_row_cdc_hashes ∘ the shared
+    tile set-overlap machinery at max_hamming=0) — closes the r11
+    coverage gap (What's missing #2): the tile tiers recover only crops
+    congruent to 0 or tile/2 (mod 32), and this fixture's crop offset
+    (17, 23) is deliberately OFF both phases in BOTH axes — exactly the
+    case the phase-grid gate pins as honest degradation (the closing
+    pytest re-pins it on these members), while row-CDC boundaries are
+    chosen by a Gear rolling hash of each ROW's content, so every crop
+    row (a contiguous substring of an original row) re-synchronizes at
+    its first full-context anchor and its interior segments hash
+    identically. Every 16th document seeds a 3-member family: (a) a
+    128x128 grayscale PNG of md5(text)-stream pixels, (b) a PNG of its
+    96x96 crop at offset (17, 23), (c) a GIF palette re-encode of the
+    same crop (identical luma → identical segments BY ARITHMETIC).
+    Measured overlap across 40 lattice seeds: worst 0.80 crop↔full,
+    1.0 crop↔crop, 0.0 cross-family — the 0.5 gate threshold sits far
+    from both sides. The oracle PREDICTS the outcome: 3n images with
+    >= 1 segment (a quarantine shrinks the count), exactly 3
+    within-family pairs per family, none cross-family. The signature
+    stage is map-only Arrow; the pair stage is the ONE shared
+    block-bounded equi-join."""
+    from .fixtures import tile_crop_family_members
+    from .multimodal.phash import (
+        image_row_cdc_hashes,
+        image_tile_near_dup_pairs,
+    )
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 16 == 7
+        ),
+        "doc_id",
+    )
+    n_docs = docs.count()
+    media = docs.select("doc_id", "text").mapInPandas(
+        _family_media_builder(tile_crop_family_members(17, 23)),
+        "doc_id long, payload binary",
+    )
+    # the segment frame feeds the count AND the overlap self-join:
+    # eager checkpoint so decode + ~1.6k md5s per image run exactly once
+    sigs = image_row_cdc_hashes(media).localCheckpoint()
+    n_images = sigs.select("doc_id").distinct().count()
+    fam = image_tile_near_dup_pairs(
+        sigs, sig_col="sig", max_hamming=0, min_match_frac=0.5
+    ).select(
+        (F.col("id_a") / 10).cast("long").alias("fam_a"),
+        (F.col("id_b") / 10).cast("long").alias("fam_b"),
+    )
+    per_fam = fam.groupBy("fam_a").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
+    )
+    row = per_fam.agg(
+        F.sum("cnt").alias("n_pairs"),
+        F.min("within").alias("pairs_within_family"),
+        (
+            F.min((F.col("cnt") == 3) & F.col("within"))
+            & (F.count(F.lit(1)) == F.lit(n_docs))
+        ).alias("families_fully_paired"),
+    ).first()
+    return spark.createDataFrame(
+        [(n_images, row["n_pairs"], row["pairs_within_family"],
+          row["families_fully_paired"])],
+        "n_images long, n_pairs long, pairs_within_family boolean, "
+        "families_fully_paired boolean",
+    )

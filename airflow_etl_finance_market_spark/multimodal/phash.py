@@ -441,18 +441,20 @@ def _block_rows(
     width = n_bits // n_blocks
     shifts = [width * j for j in range(n_blocks)]
     widths = [width] * (n_blocks - 1) + [n_bits - width * (n_blocks - 1)]
+
+    def _block(sh: int, w: int):
+        shifted = F.shiftrightunsigned(F.col(sig_col), sh)
+        if w >= 64:
+            # full-width block (n_blocks=1, the max_hamming=0 exact
+            # path): the mask literal (1<<64)-1 overflows a Java long
+            # and the AND would be the identity anyway
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
+
     return sigs.select(
         "*",
         F.posexplode(
-            F.array(
-                *[
-                    (
-                        F.shiftrightunsigned(F.col(sig_col), sh)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                    )
-                    for sh, w in zip(shifts, widths)
-                ]
-            )
+            F.array(*[_block(sh, w) for sh, w in zip(shifts, widths)])
         ).alias("block_idx", "block_val"),
     )
 
@@ -1021,6 +1023,225 @@ def image_tile_near_dup_pairs(
         F.col("video_b").alias("id_b"),
         "n_matched",
         "match_frac",
+    )
+
+
+def _row_cdc_kernel(
+    min_seg: int = 4,
+    avg_seg_bits: int = 3,
+    max_seg: int = 32,
+    window: int = 8,
+    sample_bits: int = 0,
+):
+    """CONTENT-DEFINED per-row segmentation + exact segment hashing —
+    the ARBITRARY-OFFSET image dedup kernel (r11 verdict #3),
+    factory-nested per the pickle house rule.
+
+    The tile tiers recover crops congruent to 0 or tile/2 (mod 32);
+    an arbitrary crop shifts every fixed tile. The audio tier's fix
+    (``audio._cdc_segment_kernel``) transfers, but NOT as the r11
+    sketch proposed (anchors from 1-D Gear over row/column SUMS):
+    a column's sum runs over ALL rows, so cropping rows changes every
+    column sum and no anchor survives a two-axis crop — the sum-
+    anchored design only re-syncs strip crops. What IS crop-stable is
+    the raster ROW: row ``j`` of a crop at ``(x0, y0)`` is a
+    CONTIGUOUS SUBSTRING of original row ``y0+j``, so 1-D CDC per row
+    (Muthitacharoen et al. 2001 LBFS; FastCDC min/max normalization)
+    re-synchronizes inside every shared row run: a Gear rolling hash
+    with a ``window``-pixel context anchors boundaries wherever its
+    low ``avg_seg_bits`` bits are zero; anchors in the first
+    ``window-1`` columns are suppressed (their context is truncated
+    and therefore position-dependent), so after at most
+    ``window + max_seg`` pixels past the crop edge the two
+    segmentations agree and every interior segment is byte-identical
+    — whatever the offset, both axes, no phase lattice.
+
+    Segments are hashed EXACTLY (md5 → top 64 bits): byte-identical
+    luma runs collide at Hamming 0 BY ARITHMETIC, which is the planted
+    families' contract (palette/encoding re-encodes decode to the
+    same luma plane). Constant-valued segments are SKIPPED — a flat
+    run (sky, white background) would hash identically across
+    unrelated images and make the signature promiscuous; skipping is
+    content-determined, hence identical on copies. ``sample_bits``
+    keeps only segments whose hash's low bits are zero — the
+    winnowing-style scale knob: both copies sample the SAME segments
+    (the decision is a function of content), cutting signature volume
+    2^bits with no pair-machinery change. Returns
+    ``rows(w, h, ch, pix) -> [(seg_idx, sig64), ...]``; ``ch == 3``
+    reduces to exact-floor mean luma first (channel-layout invariant
+    by the audio downmix argument)."""
+    import hashlib
+
+    import numpy as np
+
+    gear = np.array(
+        [
+            int.from_bytes(
+                hashlib.md5(b"row-cdc-gear:" + bytes([b])).digest()[:8],
+                "big",
+            )
+            for b in range(256)
+        ],
+        dtype=np.uint64,
+    )
+    mask = np.uint64((1 << avg_seg_bits) - 1)
+    smask = (1 << sample_bits) - 1
+
+    def rows(w: int, h: int, ch: int, pix: bytes):
+        a = np.frombuffer(pix, dtype=np.uint8)
+        if ch == 3:
+            a = (
+                a.reshape(h, w, 3).astype(np.uint16).sum(axis=2) // 3
+            ).astype(np.uint8)
+        else:
+            a = a.reshape(h, w)
+        t = gear[a]
+        hsh = np.zeros((h, w), dtype=np.uint64)
+        for j in range(window):
+            if j:
+                hsh[:, j:] += t[:, :-j] << np.uint64(j)
+            else:
+                hsh += t
+        anchored = (hsh & mask) == np.uint64(0)
+        anchored[:, : window - 1] = False  # truncated-context suppress
+        out = []
+        for y in range(h):
+            cand = np.nonzero(anchored[y])[0]
+            cuts = []
+            last = 0
+            for i in cand:
+                pos = int(i) + 1
+                while pos - last > max_seg:
+                    last += max_seg
+                    cuts.append(last)
+                if pos - last < min_seg:
+                    continue
+                cuts.append(pos)
+                last = pos
+            while w - last > max_seg:
+                last += max_seg
+                cuts.append(last)
+            bounds = [0] + cuts + [w]
+            row = a[y]
+            for k in range(len(bounds) - 1):
+                lo, hi = bounds[k], bounds[k + 1]
+                if hi - lo < min_seg:
+                    continue  # content-determined skip, same on copies
+                seg = row[lo:hi]
+                if seg.max() == seg.min():
+                    continue  # flat run: promiscuous across images
+                hv = int.from_bytes(
+                    hashlib.md5(seg.tobytes()).digest()[:8], "big"
+                )
+                if sample_bits and (hv & smask):
+                    continue  # content-defined sampling
+                out.append((y * 100_000 + k, hv))
+        return out
+
+    return rows
+
+
+def image_row_cdc_hashes(
+    media: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    min_seg: int = 4,
+    avg_seg_bits: int = 3,
+    max_seg: int = 32,
+    window: int = 8,
+    sample_bits: int = 0,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Map-only Arrow stage: ``(id, payload)`` → ``(doc_id, seg_idx,
+    sig)`` — one exact 64-bit hash per CONTENT-DEFINED row segment
+    (:func:`_row_cdc_kernel`), the arbitrary-offset sibling of
+    :func:`image_tile_dhash`. Rows feed the SAME set-overlap pair
+    machinery (:func:`image_tile_near_dup_pairs`, ``max_hamming=0``)
+    unchanged — ``seg_idx`` rides along for debuggability only.
+    Decode/quarantine plumbing identical to every signature stage;
+    pixels never leave the map stage, ~8 bytes per ~2^bits-pixel
+    segment move. Cost honesty: at the defaults this emits roughly
+    ``h × w / 2^avg_seg_bits`` signatures per image — an order more
+    than the tile tiers; that is the price of full offset invariance,
+    and ``sample_bits`` buys it back 2^bits-fold when the corpus
+    scale demands it (both copies sample identically, so recall
+    degrades by the sampling fraction, not catastrophically)."""
+    _decode = _decode_factory()
+    _rows = _row_cdc_kernel(min_seg, avg_seg_bits, max_seg, window,
+                            sample_bits)
+    extra = tuple(passthrough)
+
+    def _stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sigs, keep = [], [], [], []
+            for i, (doc_id, payload) in enumerate(
+                zip(pdf[id_col], pdf[payload_col])
+            ):
+                if payload is None:
+                    continue
+                decoded = _decode(bytes(payload))
+                if decoded is None:
+                    continue  # quarantine: corrupt/unsupported payload
+                w, h, ch, pix = decoded
+                for k, hv in _rows(w, h, ch, pix):
+                    ids.append(doc_id)
+                    keep.append(i)
+                    idxs.append(k)
+                    sigs.append(hv - (1 << 64) if hv >= 1 << 63 else hv)
+            out = {"doc_id": pd.Series(ids, dtype="int64")}
+            for c in extra:
+                out[c] = pdf[c].iloc[keep].reset_index(drop=True)
+            out["seg_idx"] = pd.Series(idxs, dtype="int64")
+            out["sig"] = pd.Series(sigs, dtype="int64")
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [media.schema[c] for c in extra]
+        + [
+            StructField("seg_idx", LongType()),
+            StructField("sig", LongType()),
+        ]
+    )
+    return media.select(
+        F.col(id_col).alias(id_col),
+        F.col(payload_col).alias(payload_col),
+        *[F.col(c) for c in extra],
+    ).mapInPandas(_stage, schema=schema)
+
+
+def image_cdc_crop_near_dup_pairs(
+    media: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    min_match_frac: float = 0.5,
+    sample_bits: int = 0,
+) -> DataFrame:
+    """End-to-end ARBITRARY-OFFSET crop near-dup: per-row
+    content-defined segmentation ∘ exact segment hashes ∘ the shared
+    tile set-overlap machinery at ``max_hamming=0``. A crop at ANY
+    offset re-synchronizes within every shared row after at most
+    ``window + max_seg`` pixels per edge, so its interior segments
+    hash identically and the pair survives ``min_match_frac`` with
+    two-edge-per-row slack (default 0.5: at the kernel defaults a
+    96×96 crop of 128×128 noise keeps ~0.7–0.85 of its segments —
+    measured in tests — far above the ~zero overlap of unrelated
+    images). Returns verified ``(id_a, id_b, n_matched,
+    match_frac)`` with ``id_a < id_b``."""
+    sigs = image_row_cdc_hashes(
+        media,
+        id_col=id_col,
+        payload_col=payload_col,
+        sample_bits=sample_bits,
+    )
+    return image_tile_near_dup_pairs(
+        sigs,
+        id_col="doc_id",
+        sig_col="sig",
+        max_hamming=0,
+        min_match_frac=min_match_frac,
     )
 
 

@@ -1093,3 +1093,104 @@ def test_mirror_canonical_near_radius_branch_instability_pinned():
     # while the exact-collapse contract is untouched: mirror pairs
     # still canonicalize identically
     assert canon(2, 1, 1, a_f) == ca and canon(2, 1, 1, b_f) == cb
+
+
+class TestRowCdcCropTier:
+    """Per-row content-defined segmentation: the arbitrary-offset crop
+    tier — re-sync at ANY offset (the off-both-phases case the tile
+    tiers pin as honest degradation), flat-run suppression, and the
+    content-defined sampling knob."""
+
+    def _kernel(self, **kw):
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            _row_cdc_kernel,
+        )
+
+        return _row_cdc_kernel(**kw)
+
+    def _family(self, seed=b"cdc fam", cx=17, cy=23):
+        from airflow_etl_finance_market_spark.fixtures import (
+            image_fixture_primitives,
+        )
+
+        noise_pix, crop = image_fixture_primitives()
+        pix = noise_pix(seed, 128, 128)
+        return pix, crop(pix, 128, cx, cy, 96, 96)
+
+    def test_arbitrary_offset_crop_resyncs(self):
+        import hashlib
+
+        k = self._kernel()
+        worst = 1.0
+        for s in range(12):
+            pix, cr = self._family(hashlib.md5(b"s%d" % s).digest())
+            sf = {h for _, h in k(128, 128, 1, pix)}
+            sc = {h for _, h in k(96, 96, 1, cr)}
+            worst = min(worst, len(sf & sc) / min(len(sf), len(sc)))
+        assert worst >= 0.7, worst  # measured 0.80 over 40 seeds
+        # unrelated images share nothing
+        pix2, _ = self._family(b"unrelated")
+        s2 = {h for _, h in k(128, 128, 1, pix2)}
+        assert not (sf & s2)
+
+    def test_flat_runs_never_sign(self):
+        # an all-constant image yields ZERO signatures (every segment
+        # is a flat run — the promiscuous-collision guard), and a
+        # half-flat image signs only its textured half
+        k = self._kernel()
+        assert k(64, 64, 1, b"\x80" * (64 * 64)) == []
+        pix, _ = self._family(b"texture")
+        mixed = pix[: 64 * 128] + b"\x00" * (64 * 128)
+        sigs = {h for _, h in k(128, 128, 1, mixed)}
+        top = {h for _, h in k(128, 64, 1, pix[: 64 * 128])}
+        assert sigs == top
+
+    def test_sample_bits_is_content_defined_subset(self):
+        # sampling keeps a SUBSET chosen by content: both copies keep
+        # the same segments, so crop overlap survives sampling
+        k0, k2 = self._kernel(), self._kernel(sample_bits=2)
+        pix, cr = self._family()
+        full0 = {h for _, h in k0(128, 128, 1, pix)}
+        full2 = {h for _, h in k2(128, 128, 1, pix)}
+        assert full2 < full0 and len(full2) < len(full0) / 2
+        crop2 = {h for _, h in k2(96, 96, 1, cr)}
+        assert len(full2 & crop2) / min(len(full2), len(crop2)) >= 0.6
+
+    def test_rgb_reduces_to_mean_luma(self):
+        k = self._kernel()
+        pix, _ = self._family(b"rgb")
+        rgb = b"".join(bytes((v, v, v)) for v in pix)
+        assert k(128, 128, 3, rgb) == k(128, 128, 1, pix)
+
+    def test_cdc_finds_off_phase_crop_tile_grid_misses(self, spark):
+        """The closing pair: on the SAME (17,23)-offset members the
+        TWO-PHASE tile grid finds only crop↔crop (the honest
+        degradation its gate documents) while the row-CDC tier finds
+        all three family pairs."""
+        from airflow_etl_finance_market_spark.fixtures import (
+            tile_crop_family_members,
+        )
+        from airflow_etl_finance_market_spark.multimodal.phash import (
+            image_cdc_crop_near_dup_pairs,
+            image_tile_dhash,
+            image_tile_near_dup_pairs,
+        )
+
+        members = tile_crop_family_members(17, 23)("off both phases")
+        rows = [(k, bytearray(p)) for k, p in enumerate(members)]
+        media = spark.createDataFrame(rows, "doc_id long, payload binary")
+        tile_sigs = image_tile_dhash(
+            media, phase_offsets=((0, 0), (16, 16))
+        ).localCheckpoint()
+        tile_pairs = {
+            (r.id_a, r.id_b)
+            for r in image_tile_near_dup_pairs(
+                tile_sigs, max_hamming=4, min_match_frac=0.8
+            ).collect()
+        }
+        assert tile_pairs == {(1, 2)}  # crop↔crop only: grid misses
+        cdc_pairs = {
+            (r.id_a, r.id_b)
+            for r in image_cdc_crop_near_dup_pairs(media).collect()
+        }
+        assert cdc_pairs == {(0, 1), (0, 2), (1, 2)}
