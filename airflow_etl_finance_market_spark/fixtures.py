@@ -429,3 +429,41 @@ def tile_crop_family_members(crop_x: int = 32, crop_y: int = 32):
         ]
 
     return members
+
+
+def mirror_family_members():
+    """The 3-member MIRROR-REPOST family: ``members(text) -> [32x32
+    gray PNG, PNG of its left-right mirror, GIF palette re-encode of
+    the mirror]``.
+
+    A horizontal mirror is the common social-media repost transform;
+    members (b) and (c) decode to the IDENTICAL flipped luma plane, so
+    they hash equal under ANY kernel, while (a) matches them only
+    through the mirror-canonical signature (min of hash and
+    flipped-hash — exact collapse BY ARITHMETIC). The
+    image_mirror_canonical_near_dups gate's construction; its 'plain'
+    variant row pins the 1-pair-per-family gap the option closes."""
+    import hashlib
+
+    from .multimodal.binary import _stdlib_png_codec
+    from .multimodal.gif import _stdlib_gif_codec
+
+    _, _, _png_enc, _ = _stdlib_png_codec()
+    _, _, _gif_enc = _stdlib_gif_codec()
+    noise_pix, _ = image_fixture_primitives()
+    gray_pal = [(i, i, i) for i in range(256)]
+
+    def members(text: str) -> list[bytes]:
+        pix = noise_pix(
+            hashlib.md5(text.encode("utf-8")).digest(), 32, 32
+        )
+        mir = b"".join(
+            pix[y * 32 : (y + 1) * 32][::-1] for y in range(32)
+        )
+        return [
+            _png_enc(32, 32, 1, pix),
+            _png_enc(32, 32, 1, mir),
+            _gif_enc(32, 32, mir, gray_pal),
+        ]
+
+    return members

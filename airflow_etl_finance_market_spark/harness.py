@@ -7910,3 +7910,85 @@ def q_image_cdc_crop_near_dups(
         "n_images long, n_pairs long, pairs_within_family boolean, "
         "families_fully_paired boolean",
     )
+
+
+@register(
+    "image_mirror_canonical_near_dups",
+    """
+SELECT 'canonical' AS variant,
+       COUNT(*) * 3 AS n_images,
+       COUNT(*) * 3 AS n_pairs,
+       true AS pairs_within_family,
+       true AS families_fully_paired
+FROM documents
+WHERE doc_id % 18 = 4
+UNION ALL
+SELECT 'plain' AS variant,
+       COUNT(*) * 3 AS n_images,
+       COUNT(*) AS n_pairs,
+       true AS pairs_within_family,
+       false AS families_fully_paired
+FROM documents
+WHERE doc_id % 18 = 4
+""",
+)
+def q_image_mirror_canonical_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIRROR-canonical image signatures HARD GATE
+    (multimodal/phash.py _mirror_canonical_kernel via
+    image_dhash(mirror_canonical=True)) — promotes the r11
+    pytest-only tier to the driver ledger (r11 verdict #4). Every
+    18th document seeds a 3-member family (fixtures.
+    mirror_family_members): (a) a 32x32 grayscale PNG of
+    md5(text)-stream pixels, (b) a PNG of its LEFT-RIGHT mirror, (c) a
+    GIF palette re-encode of the mirror (identical flipped luma). Both
+    variants run the SAME families through the SAME max_hamming=0
+    exact pair machinery (the full-width-block path of the pigeonhole
+    join): variant 'canonical' hashes with mirror_canonical=True —
+    min(hash, flipped-hash) collapses all three members BY ARITHMETIC
+    (flip of flip is the original buffer), 3 pairs per family, fully
+    paired; variant 'plain' hashes with the default kernel and finds
+    ONLY the (b)↔(c) identical-luma pair — 1 per family, fully_paired
+    FALSE — pinning the exact gap the option closes in the ledger
+    itself (the closing-test pattern, driver-run). DIHEDRAL residual,
+    decided (r11 verdict #4): vertical flips and 90° rotations stay
+    PERMANENTLY out of scope of this tier — rotations change the
+    aspect ratio and the 8-transform canonical min would 8x the hash
+    bill for a transform far rarer in crawl data than the mirror;
+    tests/test_phash.py pins vertical-flip divergence as the honest
+    boundary. Near-radius instability of min() is documented in the
+    kernel docstring and pinned in tests — canonical signatures are
+    an exact-match tier by contract."""
+    from .fixtures import mirror_family_members
+    from .multimodal.phash import image_dhash
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 18 == 4
+        ),
+        "doc_id",
+    )
+    n_docs = docs.count()
+    media = docs.select("doc_id", "text").mapInPandas(
+        _family_media_builder(mirror_family_members()),
+        "doc_id long, payload binary",
+    )
+    rows = []
+    for variant, canonical in (("canonical", True), ("plain", False)):
+        # the hash frame feeds the count AND the exact self-join:
+        # eager checkpoint so decode + (2x) dhash runs exactly once
+        fps = image_dhash(
+            media, mirror_canonical=canonical
+        ).localCheckpoint()
+        rows.append(
+            (variant,)
+            + _family_pair_outcome(
+                fps, sig_col="dhash", n_docs=n_docs, max_hamming=0
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "variant string, n_images long, n_pairs long, "
+        "pairs_within_family boolean, families_fully_paired boolean",
+    )
