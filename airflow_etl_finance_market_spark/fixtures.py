@@ -467,3 +467,46 @@ def mirror_family_members():
         ]
 
     return members
+
+
+def wav_cdc_gain_family_members(
+    n_samples: int = 16000, trim_front: int = 1234, trim_back: int = 777
+):
+    """The 3-member GAIN x ARBITRARY-TRIM family for the sign-anchored
+    CDC tier: ``members(text) -> [full clip, GAIN-DOUBLED arbitrary
+    trim, stereo channel-dup of the gain-trim]`` (PCM16 at 8 kHz on
+    the md5 lattice, synthesized at <<6 scale so the x2 gain stays
+    inside int16 exactly).
+
+    The trim offsets are off the fixed-window grid AND the copy is
+    gain-scaled — the one cell of the robustness matrix r11 left open:
+    amplitude-anchored CDC loses every anchor to the gain (its gate
+    pins exactly that as honest degradation on these members), while
+    sign-anchored CDC chooses identical boundaries (positive gain
+    preserves every sample's sign) and the band-energy-sign
+    fingerprint is gain-invariant by arithmetic, so shared segments
+    land EXACT. Measured worst within-family overlap 0.90 across 40
+    lattice seeds; cross-family 0.0. The audio_cdc_gain_near_dups
+    gate's construction."""
+    import hashlib
+
+    from .multimodal.audio import _stdlib_wav_codec
+
+    _, _, _wav_enc, _ = _stdlib_wav_codec()
+    lattice, _ = audio_fixture_primitives()
+
+    def members(text: str) -> list[bytes]:
+        u8 = lattice(
+            hashlib.md5(text.encode("utf-8")).digest(), n_samples
+        )
+        x = [(v - 128) << 6 for v in u8]
+        gain_trim = [
+            2 * v for v in x[trim_front : n_samples - trim_back]
+        ]
+        return [
+            _wav_enc(8000, [x]),
+            _wav_enc(8000, [gain_trim]),
+            _wav_enc(8000, [gain_trim, gain_trim]),
+        ]
+
+    return members

@@ -686,6 +686,7 @@ def _cdc_segment_kernel(
     n_bands: int = 9,
     f_lo: float = 200.0,
     f_hi: float = 3600.0,
+    anchor: str = "amplitude",
 ):
     """CONTENT-DEFINED segmentation + per-segment spectral fingerprint
     — the arbitrary-offset audio dedup tier (r10 verdict #2),
@@ -725,18 +726,36 @@ def _cdc_segment_kernel(
     on both copies, because whether a shared segment is short is a
     property of the content, not the clip.
 
-    Honesty notes: the Gear hash runs over raw sample values, so CDC
-    matching requires the shared run to be SAMPLE-identical — it
-    covers trims/splices/padding and the exact re-encode axes
-    (channel layout, 8-bit lattice), but NOT gain changes (a scaled
-    copy moves every anchor; the whole-clip kernel keeps gain
-    invariance because only energy SIGNS survive — here the
-    segmentation itself consumes amplitudes). Returns
+    Honesty notes (``anchor="amplitude"``, the default): the Gear hash
+    runs over raw sample values, so CDC matching requires the shared
+    run to be SAMPLE-identical — it covers trims/splices/padding and
+    the exact re-encode axes (channel layout, 8-bit lattice), but NOT
+    gain changes (a scaled copy moves every anchor; the whole-clip
+    kernel keeps gain invariance because only energy SIGNS survive —
+    here the segmentation itself consumes amplitudes).
+
+    ``anchor="sign"`` (r11 verdict #6) closes that last matrix cell:
+    the Gear stream is the SIGN of each downmixed sample ({-1, 0, +1}
+    → three table symbols), which any positive gain preserves exactly
+    — so a gain-scaled trim chooses the SAME boundaries inside every
+    shared run, and the per-segment fingerprint is gain-invariant BY
+    the band-energy-sign arithmetic (scaling by ``c`` scales energies
+    by ``c^2``; the double-difference sign is unchanged) — the whole
+    gain x trim axis lands EXACT, no tolerance. The trade: the sign
+    stream carries ~1 bit/sample, so pathological inputs (constant
+    DC, pure silence) anchor degenerately — constant-valued segments
+    are SKIPPED in both modes (a silent segment fingerprints
+    identically across UNRELATED clips; skipping is content-
+    determined, hence identical on copies — the flat-run rule the
+    image row-CDC tier uses). Returns
     ``segments(rate, channels) -> [(seg_idx, bits), ...]``."""
     import hashlib
 
     import numpy as np
 
+    if anchor not in ("amplitude", "sign"):
+        raise ValueError(f"unknown CDC anchor mode {anchor!r}")
+    use_sign = anchor == "sign"
     base = _audio_fingerprint_kernel(n_segments, n_bands, f_lo, f_hi)
     mask = np.uint64((1 << avg_seg_bits) - 1)
     gear = np.array(
@@ -757,7 +776,10 @@ def _cdc_segment_kernel(
         n = len(mono)
         if n == 0:
             return []
-        idx = ((mono & 0xFF) ^ ((mono >> 8) & 0xFF)).astype(np.int64)
+        if use_sign:
+            idx = (np.sign(mono) + 1).astype(np.int64)
+        else:
+            idx = ((mono & 0xFF) ^ ((mono >> 8) & 0xFF)).astype(np.int64)
         t = gear[idx]
         h = np.zeros(n, dtype=np.uint64)
         for j in range(64):
@@ -786,6 +808,9 @@ def _cdc_segment_kernel(
             lo, hi = bounds[k], bounds[k + 1]
             if hi - lo < min_fp:
                 continue  # content-determined skip, identical on copies
+            m = mono[lo:hi]
+            if int(m.max()) == int(m.min()):
+                continue  # constant run (silence/DC): promiscuous
             seg = [c[lo:hi] for c in channels]
             out.append((k, base(rate, seg)))
         return out
@@ -801,6 +826,7 @@ def audio_cdc_fingerprints(
     min_seg: int = 128,
     avg_seg_bits: int = 9,
     max_seg: int = 4096,
+    anchor: str = "amplitude",
 ) -> DataFrame:
     """Map-only Arrow stage: ``(id, payload)`` → ``(doc_id, seg_idx,
     afp)`` — one spectral subfingerprint per CONTENT-DEFINED segment
@@ -813,7 +839,8 @@ def audio_cdc_fingerprints(
     samples with zero data movement — the 100 TB posture is identical
     to the fixed-window tier, at the same signature bill."""
     _, _wav_decode, _, _ = _stdlib_wav_codec()
-    _segs = _cdc_segment_kernel(min_seg, avg_seg_bits, max_seg)
+    _segs = _cdc_segment_kernel(min_seg, avg_seg_bits, max_seg,
+                                anchor=anchor)
 
     def _stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -853,6 +880,7 @@ def audio_cdc_near_dup_pairs(
     min_seg: int = 128,
     avg_seg_bits: int = 9,
     max_seg: int = 4096,
+    anchor: str = "amplitude",
 ) -> DataFrame:
     """End-to-end ARBITRARY-OFFSET audio near-dup: content-defined
     segmentation ∘ per-segment spectral fingerprint ∘ the shared
@@ -871,6 +899,7 @@ def audio_cdc_near_dup_pairs(
         min_seg=min_seg,
         avg_seg_bits=avg_seg_bits,
         max_seg=max_seg,
+        anchor=anchor,
     )
     return audio_window_near_dup_pairs(
         sigs,

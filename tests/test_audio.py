@@ -622,3 +622,82 @@ class TestCdcSegmentation:
             "doc_id long, payload binary",
         )
         assert audio_cdc_fingerprints(media).collect() == []
+
+
+class TestSignAnchoredCdc:
+    """anchor='sign' CDC: gain x arbitrary-trim lands exact; the
+    amplitude anchor honestly fails the same family; degenerate
+    constant runs never sign."""
+
+    def _kernels(self):
+        from airflow_etl_finance_market_spark.multimodal.audio import (
+            _cdc_segment_kernel,
+        )
+
+        return (
+            _cdc_segment_kernel(anchor="sign"),
+            _cdc_segment_kernel(),
+        )
+
+    def _family(self, seed=b"gain cdc"):
+        from airflow_etl_finance_market_spark.fixtures import (
+            audio_fixture_primitives,
+        )
+
+        lattice, _ = audio_fixture_primitives()
+        u8 = lattice(seed, 16000)
+        x = [(v - 128) << 6 for v in u8]
+        return x, [2 * v for v in x[1234:16000 - 777]]
+
+    def _overlap(self, sa, sb, maxh=4):
+        sa, sb = {h for _, h in sa}, {h for _, h in sb}
+        m = sum(
+            1 for a in sa
+            if any(bin(a ^ b).count("1") <= maxh for b in sb)
+        )
+        return m / min(len(sa), len(sb)) if sa and sb else 0.0
+
+    def test_sign_anchor_exact_on_gain_trim_amplitude_fails(self):
+        k_sign, k_amp = self._kernels()
+        x, gain_trim = self._family()
+        # sign anchors: boundaries identical inside the shared run,
+        # fingerprints gain-invariant by arithmetic -> high overlap
+        assert (
+            self._overlap(k_sign(8000, [x]), k_sign(8000, [gain_trim]))
+            >= 0.7
+        )
+        # stereo dup of the gain-trim: exact-mean downmix -> identical
+        assert (
+            self._overlap(
+                k_sign(8000, [gain_trim]),
+                k_sign(8000, [gain_trim, gain_trim]),
+            )
+            == 1.0
+        )
+        # the amplitude anchor loses every boundary to the gain — the
+        # honest degradation its docstring documents
+        assert (
+            self._overlap(k_amp(8000, [x]), k_amp(8000, [gain_trim]))
+            < 0.2
+        )
+        # unrelated clips share nothing under either anchor
+        y, _ = self._family(b"unrelated")
+        assert self._overlap(k_sign(8000, [x]), k_sign(8000, [y])) == 0.0
+
+    def test_constant_runs_never_sign(self):
+        k_sign, k_amp = self._kernels()
+        silence = [0] * 16000
+        assert k_sign(8000, [silence]) == []
+        assert k_amp(8000, [silence]) == []
+        dc = [5] * 16000
+        assert k_sign(8000, [dc]) == []
+
+    def test_unknown_anchor_mode_raises(self):
+        import pytest
+
+        from airflow_etl_finance_market_spark.multimodal.audio import (
+            _cdc_segment_kernel,
+        )
+
+        with pytest.raises(ValueError, match="anchor"):
+            _cdc_segment_kernel(anchor="energy")
