@@ -1619,6 +1619,36 @@ def corpus_x100_section(
     return best_of_3_each({name: jobs[name] for name in CORPUS_X100}), n_docs
 
 
+#: r12: the crawl-prep decade is PERMANENT (r11 verdict #7 — the four
+#: stages are pipeline tiers now; one-off numbers rot). Same 500k-doc
+#: fixture and contract as corpus_x100. Pass bar: nothing super-linear
+#: — at these absolute walls the stages are overhead-dominated (the
+#: r11 one-off's honest reading), so the decade's evidence is the
+#: SHAPE holding (map-only extract/filter; one 8-byte-keyed window)
+#: when explode/window row counts grow 10x, not the ratio itself.
+CRAWL_X100 = [
+    "html_text_extract", "c4_line_filter",
+    "url_canonical_dedup", "doc_paragraph_dedup",
+]
+
+
+def crawl_x100_section(
+    spark, qs, tmp: str
+) -> tuple[dict[str, float], int]:
+    reclaim(spark)
+    x100 = build_x100_docs_fixture(spark, tmp)
+    n_docs = spark.read.parquet(f"{x100}/documents.parquet").count()
+
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    jobs = {
+        name: (lambda n=name: _noop(qs[n](spark, x100)))
+        for name in CRAWL_X100
+    }
+    return best_of_3_each(jobs), n_docs
+
+
 def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
     from pyspark.sql import functions as F  # noqa: F401  (parity with build)
 
@@ -1908,6 +1938,10 @@ def main() -> None:
             cx, n_docs = corpus_x100_section(spark, qs, tmp)
             payload["corpus_x100"] = cx
             payload["corpus_x100_rows"] = {"documents": n_docs}
+        with tempfile.TemporaryDirectory() as tmp:
+            crx, n_crawl = crawl_x100_section(spark, qs, tmp)
+            payload["crawl_x100"] = crx
+            payload["crawl_x100_rows"] = {"documents": n_crawl}
         with tempfile.TemporaryDirectory() as tmp:
             ax, n_vecs = ann_x100_section(spark, tmp)
             payload["ann_x100"] = ax
