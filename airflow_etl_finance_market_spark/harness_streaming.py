@@ -1,0 +1,1424 @@
+"""Streaming-dedup + late-pipeline gate tier: BPE train/apply,
+domain blocklist, KMV/histogram rollups, streaming media dedup
+(keyed, signature, windowed-signature), corpus-prep pipeline,
+file roundtrips, and the r12 gates (token budget, image row-CDC,
+mirror-canonical, gain-robust audio CDC).
+
+One CONTIGUOUS slice of the registry in REGISTRATION ORDER —
+the driver-ledger contract: ``harness.py`` imports the tier
+modules in sequence, so ``queries()``/``oracles()`` keep the
+exact pre-split ordering (the 50-slot window membership is
+pinned by tests/test_harness_window.py). Slices are cut at
+registration boundaries, so a handful of entries sit with
+their chronological neighbors rather than their thematic kin
+— ordering is the contract, theming is the map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .harness import (  # noqa: F401  (shared gate surface)
+    _bounded_stream_shuffle,
+    _next_stream_seq,
+    fan_out,
+    load_fixture,
+    register,
+)
+from .harness_corpus import (  # noqa: F401
+    _TOKS_SQL,
+)
+from .harness_media import (  # noqa: F401
+    _family_media_builder,
+    _family_pair_outcome,
+)
+
+
+def _bpe_merge_replay_oracle(num_merges: int) -> str:
+    """Unrolled merge-round replay oracle for ``bpe_merges`` — the
+    ``part_supplier_pagerank`` precedent (r05) applied to BPE: the
+    iterative loop IS SQL-expressible for a bounded round count, so the
+    driver gets a real DuckDB twin instead of a rows-only row (the one
+    red r07 ledger row).
+
+    Each round is three chained MATERIALIZED CTEs over the word-type
+    table (MATERIALIZED is load-bearing: seg_r feeds both pairs_r and
+    seg_{r+1}, and DuckDB inlines multiply-referenced CTEs by default —
+    an inlined chain re-evaluates 2^rounds times):
+
+    - ``pairs_r``: adjacent-pair counts off the space-joined symbol
+      string (split + positional unnest), weighted by type count;
+    - ``best_r``: the 1-row argmax with the pinned (count DESC, left,
+      right) tie-break — the same total order the Spark loop collects;
+    - ``seg_{r+1}``: the merge applied via the SPACE-DOUBLING replace:
+      after ``replace(seg, ' ', '  ')`` every symbol gap is exactly two
+      spaces, so the pattern ``' left  right '`` consumes one boundary
+      space per neighbor and SQL's left-to-right non-overlapping
+      replace() reproduces the reference greedy merge exactly
+      (``'a a a a'`` → ``'aa aa'``, not ``'aa a a'``); a final
+      double→single collapse + trim restores the representation.
+
+    Symbols can never contain spaces (terms are whitespace tokens), so
+    the representation is unambiguous at every round.
+    """
+    union = "\nUNION ALL\n".join(
+        f'SELECT CAST(rnk AS INTEGER) AS "rank", lft AS "left", rgt AS "right",'
+        f" CAST(pc AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(num_merges)
+    )
+    return _bpe_replay_ctes(num_merges) + "\n" + union
+
+
+def _bpe_replay_ctes(num_merges: int) -> str:
+    """The shared WITH-chain of the BPE replay (types → seg0 → {pairs_r,
+    best_r, seg_{r+1}} x rounds), ``term`` carried through every seg so
+    consumers can read either the merge table (``best_r``) or the final
+    segmentation (``seg{num_merges}``)."""
+    parts = [
+        f"""
+WITH types AS MATERIALIZED (
+    SELECT term, COUNT(*) AS cnt
+    FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+    WHERE length(term) >= 1
+    GROUP BY term
+),
+seg0 AS MATERIALIZED (
+    SELECT term, cnt,
+           array_to_string(string_split(term, ''), ' ') || ' </w>' AS seg
+    FROM types
+)"""
+    ]
+    for r in range(num_merges):
+        parts.append(
+            f""",
+pairs{r} AS MATERIALIZED (
+    SELECT toks[i] AS lft, toks[i + 1] AS rgt, SUM(cnt) AS pc
+    FROM (
+        SELECT toks, cnt, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM (SELECT string_split(seg, ' ') AS toks, cnt FROM seg{r})
+    )
+    GROUP BY 1, 2
+),
+best{r} AS MATERIALIZED (
+    SELECT {r} AS rnk, lft, rgt, pc
+    FROM pairs{r}
+    ORDER BY pc DESC, lft ASC, rgt ASC
+    LIMIT 1
+),
+seg{r + 1} AS MATERIALIZED (
+    SELECT term, cnt,
+           trim(replace(
+               replace(' ' || replace(seg, ' ', '  ') || ' ',
+                       ' ' || b.lft || '  ' || b.rgt || ' ',
+                       ' ' || b.lft || b.rgt || ' '),
+               '  ', ' ')) AS seg
+    FROM seg{r}, best{r} b
+)"""
+        )
+    return "".join(parts)
+
+
+def _bpe_token_stats_oracle(num_merges: int) -> str:
+    """Oracle for ``bpe_token_counts``: replay the merge chain to the
+    FINAL segmentation table (``seg{num_merges}``), then mirror
+    ``bpe_token_stats``'s apply — a vocab-keyed join of the occurrence
+    stream to per-type subword counts, one doc-keyed aggregate (unseen
+    types fall back to characters+marker, same COALESCE)."""
+    return (
+        _bpe_replay_ctes(num_merges)
+        + f""",
+seg_len AS MATERIALIZED (
+    SELECT term, len(string_split(seg, ' ')) AS n_subwords
+    FROM seg{num_merges}
+),
+occ AS (
+    SELECT doc_id, u.term
+    FROM documents, unnest({_TOKS_SQL}) AS u(term)
+    WHERE length(u.term) >= 1
+)
+SELECT occ.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(COALESCE(s.n_subwords, length(occ.term) + 1)) AS BIGINT)
+           AS n_bpe_tokens
+FROM occ LEFT JOIN seg_len s USING (term)
+GROUP BY occ.doc_id
+"""
+    )
+
+
+@register(
+    "bpe_pipeline",
+    f"""
+SELECT 'merge' AS kind,
+       CAST("rank" AS VARCHAR) AS k1,
+       "left" AS k2,
+       "right" AS k3,
+       CAST(pair_count AS VARCHAR) AS k4
+FROM ({_bpe_merge_replay_oracle(30)}) AS m
+UNION ALL
+SELECT 'doc',
+       CAST(doc_id AS VARCHAR),
+       CAST(n_words AS VARCHAR),
+       CAST(n_bpe_tokens AS VARCHAR),
+       CAST(NULL AS VARCHAR)
+FROM ({_bpe_token_stats_oracle(30)}) AS d
+""",
+)
+def q_bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train + apply in ONE multi-variant gate — round-11 merge of
+    `bpe_merges` + `bpe_token_counts` (growth paired with retirement).
+    RETIREMENT RATIONALE: both gates started from the same
+    ``bpe_train`` call (the apply gate TRAINED AGAIN to get the
+    segmentation table), so the registry paid the 30-round training
+    loop twice per verification for one code path; the union pins the
+    merge table AND the corpus tokenization off a single training run
+    (a drift in either half flips the hash), projected to a common
+    VARCHAR schema with a `kind` discriminator. The pure-Python
+    reference differential (tests/test_corpus_ops.py::TestBpe) is
+    untouched.
+
+    Training (Sennrich et al. 2016): one corpus pass builds the
+    word-type histogram, then every merge round runs on the
+    vocab-bounded table — pair explode + hash-agg + a 1-row argmax
+    collect — with the segmentation frame localCheckpoint-ed per
+    round. Apply: the learned segmentation is a vocab-bounded
+    broadcast, so tokenizing the corpus is ONE explode + one broadcast
+    join + one doc-keyed aggregate — no per-token merge replay
+    anywhere (the distributed half a 100 TB tokenizer job actually
+    needs; see the honest-ceiling note in operators/bpe.py)."""
+    from .operators.bpe import bpe_token_stats, bpe_train
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    merges, segments = bpe_train(docs, num_merges=30)
+    m = merges.select(
+        F.lit("merge").alias("kind"),
+        F.col("rank").cast("string").alias("k1"),
+        F.col("left").alias("k2"),
+        F.col("right").alias("k3"),
+        F.col("pair_count").cast("string").alias("k4"),
+    )
+    t = bpe_token_stats(docs, segments).select(
+        F.lit("doc").alias("kind"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("n_words").cast("string").alias("k2"),
+        F.col("n_bpe_tokens").cast("string").alias("k3"),
+        F.lit(None).cast("string").alias("k4"),
+    )
+    return m.unionAll(t)
+
+
+@register(
+    "domain_blocklist_filter",
+    """
+WITH sel AS (
+    SELECT doc_id, ((doc_id - 3) // 7) % 4 AS cat
+    FROM documents WHERE doc_id % 7 = 3
+)
+SELECT doc_id,
+       CASE WHEN cat = 0 THEN 'ok' || doc_id || '.com'
+            ELSE 'nottracker' || doc_id || '.net' END AS host
+FROM sel WHERE cat IN (0, 3)
+""",
+)
+def q_domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist URL hygiene HARD GATE
+    (operators/corpus.domain_blocklist_filter) — the third leg of the
+    r11 provenance tier (canonicalize → url-dedup → blocklist): every
+    7th document gets a host by category (k = (doc_id-3)//7, cat=k%4):
+    cat 0 `ok{id}.com` (clean), cat 1 `bad{id}.com` (blocked EXACTLY),
+    cat 2 `ads.tracker{id}.net` (blocked via the PARENT-DOMAIN entry
+    `tracker{id}.net` — the suffix-walk the operator exists for),
+    cat 3 `nottracker{id}.net` (its blocklist sibling `tracker{id}.net`
+    is present but must NOT match — label-boundary semantics; a
+    substring matcher fails exactly here). The blocklist itself is
+    derived from the same id arithmetic, so the oracle PREDICTS the
+    survivor rows (ids and hosts) from the construction alone — over-
+    blocking (cat 0/3 missing) and under-blocking (cat 1/2 present)
+    both break the hash. Host extraction is map-side codegen; the
+    suffix explode carries (host, suffix) rows only; the blocklist
+    broadcasts."""
+    sel = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 3
+    )
+    cat = (((F.col("doc_id") - 3) / 7).cast("long") % 4).alias("cat")
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("cat") == 0,
+               F.concat(F.lit("https://ok"), i, F.lit(".com/x")))
+        .when(F.col("cat") == 1,
+              F.concat(F.lit("https://bad"), i, F.lit(".com/x")))
+        .when(F.col("cat") == 2,
+              F.concat(F.lit("https://ads.tracker"), i, F.lit(".net/x")))
+        .otherwise(
+            F.concat(F.lit("https://nottracker"), i, F.lit(".net/x")))
+    )
+    pages = fan_out(
+        sel.select("doc_id", cat), "doc_id"
+    ).withColumn("url", url)
+    blocklist = pages.select(
+        F.when(
+            F.col("cat") == 1,
+            F.concat(F.lit("bad"), i, F.lit(".com")),
+        )
+        .when(
+            F.col("cat").isin(2, 3),
+            F.concat(F.lit("tracker"), i, F.lit(".net")),
+        )
+        .alias("domain")
+    ).filter(F.col("domain").isNotNull())
+    from .operators.corpus import domain_blocklist_filter
+
+    return domain_blocklist_filter(pages, blocklist).select(
+        "doc_id", "host"
+    )
+
+
+@register(
+    "weekly_user_kmv_rollup",
+    """
+WITH h AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM events
+), daily AS (
+    SELECT d, list_sort(list(h)) AS kmv FROM (
+        SELECT d, h, ROW_NUMBER() OVER (PARTITION BY d ORDER BY h) AS rn
+        FROM h
+    ) WHERE rn <= 64 GROUP BY d
+), wkh AS (
+    SELECT DISTINCT CAST(date_trunc('week', d) AS DATE) AS week, u.h
+    FROM daily, unnest(kmv) AS u(h)
+), wk AS (
+    SELECT week, list_sort(list(h)) AS kmv FROM (
+        SELECT week, h,
+               ROW_NUMBER() OVER (PARTITION BY week ORDER BY h) AS rn
+        FROM wkh
+    ) WHERE rn <= 64 GROUP BY week
+), paired AS (
+    SELECT week, kmv, LAG(kmv) OVER (ORDER BY week) AS prev FROM wk
+), combined AS (
+    SELECT week, kmv, prev,
+           CASE WHEN prev IS NOT NULL THEN
+               list_sort(list_distinct(list_concat(kmv, prev)))[1:64]
+           END AS comb
+    FROM paired
+)
+SELECT week,
+       len(kmv) AS kmv_size,
+       ROUND(CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS DOUBLE)
+                  ELSE (63.0 * 1152921504606846976.0)
+                       / CAST(kmv[64] AS DOUBLE) END, 4) AS est_users,
+       ROUND(len(list_intersect(comb, list_intersect(kmv, prev)))
+             / len(comb), 6) AS prev_jaccard_est,
+       ROUND((len(list_intersect(comb, list_intersect(kmv, prev)))
+              / len(comb))
+             * CASE WHEN len(comb) < 64 THEN CAST(len(comb) AS DOUBLE)
+                    ELSE (63.0 * 1152921504606846976.0)
+                         / CAST(comb[64] AS DOUBLE) END, 4)
+           AS prev_common_users_est
+FROM combined
+""",
+)
+def q_weekly_user_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k theta) distinct sketch rollup with SET OPERATIONS
+    (plans/analytics.kmv_daily_user_sketches ∘ kmv_rollup_estimates) —
+    the third stored-sketch family member: HLL answers distinct,
+    histograms answer quantiles, KMV answers INTERSECTIONS. Daily
+    bottom-64 sketches of the portable 60-bit md5 user hash store once;
+    weekly merges read the distinct-user estimate AND the
+    Jaccard/common-users estimates vs the previous week (retained
+    audience) off <= 64-element arrays — never rescanning events. Every
+    estimate is exact-integer inputs + one double division, so the
+    oracle mirrors it to the bit."""
+    from .plans.analytics import kmv_daily_user_sketches, kmv_rollup_estimates
+
+    daily = kmv_daily_user_sketches(load_fixture(spark, sf_dir, "events"))
+    return kmv_rollup_estimates(daily)
+
+
+@register(
+    "streaming_dedup_ingest",
+    """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-on-ingest HARD GATE: at-least-once delivery is
+    simulated by planting a FULL-ROW duplicate of every 7th event into
+    3 ts-ranged file micro-batches, then ``dedup_events`` (streaming
+    branch: watermark + dropDuplicatesWithinWatermark — per-key state
+    EVICTED at the watermark horizon, the property that lets ingest
+    dedup run unbounded at 100 TB where a plain dropDuplicates would
+    OOM on all-time key state) replays them as a REAL availableNow
+    streaming query. The returned frame is per-user count + value sums
+    over the DEDUPED stream, and the oracle aggregates the events table
+    DIRECTLY — equality means every planted duplicate was dropped (a
+    missed one inflates a count/sum) and no original was over-dropped
+    (deflates). Cross-batch correctness rides the same gate: duplicates
+    share their original's timestamp, so batch boundaries sit between
+    duplicate groups only by ts-range construction."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import dedup_events, read_events_stream, run_available_now
+    from .streaming.io import EVENTS_STREAM_SCHEMA
+
+    seq = _next_stream_seq()
+
+    tmp = tempfile.mkdtemp(prefix="finmarket_dedup_gate_")
+    try:
+        raw = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(
+            f"{sf_dir}/events.parquet"
+        )
+        planted = raw.unionAll(raw.filter(F.col("event_id") % 7 == 0))
+        lo, hi = planted.selectExpr("min(ts)", "max(ts)").first()
+        span = (hi - lo) // 3 + 1
+        for i in range(3):
+            pdir = f"{tmp}/in/b{i}"
+            planted.filter(
+                (planted.ts >= lo + i * span)
+                & (planted.ts < lo + (i + 1) * span)
+            ).coalesce(1).write.mode("overwrite").parquet(pdir)
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    os.utime(f"{pdir}/{f}", (1_700_000_000 + i,) * 2)
+        with _bounded_stream_shuffle(spark):
+            deduped = run_available_now(
+                dedup_events(
+                    read_events_stream(
+                        spark, f"{tmp}/in/b*", max_files_per_trigger=1
+                    )
+                ),
+                f"_gate_dedup_{seq}",
+                output_mode="append",
+            )
+            out = (
+                deduped.groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.round(F.sum("value"), 6).alias("sum_value"),
+                )
+                .localCheckpoint()  # materialize before tmp cleanup
+            )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "streaming_media_dedup_ingest",
+    """
+SELECT COUNT(*) AS n_unique_clips,
+       true AS one_survivor_per_family
+FROM documents
+WHERE doc_id % 10 = 7
+""",
+)
+def q_streaming_media_dedup_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming MEDIA dedup-on-ingest HARD GATE — the multimodal twin
+    of streaming_dedup_ingest: the key is not a delivery id but the
+    audio FINGERPRINT, so byte-different re-encodes of the same content
+    collapse at the stream edge. Every 10th document seeds the audio
+    tier's 3-member re-encode family (mono PCM16 / stereo channel-dup /
+    8-bit-lattice PCM8 — identical fingerprints BY ARITHMETIC), each
+    family sharing one ingest timestamp; families land whole in one of
+    3 file micro-batches and replay as a REAL availableNow streaming
+    query: mapInPandas fingerprint stage (event-time column passed
+    THROUGH the stage — a watermark dies with any projection that drops
+    its column) → watermark → dropDuplicatesWithinWatermark on the
+    signature (state bounded by the watermark horizon x unique-content
+    rate — the property that lets ingest dedup run unbounded at 100 TB).
+    The oracle PREDICTS the outcome: exactly ONE survivor per family
+    (n docs → n clips out of 3n in), checked per-family so an
+    over-dedup (signature collision) or under-dedup (missed re-encode)
+    both flip the boolean."""
+    import os
+    import shutil
+    import tempfile
+
+    from .fixtures import wav_family_members
+    from .multimodal.audio import audio_fingerprints
+    from .streaming import dedup_by_signature, run_available_now
+
+    _members = wav_family_members()
+
+    seq = _next_stream_seq()
+
+    def _build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, tss, payloads = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # one ingest timestamp per family (micros); re-encodes
+                # of one upload arrive together
+                fam_ts = 1_700_000_000_000_000 + int(doc_id) * 1_000_000
+                for k, payload in enumerate(_members(text)):
+                    ids.append(doc_id * 10 + k)
+                    tss.append(fam_ts)
+                    payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ts": pd.Series(tss, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 == 7
+        ),
+        "doc_id",
+    )
+    n_docs = docs.count()
+    media = docs.select("doc_id", "text").mapInPandas(
+        _build, "doc_id long, ts long, payload binary"
+    )
+    tmp = tempfile.mkdtemp(prefix="finmarket_media_dedup_gate_")
+    try:
+        # 3 ts-ordered file micro-batches; every family lands whole in
+        # one batch (partitioned on CONTIGUOUS family-id ranges), so
+        # duplicate groups never straddle a batch boundary AND event
+        # time is monotone non-decreasing across batches — the r09
+        # advice: the old fam % 3 assignment interleaved timestamps
+        # across batches, so correctness silently depended on the
+        # fixture's id span staying inside the 1-hour watermark; range
+        # batches stay valid at any fixture size.
+        fam = (F.col("doc_id") / 10).cast("long")
+        f_lo, f_hi = media.select(
+            F.min(fam).alias("lo"), F.max(fam).alias("hi")
+        ).first()
+        f_span = (f_hi - f_lo) // 3 + 1
+        for i in range(3):
+            pdir = f"{tmp}/in/b{i}"
+            media.filter(
+                (fam >= f_lo + i * f_span) & (fam < f_lo + (i + 1) * f_span)
+            ).coalesce(1).write.mode("overwrite").parquet(pdir)
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    os.utime(f"{pdir}/{f}", (1_700_000_000 + i,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id long, ts long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/b*")
+            # event-time watermarks require TIMESTAMP (LTZ); the output
+            # carries no timestamp so no TZ rendering can leak
+            .withColumn("ts", F.expr("timestamp_micros(ts)"))
+        )
+        fps = audio_fingerprints(stream, passthrough=("ts",))
+        with _bounded_stream_shuffle(spark):
+            survivors = run_available_now(
+                dedup_by_signature(fps, sig_col="afp", ts="ts"),
+                f"_gate_media_dedup_{seq}",
+                output_mode="append",
+            )
+            per_fam = (
+                survivors.select(
+                    (F.col("doc_id") / 10).cast("long").alias("fam")
+                )
+                .groupBy("fam")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            row = per_fam.agg(
+                F.count(F.lit(1)).alias("n_fams"),
+                F.min(F.col("cnt") == 1).alias("all_single"),
+                F.sum("cnt").alias("n_unique"),
+            ).first()
+        ok = row["n_fams"] == n_docs and row["all_single"] is True
+        return spark.createDataFrame(
+            [(row["n_unique"], ok)],
+            "n_unique_clips long, one_survivor_per_family boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+
+@register(
+    "streaming_windowed_media_dedup",
+    """
+SELECT COUNT(*) * 3 AS n_clips,
+       COUNT(*) AS n_survivors,
+       COUNT(*) * 2 AS n_duplicates,
+       true AS survivors_are_originals,
+       true AS dups_attributed_within_family
+FROM documents
+WHERE doc_id % 12 = 5
+""",
+)
+def q_streaming_windowed_media_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming WINDOWED-signature media dedup HARD GATE — closes the
+    r10 composition gap (#6): ``dedup_by_signature`` collapses only
+    whole-content signatures at the ingest edge, so the trim/crop-robust
+    tiers (window/tile/frame subfingerprints matched as SETS) were
+    batch-only. ``windowed_signature_ownership`` moves them to the
+    stream: per-window subfingerprints explode into max_hamming+1
+    pigeonhole blocks, ``applyInPandasWithState`` keeps a per-block
+    registry of hashes seen within the retention horizon (state bounded
+    by horizon x unique-window rate — evicted at last_seen + retain),
+    rows buffer until the watermark passes them (the
+    pct_change_reordered discipline, so ownership is a pure function of
+    EVENT time), and ``windowed_dedup_verdicts`` reduces ownership rows
+    to per-clip duplicate verdicts.
+
+    Fixture: every 12th document seeds the trim tier's 3-member family
+    (full 4-window lattice clip / its WINDOW-ALIGNED trim — surviving
+    windows byte-identical BY ARITHMETIC / a stereo channel-dup of the
+    trim), planted across 3 ts-ordered file micro-batches BY MEMBER:
+    all fulls land at ts B in batch 0, all trims at B+600s in batch 1,
+    all stereo dups at B+1200s in batch 2 — so every duplicate's
+    matching state entry was REGISTERED IN AN EARLIER MICRO-BATCH (the
+    cross-batch carry is the point of the gate), and a later-stamped
+    sentinel clip (batch 3) pushes the final watermark past every real
+    row (append-mode: unfinalized = unemitted). The oracle PREDICTS the
+    outcome: 3n verdict rows (a quarantine or an unflushed buffer
+    shrinks the count), the n survivors are EXACTLY the fulls, and all
+    2n duplicates attribute to their own family's full (trim overlap =
+    3/min(4,3) = 1.0 >= 0.8 on the smaller side; a cross-family
+    single-window collision is absorbed by the fraction threshold)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .fixtures import wav_trim_family_members
+    from .multimodal.audio import audio_window_fingerprints
+    from .streaming import (
+        run_available_now,
+        windowed_dedup_verdicts,
+        windowed_signature_ownership,
+    )
+
+    _members = wav_trim_family_members()
+
+    seq = _next_stream_seq()
+
+    base_us = 1_700_000_000_000_000
+
+    def _build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, tss, payloads = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for k, payload in enumerate(_members(text)):
+                    ids.append(doc_id * 10 + k)
+                    # member k of EVERY family shares one ingest time:
+                    # the duplicate always lands in a later micro-batch
+                    # than its original, never alongside it
+                    tss.append(base_us + k * 600_000_000)
+                    payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ts": pd.Series(tss, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 12 == 5
+        ),
+        "doc_id",
+    )
+    n_docs = docs.count()
+    media = docs.select("doc_id", "text").mapInPandas(
+        _build, "doc_id long, ts long, payload binary"
+    )
+    tmp = tempfile.mkdtemp(prefix="finmarket_wsd_gate_")
+    try:
+        # batch k = member k of every family (ts monotone across
+        # batches by construction); batch 3 = the sentinel clip whose
+        # timestamp drags the final watermark past every real row
+        for i in range(3):
+            pdir = f"{tmp}/in/b{i}"
+            media.filter(F.col("doc_id") % 10 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(pdir)
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    os.utime(f"{pdir}/{f}", (1_700_000_000 + i,) * 2)
+        sentinel = spark.createDataFrame(
+            [(-1, base_us + 10_800_000_000,
+              bytearray(_members("wsd sentinel")[0]))],
+            "doc_id long, ts long, payload binary",
+        )
+        pdir = f"{tmp}/in/b3"
+        sentinel.coalesce(1).write.mode("overwrite").parquet(pdir)
+        for f in os.listdir(pdir):
+            if f.endswith(".parquet"):
+                os.utime(f"{pdir}/{f}", (1_700_000_003,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id long, ts long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/b*")
+            .withColumn("ts", F.expr("timestamp_micros(ts)"))
+        )
+        fps = audio_window_fingerprints(stream, passthrough=("ts",))
+        own = windowed_signature_ownership(
+            fps, delay="5 minutes", retain="1 hour", max_hamming=4
+        )
+        with _bounded_stream_shuffle(spark):
+            own_tbl = run_available_now(
+                own, f"_gate_wsd_{seq}", output_mode="append"
+            )
+            v = windowed_dedup_verdicts(
+                own_tbl.filter(F.col("doc_id") >= 0), min_match_frac=0.8
+            )
+            fam = (F.col("doc_id") / 10).cast("long") * 10
+            row = v.agg(
+                F.count(F.lit(1)).alias("n_clips"),
+                F.sum(
+                    F.when(~F.col("is_duplicate"), 1).otherwise(0)
+                ).alias("n_survivors"),
+                F.sum(
+                    F.when(F.col("is_duplicate"), 1).otherwise(0)
+                ).alias("n_duplicates"),
+                F.min(
+                    F.when(
+                        ~F.col("is_duplicate"),
+                        F.col("doc_id") % 10 == 0,
+                    )
+                ).alias("survivors_ok"),
+                F.min(
+                    F.when(
+                        F.col("is_duplicate"), F.col("dup_of") == fam
+                    )
+                ).alias("dups_ok"),
+            ).first()
+        return spark.createDataFrame(
+            [(
+                row["n_clips"],
+                row["n_survivors"],
+                row["n_duplicates"],
+                bool(row["survivors_ok"])
+                and row["n_survivors"] == n_docs,
+                bool(row["dups_ok"]),
+            )],
+            "n_clips long, n_survivors long, n_duplicates long, "
+            "survivors_are_originals boolean, "
+            "dups_attributed_within_family boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "cross_doc_ngram_overlap",
+    f"""
+WITH occ AS (
+    SELECT doc_id, g.gram
+    FROM documents,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len({_TOKS_SQL}) - 4, 1)),
+             i -> array_to_string(({_TOKS_SQL})[i:i+4], ' ')))) AS g(gram)
+), dfreq AS (
+    SELECT gram, COUNT(*) AS df FROM occ GROUP BY gram
+)
+SELECT o.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared,
+       ROUND(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) / COUNT(*), 6)
+           AS shared_frac
+FROM occ o JOIN dfreq d USING (gram)
+GROUP BY o.doc_id
+""",
+)
+def q_cross_doc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-internal duplication score: fraction of the
+    doc's distinct 5-grams appearing in >= 1 other document
+    (operators/corpus.cross_doc_ngram_overlap) — the Dolma/RefinedWeb
+    boilerplate signal, pair-free (explode + two keyed aggregates)."""
+    from .operators.corpus import cross_doc_ngram_overlap
+
+    return cross_doc_ngram_overlap(
+        load_fixture(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "doc_nb_lang_classifier",
+    f"""
+WITH occ AS (
+    SELECT doc_id, lang, u.term
+    FROM documents, unnest({_TOKS_SQL}) AS u(term)
+    WHERE length(u.term) >= 1
+), dw AS (
+    SELECT doc_id, term, COUNT(*) AS n FROM occ GROUP BY doc_id, term
+), cw AS (
+    SELECT lang, term, COUNT(*) AS n_ws FROM occ GROUP BY lang, term
+), ct AS (
+    SELECT lang, SUM(n_ws) AS n_s FROM cw GROUP BY lang
+), v AS (
+    SELECT COUNT(DISTINCT term) AS vocab FROM occ
+), nd AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+), classes AS (
+    SELECT p.lang AS cand,
+           ln(p.n_l) - ln(nd.n_docs) AS log_prior,
+           ln(ct.n_s + v.vocab) AS log_denom
+    FROM (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang) p
+    JOIN ct USING (lang) CROSS JOIN v CROSS JOIN nd
+), scored AS (
+    SELECT dw.doc_id, c.cand,
+           c.log_prior
+               + SUM(dw.n * ln(COALESCE(cw.n_ws, 0) + 1))
+               - c.log_denom * SUM(dw.n) AS score
+    FROM dw CROSS JOIN classes c
+    LEFT JOIN cw ON cw.term = dw.term AND cw.lang = c.cand
+    GROUP BY dw.doc_id, c.cand, c.log_prior, c.log_denom
+), ranked AS (
+    SELECT doc_id, cand, score,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY ROUND(score, 6) DESC, cand ASC
+           ) AS rn
+    FROM scored
+)
+SELECT d.doc_id, d.lang, r.cand AS predicted_lang,
+       ROUND(r.score, 6) AS nb_score,
+       CAST(CASE WHEN r.cand = d.lang THEN 1 ELSE 0 END AS INT) AS correct
+FROM documents d JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+""",
+)
+def q_doc_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-analog domain/quality classifier (operators/classify.py):
+    multinomial Naive Bayes trained on the corpus's own lang labels and
+    applied back (resubstitution QA — the label/content consistency audit
+    of the CCNet/GPT-3-filter recipe class). Training is two hash
+    aggregates, scoring one term-keyed join + per-doc window over
+    |classes| rows — every stage bounded by vocab or doc count."""
+    from .operators.classify import nb_label_classifier
+
+    return nb_label_classifier(load_fixture(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_prep_pipeline",
+    """
+WITH base AS (
+    SELECT doc_id, lang, text, text AS _raw,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS _toks,
+           string_split(text, chr(10)) AS _lines
+    FROM documents
+), flags AS (
+    SELECT doc_id,
+           (len(_toks) >= 50 AND len(_toks) <= 100000
+            AND list_sum(list_transform(_toks, w -> length(w))) >= 3 * len(_toks)
+            AND list_sum(list_transform(_toks, w -> length(w))) <= 10 * len(_toks)
+            AND ((length(_raw) - length(replace(_raw, '#', '')))
+                 + (length(_raw) - length(replace(_raw, '...', ''))) / 3) * 10
+                <= greatest(len(_toks), 1)
+            AND len(list_filter(_lines, l -> starts_with(l, '•') OR starts_with(l, '- '))) * 10
+                < greatest(len(_lines), 1) * 9
+            AND len(list_filter(_lines, l -> ends_with(l, '...'))) * 10
+                < greatest(len(_lines), 1) * 3
+            AND len(list_filter(_toks, w -> regexp_matches(w, '[a-z]'))) * 10
+                >= greatest(len(_toks), 1) * 8
+            AND len(list_filter(_toks, w -> w IN
+                ('the','be','to','of','and','that','have','with'))) >= 2
+           ) AS keep
+    FROM base
+), kept AS (
+    SELECT b.doc_id, b.lang, b.text, b._toks
+    FROM base b JOIN flags f ON b.doc_id = f.doc_id AND f.keep
+), dedup AS (
+    SELECT k.* FROM kept k JOIN (
+        SELECT MIN(doc_id) AS keep_id
+        FROM kept
+        GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ) s ON k.doc_id = s.keep_id
+), counts AS (
+    SELECT lang, COUNT(*) AS cnt FROM dedup GROUP BY lang
+), m AS (
+    SELECT MIN(cnt) AS mn FROM counts
+), thr AS (
+    SELECT lang, CAST(GREATEST(1, (mn * 10000) // cnt) AS BIGINT) AS t
+    FROM counts, m
+), balanced AS (
+    SELECT d.* FROM dedup d JOIN thr USING (lang)
+    WHERE CAST(('0x' || substr(md5('rebalance42:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000 < thr.t
+), assigned AS (
+    SELECT lang, _toks,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT lang, _toks,
+               CAST(('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS b
+        FROM balanced
+    )
+)
+SELECT lang, split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(_toks)) AS BIGINT) AS total_words
+FROM assigned
+GROUP BY lang, split
+""",
+)
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data prep chain as ONE driver-verified
+    surface (the composition precedent of weekly_activity_panel,
+    applied to the corpus tier): Gopher quality gate → exact dedup
+    (min-id survivor per normalized-text fingerprint) → language
+    rebalance (corpus-derived integer keep thresholds) → deterministic
+    train/valid/test split → the resulting DATA CARD (docs + whitespace
+    tokens per (lang, split)). Every stage is an already-oracle-checked
+    operator; the composed oracle re-derives the WHOLE funnel —
+    including the rebalance thresholds, which here come from the
+    POST-filter POST-dedup corpus, not the raw table — so a drift in
+    any stage (or in how stages hand off) flips the hash. Stages use
+    DISTINCT hash seeds ('rebalance42:', 'split42:'): composing two
+    salted-hash stages with the SAME seed correlates them (a rebalance
+    threshold below 80% of the bucket space would otherwise push every
+    surviving document into 'train'). Scale shape: the corpus flows
+    map-side through flags → one fp aggregate + semi-join → broadcast
+    thresholds → projection split → one final aggregate; nothing
+    pairwise, one doc-keyed shuffle for the dedup."""
+    from .functions.text import token_count
+    from .operators.corpus import gopher_quality_flags
+    from .operators.dedup import dedup_exact
+    from .operators.sampling import assign_split, rebalance_sample
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    kept = docs.join(
+        gopher_quality_flags(docs).filter("keep").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    deduped = dedup_exact(kept)
+    balanced = rebalance_sample(
+        deduped, strata_col="lang", id_col="doc_id", seed="rebalance42"
+    )
+    assigned = assign_split(balanced, "doc_id", seed="split42")
+    return assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_words"),
+    )
+
+
+@register(
+    "file_roundtrip_ingest",
+    """
+SELECT 'jsonl' AS fmt, lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+FROM documents
+GROUP BY lang, source
+UNION ALL
+SELECT 'orc' AS fmt, lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+FROM documents
+GROUP BY lang, source
+""",
+)
+def q_file_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-format roundtrip through BOTH sinks in ONE gate —
+    the r10 verdict's registry-headroom merge of
+    ``orc_roundtrip_ingest`` (r07) + ``jsonl_roundtrip_ingest`` (r08);
+    every assertion of both retired gates survives as one format row
+    set here, now with the stronger of the two aggregates (the JSONL
+    gate's ``total_text_len``) applied to BOTH formats.
+
+    Format 'orc' (sources/readers.read_orc/write_orc): the documents
+    table is written to a lang-PARTITIONED ORC layout (the Hive/Trino
+    estate format) and read back; stripe splits parallelize the
+    re-read the way parquet row groups do. Format 'jsonl'
+    (read_jsonl_corpus/write_jsonl_corpus, schema-first FAILFAST): the
+    wire format text corpora actually ship in (The Pile / Dolma / CC
+    derivatives); newline-split files parallelize the re-read without
+    fan_out. The oracle aggregates the parquet source directly, so
+    equality proves each sink+source pair preserves rows, types, the
+    partition column, AND the text payload byte length end-to-end (a
+    lost escape or mangled unicode shifts total_text_len)."""
+    import shutil
+    import tempfile
+
+    from .sources.readers import (
+        read_jsonl_corpus,
+        read_orc,
+        write_jsonl_corpus,
+        write_orc,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="finmarket_fmt_rt_")
+
+    def _agg(back: DataFrame, fmt: str) -> DataFrame:
+        return (
+            back.groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.sum(F.length("text")).alias("total_text_len"),
+            )
+            .select(F.lit(fmt).alias("fmt"), "*")
+        )
+
+    try:
+        write_orc(docs, f"{tmp}/documents_orc", partition_by=("lang",))
+        write_jsonl_corpus(docs, f"{tmp}/documents_jsonl")
+        out = _agg(read_orc(spark, f"{tmp}/documents_orc"), "orc").unionByName(
+            _agg(
+                read_jsonl_corpus(
+                    spark, f"{tmp}/documents_jsonl", docs.schema
+                ),
+                "jsonl",
+            )
+        )
+        return out.localCheckpoint()  # materialize before tmp cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "embedding_contrastive_negatives",
+    """
+WITH cands AS (
+    SELECT CAST(('0x' || substr(md5('negs:b:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS bkt,
+           vec_id AS neg_id, label AS neg_label
+    FROM embeddings
+), anchors AS (
+    SELECT vec_id AS anchor_id, label AS anchor_label,
+           CAST(('0x' || substr(md5('negs:p:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS bkt
+    FROM embeddings
+), pairs AS (
+    SELECT a.anchor_id, a.anchor_label, c.neg_id, c.neg_label,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY CAST(('0x' || substr(md5(
+                   'negs:r:' || CAST(a.anchor_id AS VARCHAR) || ':'
+                             || CAST(c.neg_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+                        c.neg_id ASC
+           ) AS rnk
+    FROM anchors a JOIN cands c USING (bkt)
+    WHERE a.anchor_label != c.neg_label
+)
+SELECT anchor_id, anchor_label, neg_id, neg_label,
+       CAST(rnk AS INT) AS neg_rank
+FROM pairs WHERE rnk <= 3
+""",
+)
+def q_embedding_contrastive_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic contrastive negative sampling
+    (operators/sampling.contrastive_negatives): per anchor vector, 3
+    cross-label negatives from ONE salted-hash candidate bucket — the
+    auditable, reproducible negative draw an embedding-training pipeline
+    needs, with pair fan-out bounded by N/buckets per anchor (buckets
+    scales with the table; never N^2). All randomness is the sampling
+    module's one md5 kernel, mirrored verbatim by the oracle."""
+    from .operators.sampling import contrastive_negatives
+
+    return contrastive_negatives(
+        load_fixture(spark, sf_dir, "embeddings"), k=3, buckets=32
+    )
+
+
+@register(
+    "term_heavy_hitters",
+    f"""
+SELECT term, n FROM (
+    SELECT u.term AS term, COUNT(*) AS n
+    FROM documents, unnest({_TOKS_SQL}) AS u(term)
+    WHERE length(u.term) >= 1
+    GROUP BY u.term
+) ORDER BY n DESC, term ASC LIMIT 20
+""",
+)
+def q_term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass heavy hitters (operators/sketches.heavy_hitters): pass 1
+    runs bounded-memory Misra-Gries summaries per partition (map-only
+    Arrow, NO shuffle of the occurrence stream), whose union contains
+    every term with count > N/capacity by the averaging argument; pass 2
+    exact-counts ONLY the candidate set behind a broadcast semi-join.
+    The oracle is the plain exact top-20 — equality proves the sketch
+    pass lost nothing. capacity=4096 >> fixture vocab, so the guarantee
+    holds with margin; the adversarial bound is pinned in pytest."""
+    from .operators.sketches import heavy_hitters
+
+    return heavy_hitters(
+        load_fixture(spark, sf_dir, "documents"), k=20, capacity=4096
+    )
+
+
+@register(
+    "weekly_value_quantile_rollup",
+    """
+WITH binned AS (
+    SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+           LEAST(255, GREATEST(0, CAST(FLOOR(value / 4.0) AS INT))) AS b,
+           COUNT(*) AS c
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), cum AS (
+    SELECT week, b, c,
+           SUM(c) OVER (PARTITION BY week ORDER BY b) AS cumc,
+           SUM(c) OVER (PARTITION BY week) AS n
+    FROM binned
+)
+SELECT week,
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       MIN(CASE WHEN cumc >= FLOOR((50 * n + 99) / 100.0)
+                THEN b * 4.0 END) AS p50_est,
+       MIN(CASE WHEN cumc >= FLOOR((95 * n + 99) / 100.0)
+                THEN b * 4.0 END) AS p95_est
+FROM cum GROUP BY week
+""",
+)
+def q_weekly_value_quantile_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable-histogram quantile rollup (plans/analytics.py
+    value_histogram_daily_sketches ∘ histogram_rollup_quantiles): the
+    order-statistics sibling of the HLL rollup — exact quantiles do not
+    pre-aggregate, fixed-bin counts DO, so weekly p50/p95 estimates read
+    off merged <=256-row daily histograms instead of rescanning raw
+    events (one-bin-width error bound, pinned vs exact percentiles in
+    pytest). Bin and rank arithmetic are engine-exact (power-of-two bin
+    width; integer-derived ceil ranks), so the oracle mirrors the
+    estimates to the bit."""
+    from .plans.analytics import (
+        histogram_rollup_quantiles,
+        value_histogram_daily_sketches,
+    )
+
+    daily = value_histogram_daily_sketches(
+        load_fixture(spark, sf_dir, "events")
+    )
+    return histogram_rollup_quantiles(daily)
+
+
+@register(
+    "token_budget_corpus_select",
+    """
+WITH scored AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 3 THEN NULL
+                ELSE CAST(doc_id % 7 AS DOUBLE) END AS score,
+           10 + doc_id % 23 AS n_tokens
+    FROM documents
+), ranked AS (
+    SELECT doc_id,
+           SUM(n_tokens) OVER (
+               ORDER BY score DESC NULLS LAST, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM scored
+), mid AS (
+    SELECT CAST(SUM(n_tokens) * 2 / 5 AS BIGINT) + 7 AS b FROM scored
+)
+SELECT 'mid' AS variant, doc_id FROM ranked WHERE cum <= (SELECT b FROM mid)
+UNION ALL
+SELECT 'all' AS variant, doc_id FROM ranked
+""",
+)
+def q_token_budget_corpus_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOKEN-BUDGET corpus selection HARD GATE
+    (operators/corpus.token_budget_select) — the step every published
+    data-mixing recipe ends with once quality scores exist ("take the
+    best docs until N tokens"), the last corpus operator whose
+    correctness rested only on a pytest differential (r11 verdict #2).
+    Scores and token counts are planted from doc_id arithmetic: score
+    = doc_id % 7 (large tie groups, so bucket boundaries MUST respect
+    ties and the boundary cut MUST tie-break on id), score = NULL on
+    every doc_id % 11 = 3 (the r11 ADVICE case: NULLs must sort LAST,
+    not first), n_tokens = 10 + doc_id % 23. Three budgets run through
+    the ONE operator: 0 (selects nothing), a mid budget at 40% of
+    total + 7 (derived by the same arithmetic on both sides — lands
+    INSIDE a tie group, forcing the id-tiebreak boundary cut), and
+    over-total (selects everything, short-circuit path). Output is the
+    full per-doc membership (variant, doc_id), so the driver hash pins
+    the EXACT selected set of each variant — any greedy-order drift
+    (tie handling, NULL placement, boundary doc inclusion) flips it.
+    The oracle is the naive corpus-wide running-sum window — exactly
+    the single-partition plan the operator's bucketed design avoids;
+    auto-sized n_buckets (max_bucket_rows=500 here) keeps the
+    engine-side boundary sort a bounded task at any corpus size."""
+    from .operators.corpus import token_budget_select
+
+    docs = load_fixture(spark, sf_dir, "documents").select("doc_id")
+    scored = fan_out(docs, "doc_id").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 3, F.lit(None).cast("double"))
+        .otherwise((F.col("doc_id") % 7).cast("double"))
+        .alias("score"),
+        (F.lit(10) + F.col("doc_id") % 23).alias("n_tokens"),
+    )
+    total = scored.agg(F.sum("n_tokens")).first()[0]
+    budgets = [("mid", int(total) * 2 // 5 + 7), ("all", int(total) + 1)]
+    picked = None
+    for label, b in [("zero", 0)] + budgets:
+        sel = token_budget_select(
+            scored, budget=b, max_bucket_rows=500
+        ).select(F.lit(label).alias("variant"), "doc_id")
+        picked = sel if picked is None else picked.unionAll(sel)
+    return picked
+
+
+@register(
+    "image_cdc_crop_near_dups",
+    """
+SELECT COUNT(*) * 3 AS n_images,
+       COUNT(*) * 3 AS n_pairs,
+       true AS pairs_within_family,
+       true AS families_fully_paired
+FROM documents
+WHERE doc_id % 16 = 7
+""",
+)
+def q_image_cdc_crop_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ARBITRARY-OFFSET image crop near-dup via per-row CONTENT-DEFINED
+    segmentation (multimodal/phash.py image_row_cdc_hashes ∘ the shared
+    tile set-overlap machinery at max_hamming=0) — closes the r11
+    coverage gap (What's missing #2): the tile tiers recover only crops
+    congruent to 0 or tile/2 (mod 32), and this fixture's crop offset
+    (17, 23) is deliberately OFF both phases in BOTH axes — exactly the
+    case the phase-grid gate pins as honest degradation (the closing
+    pytest re-pins it on these members), while row-CDC boundaries are
+    chosen by a Gear rolling hash of each ROW's content, so every crop
+    row (a contiguous substring of an original row) re-synchronizes at
+    its first full-context anchor and its interior segments hash
+    identically. Every 16th document seeds a 3-member family: (a) a
+    128x128 grayscale PNG of md5(text)-stream pixels, (b) a PNG of its
+    96x96 crop at offset (17, 23), (c) a GIF palette re-encode of the
+    same crop (identical luma → identical segments BY ARITHMETIC).
+    Measured overlap across 40 lattice seeds: worst 0.80 crop↔full,
+    1.0 crop↔crop, 0.0 cross-family — the 0.5 gate threshold sits far
+    from both sides. The oracle PREDICTS the outcome: 3n images with
+    >= 1 segment (a quarantine shrinks the count), exactly 3
+    within-family pairs per family, none cross-family. The signature
+    stage is map-only Arrow; the pair stage is the ONE shared
+    block-bounded equi-join."""
+    from .fixtures import tile_crop_family_members
+    from .multimodal.phash import (
+        image_row_cdc_hashes,
+        image_tile_near_dup_pairs,
+    )
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 16 == 7
+        ),
+        "doc_id",
+    )
+    n_docs = docs.count()
+    media = docs.select("doc_id", "text").mapInPandas(
+        _family_media_builder(tile_crop_family_members(17, 23)),
+        "doc_id long, payload binary",
+    )
+    # the segment frame feeds the count AND the overlap self-join:
+    # eager checkpoint so decode + ~1.6k md5s per image run exactly once
+    sigs = image_row_cdc_hashes(media).localCheckpoint()
+    n_images = sigs.select("doc_id").distinct().count()
+    fam = image_tile_near_dup_pairs(
+        sigs, sig_col="sig", max_hamming=0, min_match_frac=0.5
+    ).select(
+        (F.col("id_a") / 10).cast("long").alias("fam_a"),
+        (F.col("id_b") / 10).cast("long").alias("fam_b"),
+    )
+    per_fam = fam.groupBy("fam_a").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
+    )
+    row = per_fam.agg(
+        F.sum("cnt").alias("n_pairs"),
+        F.min("within").alias("pairs_within_family"),
+        (
+            F.min((F.col("cnt") == 3) & F.col("within"))
+            & (F.count(F.lit(1)) == F.lit(n_docs))
+        ).alias("families_fully_paired"),
+    ).first()
+    return spark.createDataFrame(
+        [(n_images, row["n_pairs"], row["pairs_within_family"],
+          row["families_fully_paired"])],
+        "n_images long, n_pairs long, pairs_within_family boolean, "
+        "families_fully_paired boolean",
+    )
+
+
+@register(
+    "image_mirror_canonical_near_dups",
+    """
+SELECT 'canonical' AS variant,
+       COUNT(*) * 3 AS n_images,
+       COUNT(*) * 3 AS n_pairs,
+       true AS pairs_within_family,
+       true AS families_fully_paired
+FROM documents
+WHERE doc_id % 18 = 4
+UNION ALL
+SELECT 'plain' AS variant,
+       COUNT(*) * 3 AS n_images,
+       COUNT(*) AS n_pairs,
+       true AS pairs_within_family,
+       false AS families_fully_paired
+FROM documents
+WHERE doc_id % 18 = 4
+""",
+)
+def q_image_mirror_canonical_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIRROR-canonical image signatures HARD GATE
+    (multimodal/phash.py _mirror_canonical_kernel via
+    image_dhash(mirror_canonical=True)) — promotes the r11
+    pytest-only tier to the driver ledger (r11 verdict #4). Every
+    18th document seeds a 3-member family (fixtures.
+    mirror_family_members): (a) a 32x32 grayscale PNG of
+    md5(text)-stream pixels, (b) a PNG of its LEFT-RIGHT mirror, (c) a
+    GIF palette re-encode of the mirror (identical flipped luma). Both
+    variants run the SAME families through the SAME max_hamming=0
+    exact pair machinery (the full-width-block path of the pigeonhole
+    join): variant 'canonical' hashes with mirror_canonical=True —
+    min(hash, flipped-hash) collapses all three members BY ARITHMETIC
+    (flip of flip is the original buffer), 3 pairs per family, fully
+    paired; variant 'plain' hashes with the default kernel and finds
+    ONLY the (b)↔(c) identical-luma pair — 1 per family, fully_paired
+    FALSE — pinning the exact gap the option closes in the ledger
+    itself (the closing-test pattern, driver-run). DIHEDRAL residual,
+    decided (r11 verdict #4): vertical flips and 90° rotations stay
+    PERMANENTLY out of scope of this tier — rotations change the
+    aspect ratio and the 8-transform canonical min would 8x the hash
+    bill for a transform far rarer in crawl data than the mirror;
+    tests/test_phash.py pins vertical-flip divergence as the honest
+    boundary. Near-radius instability of min() is documented in the
+    kernel docstring and pinned in tests — canonical signatures are
+    an exact-match tier by contract."""
+    from .fixtures import mirror_family_members
+    from .multimodal.phash import image_dhash
+
+    docs = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 18 == 4
+        ),
+        "doc_id",
+    )
+    n_docs = docs.count()
+    media = docs.select("doc_id", "text").mapInPandas(
+        _family_media_builder(mirror_family_members()),
+        "doc_id long, payload binary",
+    )
+    rows = []
+    for variant, canonical in (("canonical", True), ("plain", False)):
+        # the hash frame feeds the count AND the exact self-join:
+        # eager checkpoint so decode + (2x) dhash runs exactly once
+        fps = image_dhash(
+            media, mirror_canonical=canonical
+        ).localCheckpoint()
+        rows.append(
+            (variant,)
+            + _family_pair_outcome(
+                fps, sig_col="dhash", n_docs=n_docs, max_hamming=0
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "variant string, n_images long, n_pairs long, "
+        "pairs_within_family boolean, families_fully_paired boolean",
+    )
+
+
+@register(
+    "audio_cdc_gain_near_dups",
+    """
+SELECT COUNT(*) * 3 AS n_clips,
+       COUNT(*) * 3 AS n_pairs,
+       true AS pairs_within_family,
+       true AS families_fully_paired
+FROM documents
+WHERE doc_id % 17 = 12
+""",
+)
+def q_audio_cdc_gain_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GAIN-ROBUST arbitrary-offset audio near-dup via SIGN-ANCHORED
+    content-defined segmentation (multimodal/audio.py
+    audio_cdc_fingerprints(anchor="sign") ∘ the shared set-overlap
+    pair machinery) — closes the last cell of the audio robustness
+    matrix (r11 verdict #6): the amplitude-anchored CDC tier is exact
+    for trims but loses every anchor to a gain change (its own
+    docstring's honesty note), while the whole-clip kernel is
+    gain-invariant but not trim-robust. Sign anchoring gets both: a
+    positive gain preserves every downmixed sample's SIGN, so the
+    Gear stream — and hence every boundary — is identical on the
+    scaled copy, and the per-segment band-energy-sign fingerprint is
+    gain-invariant BY ARITHMETIC (energies scale by c^2, the double-
+    difference sign survives), so shared segments match at Hamming 0
+    with no tolerance. Every 17th document seeds a 3-member family
+    (fixtures.wav_cdc_gain_family_members): (a) a 2 s / 8 kHz lattice
+    clip, (b) its GAIN-DOUBLED arbitrary-offset trim (1234 front /
+    777 back — off the fixed-window grid), (c) a stereo channel-dup
+    of the gain-trim. Measured overlap across 40 lattice seeds: worst
+    0.90 trim↔full, 1.0 trim↔stereo, 0.0 cross-family — far from the
+    0.5 threshold on both sides; the closing pytest pins the
+    amplitude-anchored tier finding NOTHING on the same members. The
+    oracle PREDICTS the outcome: 3n clips with >= 1 segment, exactly
+    3 within-family pairs per family, none cross-family."""
+    from .fixtures import wav_cdc_gain_family_members
+    from .multimodal.audio import (
+        audio_cdc_fingerprints,
+        audio_window_near_dup_pairs,
+    )
+
+    media = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 17 == 12
+        ),
+        "doc_id",
+    ).select("doc_id", "text")
+    n_docs = media.count()
+    media = media.mapInPandas(
+        _family_media_builder(wav_cdc_gain_family_members()),
+        "doc_id long, payload binary",
+    )
+    # the segment frame feeds the count AND the overlap self-join:
+    # eager checkpoint so decode + per-segment FFTs run exactly once
+    sigs = audio_cdc_fingerprints(media, anchor="sign").localCheckpoint()
+    n_clips = sigs.select("doc_id").distinct().count()
+    fam = audio_window_near_dup_pairs(
+        sigs, max_hamming=4, min_match_frac=0.5
+    ).select(
+        (F.col("id_a") / 10).cast("long").alias("fam_a"),
+        (F.col("id_b") / 10).cast("long").alias("fam_b"),
+    )
+    per_fam = fam.groupBy("fam_a").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
+    )
+    row = per_fam.agg(
+        F.sum("cnt").alias("n_pairs"),
+        F.min("within").alias("pairs_within_family"),
+        (
+            F.min((F.col("cnt") == 3) & F.col("within"))
+            & (F.count(F.lit(1)) == F.lit(n_docs))
+        ).alias("families_fully_paired"),
+    ).first()
+    return spark.createDataFrame(
+        [(n_clips, row["n_pairs"], row["pairs_within_family"],
+          row["families_fully_paired"])],
+        "n_clips long, n_pairs long, pairs_within_family boolean, "
+        "families_fully_paired boolean",
+    )
