@@ -367,14 +367,21 @@ def _percent_decode_unreserved(c: Column) -> Column:
     construction — a decoded character is never re-examined, so nested
     double-encodings (``%2541`` → ``%41``) survive one level per
     canonicalization, the documented residual (decoding ``%25`` itself
-    is NOT semantics-preserving; it is the escape character)."""
+    is NOT semantics-preserving; it is the escape character).
+
+    The ~90-replace chain is gated behind a per-row ``contains('%')``
+    branch: most crawl urls carry no percent-encoding at all, so the
+    common path pays ONE substring scan and only the encoded minority
+    walks the chain (measured on the 500k-doc crawl decade: the
+    unguarded chain added ~85% to the url_dedup stage wall)."""
+    decoded = c
     for ch in _UNRESERVED:
         hi = "%%%02X" % ord(ch)
-        c = F.replace(c, F.lit(hi), F.lit(ch))
+        decoded = F.replace(decoded, F.lit(hi), F.lit(ch))
         lo = hi.lower()
         if lo != hi:
-            c = F.replace(c, F.lit(lo), F.lit(ch))
-    return c
+            decoded = F.replace(decoded, F.lit(lo), F.lit(ch))
+    return F.when(c.contains("%"), decoded).otherwise(c)
 
 
 def canonicalize_url(col: Column | str) -> Column:

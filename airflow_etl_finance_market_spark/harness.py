@@ -83,10 +83,30 @@ def register(name: str, oracle: str | None = None):
 #: (Round-11 history — seven merges funding 11 rule-1/rule-2 slots —
 #: lives in the r11 ledger and VERDICT_r11; the merged gates' docstrings
 #: carry their retirement rationales.)
+#:
+#: LATE-r12 addendum — the round's 4 new gates are PAIRED with
+#: retirements after all (the r11 verdict's growth rule): TWO merges,
+#: each with its rationale in the successor's docstring:
+#:   - image_tile_crop_near_dups + image_tile_phase_crop_near_dups ->
+#:     image_tile_multi_crop_near_dups (one tile kernel feeds both;
+#:     variant rows 'aligned'/'phase'; the off-both-phases residual is
+#:     now covered by image_cdc_crop_near_dups, completing the crop
+#:     lattice);
+#:   - audio_window_trim_near_dups + audio_cdc_trim_near_dups ->
+#:     audio_trim_multi_near_dups (same pipeline, two segmentation
+#:     kernels as variant rows 'window'/'cdc').
+#: Registry 144 -> 142. Slot math: tile_crop was LIVE (r09 backbone —
+#: its 'aligned' variant IS that refresh under the successor's name),
+#: phase_crop/window_trim leave the r13 backbone (46 -> 44), cdc_trim
+#: leaves the r14 cohort; both successors are live under rule 1, and
+#: top_avg_volatility returns to the r13 backbone (45 total there) to
+#: keep the live window at exactly 50.
 _WINDOW_DEMOTED = [
     # --- r10-green, trail 2 at r12: the PRE-COMMITTED r13 backbone
-    # (all 46 MUST be live the moment CORRECTNESS_r13.json lands;
-    # top_avg_volatility was refreshed early at r12) ---
+    # (all 45 MUST be live the moment CORRECTNESS_r13.json lands;
+    # top_avg_volatility re-enters here after its early r12 refresh;
+    # phase_crop/window_trim retired into the late-r12 merges above) ---
+    "top_avg_volatility",
     "pricing_summary",
     "ticker_metrics",
     "volume_leaders",
@@ -126,8 +146,6 @@ _WINDOW_DEMOTED = [
     "multimodal_video_frames_real",
     "doc_paragraph_dedup",
     "media_pair_bucket_audit",
-    "audio_window_trim_near_dups",
-    "image_tile_phase_crop_near_dups",
     "multimodal_corpus_prep_full",
     "embedding_semantic_dedup",
     "gopher_quality_flags",
@@ -172,7 +190,6 @@ _WINDOW_DEMOTED = [
     "audio_multi_near_dups",
     "html_text_extract",
     "c4_line_filter",
-    "audio_cdc_trim_near_dups",
     "dsir_importance_weights",
     "bpe_pipeline",
     "weekly_user_kmv_rollup",

@@ -1001,109 +1001,18 @@ def q_media_pair_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "audio_window_trim_near_dups",
+    "audio_trim_multi_near_dups",
     """
-SELECT COUNT(*) * 3 AS n_clips,
+SELECT 'window' AS variant,
+       COUNT(*) * 3 AS n_clips,
        COUNT(*) * 3 AS n_pairs,
        true AS pairs_within_family,
        true AS families_fully_paired
 FROM documents
 WHERE doc_id % 14 = 9
-""",
-)
-def q_audio_window_trim_near_dups(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """TRIM-robust audio near-dup via WINDOW-subfingerprint set overlap
-    (multimodal/audio.py audio_window_fingerprints ∘
-    audio_window_near_dup_pairs) — closes the r09 whole-clip-only
-    limitation (What's missing #2): the whole-clip fingerprint slices
-    the ENTIRE clip into 9 segments, so any trim shifts every boundary
-    and the signature diverges; per-window subfingerprints matched as
-    SETS are the published Haitsma-Kalker shape, riding the video/tile
-    gates' overlap machinery wholesale. Every 14th document seeds a
-    3-member family: (a) a 1 s / 8 kHz lattice clip (4 windows of 2000
-    samples), (b) its WINDOW-ALIGNED trim dropping the first window
-    (the 3 surviving windows are byte-identical to the original's —
-    trimmed[i*W:(i+1)*W] == original[(i+1)*W:(i+2)*W], so their
-    subfingerprints match at Hamming 0 BY ARITHMETIC), and (c) a
-    stereo channel-dup of the trim (exact-mean downmix → identical
-    windows). Overlap fractions: trim↔full = 3/min(4,3) = 1,
-    trim↔trim = 1 — all three pairs pass min_match_frac=0.8, while a
-    cross-family single-window collision contributes at most 1/3 <
-    0.8. The oracle PREDICTS the outcome: 3n clips with >= 1 window
-    (a quarantine shrinks the count), exactly 3 within-family pairs
-    per family, none cross-family. Off-boundary trims degrade
-    honestly (every window shifts) — pinned in tests/test_audio.py,
-    the tile tier's residual-contract pattern."""
-    from .fixtures import wav_trim_family_members
-    from .multimodal.audio import (
-        audio_window_fingerprints,
-        audio_window_near_dup_pairs,
-    )
-
-    _members = wav_trim_family_members()
-
-    def _build(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids, payloads = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for k, payload in enumerate(_members(text)):
-                    ids.append(doc_id * 10 + k)
-                    payloads.append(payload)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "payload": pd.Series(payloads, dtype="object"),
-                }
-            )
-
-    docs = fan_out(
-        load_fixture(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % 14 == 9
-        ),
-        "doc_id",
-    )
-    n_docs = docs.count()
-    media = docs.select("doc_id", "text").mapInPandas(
-        _build, "doc_id long, payload binary"
-    )
-    # the window frame feeds the count AND the overlap self-join: eager
-    # checkpoint so decode + 3-4 window FFTs per clip run exactly once
-    sigs = audio_window_fingerprints(media).localCheckpoint()
-    n_clips = sigs.select("doc_id").distinct().count()
-    fam = audio_window_near_dup_pairs(
-        sigs, max_hamming=4, min_match_frac=0.8
-    ).select(
-        (F.col("id_a") / 10).cast("long").alias("fam_a"),
-        (F.col("id_b") / 10).cast("long").alias("fam_b"),
-    )
-    per_fam = fam.groupBy("fam_a").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
-    )
-    row = per_fam.agg(
-        F.sum("cnt").alias("n_pairs"),
-        F.min("within").alias("pairs_within_family"),
-        (
-            F.min((F.col("cnt") == 3) & F.col("within"))
-            & (F.count(F.lit(1)) == F.lit(n_docs))
-        ).alias("families_fully_paired"),
-    ).first()
-    return spark.createDataFrame(
-        [(n_clips, row["n_pairs"], row["pairs_within_family"],
-          row["families_fully_paired"])],
-        "n_clips long, n_pairs long, pairs_within_family boolean, "
-        "families_fully_paired boolean",
-    )
-
-
-@register(
-    "audio_cdc_trim_near_dups",
-    """
-SELECT COUNT(*) * 3 AS n_clips,
+UNION ALL
+SELECT 'cdc' AS variant,
+       COUNT(*) * 3 AS n_clips,
        COUNT(*) * 3 AS n_pairs,
        true AS pairs_within_family,
        true AS families_fully_paired
@@ -1111,178 +1020,111 @@ FROM documents
 WHERE doc_id % 13 = 11
 """,
 )
-def q_audio_cdc_trim_near_dups(
+def q_audio_trim_multi_near_dups(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """ARBITRARY-OFFSET audio near-dup via CONTENT-DEFINED segmentation
-    (multimodal/audio.py audio_cdc_fingerprints ∘ the shared
-    set-overlap pair machinery) — closes the r10 coverage-lattice gap
-    (What's missing #2): the fixed-window tier is exact only for trims
-    aligned to its 2000-sample grid, and this fixture's trims (1234
-    front / 777 back) are deliberately OFF that grid — every fixed
-    window of the trim straddles two of the original's, so the
-    fixed-window overlap is ~0 (the closing pytest pins exactly that
-    on the same members), while CDC boundaries are chosen by a Gear
-    rolling hash of the CONTENT, so the trim's segmentation
-    re-synchronizes at its first interior anchor and its interior
-    segments fingerprint identically to the original's. Every 13th
-    document seeds a 3-member family: (a) a 2 s / 8 kHz lattice clip,
-    (b) its arbitrary-offset trim, (c) a stereo channel-dup of the
-    trim (exact-mean downmix → identical mono stream → identical
-    anchors AND fingerprints). Measured overlap across 120 lattice
-    seeds: worst 0.83 trim↔full, 1.0 trim↔stereo, 0.0 cross-family —
-    the 0.5 gate threshold sits far from both sides. The oracle
-    PREDICTS the outcome: 3n clips with >= 1 segment (a quarantine
-    shrinks the count), exactly 3 within-family pairs per family,
-    none cross-family. Both signature stages map-only Arrow; the pair
+    """TRIM-robust audio near-dup through BOTH segmentation tiers in
+    ONE gate — the r12 registry-headroom merge of
+    ``audio_window_trim_near_dups`` (r09) + ``audio_cdc_trim_near_dups``
+    (r11), the image_phash_multi precedent applied to audio: every
+    assertion of both retired gates survives as one variant row, and
+    both tiers still ride the SAME set-overlap pair machinery.
+    RETIREMENT RATIONALE: the two gates exercised the same
+    fixture-family → fingerprint-stage → block-join → per-family-verdict
+    pipeline differing ONLY in the segmentation kernel and trim
+    lattice; merging pins both kernels under one hash per round instead
+    of two ledger rows, funding the r12 growth (token budget, row-CDC,
+    mirror, gain-CDC gates) per the pair-growth-with-retirements rule.
+
+    Variant 'window' (audio_window_fingerprints ∘
+    audio_window_near_dup_pairs): every 14th document seeds the 3-member
+    WINDOW-ALIGNED trim family (fixtures.wav_trim_family_members — drop
+    the first 2000-sample window; surviving windows byte-identical BY
+    ARITHMETIC, overlap 1.0, threshold 0.8).
+
+    Variant 'cdc' (audio_cdc_fingerprints ∘ the same pair machinery):
+    every 13th document seeds the 3-member ARBITRARY-offset trim family
+    (fixtures.wav_cdc_trim_family_members — 1234 front / 777 back, OFF
+    the window grid; the exact case the window tier pins as honest
+    degradation in tests, re-synced by Gear content anchors; measured
+    worst overlap 0.83 over 120 seeds, threshold 0.5).
+
+    The oracle PREDICTS both outcomes from the construction: 3n clips
+    per variant, exactly 3 within-family pairs per family, none
+    cross-family. Both signature stages map-only Arrow; each pair
     stage is the ONE shared block-bounded equi-join."""
-    from .fixtures import wav_cdc_trim_family_members
+    from .fixtures import (
+        wav_cdc_trim_family_members,
+        wav_trim_family_members,
+    )
     from .multimodal.audio import (
         audio_cdc_fingerprints,
+        audio_window_fingerprints,
         audio_window_near_dup_pairs,
     )
 
-    media = fan_out(
-        load_fixture(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % 13 == 11
-        ),
-        "doc_id",
-    ).select("doc_id", "text")
-    n_docs = media.count()
-    media = media.mapInPandas(
-        _family_media_builder(wav_cdc_trim_family_members()),
-        "doc_id long, payload binary",
-    )
-    # the segment frame feeds the count AND the overlap self-join:
-    # eager checkpoint so decode + per-segment FFTs run exactly once
-    sigs = audio_cdc_fingerprints(media).localCheckpoint()
-    n_clips = sigs.select("doc_id").distinct().count()
-    fam = audio_window_near_dup_pairs(
-        sigs, max_hamming=4, min_match_frac=0.5
-    ).select(
-        (F.col("id_a") / 10).cast("long").alias("fam_a"),
-        (F.col("id_b") / 10).cast("long").alias("fam_b"),
-    )
-    per_fam = fam.groupBy("fam_a").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
-    )
-    row = per_fam.agg(
-        F.sum("cnt").alias("n_pairs"),
-        F.min("within").alias("pairs_within_family"),
-        (
-            F.min((F.col("cnt") == 3) & F.col("within"))
-            & (F.count(F.lit(1)) == F.lit(n_docs))
-        ).alias("families_fully_paired"),
-    ).first()
+    rows = []
+    for variant, mod, rem, members, fp_stage, frac in (
+        ("window", 14, 9, wav_trim_family_members(),
+         audio_window_fingerprints, 0.8),
+        ("cdc", 13, 11, wav_cdc_trim_family_members(),
+         audio_cdc_fingerprints, 0.5),
+    ):
+        media = fan_out(
+            load_fixture(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % mod == rem
+            ),
+            "doc_id",
+        ).select("doc_id", "text")
+        n_docs = media.count()
+        media = media.mapInPandas(
+            _family_media_builder(members), "doc_id long, payload binary"
+        )
+        # the segment frame feeds the count AND the overlap self-join:
+        # eager checkpoint so decode + per-window/segment FFTs run once
+        sigs = fp_stage(media).localCheckpoint()
+        n_clips = sigs.select("doc_id").distinct().count()
+        fam = audio_window_near_dup_pairs(
+            sigs, max_hamming=4, min_match_frac=frac
+        ).select(
+            (F.col("id_a") / 10).cast("long").alias("fam_a"),
+            (F.col("id_b") / 10).cast("long").alias("fam_b"),
+        )
+        per_fam = fam.groupBy("fam_a").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
+        )
+        row = per_fam.agg(
+            F.sum("cnt").alias("n_pairs"),
+            F.min("within").alias("within"),
+            (
+                F.min((F.col("cnt") == 3) & F.col("within"))
+                & (F.count(F.lit(1)) == F.lit(n_docs))
+            ).alias("fully"),
+        ).first()
+        rows.append(
+            (variant, n_clips, row["n_pairs"], row["within"], row["fully"])
+        )
     return spark.createDataFrame(
-        [(n_clips, row["n_pairs"], row["pairs_within_family"],
-          row["families_fully_paired"])],
-        "n_clips long, n_pairs long, pairs_within_family boolean, "
-        "families_fully_paired boolean",
+        rows,
+        "variant string, n_clips long, n_pairs long, "
+        "pairs_within_family boolean, families_fully_paired boolean",
     )
 
 
 @register(
-    "image_tile_crop_near_dups",
+    "image_tile_multi_crop_near_dups",
     """
-SELECT COUNT(*) * 3 AS n_images,
+SELECT 'aligned' AS variant,
+       COUNT(*) * 3 AS n_images,
        COUNT(*) * 3 AS n_pairs,
        true AS pairs_within_family,
        true AS families_fully_paired
 FROM documents
 WHERE doc_id % 13 = 6
-""",
-)
-def q_image_tile_crop_near_dups(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """CROP-tolerant image near-dup via TILE-hash set overlap
-    (multimodal/phash.py image_tile_dhash ∘ image_tile_near_dup_pairs)
-    — closes the r08 crop-limitation contract (tests pinned that
-    neither whole-image dHash nor DCT pHash finds a crop; per-tile
-    signatures + the video gate's overlap machinery DO). Every 13th
-    document seeds a 3-member family: (a) a 128x128 grayscale PNG of
-    md5(text)-stream pixels (4x4 = 16 distinct 32x32 tiles), (b) a PNG
-    of its TILE-ALIGNED 96x96 interior crop (offset 32,32 — the 9
-    surviving tiles are byte-identical to the original's interior
-    tiles, so they match at Hamming 0 BY ARITHMETIC), and (c) a GIF
-    palette re-encode of the same crop (identical luma). Overlap
-    fractions: crop↔full = 9/min(16,9) = 1, crop↔crop = 1 — all three
-    pairs pass min_match_frac=0.8, while a cross-family single-tile
-    collision contributes at most 1/9 < 0.8. The oracle PREDICTS the
-    outcome: 3n images hashed, exactly 3 within-family pairs per
-    family, none cross-family. Off-alignment crops degrade gracefully
-    (gradient signs drift) — the honest residual pinned in
-    tests/test_phash.py."""
-    from .fixtures import tile_crop_family_members
-    from .multimodal.phash import (
-        image_tile_dhash,
-        image_tile_near_dup_pairs,
-    )
-
-    _members = tile_crop_family_members()
-
-    def _build(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids, payloads = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for k, payload in enumerate(_members(text)):
-                    ids.append(doc_id * 10 + k)
-                    payloads.append(payload)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "payload": pd.Series(payloads, dtype="object"),
-                }
-            )
-
-    docs = fan_out(
-        load_fixture(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % 13 == 6
-        ),
-        "doc_id",
-    )
-    n_docs = docs.count()
-    media = docs.select("doc_id", "text").mapInPandas(
-        _build, "doc_id long, payload binary"
-    )
-    # the tile frame feeds the count AND the overlap self-join: eager
-    # checkpoint so decode + 16-25 dHashes per image run exactly once
-    sigs = image_tile_dhash(media).localCheckpoint()
-    n_images = sigs.select("doc_id").distinct().count()
-    fam = image_tile_near_dup_pairs(
-        sigs, max_hamming=4, min_match_frac=0.8
-    ).select(
-        (F.col("id_a") / 10).cast("long").alias("fam_a"),
-        (F.col("id_b") / 10).cast("long").alias("fam_b"),
-    )
-    per_fam = fam.groupBy("fam_a").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
-    )
-    row = per_fam.agg(
-        F.sum("cnt").alias("n_pairs"),
-        F.min("within").alias("pairs_within_family"),
-        (
-            F.min((F.col("cnt") == 3) & F.col("within"))
-            & (F.count(F.lit(1)) == F.lit(n_docs))
-        ).alias("families_fully_paired"),
-    ).first()
-    return spark.createDataFrame(
-        [(n_images, row["n_pairs"], row["pairs_within_family"],
-          row["families_fully_paired"])],
-        "n_images long, n_pairs long, pairs_within_family boolean, "
-        "families_fully_paired boolean",
-    )
-
-
-@register(
-    "image_tile_phase_crop_near_dups",
-    """
-SELECT COUNT(*) * 3 AS n_images,
+UNION ALL
+SELECT 'phase' AS variant,
+       COUNT(*) * 3 AS n_images,
        COUNT(*) * 3 AS n_pairs,
        true AS pairs_within_family,
        true AS families_fully_paired
@@ -1290,95 +1132,94 @@ FROM documents
 WHERE doc_id % 15 = 8
 """,
 )
-def q_image_tile_phase_crop_near_dups(
+def q_image_tile_multi_crop_near_dups(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """MISALIGNED-crop image near-dup via the TWO-PHASE tile grid
-    (multimodal/phash.py image_tile_dhash with phase_offsets=((0,0),
-    (16,16)) ∘ image_tile_near_dup_pairs) — closes the r09 residual
-    (What's missing #1: real-world crops are rarely 32-px aligned; the
-    single-phase tier recovers only tile-aligned ones). Every 15th
-    document seeds a 3-member family: (a) a 128x128 grayscale PNG of
-    md5(text)-stream pixels, (b) a PNG of its 96x96 crop at offset
-    (16, 16) — OFF the 32-px base grid but exactly on the tile/2
-    phase, so the crop's phase-0 tiles are byte-identical to the
-    original's phase-16 tiles (9 of them) and the crop's phase-16
-    tiles to the original's phase-0 interior (4) — and (c) a GIF
-    palette re-encode of the same crop (identical luma). Signature
-    sets: original 16+9 = 25, crop 9+4 = 13, every crop signature
-    matched in the original at Hamming 0 BY ARITHMETIC → overlap
-    fractions 13/min(25,13) = 1 and crop↔crop = 1, all three pairs
-    past min_match_frac=0.8, cross-family single-tile collisions
-    ≤ a few/13 < 0.8. The oracle PREDICTS the outcome: 3n images
-    hashed, exactly 3 within-family pairs per family, none
-    cross-family. The closing pytest (same data, single phase misses /
-    two phases find) and the off-BOTH-phases honest-degradation
-    residual live in tests/test_phash.py. Cost contract: exactly 2x
-    the hash bytes, pair machinery unchanged."""
+    """CROP-tolerant image near-dup through BOTH tile-grid
+    configurations in ONE gate — the r12 registry-headroom merge of
+    ``image_tile_crop_near_dups`` (r08) + ``image_tile_phase_crop_
+    near_dups`` (r09): every assertion of both retired gates survives
+    as one variant row; same kernel (image_tile_dhash), same pair
+    machinery (image_tile_near_dup_pairs), differing ONLY in
+    phase_offsets and the planted crop offset. RETIREMENT RATIONALE:
+    the pair always moved together (one tile kernel feeds both), the
+    merge pins single-phase AND two-phase recovery under one hash per
+    round, and it funds the r12 growth per the
+    pair-growth-with-retirements rule; the arbitrary-offset case both
+    tiers degrade on is now covered by the row-CDC gate
+    (image_cdc_crop_near_dups), completing the crop lattice:
+    aligned / half-phase / ANY offset.
+
+    Variant 'aligned': every 13th document seeds the TILE-ALIGNED
+    3-member family (fixtures.tile_crop_family_members — 96x96 crop at
+    (32, 32); surviving tiles byte-identical BY ARITHMETIC), single
+    (0, 0) phase.
+
+    Variant 'phase': every 15th document seeds the HALF-tile family
+    (crop at (16, 16) — off the base grid, exactly on the tile/2
+    phase), hashed on TWO interleaved grids (phase_offsets=((0, 0),
+    (16, 16))): the crop's phase-0 tiles are byte-identical to the
+    original's phase-16 tiles and vice versa — exactly 2x hash cost,
+    pair machinery unchanged.
+
+    The oracle PREDICTS both outcomes: 3n images per variant, exactly
+    3 within-family pairs per family, none cross-family. Off-BOTH-
+    phases crops remain pinned as this tier's honest degradation in
+    tests/test_phash.py — and recovered by the row-CDC tier."""
     from .fixtures import tile_crop_family_members
     from .multimodal.phash import (
         image_tile_dhash,
         image_tile_near_dup_pairs,
     )
 
-    _members = tile_crop_family_members(crop_x=16, crop_y=16)
-
-    def _build(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids, payloads = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for k, payload in enumerate(_members(text)):
-                    ids.append(doc_id * 10 + k)
-                    payloads.append(payload)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "payload": pd.Series(payloads, dtype="object"),
-                }
-            )
-
-    docs = fan_out(
-        load_fixture(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % 15 == 8
-        ),
-        "doc_id",
-    )
-    n_docs = docs.count()
-    media = docs.select("doc_id", "text").mapInPandas(
-        _build, "doc_id long, payload binary"
-    )
-    # the two-phase tile frame feeds the count AND the overlap
-    # self-join: eager checkpoint so decode + up-to-25 dHashes per
-    # image run exactly once
-    sigs = image_tile_dhash(
-        media, phase_offsets=((0, 0), (16, 16))
-    ).localCheckpoint()
-    n_images = sigs.select("doc_id").distinct().count()
-    fam = image_tile_near_dup_pairs(
-        sigs, max_hamming=4, min_match_frac=0.8
-    ).select(
-        (F.col("id_a") / 10).cast("long").alias("fam_a"),
-        (F.col("id_b") / 10).cast("long").alias("fam_b"),
-    )
-    per_fam = fam.groupBy("fam_a").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
-    )
-    row = per_fam.agg(
-        F.sum("cnt").alias("n_pairs"),
-        F.min("within").alias("pairs_within_family"),
-        (
-            F.min((F.col("cnt") == 3) & F.col("within"))
-            & (F.count(F.lit(1)) == F.lit(n_docs))
-        ).alias("families_fully_paired"),
-    ).first()
+    rows = []
+    for variant, mod, rem, members, phases in (
+        ("aligned", 13, 6, tile_crop_family_members(), ((0, 0),)),
+        ("phase", 15, 8, tile_crop_family_members(16, 16),
+         ((0, 0), (16, 16))),
+    ):
+        docs = fan_out(
+            load_fixture(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % mod == rem
+            ),
+            "doc_id",
+        )
+        n_docs = docs.count()
+        media = docs.select("doc_id", "text").mapInPandas(
+            _family_media_builder(members), "doc_id long, payload binary"
+        )
+        # the tile frame feeds the count AND the overlap self-join:
+        # eager checkpoint so decode + 16-25 dHashes per image run once
+        sigs = image_tile_dhash(
+            media, phase_offsets=phases
+        ).localCheckpoint()
+        n_images = sigs.select("doc_id").distinct().count()
+        fam = image_tile_near_dup_pairs(
+            sigs, max_hamming=4, min_match_frac=0.8
+        ).select(
+            (F.col("id_a") / 10).cast("long").alias("fam_a"),
+            (F.col("id_b") / 10).cast("long").alias("fam_b"),
+        )
+        per_fam = fam.groupBy("fam_a").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.col("fam_a") == F.col("fam_b")).alias("within"),
+        )
+        row = per_fam.agg(
+            F.sum("cnt").alias("n_pairs"),
+            F.min("within").alias("within"),
+            (
+                F.min((F.col("cnt") == 3) & F.col("within"))
+                & (F.count(F.lit(1)) == F.lit(n_docs))
+            ).alias("fully"),
+        ).first()
+        rows.append(
+            (variant, n_images, row["n_pairs"], row["within"],
+             row["fully"])
+        )
     return spark.createDataFrame(
-        [(n_images, row["n_pairs"], row["pairs_within_family"],
-          row["families_fully_paired"])],
-        "n_images long, n_pairs long, pairs_within_family boolean, "
-        "families_fully_paired boolean",
+        rows,
+        "variant string, n_images long, n_pairs long, "
+        "pairs_within_family boolean, families_fully_paired boolean",
     )
 
 
