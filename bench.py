@@ -519,6 +519,26 @@ map/window terms — the decade evidence is that NOTHING in these
 shapes grew super-linearly when the explode/window row counts grew
 10x, which is what their plans (generate + id-keyed agg; one
 8-byte-keyed window) predict.
+
+r12 refreshes (two same-day runs; the committed BENCH_LOCAL is the
+second): run1 headline 12.985 s (regime 0.832 — fast), run2 14.531 s
+(regime 1.197 — the documented host-wide wander, same hour); regime-
+normalized, tools/regime_delta.py reports NOTHING past the noise
+threshold in either run. The crawl decade is now the permanent
+crawl_x100 section. Arbitration on url_canonical_dedup (r11 one-off
+0.849): run1 measured the UNGUARDED ~90-replace percent-decode chain
+at 1.307 (≈1.57 r11-regime units, +85% — a real cost); gating the
+chain behind a per-row contains('%') branch (4x on the decode stage
+at a 10%-encoded mix, 2M urls) brought run2 to 1.440 (≈1.20
+r11-units). The residual ≈ +0.35 r11-units is the gate's OWN r12
+growth — 4-variant quad families (one of them percent-encoded, which
+DOES walk the chain) + the %-scan — a sub-1.5 s overhead-dominated
+stage per the decade's honest reading. r12 tile-section additions
+price the row-CDC tier's honesty claim: cdc_hash 3.711 vs tile_hash
+2.853 and cdc_pairs 10.262 vs tile_pairs 7.203 — ~100x the signature
+VOLUME for ~1.3x the wall at 5k images, because decode dominates at
+this scale; the volume term is what sample_bits buys back when the
+corpus grows (cdc_hash_sampled 3.651, sigs/4).
 """
 
 from __future__ import annotations
@@ -1334,6 +1354,8 @@ def image_tile_section(spark, tmp: str) -> tuple[dict[str, float], int]:
         tile_crop_family_members,
     )
     from airflow_etl_finance_market_spark.multimodal.phash import (
+        image_cdc_crop_near_dup_pairs,
+        image_row_cdc_hashes,
         image_tile_dhash,
         image_tile_near_dup_pairs,
     )
@@ -1407,6 +1429,24 @@ def image_tile_section(spark, tmp: str) -> tuple[dict[str, float], int]:
                     media, phase_offsets=((0, 0), (16, 16))
                 )
             ),
+        ),
+        # r12: the row-CDC arbitrary-offset tier — prices its docstring
+        # honesty claim (an order more signatures than the tile grids:
+        # ~h*w/2^avg_seg_bits per image) and the sample_bits=2 buyback
+        # (2^bits fewer sigs, both copies sampled identically). Same
+        # planted fixture; the pair stage is the shared block join at
+        # max_hamming=0.
+        (
+            "cdc_hash",
+            lambda: _noop(image_row_cdc_hashes(media)),
+        ),
+        (
+            "cdc_hash_sampled",
+            lambda: _noop(image_row_cdc_hashes(media, sample_bits=2)),
+        ),
+        (
+            "cdc_pairs",
+            lambda: _noop(image_cdc_crop_near_dup_pairs(media)),
         ),
     ):
         best = float("inf")

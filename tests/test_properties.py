@@ -542,3 +542,49 @@ def test_html_extract_recovers_words_under_any_tag_nesting(spark, doc):
         .first()["t"]
     )
     assert got == want
+
+
+_scheme = st.sampled_from(["http", "https", "HTTP", "FTP"])
+_host = st.sampled_from(
+    ["E.com", "www.a.B.org", "x.net:8080", "y.io:443", "z.dev:80"]
+)
+_seg = st.sampled_from(
+    ["a", "B", "a b", "%41", "%2d", "%2F", "%20", "%7e", "%2541", "caf%C3%A9"]
+)
+_param = st.sampled_from(
+    ["", "a=1", "b=%41", "utm_source=x", "ref=r", "z=%20", "k%3Dv=2", "a="]
+)
+_frag = st.sampled_from(["", "#f", "#a?x=1", "#%41"])
+
+
+@st.composite
+def _urlish(draw):
+    segs = draw(st.lists(_seg, min_size=0, max_size=3))
+    params = draw(st.lists(_param, min_size=0, max_size=3))
+    path = "".join("/" + s for s in segs) + draw(
+        st.sampled_from(["", "/", "//"])
+    )
+    q = ("?" + "&".join(params)) if params else ""
+    return f"{draw(_scheme)}://{draw(_host)}{path}{q}{draw(_frag)}"
+
+
+@given(urls=st.lists(_urlish(), min_size=1, max_size=24))
+@settings(**SETTINGS)
+def test_canonicalize_url_idempotent_hypothesis(spark, urls):
+    """canon(canon(u)) == canon(u) over generated url soups — scheme
+    case x ports x percent-codes (unreserved, reserved, double-encoded,
+    multi-byte UTF-8) x tracking params x fragment traps (incl. the
+    fragment-interior '?'). The generator deliberately EXCLUDES the
+    documented single-pass residual (a literal '%' immediately followed
+    by encoded hex digits, e.g. '%%34%31') — that residual is pinned as
+    an explicit case in test_corpus_ops instead."""
+    from airflow_etl_finance_market_spark.functions.text import (
+        canonicalize_url,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        "url", canonicalize_url("url").alias("c1")
+    ).select("url", "c1", canonicalize_url("c1").alias("c2"))
+    bad = [r for r in out.collect() if r.c1 != r.c2]
+    assert bad == [], f"non-idempotent: {bad[:5]}"
