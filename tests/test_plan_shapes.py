@@ -651,3 +651,68 @@ def test_windowed_ownership_batch_twin_block_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bit_count" in plan  # the hamming verify stays JVM-side
+
+
+def test_row_cdc_pair_join_reuses_signature_exchange(spark):
+    """The row-CDC pair stage is the ball-0 pigeonhole self-join: both
+    sides must stay PLAN-IDENTICAL so the shuffled exchange is reused
+    (ReusedExchange) and the decode + md5 mapInPandas stage evaluates
+    ONCE — the r10 lesson (an innocent rename silently doubled every
+    media pair chain). Full-width block (max_hamming=0) path."""
+    import hashlib
+
+    from airflow_etl_finance_market_spark.multimodal.binary import (
+        _stdlib_png_codec,
+    )
+    from airflow_etl_finance_market_spark.multimodal.phash import (
+        image_cdc_crop_near_dup_pairs,
+    )
+
+    from airflow_etl_finance_market_spark.fixtures import (
+        image_fixture_primitives,
+    )
+
+    _, _, png_enc, _ = _stdlib_png_codec()
+    noise_pix, crop = image_fixture_primitives()
+    pix = noise_pix(hashlib.md5(b"plan pin").digest(), 96, 96)
+    cr = crop(pix, 96, 13, 7, 64, 64)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(png_enc(96, 96, 1, pix))),
+            (2, bytearray(png_enc(64, 64, 1, cr))),
+        ],
+        "doc_id long, payload binary",
+    )
+    df = image_cdc_crop_near_dup_pairs(media)
+    assert [(r.id_a, r.id_b) for r in df.collect()] == [(1, 2)]
+    # AQE surfaces ReusedExchange only in the FINAL executed plan; the
+    # wall-clock guarantee (signature stage billed once) is also
+    # priced by the bench tile section's cdc entries
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "ReusedExchange" in final
+    assert "CartesianProduct" not in final
+
+
+def test_token_budget_boundary_sort_confined_to_one_bucket(spark, sf_dir):
+    """token_budget_select's scale contract: the corpus-wide path is
+    filter + union (NO global sort); exactly ONE single-partition
+    Window runs, and only over the threshold bucket's slice — the
+    whole point of the bucketed design vs the naive running-sum."""
+    from airflow_etl_finance_market_spark.operators.corpus import (
+        token_budget_select,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 97).cast("double").alias("score"),
+        (F.lit(10) + F.col("doc_id") % 23).alias("n_tokens"),
+    )
+    plan = plan_of(token_budget_select(docs, budget=1000, n_buckets=16))
+    assert plan.count("Window") == 1
+    # the wholesale side is a pushed filter over the bucket expression,
+    # never a sort: the ONLY Sort in the plan is the window's own
+    assert plan.count("Sort ") <= 1
+    assert "CartesianProduct" not in plan
