@@ -101,6 +101,13 @@ def register(name: str, oracle: str | None = None):
 #: leaves the r14 cohort; both successors are live under rule 1, and
 #: top_avg_volatility returns to the r13 backbone (45 total there) to
 #: keep the live window at exactly 50.
+#: PRE-COMMITTED rule-2 entry for r13: c4_line_filter — its operator
+#: (operators/corpus.c4_line_quality) was reformulated late in r12 to
+#: the one-pass rule-struct transform (r11 What's wrong #2; output
+#: byte-identical: pytest + a local oracle MATCH are the evidence,
+#: the r13 driver row is the hard signal). r13 live set = the 45
+#: backbone entries above + c4_line_filter + up to 4 new/rule-1
+#: slots.
 _WINDOW_DEMOTED = [
     # --- r10-green, trail 2 at r12: the PRE-COMMITTED r13 backbone
     # (all 45 MUST be live the moment CORRECTNESS_r13.json lands;
