@@ -69,8 +69,19 @@ NAMES = [
     # round 8: the BPE apply path (broadcast vocab join + one doc-keyed
     # agg) and the KMV theta rollup (join-free array arithmetic over
     # <= k-element sketches; two grouped-top-k windows upstream)
-    "bpe_token_counts",
+    # (r11 merged bpe_token_counts into bpe_pipeline — the apply-path
+    # plan is the second branch of the union)
+    "bpe_pipeline",
     "weekly_user_kmv_rollup",
+    # round 12: the provenance tier (codegen canonicalization chain +
+    # md5-keyed window; suffix-explode + broadcast anti-join), the
+    # bucketed token-budget selection (filter + ONE bucket-confined
+    # window, no corpus-wide sort), and the one-pass C4 rule-struct
+    # line filter (single transform, boolean-field derivations)
+    "url_canonical_dedup",
+    "domain_blocklist_filter",
+    "token_budget_corpus_select",
+    "c4_line_filter",
 ]
 
 
