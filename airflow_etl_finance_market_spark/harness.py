@@ -60,106 +60,32 @@ def register(name: str, oracle: str | None = None):
 #: test_demoted_entries_within_staleness_budget, so a forgotten rotation
 #: fails the suite, not the judge.
 #:
-#: Round-12 rotation — BACKBONE ROUND (executing the r11 verdict's #1,
-#: the binding obligation pre-committed in the r11 docstring): ALL 43
-#: r09-green trail-2 entries are live this round — they are exactly the
-#: registry entries NOT in this list. The remaining live slots hold,
-#: under rule 1, the round's new registrations (token_budget_select,
-#: content-defined image segmentation, mirror-canonical, gain-robust
-#: audio CDC gates as they land); under rule 2, url_canonical_dedup and
-#: domain_blocklist_filter (both re-enter because their depended-on
-#: code changes this round: percent-decoding of unreserved characters
-#: in canonicalize_url + the r11 ADVICE query/fragment fix, and the
-#: blocklist-side normalization + gated broadcast hint); and under
-#: rule 3, top_avg_volatility (the oldest r10-green entry, refreshed
-#: early to shrink the r13 backbone). Demoted: the 46 remaining
-#: r10-green entries (trail 2 at r12 — due and PRE-COMMITTED live at
-#: r13) and the 48 remaining r11-green entries (trail 1, due r14).
-#: Registry 140 + the round's new registrations against the 150
-#: ceiling; cohort sizes after this round (r12: ~50, r13: 46, r14: 48)
-#: all fit the 50-slot window, so the 3-round cycle stays feasible
-#: without retirement — but the ceiling is close: keep pairing growth
-#: with retirements.
-#: (Round-11 history — seven merges funding 11 rule-1/rule-2 slots —
-#: lives in the r11 ledger and VERDICT_r11; the merged gates' docstrings
-#: carry their retirement rationales.)
-#:
-#: LATE-r12 addendum — the round's 4 new gates are PAIRED with
-#: retirements after all (the r11 verdict's growth rule): TWO merges,
-#: each with its rationale in the successor's docstring:
-#:   - image_tile_crop_near_dups + image_tile_phase_crop_near_dups ->
-#:     image_tile_multi_crop_near_dups (one tile kernel feeds both;
-#:     variant rows 'aligned'/'phase'; the off-both-phases residual is
-#:     now covered by image_cdc_crop_near_dups, completing the crop
-#:     lattice);
-#:   - audio_window_trim_near_dups + audio_cdc_trim_near_dups ->
-#:     audio_trim_multi_near_dups (same pipeline, two segmentation
-#:     kernels as variant rows 'window'/'cdc').
-#: Registry 144 -> 142. Slot math: tile_crop was LIVE (r09 backbone —
-#: its 'aligned' variant IS that refresh under the successor's name),
-#: phase_crop/window_trim leave the r13 backbone (46 -> 44), cdc_trim
-#: leaves the r14 cohort; both successors are live under rule 1, and
-#: top_avg_volatility returns to the r13 backbone (45 total there) to
-#: keep the live window at exactly 50.
-#: PRE-COMMITTED rule-2 entry for r13: c4_line_filter — its operator
-#: (operators/corpus.c4_line_quality) was reformulated late in r12 to
-#: the one-pass rule-struct transform (r11 What's wrong #2; output
-#: byte-identical: pytest + a local oracle MATCH are the evidence,
-#: the r13 driver row is the hard signal). r13 live set = the 45
-#: backbone entries above + c4_line_filter + up to 4 new/rule-1
-#: slots.
+#: Round-13 rotation — BACKBONE ROUND (executing the r12 verdict's #1,
+#: the binding obligation pre-committed in the r12 docstring): the 45
+#: r10-green trail-2 entries are LIVE this round — they are exactly
+#: the registry entries NOT in this list (modulo this round's merges,
+#: whose successors carry the retired members' refresh, the r12
+#: tile_crop precedent). Also live: c4_line_filter (the PRE-COMMITTED
+#: rule-2 entry — operators/corpus.c4_line_quality was reformulated
+#: late-r12 to the one-pass rule-struct transform; the r13 driver row
+#: is the hard signal). Remaining slots hold, under rule 1, the
+#: round's new registrations (duplicate-span removal, crop-robust
+#: video near-dup) and, under rule 2, url_canonical_dedup and
+#: token_budget_corpus_select as their depended-on code changes this
+#: round (http↔https folding + userinfo stripping in canonicalize_url;
+#: the count+quantile single-pass fold in token_budget_select).
+#: Demoted below: the 46 remaining r11-green entries (trail 2 at r13
+#: — due and PRE-COMMITTED live at r14) and the 50 r12-green entries
+#: (trail 1, due r15). Registry 142 + this round's registrations −
+#: merge retirements against the 150 ceiling.
+#: (Round-11/12 history — merges funding rule-1/rule-2 slots — lives
+#: in the r11/r12 ledgers and VERDICTs; merged gates' docstrings carry
+#: their retirement rationales.)
 _WINDOW_DEMOTED = [
-    # --- r10-green, trail 2 at r12: the PRE-COMMITTED r13 backbone
-    # (all 45 MUST be live the moment CORRECTNESS_r13.json lands;
-    # top_avg_volatility re-enters here after its early r12 refresh;
-    # phase_crop/window_trim retired into the late-r12 merges above) ---
-    "top_avg_volatility",
-    "pricing_summary",
-    "ticker_metrics",
-    "volume_leaders",
-    "star_revenue",
-    "doc_jaccard_near_dups",
-    "embedding_topk",
-    "embedding_near_dups",
-    "price_percentiles",
-    "windowed_event_kpis",
-    "embedding_topk_lsh",
-    "approx_event_stats",
-    "curated_corpus",
-    "streaming_pct_change_vol",
-    "streaming_pct_change_reordered",
-    "doc_dedup_clusters",
-    "reorder_within_30d",
-    "doc_pii_redaction",
-    "qty_cube",
-    "event_value_outliers",
-    "view_click_attribution",
-    "doc_length_deciles",
-    "doc_near_dup_triangles",
-    "doc_near_dup_triangles_degree",
-    "price_trend_regression",
-    "customer_tier_scd2",
-    "trailing_7d_avg_price",
-    "doc_token_entropy",
-    "corpus_lang_source_chi2",
-    "multimodal_frame_sample",
-    "doc_weighted_sample",
-    "doc_lang_rebalance",
-    "ticker_stats_unpivot",
-    "doc_duplicate_spans",
-    "events_daily_ffill",
-    "hll_user_rollup",
-    "order_price_percent_rank",
-    "multimodal_video_frames_real",
-    "doc_paragraph_dedup",
-    "media_pair_bucket_audit",
-    "multimodal_corpus_prep_full",
-    "embedding_semantic_dedup",
-    "gopher_quality_flags",
-    "streaming_dedup_ingest",
-    "embedding_contrastive_negatives",
-    # --- r11-green, trail 1 (due r14; slack slots at r13 can start
-    # refreshing the oldest of these early) ---
+    # --- r11-green, trail 2 at r13: the PRE-COMMITTED r14 backbone
+    # (all 46 MUST be live the moment CORRECTNESS_r14.json lands;
+    # c4_line_filter left this cohort — it is live NOW as the r13
+    # rule-2 entry, so it re-joins the r15 backbone instead) ---
     "weekly_volatility",
     "market_overview",
     "ticker_report_stats",
@@ -196,7 +122,6 @@ _WINDOW_DEMOTED = [
     "image_phash_multi_near_dups",
     "audio_multi_near_dups",
     "html_text_extract",
-    "c4_line_filter",
     "dsir_importance_weights",
     "bpe_pipeline",
     "weekly_user_kmv_rollup",
@@ -207,6 +132,58 @@ _WINDOW_DEMOTED = [
     "file_roundtrip_ingest",
     "term_heavy_hitters",
     "weekly_value_quantile_rollup",
+    # --- r12-green, trail 1 (due r15; slack slots at r14 can start
+    # refreshing the oldest of these early) ---
+    "recent_extract",
+    "url_canonical_dedup",
+    "quality_gate",
+    "doc_exact_dedup",
+    "doc_lang_id",
+    "purchase_attribution",
+    "user_sessions",
+    "minhash_lsh_near_dups",
+    "simhash_near_dups",
+    "embedding_topk_ivf",
+    "top_docs_per_lang",
+    "term_frequencies",
+    "doc_repetition_stats",
+    "embedding_centroids",
+    "split_balance",
+    "doc_tfidf_top_terms",
+    "doc_seq_packing",
+    "doc_winnow_fingerprints",
+    "doc_stratified_sample",
+    "doc_unigram_logprob",
+    "event_funnel",
+    "user_retention_cohorts",
+    "doc_inverted_index",
+    "term_pmi_pairs",
+    "embedding_quantization",
+    "event_transition_matrix",
+    "top_event_trigrams",
+    "regional_supplier_volume",
+    "ohlcv_weekly_bars",
+    "ticker_max_drawdown",
+    "ticker_beta",
+    "doc_source_quota_sample",
+    "ticker_pair_correlation",
+    "part_supplier_pagerank",
+    "embedding_topk_pq",
+    "embedding_topk_ivfpq",
+    "user_funnel_times",
+    "streaming_funnel_ooo",
+    "weekly_activity_panel",
+    "multimodal_audio_features",
+    "video_near_dups",
+    "audio_trim_multi_near_dups",
+    "image_tile_multi_crop_near_dups",
+    "multimodal_corpus_prep",
+    "domain_blocklist_filter",
+    "streaming_media_dedup_ingest",
+    "token_budget_corpus_select",
+    "image_cdc_crop_near_dups",
+    "image_mirror_canonical_near_dups",
+    "audio_cdc_gain_near_dups",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
