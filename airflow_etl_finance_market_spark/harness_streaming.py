@@ -1422,3 +1422,98 @@ def q_audio_cdc_gain_near_dups(
         "n_clips long, n_pairs long, pairs_within_family boolean, "
         "families_fully_paired boolean",
     )
+
+
+@register(
+    "doc_duplicate_span_removal",
+    """
+WITH pages AS (
+    SELECT doc_id,
+           'subscribe to the newsletter for updates every single week '
+           || text
+           || ' copyright twenty four all rights reserved worldwide forever'
+               AS page
+    FROM documents WHERE doc_id % 9 = 3
+), t AS (
+    SELECT doc_id,
+           string_split(
+               trim(regexp_replace(lower(page), '\\s+', ' ', 'g')), ' '
+           ) AS toks
+    FROM pages
+), s AS (
+    SELECT doc_id, len(toks) AS n, u.p AS p,
+           array_to_string(toks[u.p:u.p + 7], ' ') AS span,
+           least(u.p + 7, len(toks)) AS e
+    FROM t, UNNEST(generate_series(1, greatest(len(toks) - 7, 1))) AS u(p)
+), d AS (
+    SELECT span FROM s GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+), o AS (
+    SELECT s.doc_id, s.p, s.e,
+           ROW_NUMBER() OVER (
+               PARTITION BY s.span ORDER BY s.doc_id, s.p
+           ) = 1 AS is_surv
+    FROM s JOIN d USING (span)
+), cov AS (
+    SELECT doc_id, u.t AS t,
+           bool_or(is_surv) AS sv, bool_or(NOT is_surv) AS nsv
+    FROM o, UNNEST(generate_series(o.p, o.e)) AS u(t)
+    GROUP BY doc_id, u.t
+), rem AS (
+    SELECT doc_id, t FROM cov WHERE nsv AND NOT sv
+), tok AS (
+    SELECT doc_id, u.t AS t, toks[u.t] AS tok
+    FROM t, UNNEST(generate_series(1, len(toks))) AS u(t)
+)
+SELECT tok.doc_id,
+       coalesce(string_agg(
+           CASE WHEN rem.t IS NULL THEN tok.tok END, ' ' ORDER BY tok.t
+       ), '') AS text,
+       COUNT(CASE WHEN rem.t IS NULL THEN 1 END) AS n_tokens_kept,
+       COUNT(rem.t) AS n_tokens_removed
+FROM tok LEFT JOIN rem USING (doc_id, t)
+GROUP BY tok.doc_id
+""",
+)
+def q_doc_duplicate_span_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-span REMOVAL gate (operators/dedup.duplicate_span_removal
+    — the r12 verdict's What's-missing #1): `duplicate_span_stats` only
+    REPORTS the Lee-et-al. exact-substring signal; the published
+    pipeline's point is cutting the duplicated stretch out of every copy
+    but one while keeping the document. Every 9th-plus-3 document becomes
+    a synthetic page — a shared 9-token subscribe header, the document
+    body, a shared 9-token copyright footer — and the operator must (a)
+    keep the globally FIRST page fully intact (its header/footer
+    occurrences are the survivors), (b) cut exactly the boilerplate
+    stretch from every later page, (c) also cut cross-doc BODY spans
+    where the fixture's planted exact-duplicate texts collide (real
+    collisions, not just the banners), and (d) empty — but not drop —
+    any page whose every token is non-surviving boilerplate. The oracle
+    replays the whole contract independently (tokenize / slide / rank /
+    cover / subtract / reassemble in SQL), so a wrong survivor, an
+    off-by-one in span coverage, a dropped empty document, or survivor
+    protection failing under overlap all hash-mismatch. Plan: the span
+    stream shuffles ONCE on the md5 hash (three windows share the
+    exchange), coverage explodes only duplicated occurrences, and
+    reassembly is one id-keyed join + array filter — the Lee recipe at
+    100 TB without a suffix array."""
+    from .operators.dedup import duplicate_span_removal
+
+    pages = fan_out(
+        load_fixture(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 9 == 3
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.lit("subscribe to the newsletter for updates every single week"),
+            F.col("text"),
+            F.lit(
+                "copyright twenty four all rights reserved worldwide forever"
+            ),
+        ).alias("text"),
+    )
+    return duplicate_span_removal(pages, span_tokens=8, min_docs=2)

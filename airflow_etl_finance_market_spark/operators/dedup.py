@@ -25,7 +25,13 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, normalize_text, tokens, word_ngrams
+from ..functions.text import (
+    fingerprint,
+    normalize_text,
+    tokens,
+    word_ngrams,
+    word_ngrams_from,
+)
 from ..util import fan_out
 
 # Deterministic affine-transform parameters for the minhash family
@@ -1056,5 +1062,131 @@ def duplicate_span_stats(
             F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias(
                 "dup_ratio"
             ),
+        )
+    )
+
+
+def duplicate_span_removal(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Duplicate-span REMOVAL — the rewrite stage `duplicate_span_stats`
+    only reports: Lee et al.'s "Deduplicating Training Data Makes
+    Language Models Better" cuts the duplicated substring out of every
+    copy but ONE and keeps the rest of the document (boilerplate,
+    licenses, templated headers removed without dropping the page).
+
+    Contract (deterministic, engine-portable — the oracle replays it):
+
+    - tokens = whitespace split of the NORMALIZED text (lowercase,
+      collapsed whitespace — the repo's canonical fingerprint form);
+      output text is rebuilt from those normalized tokens, the same
+      normalization-at-the-edge every fingerprint consumer here accepts.
+    - spans = every run of ``span_tokens`` consecutive tokens (stride 1,
+      1-based start positions); a document shorter than ``span_tokens``
+      contributes its whole text as one span (the degenerate n-gram
+      contract shared with `duplicate_span_stats`).
+    - a span is DUPLICATED when >= ``min_docs`` DISTINCT documents
+      contain it.
+    - the globally FIRST occurrence of each duplicated span (total
+      order: document id, then start position) is the SURVIVOR.
+    - a token is REMOVED iff some non-survivor duplicated occurrence
+      covers it AND no survivor occurrence covers it — so the kept copy
+      stays intact even where occurrences overlap, and every other copy
+      loses exactly the duplicated stretch.
+    - output: (id_col, text, n_tokens_kept, n_tokens_removed), one row
+      per input document (text may be empty when a document is nothing
+      but non-surviving boilerplate; callers filter).
+
+    Scale shape (the 100 TB bill): the span stream (~1 row per corpus
+    token, 32-byte md5 keys — span text never becomes a shuffle key) is
+    scanned ONCE and shuffled ONCE on the hash; distinct-doc cardinality
+    and global-first survivorship both come from window functions over
+    that single h-clustered sort (no self-join, no second corpus scan —
+    hashpartitioning(h) satisfies the (h, id) window's clustering too).
+    Coverage positions explode only DUPLICATED occurrences (bounded by
+    the dup volume, not the corpus), collapse map-side into per-document
+    position sets, and the final id-keyed join rebuilds text with an
+    array filter — the only corpus-sized shuffles are the span hash and
+    the per-document reassembly. Worst-case per-document cost of the
+    membership filter is O(tokens x removed positions) INSIDE one row —
+    document-bounded, never corpus-bounded.
+    """
+    from pyspark.sql.window import Window
+
+    k = span_tokens
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+
+    occ = toks.select(
+        "id",
+        "n",
+        F.posexplode(word_ngrams_from(F.col("toks"), k)).alias(
+            "p0", "_span"
+        ),
+    ).select(
+        "id",
+        "n",
+        (F.col("p0") + 1).alias("p"),
+        F.md5("_span").alias("h"),
+    )
+
+    # One exchange on h serves all three windows: (h, id) clustering is
+    # satisfied by hashpartitioning(h), so doc-first marking, global
+    # first-occurrence rank, and the distinct-doc sum share the sort.
+    w_doc = Window.partitionBy("h", "id").orderBy("p")
+    w_first = Window.partitionBy("h").orderBy("id", "p")
+    w_span = Window.partitionBy("h")
+    dup_occ = (
+        occ.withColumn(
+            "_doc_first", (F.row_number().over(w_doc) == 1).cast("int")
+        )
+        .withColumn("_nd", F.sum("_doc_first").over(w_span))
+        .withColumn("is_surv", F.row_number().over(w_first) == 1)
+        .filter(F.col("_nd") >= min_docs)
+        .select("id", "p", "n", "is_surv")
+    )
+
+    removed = (
+        dup_occ.select(
+            "id",
+            "is_surv",
+            F.explode(
+                F.sequence(
+                    F.col("p"), F.least(F.col("p") + F.lit(k - 1), F.col("n"))
+                )
+            ).alias("t"),
+        )
+        .groupBy("id")
+        .agg(
+            F.collect_set(
+                F.when(~F.col("is_surv"), F.col("t"))
+            ).alias("_ns"),
+            F.collect_set(
+                F.when(F.col("is_surv"), F.col("t"))
+            ).alias("_sv"),
+        )
+        .select("id", F.array_except("_ns", "_sv").alias("_rm"))
+    )
+
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    return (
+        toks.join(removed, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.col("toks"),
+                    lambda tok, i: ~F.array_contains(rm, i + F.lit(1)),
+                ),
+            ).alias("text"),
+            (F.col("n") - F.size(rm)).cast("long").alias("n_tokens_kept"),
+            F.size(rm).cast("long").alias("n_tokens_removed"),
         )
     )

@@ -351,3 +351,122 @@ class TestDuplicateSpans:
         assert "Join" not in plan
         opt = df._jdf.queryExecution().optimizedPlan().toString()
         assert "md5" in opt
+
+
+class TestDuplicateSpanRemoval:
+    def _replay(self, docs, k, min_docs=2):
+        """Python replay of the removal contract (operators/dedup.py):
+        duplicated span (>= min_docs distinct docs), global-first
+        survivor, token removed iff covered by a non-survivor
+        occurrence and by no survivor occurrence."""
+        from collections import defaultdict
+
+        toks = {i: t.lower().split() for i, t in docs}
+        occ = []  # (doc, 1-based start, span, cover_end)
+        for i, ts in sorted(toks.items()):
+            n = len(ts)
+            if n < k:
+                occ.append((i, 1, " ".join(ts), n))
+            else:
+                for p in range(1, n - k + 2):
+                    occ.append((i, p, " ".join(ts[p - 1 : p - 1 + k]), p + k - 1))
+        owners = defaultdict(set)
+        for i, p, s, e in occ:
+            owners[s].add(i)
+        dup = {s for s, o in owners.items() if len(o) >= min_docs}
+        surv = {}
+        for i, p, s, e in sorted(occ):
+            if s in dup and s not in surv:
+                surv[s] = (i, p)
+        ns, sv = defaultdict(set), defaultdict(set)
+        for i, p, s, e in occ:
+            if s not in dup:
+                continue
+            target = sv if surv[s] == (i, p) else ns
+            target[i].update(range(p, e + 1))
+        out = {}
+        for i, ts in toks.items():
+            rm = ns[i] - sv[i]
+            kept = [t for j, t in enumerate(ts, 1) if j not in rm]
+            out[i] = (" ".join(kept), len(kept), len(rm))
+        return out
+
+    def test_no_dup_exact_reconstruction(self, spark):
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            duplicate_span_removal,
+        )
+
+        docs = [
+            (1, "Entirely unique   text with EXTRA spacing and case"),
+            (2, "another document that shares nothing with the first"),
+            (3, "tiny"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_removed)
+            for r in duplicate_span_removal(df, span_tokens=4).collect()
+        }
+        # nothing duplicated -> every doc reconstructs to its NORMALIZED
+        # text exactly, zero tokens removed
+        import re
+
+        for i, t in docs:
+            norm = re.sub(r"\s+", " ", t.lower()).strip()
+            assert got[i] == (norm, len(norm.split()), 0)
+
+    def test_matches_python_replay(self, spark):
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            duplicate_span_removal,
+        )
+
+        boiler = "all rights reserved contact the publisher"
+        docs = [
+            # global first occurrence: keeps the boilerplate
+            (1, f"alpha beta {boiler} gamma delta"),
+            # later copies: lose exactly the boilerplate stretch
+            (2, f"epsilon {boiler} zeta eta theta"),
+            (3, f"{boiler}"),  # nothing but boilerplate -> empty text
+            # two occurrences in one doc, both non-surviving
+            (4, f"{boiler} {boiler} iota kappa"),
+            (5, "entirely unique text with no shared spans at all"),
+            # OVERLAP: survivor coverage protects tokens even where a
+            # non-survivor occurrence of ANOTHER dup span covers them
+            (6, "one two three four five six seven"),
+            (7, "one two three four five six seven"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        k = 6
+        got = {
+            r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_removed)
+            for r in duplicate_span_removal(df, span_tokens=k).collect()
+        }
+        assert got == self._replay(docs, k)
+        # spot semantics: first copy intact, later copy cut, all-boiler
+        # doc emptied, unique doc untouched
+        assert boiler in got[1][0]
+        assert boiler not in got[2][0]
+        assert got[2][0] == "epsilon zeta eta theta"
+        assert got[3] == ("", 0, 6)
+        assert got[5][2] == 0
+
+    def test_single_span_shuffle_plan(self, spark):
+        """Scale contract: the span stream shuffles ONCE — distinct-doc
+        cardinality and survivorship ride windows over one h-clustered
+        exchange (no self-join of the span frame back onto itself)."""
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            duplicate_span_removal,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string"
+        )
+        plan = (
+            duplicate_span_removal(df, span_tokens=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # windows, not a span-frame self-join: every join in the plan is
+        # id-keyed reassembly (2 joins: coverage->toks), and the span
+        # Generate appears once
+        assert plan.count("Window") >= 2
