@@ -510,3 +510,82 @@ def wav_cdc_gain_family_members(
         ]
 
     return members
+
+
+def mjpeg_cdc_crop_family_members(
+    crop_x: int = 8, crop_y: int = 24, n_frames: int = 3
+):
+    """The 2-member CROPPED-VIDEO family for the per-frame row-CDC tier:
+    ``members(text) -> [96x64 3-frame MJPEG/AVI, the SAME footage
+    cropped to 80x32 at (crop_x, crop_y)]``.
+
+    The default (8, 24) offset is OFF both 32-px tile phases in BOTH
+    axes (the tile lattice's honest-degradation case, same construction
+    as the image tier's (17, 23)) but ON the JPEG 8-px MCU grid — the
+    only crops of a LOSSY-frame video that CAN be pixel-exact: JPEG
+    processes 8x8 blocks independently, so every frame here is built
+    from per-block q90 ROUNDTRIP FIXED POINTS (md5-noise blocks
+    iterated through encode∘decode until stable, salt-retried on the
+    rare cycle) — the full frame then decodes to exactly its own
+    pixels, and any MCU-aligned crop of those pixels re-encodes
+    byte-exactly. Measured across 12 seeds at these dims: worst
+    within-family row-CDC overlap 0.78, cross-family 0.0 (threshold
+    0.5 sits far from both). Truly off-MCU crops of lossy video are
+    quantization-divergent by construction — pinned OUT OF SCOPE in
+    :func:`..multimodal.phash.video_cdc_crop_near_dup_pairs`."""
+    import hashlib
+
+    from .multimodal.jpeg import _stdlib_jpeg_codec
+    from .multimodal.video import _stdlib_avi_codec
+
+    _, _jpeg_dec, _jpeg_enc = _stdlib_jpeg_codec()
+    _, _, _avi_enc = _stdlib_avi_codec()
+    gw, gh = 12, 8  # 8x8 blocks -> 96x64 frames
+    cw, ch = 80, 32
+
+    def fixed_block(seed: bytes) -> bytes:
+        for salt in range(16):
+            b = b"".join(
+                hashlib.md5(seed + bytes([salt, j])).digest()
+                for j in range(4)
+            )
+            for _ in range(8):
+                _, _, _, q = _jpeg_dec(_jpeg_enc(8, 8, 1, b, quality=90))
+                if q == b:
+                    return b
+                b = q
+        raise RuntimeError("no q90 fixed point within salt budget")
+
+    def frame_pixels(seed: bytes) -> bytes:
+        blocks = [
+            [fixed_block(seed + bytes([r, c])) for c in range(gw)]
+            for r in range(gh)
+        ]
+        pix = bytearray()
+        for r in range(gh):
+            for y in range(8):
+                for c in range(gw):
+                    pix += blocks[r][c][y * 8 : (y + 1) * 8]
+        return bytes(pix)
+
+    def crop(pix: bytes, w: int) -> bytes:
+        return b"".join(
+            pix[(crop_y + y) * w + crop_x : (crop_y + y) * w + crop_x + cw]
+            for y in range(ch)
+        )
+
+    def members(text: str) -> list[bytes]:
+        seed = hashlib.md5(text.encode("utf-8")).digest()
+        full, cropped = [], []
+        for fi in range(n_frames):
+            pix = frame_pixels(seed + bytes([fi]))
+            full.append(_jpeg_enc(gw * 8, gh * 8, 1, pix, quality=90))
+            cropped.append(
+                _jpeg_enc(cw, ch, 1, crop(pix, gw * 8), quality=90)
+            )
+        return [
+            _avi_enc(full, fps=10, width=gw * 8, height=gh * 8),
+            _avi_enc(cropped, fps=10, width=cw, height=ch),
+        ]
+
+    return members

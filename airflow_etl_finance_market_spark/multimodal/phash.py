@@ -1264,3 +1264,121 @@ def image_near_dup_pairs(
         id_col="doc_id",
         max_hamming=max_hamming,
     )
+
+
+def video_frame_row_cdc(
+    media: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+    min_seg: int = 4,
+    avg_seg_bits: int = 3,
+    max_seg: int = 32,
+    window: int = 8,
+    sample_bits: int = 0,
+) -> DataFrame:
+    """Map-only Arrow stage: MJPEG/AVI payloads → ``(video_id,
+    frame_idx, seg_idx, sig)`` — the image tier's per-row
+    content-defined segmentation (:func:`_row_cdc_kernel`) run on every
+    sampled frame INSIDE the container walk, the crop-robust sibling of
+    :func:`video_frame_dhash` (r12 verdict #3: a CROPPED video shares
+    no whole-frame hash — every frame's dHash moves — while its frames'
+    interior row segments are byte-identical wherever the crop is
+    pixel-exact). Same plumbing as every signature stage: walk + decode
+    + segment + hash happen on the worker, ~8 bytes per segment move,
+    raw frames never enter a shuffle; unparseable containers and
+    undecodable frames quarantine. ``sample_bits`` is the same
+    content-defined volume knob as the image stage (both copies sample
+    identically). Cost honesty: row-CDC emits roughly ``h*w /
+    2^avg_seg_bits`` signatures per frame — an order more than one
+    dHash; per-frame signatures are the price of crop robustness, and
+    ``every_n`` + ``sample_bits`` buy it back multiplicatively."""
+    from .jpeg import _stdlib_jpeg_codec
+    from .video import _stdlib_avi_codec
+
+    _, _avi_frames, _ = _stdlib_avi_codec()
+    _, _jpeg_decode, _ = _stdlib_jpeg_codec()
+    _rows = _row_cdc_kernel(
+        min_seg, avg_seg_bits, max_seg, window, sample_bits
+    )
+    step = every_n
+
+    def _stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids, fidxs, sidxs, sigs = [], [], [], []
+            for vid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    frames = _avi_frames(bytes(payload))
+                except Exception:
+                    continue  # quarantine: unparseable container
+                for k in range(0, len(frames), step):
+                    try:
+                        w, h, ch, pix = _jpeg_decode(frames[k])
+                        segs = _rows(w, h, ch, pix)
+                    except Exception:
+                        continue  # quarantine: bad frame
+                    for si, hv in segs:
+                        vids.append(vid)
+                        fidxs.append(k)
+                        sidxs.append(si)
+                        sigs.append(hv - (1 << 64) if hv >= 1 << 63 else hv)
+            yield pd.DataFrame(
+                {
+                    "video_id": pd.Series(vids, dtype="int64"),
+                    "frame_idx": pd.Series(fidxs, dtype="int64"),
+                    "seg_idx": pd.Series(sidxs, dtype="int64"),
+                    "sig": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(
+        _stage,
+        schema="video_id long, frame_idx long, seg_idx long, sig long",
+    )
+
+
+def video_cdc_crop_near_dup_pairs(
+    media: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+    min_match_frac: float = 0.5,
+    sample_bits: int = 0,
+) -> DataFrame:
+    """End-to-end CROP-ROBUST video near-dup: per-frame row-CDC
+    signatures ∘ the shared frame-set-overlap machinery at
+    ``max_hamming=0`` — two videos pair when >= ``min_match_frac`` of
+    the smaller one's distinct segment hashes (pooled over its sampled
+    frames) appear in the other. A pixel-exact crop keeps every
+    interior row segment of every frame (CDC re-synchronizes within
+    ``window + max_seg`` pixels of each edge), so crop↔original
+    overlap lands ~0.78 at the fixture dims while unrelated videos
+    share ~nothing; trims and frame-sampled copies ride the same set
+    overlap for free (a missing frame removes its segments from one
+    side only — the fraction is over the SMALLER set).
+
+    SCOPE DECISION (the dihedral precedent, pinned here and in the
+    fixture): only MCU-ALIGNED crops (offsets ≡ 0 mod 8 for this
+    codec) of a lossy-frame video can be pixel-exact — an off-MCU
+    crop re-quantizes every 8x8 block at a new phase, so the decoded
+    pixels DIVERGE from the original's by codec noise and no
+    exact-hash method can recover them (that is an information
+    boundary of the codec, not a kernel gap; tolerance-based keypoint
+    methods are out of scope for this engine). Returns verified
+    ``(video_a, video_b, n_matched, match_frac)``."""
+    sigs = video_frame_row_cdc(
+        media,
+        id_col=id_col,
+        payload_col=payload_col,
+        every_n=every_n,
+        sample_bits=sample_bits,
+    )
+    return video_near_dup_pairs(
+        sigs, sig_col="sig", max_hamming=0, min_match_frac=min_match_frac
+    )
