@@ -396,7 +396,17 @@ def canonicalize_url(col: Column | str) -> Column:
     Rules (each deterministic and order-independent cross-engine):
     - scheme and host LOWERCASED (path/query case preserved — paths are
       case-sensitive by spec);
-    - default ports stripped (``:80`` for http, ``:443`` for https);
+    - default ports stripped (``:80`` for http, ``:443`` for https;
+      http also strips ``:443`` — the default of the scheme it folds
+      into — so the fold stays IDEMPOTENT: ``http://h:443`` →
+      ``https://h``, never the unstable ``https://h:443``);
+    - ``http`` FOLDED to ``https`` (r12 verdict #4 — the single most
+      common same-page byte-variant in real crawls; the fold direction
+      is pinned here: https is the canonical scheme, other schemes
+      pass through unchanged);
+    - USERINFO stripped (``user:pass@host`` → ``host`` — credentials
+      are never part of page identity; the LAST ``@`` delimits the
+      host, the WHATWG parsing rule);
     - leading ``www.`` stripped from the host;
     - the FRAGMENT dropped (never sent to the server);
     - repeated path slashes collapsed, the trailing slash stripped
@@ -415,9 +425,8 @@ def canonicalize_url(col: Column | str) -> Column:
     RESERVED characters (decoding those can change semantics — that is
     the RFC's own line), multi-level double-encoding (``%2541``
     unwraps one level per pass — single-pass decode, pinned in tests),
-    userinfo stripping, http↔https folding, IDN/punycode folding, and
-    per-site parameter semantics — a production deployment layers site
-    rules on top. Non-URL strings (no ``scheme://``) pass through with
+    IDN/punycode folding, and per-site parameter semantics — a
+    production deployment layers site rules on top. Non-URL strings (no ``scheme://``) pass through with
     only fragment/whitespace/percent-decode hygiene, so a mixed-quality
     url column never throws."""
     url = _percent_decode_unreserved(
@@ -429,12 +438,20 @@ def canonicalize_url(col: Column | str) -> Column:
     host = F.lower(
         F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     )
+    # userinfo first (it can hide a 'www.' or a ':port' behind the '@'),
+    # then www, then the ORIGINAL-scheme default port, then the fold
+    host = F.regexp_replace(host, r"^.*@", "")
     host = F.regexp_replace(host, r"^www\.", "")
+    # http strips BOTH defaults: :80 (its own) and :443 (the default of
+    # the https scheme it is about to fold into — leaving it would make
+    # the fold non-idempotent, since a second pass would see
+    # 'https://h:443' and strip it)
     host = (
-        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        F.when(scheme == "http", F.regexp_replace(host, r":(80|443)$", ""))
         .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
         .otherwise(host)
     )
+    out_scheme = F.when(scheme == "http", F.lit("https")).otherwise(scheme)
     path = F.regexp_extract(
         url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
     )
@@ -453,7 +470,7 @@ def canonicalize_url(col: Column | str) -> Column:
     )
     qs = F.array_join(kept, "&")
     canonical = F.concat(
-        scheme,
+        out_scheme,
         F.lit("://"),
         host,
         path,

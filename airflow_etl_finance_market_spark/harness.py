@@ -135,7 +135,9 @@ _WINDOW_DEMOTED = [
     # --- r12-green, trail 1 (due r15; slack slots at r14 can start
     # refreshing the oldest of these early) ---
     "recent_extract",
-    "url_canonical_dedup",
+    # url_canonical_dedup: LIVE at r13 under rule 2 (scheme fold +
+    # userinfo strip landed in canonicalize_url; gate variant (c)
+    # extended to plant both) — re-joins the r15 backbone after
     "quality_gate",
     "doc_exact_dedup",
     "doc_lang_id",

@@ -447,8 +447,11 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     four byte-DIFFERENT urls of one page — (a) the clean form, (b) an
     UPPERCASED scheme+host with the default :443 port, a trailing
     slash, a utm_ tracking param, reordered query params and a
-    fragment, (c) a www. + doubled-slash variant with a trailing
-    tracking param, (d) [r12, with the percent-decode rule] a
+    fragment, (c) [extended r13 with the scheme-fold + userinfo
+    rules] an HTTP-scheme variant carrying USERINFO (``u:p@``), the
+    http default :80 port, www. and doubled slashes, plus a trailing
+    tracking param — http must FOLD to https, the credentials and
+    :80 must strip, (d) [r12, with the percent-decode rule] a
     PERCENT-ENCODED variant (path letters as %61/%62, a param name as
     %70 — all RFC 3986 unreserved, so decoding is semantics-
     preserving) with a fragment-only '?' trap appended (#frag?x=9 —
@@ -460,9 +463,9 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule: fam arithmetic + string concat — it never runs a regex), so
     a canonicalization drift in ANY rule (case, port, www, slashes,
     trailing slash, fragment, tracking filter, param sort,
-    percent-decode, fragment/query precedence) breaks the
-    canonical_url hash, and an over-merge or under-merge breaks
-    n_in/survivor_id."""
+    percent-decode, fragment/query precedence, scheme fold, userinfo
+    strip) breaks the canonical_url hash, and an over-merge or
+    under-merge breaks n_in/survivor_id."""
     sel = load_fixture(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 9 == 2
     )
@@ -478,8 +481,8 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".COM:443/a/b/?utm_source=x&p=1&id="), f, F.lit("#frag"),
     )
     v2 = F.concat(
-        F.lit("https://www.example"), f, F.lit(".com//a//b?p=1&id="), f,
-        F.lit("&utm_campaign=y"),
+        F.lit("http://u:p@www.example"), f, F.lit(".com:80//a//b?p=1&id="),
+        f, F.lit("&utm_campaign=y"),
     )
     v3 = F.concat(
         F.lit("https://example"), f, F.lit(".com/%61/%62?%70=1&id="), f,
