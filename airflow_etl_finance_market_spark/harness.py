@@ -182,7 +182,9 @@ _WINDOW_DEMOTED = [
     "multimodal_corpus_prep",
     "domain_blocklist_filter",
     "streaming_media_dedup_ingest",
-    "token_budget_corpus_select",
+    # token_budget_corpus_select: LIVE at r13 under rule 2 (the
+    # count+quantile fold into one driver action landed in
+    # token_budget_select) — re-joins the r15 backbone after
     "image_cdc_crop_near_dups",
     "image_mirror_canonical_near_dups",
     "audio_cdc_gain_near_dups",

@@ -1071,21 +1071,62 @@ def token_budget_select(
     from pyspark.sql import Window
 
     score = F.col(score_col)
-    if n_buckets is None:
-        n_buckets = max(64, -(-docs.count() // max_bucket_rows))
     # (1) score splits; approx is fine — buckets only partition work,
-    # never change the greedy order (equal scores share a bucket).
-    # approxQuantile ignores NULLs; NULL scores get the sentinel
+    # never change the greedy order (equal scores always compare
+    # identically against every split, so a tie group can never be
+    # divided). Quantiles ignore NULLs; NULL scores get the sentinel
     # bucket AFTER the worst finite one.
-    splits = sorted(
-        set(
-            docs.stat.approxQuantile(
-                score_col,
-                [i / n_buckets for i in range(1, n_buckets)],
-                0.001,
+    #
+    # ONE driver action for auto-sizing (r12 verdict #5 — the old path
+    # spent a count() action AND an approxQuantile action before the
+    # real job, two extra full scans of the projection at 100 TB):
+    # count and a FIXED fine quantile grid come back in a single agg
+    # row; n_buckets derives from the count and its splits are read
+    # off the grid (grid index round(i*M/n_buckets) is the i/n_buckets
+    # quantile to within 1/(2M) of rank — the bucket-size bound is
+    # approximate anyway, see above). Only a corpus past
+    # M*max_bucket_rows rows (~1G at the defaults) pays a second,
+    # exact-resolution quantile pass — at which point two scans is
+    # what the OLD code always paid.
+    _GRID = 1024
+    if n_buckets is None:
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile_approx(
+                score, [i / _GRID for i in range(1, _GRID)], 10_000
+            ).alias("q"),
+        ).first()
+        n_buckets = max(64, -(-row["n"] // max_bucket_rows))
+        if n_buckets <= _GRID:
+            grid = row["q"] or []
+            splits = sorted(
+                {
+                    grid[round(i * _GRID / n_buckets) - 1]
+                    for i in range(1, n_buckets)
+                    if grid
+                }
+                - {None}
+            )
+        else:
+            splits = sorted(
+                set(
+                    docs.stat.approxQuantile(
+                        score_col,
+                        [i / n_buckets for i in range(1, n_buckets)],
+                        0.001,
+                    )
+                )
+            )
+    else:
+        splits = sorted(
+            set(
+                docs.stat.approxQuantile(
+                    score_col,
+                    [i / n_buckets for i in range(1, n_buckets)],
+                    0.001,
+                )
             )
         )
-    )
     finite = F.lit(0)
     for s in splits:  # higher score -> LOWER bucket index
         finite = finite + F.when(score <= F.lit(s), 1).otherwise(0)
