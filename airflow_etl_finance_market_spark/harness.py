@@ -62,30 +62,41 @@ def register(name: str, oracle: str | None = None):
 #:
 #: Round-13 rotation — BACKBONE ROUND (executing the r12 verdict's #1,
 #: the binding obligation pre-committed in the r12 docstring): the 45
-#: r10-green trail-2 entries are LIVE this round — they are exactly
-#: the registry entries NOT in this list (modulo this round's merges,
-#: whose successors carry the retired members' refresh, the r12
-#: tile_crop precedent). Also live: c4_line_filter (the PRE-COMMITTED
-#: rule-2 entry — operators/corpus.c4_line_quality was reformulated
-#: late-r12 to the one-pass rule-struct transform; the r13 driver row
-#: is the hard signal). Remaining slots hold, under rule 1, the
-#: round's new registrations (duplicate-span removal, crop-robust
-#: video near-dup) and, under rule 2, url_canonical_dedup and
-#: token_budget_corpus_select as their depended-on code changes this
-#: round (http↔https folding + userinfo stripping in canonicalize_url;
-#: the count+quantile single-pass fold in token_budget_select).
-#: Demoted below: the 46 remaining r11-green entries (trail 2 at r13
-#: — due and PRE-COMMITTED live at r14) and the 50 r12-green entries
-#: (trail 1, due r15). Registry 142 + this round's registrations −
-#: merge retirements against the 150 ceiling.
+#: r10-green trail-2 entries are LIVE this round — 42 as themselves
+#: plus the two r13 merge successors that carry the other three
+#: members' refresh (the r12 tile_crop precedent):
+#:   - streaming_pct_change_vol + streaming_pct_change_reordered ->
+#:     streaming_pct_change_multi (variant rows 'vol'/'reordered';
+#:     both audits verbatim);
+#:   - multimodal_corpus_prep_full (backbone) + multimodal_corpus_prep
+#:     (r12 cohort) -> multimodal_corpus_prep_multi (variant rows
+#:     'full'/'image_only'; both funnels verbatim).
+#: Also live: c4_line_filter (the PRE-COMMITTED rule-2 entry —
+#: operators/corpus.c4_line_quality was reformulated late-r12 to the
+#: one-pass rule-struct transform; the r13 driver row is the hard
+#: signal); url_canonical_dedup and token_budget_corpus_select under
+#: rule 2 (their depended-on code changed this round: http→https
+#: folding + userinfo stripping in canonicalize_url; the
+#: count+quantile single-action fold in token_budget_select); and the
+#: round's 2 new gates under rule 1 (doc_duplicate_span_removal,
+#: video_cdc_crop_near_dups). That is 49 slots; slot 50 falls to
+#: weekly_volatility — the OLDEST r11-green entry (and the flagship),
+#: refreshed early under rule 3 to shrink the r14 backbone to 45.
+#: Demoted below: the remaining r11-green entries (trail 2 at r13 —
+#: due and PRE-COMMITTED live at r14) and the r12-green entries
+#: (trail 1, due r15; multimodal_corpus_prep retired into its merge).
+#: Registry 142 after +2 gates / +2 merge successors / −4 retirements
+#: against the 150 ceiling.
 #: (Round-11/12 history — merges funding rule-1/rule-2 slots — lives
 #: in the r11/r12 ledgers and VERDICTs; merged gates' docstrings carry
 #: their retirement rationales.)
 _WINDOW_DEMOTED = [
     # --- r11-green, trail 2 at r13: the PRE-COMMITTED r14 backbone
-    # (all 46 MUST be live the moment CORRECTNESS_r14.json lands;
+    # (all 45 MUST be live the moment CORRECTNESS_r14.json lands;
     # c4_line_filter left this cohort — it is live NOW as the r13
-    # rule-2 entry, so it re-joins the r15 backbone instead) ---
+    # rule-2 entry — and weekly_volatility, first below, rides r13's
+    # spare slot 50 as the rule-3 early refresh: both re-join the r15
+    # backbone instead) ---
     "weekly_volatility",
     "market_overview",
     "ticker_report_stats",
@@ -179,7 +190,8 @@ _WINDOW_DEMOTED = [
     "video_near_dups",
     "audio_trim_multi_near_dups",
     "image_tile_multi_crop_near_dups",
-    "multimodal_corpus_prep",
+    # multimodal_corpus_prep: retired r13 into the live merge
+    # successor multimodal_corpus_prep_multi (its 'image_only' variant)
     "domain_blocklist_filter",
     "streaming_media_dedup_ingest",
     # token_budget_corpus_select: LIVE at r13 under rule 2 (the

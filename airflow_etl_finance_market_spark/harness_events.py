@@ -32,17 +32,11 @@ from .harness_corpus import (  # noqa: F401
 )
 
 
-@register(
-    "streaming_pct_change_vol",
-    """
-SELECT (SELECT COUNT(*) FROM events) AS n_rows,
-       true AS pct_matches_batch,
-       true AS vol_windows_subset,
-       true AS vol_values_match
-""",
-)
 def q_streaming_pct_change_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful-streaming HARD GATE (§2.9): the chained streaming flagship
+    """[RETIRED r13 into streaming_pct_change_multi — now that gate's
+    'vol' variant builder; the audit pipeline is unchanged.]
+
+    Stateful-streaming HARD GATE (§2.9): the chained streaming flagship
     — applyInPandasWithState pct-change → watermark → 7-day windowed
     stddev — executed as REAL streaming queries over 3 file micro-batches,
     then audited against the batch LAG twin. Like the IVF gate, the oracle
@@ -176,25 +170,11 @@ def q_streaming_pct_change_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register(
-    "streaming_pct_change_reordered",
-    """
-WITH b AS (
-    SELECT epoch_us(min(ts)) AS lo_us, epoch_us(max(ts)) AS hi_us FROM events
-), p AS (
-    SELECT hi_us,
-           ((hi_us - lo_us) // 3 + 1) // 1000000 + 3600 AS delay_s
-    FROM b
-)
-SELECT COUNT(*) AS n_rows,
-       true AS pct_matches_batch,
-       true AS emitted_set_exact
-FROM events, p
-WHERE epoch_us(ts) <= (p.hi_us // 1000) * 1000 - p.delay_s * 1000000
-""",
-)
 def q_streaming_pct_change_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Out-of-order streaming HARD GATE: the reorder-buffer pct-change
+    """[RETIRED r13 into streaming_pct_change_multi — now that gate's
+    'reordered' variant builder; the audit pipeline is unchanged.]
+
+    Out-of-order streaming HARD GATE: the reorder-buffer pct-change
     (streaming/stateful.py pct_change_reordered) run as a REAL streaming
     query over 3 file micro-batches where every 7th event arrives one
     batch LATE (displaced, inside the watermark delay), then audited

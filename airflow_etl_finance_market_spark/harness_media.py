@@ -1223,21 +1223,11 @@ def q_image_tile_multi_crop_near_dups(
     )
 
 
-@register(
-    "multimodal_corpus_prep",
-    """
-WITH sel AS (
-    SELECT doc_id, lang FROM documents WHERE doc_id % 8 = 3
-), keep AS (
-    SELECT MIN(doc_id) AS doc_id FROM sel GROUP BY doc_id // 32
-)
-SELECT s.lang, COUNT(*) AS n_docs
-FROM sel s JOIN keep k USING (doc_id)
-GROUP BY s.lang
-""",
-)
 def q_multimodal_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CROSS-MODAL corpus-prep funnel: image-dedup survivorship gates
+    """[RETIRED r13 into multimodal_corpus_prep_multi — now that gate's
+    'image_only' variant builder; the funnel is unchanged.]
+
+    CROSS-MODAL corpus-prep funnel: image-dedup survivorship gates
     DOCUMENT selection — the vision-LM twin of corpus_prep_pipeline
     (there the dedup key was a text fingerprint; here it is the image
     dHash, so documents whose attached images are byte-different
@@ -1311,34 +1301,13 @@ def q_multimodal_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_corpus_prep_full",
-    """
-WITH sel AS (
-    SELECT doc_id, lang FROM documents WHERE doc_id % 4 = 1
-), img AS (
-    SELECT MIN(doc_id) AS doc_id FROM sel GROUP BY doc_id // 32
-), aud AS (
-    SELECT MIN(doc_id) AS doc_id FROM sel GROUP BY doc_id // 16
-), vid AS (
-    SELECT MIN(doc_id) AS doc_id FROM sel GROUP BY doc_id // 8
-)
-SELECT s.lang,
-       COUNT(*) AS n_docs,
-       (SELECT COUNT(*) FROM img) AS n_img_survivors,
-       (SELECT COUNT(*) FROM aud) AS n_audio_survivors,
-       (SELECT COUNT(*) FROM vid) AS n_video_survivors
-FROM sel s
-JOIN img USING (doc_id)
-JOIN aud USING (doc_id)
-JOIN vid USING (doc_id)
-GROUP BY s.lang
-""",
-)
 def q_multimodal_corpus_prep_full(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The FULL multimodal-LM prep funnel (r09 verdict #7): a document
+    """[RETIRED r13 into multimodal_corpus_prep_multi — now that gate's
+    'full' variant builder; the funnel is unchanged.]
+
+    The FULL multimodal-LM prep funnel (r09 verdict #7): a document
     is selected only if it survives dedup in ALL THREE media modalities
     — image dHash, audio fingerprint, AND video frame-set — each
     grouping content at a DIFFERENT granularity so every modality has

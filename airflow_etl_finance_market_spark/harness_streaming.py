@@ -1600,3 +1600,150 @@ def q_video_cdc_crop_near_dups(
         "n_videos long, n_pairs long, pairs_within_family boolean, "
         "families_fully_paired boolean",
     )
+
+
+@register(
+    "streaming_pct_change_multi",
+    """
+WITH b AS (
+    SELECT epoch_us(min(ts)) AS lo_us, epoch_us(max(ts)) AS hi_us FROM events
+), p AS (
+    SELECT hi_us,
+           ((hi_us - lo_us) // 3 + 1) // 1000000 + 3600 AS delay_s
+    FROM b
+)
+SELECT 'vol' AS variant,
+       (SELECT COUNT(*) FROM events) AS n_rows,
+       true AS pct_matches_batch, true AS aud_a, true AS aud_b
+UNION ALL
+SELECT 'reordered' AS variant,
+       COUNT(*) AS n_rows,
+       true AS pct_matches_batch, true AS aud_a,
+       CAST(NULL AS BOOLEAN) AS aud_b
+FROM events, p
+WHERE epoch_us(ts) <= (p.hi_us // 1000) * 1000 - p.delay_s * 1000000
+""",
+)
+def q_streaming_pct_change_multi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOTH stateful-streaming pct-change flagships in ONE multi-variant
+    gate — round-13 merge of `streaming_pct_change_vol` +
+    `streaming_pct_change_reordered` (the registry headroom rule: growth
+    paired with retirements; the dim_snapshots / tile-multi-crop
+    precedents). RETIREMENT RATIONALE: the two gates exercised the same
+    stateful operator family (streaming/stateful.py — one
+    applyInPandasWithState pct-change kernel, in in-order and
+    reorder-buffer form) over the same 3-micro-batch file replay
+    harness, always green together since r07; each retained audit is
+    UNCHANGED (the retired builders run verbatim as this gate's variant
+    rows — harness_events.q_streaming_pct_change_vol /
+    q_streaming_pct_change_reordered), so a drift in either pipeline
+    still flips the hash: variant 'vol' pins cross-batch state exactness
+    (n_rows vs COUNT(*), streamed pct == batch LAG, windowed vol subset
+    + values), variant 'reordered' pins the late-arrival buffer (the
+    emitted set is exactly the watermark-finalized prefix despite every
+    7th event arriving one batch late). Audit columns ride a common
+    (variant, n_rows, pct_matches_batch, aud_a, aud_b) projection —
+    aud_b is NULL for the 3-audit reordered variant. Their pytest
+    coverage (test_streaming.py) is untouched."""
+    from .harness_events import (
+        q_streaming_pct_change_reordered,
+        q_streaming_pct_change_vol,
+    )
+
+    vol = q_streaming_pct_change_vol(spark, sf_dir).select(
+        F.lit("vol").alias("variant"),
+        "n_rows",
+        "pct_matches_batch",
+        F.col("vol_windows_subset").alias("aud_a"),
+        F.col("vol_values_match").alias("aud_b"),
+    )
+    reo = q_streaming_pct_change_reordered(spark, sf_dir).select(
+        F.lit("reordered").alias("variant"),
+        "n_rows",
+        "pct_matches_batch",
+        F.col("emitted_set_exact").alias("aud_a"),
+        F.lit(None).cast("boolean").alias("aud_b"),
+    )
+    return vol.unionByName(reo)
+
+
+@register(
+    "multimodal_corpus_prep_multi",
+    """
+WITH sel8 AS (
+    SELECT doc_id, lang FROM documents WHERE doc_id % 8 = 3
+), keep8 AS (
+    SELECT MIN(doc_id) AS doc_id FROM sel8 GROUP BY doc_id // 32
+), sel4 AS (
+    SELECT doc_id, lang FROM documents WHERE doc_id % 4 = 1
+), img AS (
+    SELECT MIN(doc_id) AS doc_id FROM sel4 GROUP BY doc_id // 32
+), aud AS (
+    SELECT MIN(doc_id) AS doc_id FROM sel4 GROUP BY doc_id // 16
+), vid AS (
+    SELECT MIN(doc_id) AS doc_id FROM sel4 GROUP BY doc_id // 8
+)
+SELECT 'image_only' AS variant, s.lang, COUNT(*) AS n_docs,
+       CAST(NULL AS BIGINT) AS n_img_survivors,
+       CAST(NULL AS BIGINT) AS n_audio_survivors,
+       CAST(NULL AS BIGINT) AS n_video_survivors
+FROM sel8 s JOIN keep8 k USING (doc_id)
+GROUP BY s.lang
+UNION ALL
+SELECT 'full' AS variant, s.lang, COUNT(*) AS n_docs,
+       (SELECT COUNT(*) FROM img) AS n_img_survivors,
+       (SELECT COUNT(*) FROM aud) AS n_audio_survivors,
+       (SELECT COUNT(*) FROM vid) AS n_video_survivors
+FROM sel4 s
+JOIN img USING (doc_id)
+JOIN aud USING (doc_id)
+JOIN vid USING (doc_id)
+GROUP BY s.lang
+""",
+)
+def q_multimodal_corpus_prep_multi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOTH cross-modal corpus-prep funnels in ONE multi-variant gate —
+    round-13 merge of `multimodal_corpus_prep` +
+    `multimodal_corpus_prep_full` (the registry headroom rule: growth
+    paired with retirements). RETIREMENT RATIONALE: the 3-modality gate
+    SUBSUMES the 1-modality construction — same image encodings
+    (fixtures.image_encoding_variants), same min-id-per-block
+    survivorship, same broadcast-semi-join funnel shape — and the two
+    were always green together since r10; keeping the 1-modality rows
+    as this gate's 'image_only' variant preserves its independent
+    fixture (doc_id % 8 = 3, 32-id pixel blocks with FOUR byte
+    encodings per block — the 'full' variant's image tier reuses the
+    same encoder but a different selection), so a drift in either
+    funnel still flips the hash. Variant rows ride a common (variant,
+    lang, n_docs, n_img_survivors, n_audio_survivors,
+    n_video_survivors) projection — the survivor counts are NULL for
+    the image_only variant. Both retained builders run verbatim
+    (harness_media.q_multimodal_corpus_prep / _full); both oracles
+    re-derive survivorship purely from id arithmetic, unchanged."""
+    from .harness_media import (
+        q_multimodal_corpus_prep,
+        q_multimodal_corpus_prep_full,
+    )
+
+    nulls = F.lit(None).cast("long")
+    img_only = q_multimodal_corpus_prep(spark, sf_dir).select(
+        F.lit("image_only").alias("variant"),
+        "lang",
+        "n_docs",
+        nulls.alias("n_img_survivors"),
+        nulls.alias("n_audio_survivors"),
+        nulls.alias("n_video_survivors"),
+    )
+    full = q_multimodal_corpus_prep_full(spark, sf_dir).select(
+        F.lit("full").alias("variant"),
+        "lang",
+        "n_docs",
+        "n_img_survivors",
+        "n_audio_survivors",
+        "n_video_survivors",
+    )
+    return img_only.unionByName(full)
