@@ -891,7 +891,31 @@ def audio_cdc_near_dup_pairs(
     copy must share half its distinct segment fingerprints — far
     above the ~zero overlap of unrelated clips, far below the
     ~(k-2)/k of a two-edge trim at k segments). Returns verified
-    ``(id_a, id_b, n_matched, match_frac)`` with ``id_a < id_b``."""
+    ``(id_a, id_b, n_matched, match_frac)`` with ``id_a < id_b``.
+
+    SCOPE DECISION — tempo/pitch-shifted copies (r12 verdict #7, the
+    dihedral/off-MCU precedent): OUT OF SCOPE, permanently, for this
+    engine's exact tier. The audio robustness matrix is deliberately
+    closed at gain × arbitrary-trim × integer-rate: each of those
+    transforms preserves some exact arithmetic invariant (signs under
+    positive gain, interior bytes under trims, replicated samples
+    under k× rates) that a Hamming-0/near-0 fingerprint can ride. A
+    tempo or pitch shift preserves NONE — resampling at a non-integer
+    ratio INTERPOLATES every sample, every CDC anchor moves (the Gear
+    stream is computed over new sample values), every analysis window
+    covers different content, and the band-energy lattice itself
+    stretches in time and shifts in frequency — so no exact-hash
+    method can recover it even in principle; that is an information
+    boundary of the signal transform, not a kernel gap. Recovering
+    tempo-shifted re-uploads takes tolerance-based spectral methods
+    (constellation/landmark hashing over time-frequency peaks —
+    Wang's Shazam design — or beat-synchronous chroma), whose
+    scoring is inherently approximate and has no DuckDB-replayable
+    oracle; a production deployment layers such a perceptual tier on
+    top of this exact one. The divergence is pinned by
+    ``test_tempo_shift_divergence_pinned_out_of_scope``: a 1.1x
+    linear-interp tempo copy shares ZERO fingerprints with its
+    original under BOTH CDC anchors and the whole-clip kernel."""
     sigs = audio_cdc_fingerprints(
         media,
         id_col=id_col,

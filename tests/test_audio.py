@@ -701,3 +701,37 @@ class TestSignAnchoredCdc:
 
         with pytest.raises(ValueError, match="anchor"):
             _cdc_segment_kernel(anchor="energy")
+
+
+def test_tempo_shift_divergence_pinned_out_of_scope():
+    """The r13 SCOPE DECISION pin (audio_cdc_near_dup_pairs docstring —
+    the dihedral precedent): a 1.1x TEMPO-SHIFTED copy (linear-interp
+    resample played at the original rate) shares ZERO fingerprints with
+    its original under both CDC anchors AND the whole-clip kernel —
+    interpolation rewrites every sample, so no exact arithmetic
+    invariant survives. If a future kernel ever makes this pass, the
+    decision must be revisited, not the test."""
+    from airflow_etl_finance_market_spark.multimodal.audio import (
+        _audio_fingerprint_kernel,
+        _cdc_segment_kernel,
+    )
+
+    x = [(v - 128) << 8 for v in _lattice(b"tempo-pin", 16000)]
+    # 1.1x tempo: resample to 10/11 of the samples, same playback rate
+    n_out = len(x) * 10 // 11
+    shifted = []
+    for j in range(n_out):
+        pos = j * (len(x) - 1) / (n_out - 1)
+        i0 = int(pos)
+        frac = pos - i0
+        i1 = min(i0 + 1, len(x) - 1)
+        shifted.append(int(round(x[i0] * (1 - frac) + x[i1] * frac)))
+
+    whole = _audio_fingerprint_kernel()
+    assert whole(8000, [x]) != whole(8000, [shifted])
+    for anchor in ("amplitude", "sign"):
+        segs = _cdc_segment_kernel(anchor=anchor)
+        a = {hv for _, hv in segs(8000, [x])}
+        b = {hv for _, hv in segs(8000, [shifted])}
+        assert a and b
+        assert a & b == set(), f"{anchor}: tempo copy unexpectedly matched"
