@@ -539,6 +539,29 @@ price the row-CDC tier's honesty claim: cdc_hash 3.711 vs tile_hash
 VOLUME for ~1.3x the wall at 5k images, because decode dominates at
 this scale; the volume term is what sample_bits buys back when the
 corpus grows (cdc_hash_sampled 3.651, sigs/4).
+
+r13 refresh: headline 20.202 under an ANOMALOUS SPLIT REGIME — the
+triplet diverges within one run (flagship sf0.1 1.325 = 1.84x r12,
+but x100 in-tier 8.711 and post-hygiene 8.286 = 0.89x r12): per-task
+overhead roughly doubled host-wide while THROUGHPUT improved ~10%,
+so every sub-second overhead-dominated entry inflated ~1.8-3x
+together and every multi-second entry is flat-to-better
+(ohlcv 2.069, minhash 1.072, pagerank regime-normalized -27%). No
+plan touching the inflated queries changed this round (git: plans/
+and operators/markets untouched); a fresh idle JVM reproduces the
+inflation (ticker_metrics 1.148 cold / 0.783 warm vs r12's 0.467),
+confirming host state, not code. Read r13 deltas against the x100
+anchors, not the sf0.1 anchor. The rule-change watch item held:
+crawl_x100.url_canonical_dedup 1.388 vs r12's 1.440 — the r13
+scheme-fold + userinfo rules (one extra regexp_replace + a when) are
+free at the decade, even in the slow-overhead regime. New r13
+entries: corpus_x10.span_removal 4.341 vs dup_spans 2.856 (the full
+rewrite — one h-shuffled 3-window pass + coverage explode + id-keyed
+reassembly — costs 1.5x the stats-only signal at 50k docs);
+video_dedup.video_cdc_hash 4.508 vs video_hash 3.961 and
+video_cdc_pairs_sigs 7.915 at 910 clips (~500x the signature volume
+for ~1.14x the hash wall, because the container walk + JPEG decode
+dominates — the same honesty shape as the image cdc tier).
 """
 
 from __future__ import annotations
@@ -1191,12 +1214,42 @@ def video_dedup_section(spark, tmp: str) -> tuple[dict[str, float], int]:
     def _noop(df):
         df.write.format("noop").mode("overwrite").save()
 
+    # r13: stored row-CDC frame sigs for the join-only pair timer (the
+    # _sigs convention) — materialized OUTSIDE the timers
+    from airflow_etl_finance_market_spark.multimodal.phash import (
+        video_frame_row_cdc,
+    )
+
+    video_frame_row_cdc(media).write.mode("overwrite").parquet(
+        f"{tmp}/video_cdc_sigs.parquet"
+    )
+
     out: dict[str, float] = {}
     for name, thunk in (
         ("video_hash", lambda: _noop(video_frame_dhash(media))),
         (
             "video_pairs",
             lambda: _noop(video_near_dup_pairs(video_frame_dhash(media))),
+        ),
+        # r13: the crop-robust per-frame row-CDC tier priced on the SAME
+        # clips — hash stage (walk + decode + per-row Gear per frame;
+        # ~2.5k sigs/video vs 5 for whole-frame dHash, the tier's
+        # docstring honesty claim) and the join-only pair stage over
+        # stored sigs at max_hamming=0
+        (
+            "video_cdc_hash",
+            lambda: _noop(video_frame_row_cdc(media)),
+        ),
+        (
+            "video_cdc_pairs_sigs",
+            lambda: _noop(
+                video_near_dup_pairs(
+                    spark.read.parquet(f"{tmp}/video_cdc_sigs.parquet"),
+                    sig_col="sig",
+                    max_hamming=0,
+                    min_match_frac=0.5,
+                )
+            ),
         ),
     ):
         best = float("inf")
@@ -1775,6 +1828,12 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         # cardinality — the substring-dedup signal) at 50k docs
         "dup_spans": lambda: _noop(
             D.duplicate_span_stats(docs, span_tokens=10)
+        ),
+        # r13: the REMOVAL twin (one h-shuffled window pass + coverage
+        # explode + id-keyed reassembly) at 50k docs — prices the
+        # rewrite stage against the stats-only signal above
+        "span_removal": lambda: _noop(
+            D.duplicate_span_removal(docs, span_tokens=10)
         ),
         # r07: the published-filter tier — Gopher rule bundle (map-only,
         # shuffle-free) and DSIR importance weights (explode + two
