@@ -1104,10 +1104,13 @@ def duplicate_span_removal(
 
     Scale shape (the 100 TB bill): the span stream (~1 row per corpus
     token, 32-byte md5 keys — span text never becomes a shuffle key) is
-    scanned ONCE and shuffled ONCE on the hash; distinct-doc cardinality
-    and global-first survivorship both come from window functions over
-    that single h-clustered sort (no self-join, no second corpus scan —
-    hashpartitioning(h) satisfies the (h, id) window's clustering too).
+    scanned ONCE and shuffled ONCE on the hash; doc-first marking (an
+    id TRANSITION under the (id, pos) sort), global-first survivorship
+    (row_number), and distinct-doc cardinality (the unbounded sum of
+    the marks) are all windows over that single h-clustered sort — no
+    self-join, no second corpus scan, and every window keys on (h)
+    alone so the one exchange is plan-pinned whatever the input
+    partitioning.
     Coverage positions explode only DUPLICATED occurrences (bounded by
     the dup volume, not the corpus), collapse map-side into per-document
     position sets, and the final id-keyed join rebuilds text with an
@@ -1136,18 +1139,24 @@ def duplicate_span_removal(
         F.md5("_span").alias("h"),
     )
 
-    # One exchange on h serves all three windows: (h, id) clustering is
-    # satisfied by hashpartitioning(h), so doc-first marking, global
-    # first-occurrence rank, and the distinct-doc sum share the sort.
-    w_doc = Window.partitionBy("h", "id").orderBy("p")
+    # ONE exchange on h serves everything: within the (h) partition
+    # sorted by (id, p), an id TRANSITION marks each document's first
+    # occurrence (lag shares the row_number's window spec — same sort,
+    # same node), and the distinct-doc count is the unbounded sum of
+    # those marks. A (h, id)-keyed window would instead anchor the
+    # plan to hashpartitioning(h, id), which does NOT satisfy the
+    # (h)-only windows, forcing a second corpus-sized shuffle whenever
+    # the input isn't already id-clustered.
     w_first = Window.partitionBy("h").orderBy("id", "p")
     w_span = Window.partitionBy("h")
+    prev_id = F.lag("id").over(w_first)
     dup_occ = (
         occ.withColumn(
-            "_doc_first", (F.row_number().over(w_doc) == 1).cast("int")
+            "_doc_first",
+            (prev_id.isNull() | (prev_id != F.col("id"))).cast("int"),
         )
-        .withColumn("_nd", F.sum("_doc_first").over(w_span))
         .withColumn("is_surv", F.row_number().over(w_first) == 1)
+        .withColumn("_nd", F.sum("_doc_first").over(w_span))
         .filter(F.col("_nd") >= min_docs)
         .select("id", "p", "n", "is_surv")
     )

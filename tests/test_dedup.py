@@ -450,9 +450,12 @@ class TestDuplicateSpanRemoval:
         assert got[5][2] == 0
 
     def test_single_span_shuffle_plan(self, spark):
-        """Scale contract: the span stream shuffles ONCE — distinct-doc
-        cardinality and survivorship ride windows over one h-clustered
-        exchange (no self-join of the span frame back onto itself)."""
+        """Scale contract: the span stream shuffles ONCE — doc-first
+        marking, survivorship, and distinct-doc cardinality all ride
+        windows keyed on (h) alone over one h-clustered exchange (no
+        self-join of the span frame back onto itself, and no second
+        corpus shuffle from a (h, id)-keyed window when the input
+        isn't id-clustered)."""
         from airflow_etl_finance_market_spark.operators.dedup import (
             duplicate_span_removal,
         )
@@ -466,7 +469,20 @@ class TestDuplicateSpanRemoval:
             .executedPlan()
             .toString()
         )
-        # windows, not a span-frame self-join: every join in the plan is
-        # id-keyed reassembly (2 joins: coverage->toks), and the span
-        # Generate appears once
+        # windows, not a span-frame self-join
         assert plan.count("Window") >= 2
+        # the span stream shuffles ONCE, keyed on h ALONE: a second
+        # h-keyed exchange (or an (h, id)-keyed one) is the regression
+        # where the doc-first window anchors to hashpartitioning(h, id)
+        # and the (h)-only windows force a re-shuffle. The other
+        # exchanges are id-keyed (coverage aggregate + reassembly SMJ
+        # — corpus-sized by necessity; AQE broadcasts the small side
+        # at runtime).
+        import re
+
+        shuffles = re.findall(
+            r"Exchange hashpartitioning\(([^)]+)\)", plan
+        )
+        h_keyed = [s for s in shuffles if "h#" in s]
+        assert len(h_keyed) == 1, shuffles
+        assert "id#" not in h_keyed[0], shuffles

@@ -82,6 +82,10 @@ NAMES = [
     "domain_blocklist_filter",
     "token_budget_corpus_select",
     "c4_line_filter",
+    # round 13: duplicate-span REMOVAL (the span stream shuffles once —
+    # three windows over one h-clustered exchange — then coverage
+    # explode + id-keyed reassembly join)
+    "doc_duplicate_span_removal",
 ]
 
 
