@@ -425,8 +425,22 @@ def canonicalize_url(col: Column | str) -> Column:
     RESERVED characters (decoding those can change semantics — that is
     the RFC's own line), multi-level double-encoding (``%2541``
     unwraps one level per pass — single-pass decode, pinned in tests),
-    IDN/punycode folding, and per-site parameter semantics — a
-    production deployment layers site rules on top. Non-URL strings (no ``scheme://``) pass through with
+    and per-site parameter semantics — a production deployment layers
+    site rules on top.
+
+    SCOPE DECISION — IDN/punycode folding (r13, the tempo/dihedral
+    precedent): OUT OF SCOPE for this chain, permanently. Punycode is
+    an adaptive base-36 ALGORITHM (RFC 3492's insertion-sort decoder
+    with per-digit bias adaptation), not a finite rewrite — it cannot
+    be a Catalyst expression, and this stage's whole design premise is
+    staying inside whole-stage codegen on the hottest map path of a
+    100 TB crawl (the bench-measured reason the percent-decode chain
+    is even gated behind a contains('%') scan). A deployment that
+    needs ``xn--`` ↔ Unicode equivalence layers one Arrow mapInPandas
+    hop with ``idna`` over the MINORITY of hosts containing ``xn--``
+    — the same quarantine-the-minority shape as the percent gate —
+    WITHOUT slowing the universal path; the two forms of one host
+    then dedup in that layer, never wrongly merge in this one. Non-URL strings (no ``scheme://``) pass through with
     only fragment/whitespace/percent-decode hygiene, so a mixed-quality
     url column never throws."""
     url = _percent_decode_unreserved(
