@@ -1073,6 +1073,7 @@ def duplicate_span_removal(
     text_col: str = "text",
     span_tokens: int = 10,
     min_docs: int = 2,
+    preserve: str = "normalized",
 ) -> DataFrame:
     """Duplicate-span REMOVAL — the rewrite stage `duplicate_span_stats`
     only reports: Lee et al.'s "Deduplicating Training Data Makes
@@ -1086,6 +1087,20 @@ def duplicate_span_removal(
       collapsed whitespace — the repo's canonical fingerprint form);
       output text is rebuilt from those normalized tokens, the same
       normalization-at-the-edge every fingerprint consumer here accepts.
+      ``preserve="original"`` rebuilds from the ORIGINAL-case tokens
+      instead (matching on normalized spans, cutting from the raw
+      text — the production posture, since training data keeps its
+      casing): whitespace runs map 1:1 between the raw and normalized
+      splits, so positions align exactly and only inter-token
+      whitespace is canonicalized to single spaces.
+    - ``min_docs`` counts DISTINCT documents, so purely intra-document
+      repetition is deliberately left to the repetition filters
+      (`doc_repetition_stats` and the Gopher flags): with sliding
+      windows, the rotated spans around an in-doc repeat are each
+      their own first occurrence, and their survivor protection covers
+      the repeated tokens — removing in-doc repeats exactly takes the
+      suffix-array maximal-match machinery, not a window kernel
+      (pinned in tests).
     - spans = every run of ``span_tokens`` consecutive tokens (stride 1,
       1-based start positions); a document shorter than ``span_tokens``
       contributes its whole text as one span (the degenerate n-gram
@@ -1121,10 +1136,27 @@ def duplicate_span_removal(
     """
     from pyspark.sql.window import Window
 
+    if preserve not in ("normalized", "original"):
+        raise ValueError(f"unknown preserve mode: {preserve!r}")
     k = span_tokens
-    toks = docs.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
-    ).withColumn("n", F.size("toks"))
+    # `toks` drives span hashing (always normalized); `out` is what the
+    # reassembly emits. The raw split is on whitespace RUNS, so raw and
+    # normalized token positions align 1:1 by construction.
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("_t"),
+            tokens(F.col(text_col)).alias("toks"),
+        )
+        .withColumn(
+            "out",
+            F.split(F.trim(F.col("_t")), r"\s+")
+            if preserve == "original"
+            else F.col("toks"),
+        )
+        .drop("_t")
+        .withColumn("n", F.size("toks"))
+    )
 
     occ = toks.select(
         "id",
@@ -1191,7 +1223,7 @@ def duplicate_span_removal(
             F.concat_ws(
                 " ",
                 F.filter(
-                    F.col("toks"),
+                    F.col("out"),
                     lambda tok, i: ~F.array_contains(rm, i + F.lit(1)),
                 ),
             ).alias("text"),

@@ -486,3 +486,45 @@ class TestDuplicateSpanRemoval:
         h_keyed = [s for s in shuffles if "h#" in s]
         assert len(h_keyed) == 1, shuffles
         assert "id#" not in h_keyed[0], shuffles
+
+    def test_preserve_original_and_full_exactsubstr_mode(self, spark):
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            duplicate_span_removal,
+        )
+
+        boiler = "All Rights Reserved Contact The Publisher"
+        docs = [
+            (1, f"Alpha BETA {boiler} Gamma delta"),
+            (2, f"Epsilon  {boiler}   zeta Eta THETA"),  # ragged spacing
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: r.text
+            for r in duplicate_span_removal(
+                df, span_tokens=6, preserve="original"
+            ).collect()
+        }
+        # matching is case-insensitive (normalized spans), the CUT text
+        # keeps ORIGINAL casing; inter-token whitespace canonicalizes
+        assert got[1] == f"Alpha BETA {boiler} Gamma delta"
+        assert got[2] == "Epsilon zeta Eta THETA"
+
+        # intra-doc repetition is DELIBERATELY untouched (docstring
+        # pin): the rotated spans around an in-doc repeat are each
+        # their own first occurrence, so survivor protection covers
+        # the repeated tokens even at min_docs=1 — exact in-doc repeat
+        # removal is suffix-array territory, out of this kernel
+        rep = spark.createDataFrame(
+            [(1, "one two three four one two three four tail")],
+            "doc_id long, text string",
+        )
+        for md in (1, 2):
+            row = duplicate_span_removal(
+                rep, span_tokens=4, min_docs=md
+            ).first()
+            assert row.n_tokens_removed == 0
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            duplicate_span_removal(rep, preserve="bytes")
