@@ -562,6 +562,10 @@ video_dedup.video_cdc_hash 4.508 vs video_hash 3.961 and
 video_cdc_pairs_sigs 7.915 at 910 clips (~500x the signature volume
 for ~1.14x the hash wall, because the container walk + JPEG decode
 dominates — the same honesty shape as the image cdc tier).
+span_removal joins the corpus_x100 decade: 21.933 s at 500k docs vs
+4.341 at 50k (5x for 10x — sublinear) and 1.23x the dup_spans
+stats-only pass at the decade (17.836) — the rewrite's whole extra
+bill is the bounded coverage explode + the reassembly join.
 """
 
 from __future__ import annotations
@@ -1519,6 +1523,10 @@ CORPUS_X100 = [
     # linear bound, dsir proves the bucket-agg + broadcast-ratio-join
     # shape holds when the occurrence stream grows 10x
     "gopher_flags", "dsir_weights",
+    # r13: the removal twin's decade — proves the one-h-shuffle
+    # 3-window pass + coverage explode + reassembly join stay linear
+    # when the span stream grows 10x
+    "span_removal",
 ]
 
 
@@ -1704,6 +1712,9 @@ def corpus_x100_section(
         ),
         "dedup_clusters": lambda: _noop(qs["doc_dedup_clusters"](spark, x100)),
         "dup_spans": lambda: _noop(D.duplicate_span_stats(docs, span_tokens=10)),
+        "span_removal": lambda: _noop(
+            D.duplicate_span_removal(docs, span_tokens=10)
+        ),
         "gopher_flags": lambda: _noop(qs["gopher_quality_flags"](spark, x100)),
         "dsir_weights": lambda: _noop(
             qs["dsir_importance_weights"](spark, x100)
