@@ -1448,10 +1448,13 @@ def image_tile_section(spark, tmp: str) -> tuple[dict[str, float], int]:
     ).parquet(media_path)
     media = spark.read.parquet(media_path)
     n_images = media.count()
-    # stored tile sigs for the join-only pair timer (_sigs entry):
-    # materialized OUTSIDE the timers, like the crossover demo
+    # stored tile/cdc sigs for the join-only pair timers (_sigs
+    # entries): materialized OUTSIDE the timers, like the crossover demo
     image_tile_dhash(media).write.mode("overwrite").parquet(
         f"{tmp}/tile_sigs.parquet"
+    )
+    image_row_cdc_hashes(media).write.mode("overwrite").parquet(
+        f"{tmp}/cdc_sigs.parquet"
     )
 
     def _noop(df):
@@ -1504,6 +1507,21 @@ def image_tile_section(spark, tmp: str) -> tuple[dict[str, float], int]:
         (
             "cdc_pairs",
             lambda: _noop(image_cdc_crop_near_dup_pairs(media)),
+        ),
+        # r13 measurement hygiene parity with tile_pairs_sigs: the
+        # join-only twin over stored row-CDC sigs isolates the
+        # max_hamming=0 block join from the ~1.6k-md5s/image hash
+        # stage the cumulative entry re-runs
+        (
+            "cdc_pairs_sigs",
+            lambda: _noop(
+                image_tile_near_dup_pairs(
+                    spark.read.parquet(f"{tmp}/cdc_sigs.parquet"),
+                    sig_col="sig",
+                    max_hamming=0,
+                    min_match_frac=0.5,
+                )
+            ),
         ),
     ):
         best = float("inf")

@@ -588,3 +588,75 @@ def test_canonicalize_url_idempotent_hypothesis(spark, urls):
     ).select("url", "c1", canonicalize_url("c1").alias("c2"))
     bad = [r for r in out.collect() if r.c1 != r.c2]
     assert bad == [], f"non-idempotent: {bad[:5]}"
+
+
+def _span_removal_replay(docs, k, min_docs=2):
+    """Pure-python replay of duplicate_span_removal's contract (the
+    test_dedup differential, shared here for the property form)."""
+    from collections import defaultdict
+
+    toks = {i: t.lower().split() for i, t in docs}
+    occ = []
+    for i, ts in sorted(toks.items()):
+        n = len(ts)
+        if n < k:
+            occ.append((i, 1, " ".join(ts), n))
+        else:
+            for p in range(1, n - k + 2):
+                occ.append((i, p, " ".join(ts[p - 1 : p - 1 + k]), p + k - 1))
+    owners = defaultdict(set)
+    for i, p, s, e in occ:
+        owners[s].add(i)
+    dup = {s for s, o in owners.items() if len(o) >= min_docs}
+    surv = {}
+    for i, p, s, e in sorted(occ):
+        if s in dup and s not in surv:
+            surv[s] = (i, p)
+    ns, sv = defaultdict(set), defaultdict(set)
+    for i, p, s, e in occ:
+        if s not in dup:
+            continue
+        (sv if surv[s] == (i, p) else ns)[i].update(range(p, e + 1))
+    out = {}
+    for i, ts in toks.items():
+        rm = ns[i] - sv[i]
+        kept = [t for j, t in enumerate(ts, 1) if j not in rm]
+        out[i] = (" ".join(kept), len(kept), len(rm))
+    return out
+
+
+@st.composite
+def _span_corpus(draw):
+    # tiny alphabet + short docs force heavy span collisions: repeats
+    # within docs, cross-doc shares, sub-span-length degenerates
+    n_docs = draw(st.integers(min_value=1, max_value=6))
+    word = st.sampled_from(["a", "b", "c", "d"])
+    docs = []
+    for i in range(n_docs):
+        toks = draw(st.lists(word, min_size=1, max_size=12))
+        docs.append((i + 1, " ".join(toks)))
+    return docs
+
+
+@given(docs=_span_corpus(), k=st.integers(min_value=2, max_value=4),
+       min_docs=st.integers(min_value=1, max_value=3))
+@settings(**SETTINGS)
+def test_duplicate_span_removal_matches_replay_hypothesis(
+    spark, docs, k, min_docs
+):
+    """Property differential: over adversarial tiny-alphabet corpora
+    (maximal span collisions, overlap chains, whole-doc degenerates,
+    within-doc repeats), the operator equals the pure-python replay of
+    its contract for every (span_tokens, min_docs)."""
+    from airflow_etl_finance_market_spark.operators.dedup import (
+        duplicate_span_removal,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in duplicate_span_removal(
+            df, span_tokens=k, min_docs=min_docs
+        ).collect()
+    }
+    assert got == _span_removal_replay(docs, k, min_docs)
