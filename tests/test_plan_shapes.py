@@ -727,3 +727,33 @@ def test_token_budget_boundary_sort_confined_to_one_bucket(spark, sf_dir):
     # never a sort: the ONLY Sort in the plan is the window's own
     assert plan.count("Sort ") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_video_cdc_pair_join_reuses_signature_exchange(spark):
+    """The video row-CDC pair stage rides the same ball-0 pigeonhole
+    self-join as the image tier: both sides plan-identical so the
+    shuffled exchange is reused and the container walk + per-frame
+    decode + Gear mapInPandas stage evaluates ONCE (the r10 lesson,
+    pinned per tier because an innocent projection rename re-breaks it
+    silently)."""
+    from airflow_etl_finance_market_spark.fixtures import (
+        mjpeg_cdc_crop_family_members,
+    )
+    from airflow_etl_finance_market_spark.multimodal.phash import (
+        video_cdc_crop_near_dup_pairs,
+    )
+
+    members = mjpeg_cdc_crop_family_members()
+    full, cropped = members("plan pin video")
+    media = spark.createDataFrame(
+        [(1, bytearray(full)), (2, bytearray(cropped))],
+        "doc_id long, payload binary",
+    )
+    df = video_cdc_crop_near_dup_pairs(media)
+    assert [(r.video_a, r.video_b) for r in df.collect()] == [(1, 2)]
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "ReusedExchange" in final
+    assert "CartesianProduct" not in final
