@@ -1458,6 +1458,42 @@ class TestTokenBudgetSelect:
         )
         # greedy order is score DESC = id DESC; 150/3 = 50 docs
         assert got == list(range(350, 400))
+
+    def test_auto_sizing_past_grid_falls_back_to_exact_quantiles(self, spark):
+        """The r13 one-action fold reads splits off a fixed 1024-point
+        percentile grid; when auto n_buckets EXCEEDS the grid (corpus >
+        1024 x max_bucket_rows) the operator must fall back to the
+        exact-resolution quantile pass and stay correct — exercised
+        here by shrinking max_bucket_rows instead of growing the
+        corpus (2100 rows / 2 -> 1050 buckets > 1024)."""
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, float(rng.randrange(700)), rng.randint(1, 4))
+            for i in range(2100)
+        ]
+        assert self._run(
+            spark, rows, 900, max_bucket_rows=2
+        ) == self._reference(rows, 900)
+
+    def test_all_null_scores_one_action_path(self, spark):
+        """All-NULL scores: the single-agg percentile grid comes back
+        NULL, splits collapse to [], every doc lands in the sentinel
+        bucket, and greedy order degrades to pure id order."""
+        rows = [(i, None, 10) for i in range(5)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, score double, n_tokens long"
+        )
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            token_budget_select,
+        )
+
+        got = sorted(
+            r.doc_id
+            for r in token_budget_select(df, budget=30).collect()
+        )
+        assert got == [0, 1, 2]
         n_buckets = max(64, -(-400 // 5))
         assert n_buckets == 80
         splits = sorted(
@@ -1572,3 +1608,4 @@ def test_domain_blocklist_entries_normalized_and_unhinted_join(spark):
             ).collect()
         )
         assert got == [1], f"broadcast_blocklist={hint}"
+
