@@ -77,11 +77,13 @@ def register(name: str, oracle: str | None = None):
 #: signal); url_canonical_dedup and token_budget_corpus_select under
 #: rule 2 (their depended-on code changed this round: http→https
 #: folding + userinfo stripping in canonicalize_url; the
-#: count+quantile single-action fold in token_budget_select); and the
-#: round's 2 new gates under rule 1 (doc_duplicate_span_removal,
-#: video_cdc_crop_near_dups). That is 49 slots; slot 50 falls to
-#: weekly_volatility — the OLDEST r11-green entry (and the flagship),
-#: refreshed early under rule 3 to shrink the r14 backbone to 45.
+#: count+quantile single-action fold in token_budget_select;
+#: video_near_dups after video_frame_dhash gained the streaming
+#: passthrough parameter); and the round's 2 new gates under rule 1
+#: (doc_duplicate_span_removal, video_cdc_crop_near_dups). That is 50
+#: slots exactly — video_near_dups' late rule-2 re-entry displaced
+#: the planned rule-3 early refresh of weekly_volatility (rule 2
+#: outranks rule 3), which stays in the r14 backbone below.
 #: Demoted below: the remaining r11-green entries (trail 2 at r13 —
 #: due and PRE-COMMITTED live at r14) and the r12-green entries
 #: (trail 1, due r15; multimodal_corpus_prep retired into its merge).
@@ -92,11 +94,9 @@ def register(name: str, oracle: str | None = None):
 #: their retirement rationales.)
 _WINDOW_DEMOTED = [
     # --- r11-green, trail 2 at r13: the PRE-COMMITTED r14 backbone
-    # (all 45 MUST be live the moment CORRECTNESS_r14.json lands;
+    # (all 46 MUST be live the moment CORRECTNESS_r14.json lands;
     # c4_line_filter left this cohort — it is live NOW as the r13
-    # rule-2 entry — and weekly_volatility, first below, rides r13's
-    # spare slot 50 as the rule-3 early refresh: both re-join the r15
-    # backbone instead) ---
+    # rule-2 entry and re-joins the r15 backbone instead) ---
     "weekly_volatility",
     "market_overview",
     "ticker_report_stats",
@@ -187,7 +187,10 @@ _WINDOW_DEMOTED = [
     "streaming_funnel_ooo",
     "weekly_activity_panel",
     "multimodal_audio_features",
-    "video_near_dups",
+    # video_near_dups: LIVE at r13 under rule 2 (video_frame_dhash
+    # gained the passthrough parameter for streaming parity — output
+    # unchanged without it, but the stage code changed) — re-joins the
+    # r15 backbone after
     "audio_trim_multi_near_dups",
     "image_tile_multi_crop_near_dups",
     # multimodal_corpus_prep: retired r13 into the live merge

@@ -732,6 +732,7 @@ def video_frame_dhash(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     every_n: int = 1,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Map-only Arrow stage: MJPEG/AVI payloads → ``(video_id,
     frame_idx, dhash)`` — the container walk, per-frame JPEG decode,
@@ -740,7 +741,11 @@ def video_frame_dhash(
     (raw frames never enter a shuffle — the property video dedup needs
     at scale). Unparseable containers and undecodable frames QUARANTINE
     (zero rows / skipped frame), the frame-path posture of
-    :func:`.binary.sample_frames`."""
+    :func:`.binary.sample_frames`. ``passthrough`` columns are copied
+    verbatim onto every emitted frame row (the streaming dedup
+    caller's event-time column must survive this stage, like every
+    sibling signature stage — a watermark dies with any projection
+    that drops its column)."""
     from .jpeg import _stdlib_jpeg_codec
     from .video import _stdlib_avi_codec
 
@@ -748,11 +753,14 @@ def video_frame_dhash(
     _, _jpeg_decode, _ = _stdlib_jpeg_codec()
     _dhash = _dhash_kernel()
     step = every_n
+    extra = tuple(passthrough)
 
     def _stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vids, idxs, hashes = [], [], []
-            for vid, payload in zip(pdf[id_col], pdf[payload_col]):
+            vids, idxs, hashes, keep = [], [], [], []
+            for i, (vid, payload) in enumerate(
+                zip(pdf[id_col], pdf[payload_col])
+            ):
                 if payload is None:
                     continue
                 try:
@@ -766,21 +774,29 @@ def video_frame_dhash(
                     except Exception:
                         continue  # quarantine: bad/below-grid frame
                     vids.append(vid)
+                    keep.append(i)
                     idxs.append(k)
                     hashes.append(hv - (1 << 64) if hv >= 1 << 63 else hv)
-            yield pd.DataFrame(
-                {
-                    "video_id": pd.Series(vids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int64"),
-                    "dhash": pd.Series(hashes, dtype="int64"),
-                }
-            )
+            out = {"video_id": pd.Series(vids, dtype="int64")}
+            for c in extra:
+                out[c] = pdf[c].iloc[keep].reset_index(drop=True)
+            out["frame_idx"] = pd.Series(idxs, dtype="int64")
+            out["dhash"] = pd.Series(hashes, dtype="int64")
+            yield pd.DataFrame(out)
 
-    return media.select(
-        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
-    ).mapInPandas(
-        _stage, schema="video_id long, frame_idx long, dhash long"
+    schema = StructType(
+        [StructField("video_id", LongType())]
+        + [media.schema[c] for c in extra]
+        + [
+            StructField("frame_idx", LongType()),
+            StructField("dhash", LongType()),
+        ]
     )
+    return media.select(
+        F.col(id_col).alias(id_col),
+        F.col(payload_col).alias(payload_col),
+        *[F.col(c) for c in extra],
+    ).mapInPandas(_stage, schema=schema)
 
 
 def video_near_dup_pairs(
@@ -1277,6 +1293,7 @@ def video_frame_row_cdc(
     max_seg: int = 32,
     window: int = 8,
     sample_bits: int = 0,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Map-only Arrow stage: MJPEG/AVI payloads → ``(video_id,
     frame_idx, seg_idx, sig)`` — the image tier's per-row
@@ -1293,7 +1310,10 @@ def video_frame_row_cdc(
     identically). Cost honesty: row-CDC emits roughly ``h*w /
     2^avg_seg_bits`` signatures per frame — an order more than one
     dHash; per-frame signatures are the price of crop robustness, and
-    ``every_n`` + ``sample_bits`` buy it back multiplicatively."""
+    ``every_n`` + ``sample_bits`` buy it back multiplicatively.
+    ``passthrough`` columns are copied verbatim onto every emitted
+    segment row (the streaming caller's event-time column must survive
+    this stage, like every sibling signature stage)."""
     from .jpeg import _stdlib_jpeg_codec
     from .video import _stdlib_avi_codec
 
@@ -1303,11 +1323,14 @@ def video_frame_row_cdc(
         min_seg, avg_seg_bits, max_seg, window, sample_bits
     )
     step = every_n
+    extra = tuple(passthrough)
 
     def _stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vids, fidxs, sidxs, sigs = [], [], [], []
-            for vid, payload in zip(pdf[id_col], pdf[payload_col]):
+            vids, fidxs, sidxs, sigs, keep = [], [], [], [], []
+            for i, (vid, payload) in enumerate(
+                zip(pdf[id_col], pdf[payload_col])
+            ):
                 if payload is None:
                     continue
                 try:
@@ -1322,24 +1345,32 @@ def video_frame_row_cdc(
                         continue  # quarantine: bad frame
                     for si, hv in segs:
                         vids.append(vid)
+                        keep.append(i)
                         fidxs.append(k)
                         sidxs.append(si)
                         sigs.append(hv - (1 << 64) if hv >= 1 << 63 else hv)
-            yield pd.DataFrame(
-                {
-                    "video_id": pd.Series(vids, dtype="int64"),
-                    "frame_idx": pd.Series(fidxs, dtype="int64"),
-                    "seg_idx": pd.Series(sidxs, dtype="int64"),
-                    "sig": pd.Series(sigs, dtype="int64"),
-                }
-            )
+            out = {"video_id": pd.Series(vids, dtype="int64")}
+            for c in extra:
+                out[c] = pdf[c].iloc[keep].reset_index(drop=True)
+            out["frame_idx"] = pd.Series(fidxs, dtype="int64")
+            out["seg_idx"] = pd.Series(sidxs, dtype="int64")
+            out["sig"] = pd.Series(sigs, dtype="int64")
+            yield pd.DataFrame(out)
 
-    return media.select(
-        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
-    ).mapInPandas(
-        _stage,
-        schema="video_id long, frame_idx long, seg_idx long, sig long",
+    schema = StructType(
+        [StructField("video_id", LongType())]
+        + [media.schema[c] for c in extra]
+        + [
+            StructField("frame_idx", LongType()),
+            StructField("seg_idx", LongType()),
+            StructField("sig", LongType()),
+        ]
     )
+    return media.select(
+        F.col(id_col).alias(id_col),
+        F.col(payload_col).alias(payload_col),
+        *[F.col(c) for c in extra],
+    ).mapInPandas(_stage, schema=schema)
 
 
 def video_cdc_crop_near_dup_pairs(

@@ -178,3 +178,37 @@ class TestVideoCdcCrop:
                 for y in range(32)
             )
             assert pb == want
+
+
+def test_video_signature_stages_passthrough_columns(spark):
+    """Streaming parity: both video signature stages must carry
+    `passthrough` columns verbatim onto every emitted row — a watermark
+    dies with any projection that drops its event-time column (the
+    image/audio stages' contract, extended to video)."""
+    import datetime as dt
+
+    from airflow_etl_finance_market_spark.fixtures import (
+        mjpeg_video_variants,
+    )
+    from airflow_etl_finance_market_spark.multimodal.phash import (
+        video_frame_dhash,
+        video_frame_row_cdc,
+    )
+
+    v = mjpeg_video_variants()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    media = spark.createDataFrame(
+        [
+            (1, t0, bytearray(v(b"pt-a", 0))),
+            (2, t0.replace(hour=13), bytearray(v(b"pt-b", 0))),
+            (3, t0.replace(hour=14), None),  # quarantined: no rows
+        ],
+        "doc_id long, ts timestamp_ntz, payload binary",
+    )
+    for stage in (video_frame_dhash, video_frame_row_cdc):
+        rows = stage(media, passthrough=("ts",)).collect()
+        assert rows, stage.__name__
+        got = {(r.video_id, r.ts) for r in rows}
+        assert got == {
+            (1, t0), (2, t0.replace(hour=13))
+        }, stage.__name__
