@@ -566,6 +566,18 @@ span_removal joins the corpus_x100 decade: 21.933 s at 500k docs vs
 4.341 at 50k (5x for 10x — sublinear) and 1.23x the dup_spans
 stats-only pass at the decade (17.836) — the rewrite's whole extra
 bill is the bounded coverage explode + the reassembly join.
+
+r13 addendum (run3, same day — the COMMITTED BENCH_LOCAL): the split
+regime RELAXED (flagship 0.694 / x100 8.525 — right at the r12
+anchors), headline 15.187, confirming run1's 20.2 was transient host
+state, exactly the documented wander. All new entries present:
+corpus_x100.span_removal 39.782 IN-TIER (vs 21.9 solo — it runs
+after dedup_clusters' checkpoint blocks; a between-entries reclaim
+now precedes it after one observed run died in GCLocker allocation
+stalls there — the r10 storage-headroom failure mode, not a plan
+problem), video_cdc_hash 4.373 / video_cdc_pairs_sigs 7.773,
+cdc_pairs_sigs 3.570 (the join alone ~= tile's — the cumulative
+cdc_pairs 8.664 is hash-dominated), crawl url stage 1.149.
 """
 
 from __future__ import annotations
@@ -1738,7 +1750,17 @@ def corpus_x100_section(
             qs["dsir_importance_weights"](spark, x100)
         ),
     }
-    return best_of_3_each({name: jobs[name] for name in CORPUS_X100}), n_docs
+    # r13: reclaim (outside the timers) before the removal entry —
+    # dedup_clusters leaves its CC-round localCheckpoint blocks behind,
+    # and the removal pass's h-sorted span stream + per-doc
+    # collect_sets on top of them took the 8g JVM into GCLocker
+    # allocation stalls on one observed run (the r10 failure mode;
+    # reclaim is ~100 ms and timing-neutral per the flagship pair)
+    first = [n for n in CORPUS_X100 if n != "span_removal"]
+    out = best_of_3_each({name: jobs[name] for name in first})
+    reclaim(spark)
+    out.update(best_of_3_each({"span_removal": jobs["span_removal"]}))
+    return {name: out[name] for name in CORPUS_X100}, n_docs
 
 
 #: r12: the crawl-prep decade is PERMANENT (r11 verdict #7 — the four
