@@ -733,6 +733,7 @@ def video_frame_dhash(
     payload_col: str = "payload",
     every_n: int = 1,
     passthrough: tuple[str, ...] = (),
+    mirror_canonical: bool = False,
 ) -> DataFrame:
     """Map-only Arrow stage: MJPEG/AVI payloads → ``(video_id,
     frame_idx, dhash)`` — the container walk, per-frame JPEG decode,
@@ -745,13 +746,28 @@ def video_frame_dhash(
     verbatim onto every emitted frame row (the streaming dedup
     caller's event-time column must survive this stage, like every
     sibling signature stage — a watermark dies with any projection
-    that drops its column)."""
+    that drops its column).
+
+    ``mirror_canonical=True`` hashes every frame through
+    :func:`_mirror_canonical_kernel` (r13 — the image tier's option
+    lifted to frames): a MIRRORED video (the common repost transform)
+    flips every frame's pixels, so no plain frame hash survives, while
+    each canonical frame signature collapses original and mirror BY
+    ARITHMETIC at exactly 2x hash cost. The image tier's near-radius
+    honesty note carries over unchanged — canonical signatures are an
+    exact-match tier; for near-radius re-encode recall the match
+    FRACTION of the set-overlap gate absorbs the occasional
+    branch-flipped frame (a video has many frames; a single image has
+    one hash), so ``max_hamming=0`` with the default fraction is the
+    intended pairing."""
     from .jpeg import _stdlib_jpeg_codec
     from .video import _stdlib_avi_codec
 
     _, _avi_frames, _ = _stdlib_avi_codec()
     _, _jpeg_decode, _ = _stdlib_jpeg_codec()
     _dhash = _dhash_kernel()
+    if mirror_canonical:
+        _dhash = _mirror_canonical_kernel(_dhash)
     step = every_n
     extra = tuple(passthrough)
 

@@ -212,3 +212,80 @@ def test_video_signature_stages_passthrough_columns(spark):
         assert got == {
             (1, t0), (2, t0.replace(hour=13))
         }, stage.__name__
+
+
+def test_mirrored_video_collapses_only_via_canonical_frames(spark):
+    """r13: the image tier's mirror-canonical option lifted to frames —
+    a MIRRORED video flips every frame's pixels, so the plain frame
+    tier finds nothing, while canonical frame signatures collapse the
+    pair by arithmetic (min of hash and flipped-hash per frame)."""
+    import hashlib
+
+    from airflow_etl_finance_market_spark.multimodal.jpeg import (
+        _stdlib_jpeg_codec,
+    )
+    from airflow_etl_finance_market_spark.multimodal.phash import (
+        video_frame_dhash,
+        video_near_dup_pairs,
+    )
+    from airflow_etl_finance_market_spark.multimodal.video import (
+        _stdlib_avi_codec,
+    )
+
+    _, _, jpeg_enc = _stdlib_jpeg_codec()
+    _, _, avi_enc = _stdlib_avi_codec()
+    levels = [16, 48, 80, 112, 144, 176, 208, 240]
+    gw, gh, blk = 9, 8, 8
+
+    def base_pixels(seed: bytes) -> bytes:
+        # the dHash-margin block grid (flat 8px blocks, horizontally
+        # adjacent levels distinct) — JPEG-exact per the video gate
+        vals = []
+        for r in range(gh):
+            row = []
+            for c in range(gw):
+                hv = hashlib.md5(seed + bytes([r, c])).digest()[0]
+                v = levels[hv % 8]
+                if c > 0 and v == row[-1]:
+                    v = levels[(hv % 8 + 1) % 8]
+                row.append(v)
+            vals.append(row)
+        pix = bytearray()
+        for r in range(gh):
+            rowb = bytearray()
+            for c in range(gw):
+                rowb += bytes([vals[r][c]]) * blk
+            pix += bytes(rowb) * blk
+        return bytes(pix)
+
+    def mirror(pix: bytes, w: int, h: int) -> bytes:
+        return b"".join(pix[y * w : (y + 1) * w][::-1] for y in range(h))
+
+    w, h = gw * blk, gh * blk
+    frames, mirrored = [], []
+    for fi in range(4):
+        p = base_pixels(hashlib.md5(b"mir%d" % fi).digest())
+        frames.append(jpeg_enc(w, h, 1, p, quality=90))
+        mirrored.append(jpeg_enc(w, h, 1, mirror(p, w, h), quality=90))
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(avi_enc(frames, fps=10, width=w, height=h))),
+            (2, bytearray(avi_enc(mirrored, fps=10, width=w, height=h))),
+        ],
+        "doc_id long, payload binary",
+    ).cache()
+    try:
+        plain = video_near_dup_pairs(
+            video_frame_dhash(media), max_hamming=0, min_match_frac=0.5
+        ).collect()
+        assert plain == []  # the gap the canonical option closes
+        canon = video_near_dup_pairs(
+            video_frame_dhash(media, mirror_canonical=True),
+            max_hamming=0,
+            min_match_frac=0.5,
+        ).collect()
+        assert [(r.video_a, r.video_b, r.match_frac) for r in canon] == [
+            (1, 2, 1.0)
+        ]
+    finally:
+        media.unpersist()
