@@ -138,7 +138,22 @@ def write_bucketed_table(
     ``sort_by`` additionally pre-sorts within buckets, upgrading SMJ to a
     sort-free merge. Bucketing metadata lives in the session catalog —
     `saveAsTable`, not a bare path.
+
+    An INTERRUPTED earlier run can leave the managed table's LOCATION
+    on disk with no catalog entry; ``saveAsTable`` then fails with
+    LOCATION_ALREADY_EXISTS even in overwrite mode (overwrite replaces
+    catalog tables, not orphaned directories). Clear exactly that
+    state first: when the table is absent from the catalog but its
+    warehouse directory exists, remove the directory (r13 — observed
+    live after a killed test session).
     """
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)

@@ -200,17 +200,9 @@ def test_minhash_index_bucketed_probe_has_no_index_side_exchange(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") < 450)
     new = docs.filter(F.col("doc_id") >= 450)
     idx_mem = minhash_index(corpus, hash_mode="portable")
-    # an interrupted earlier run can leave the managed table's LOCATION
-    # on disk with no catalog entry — saveAsTable then fails with
-    # LOCATION_ALREADY_EXISTS; clear both sides before creating
-    spark.sql("DROP TABLE IF EXISTS mh_idx_bkt")
-    import shutil
-
-    shutil.rmtree(
-        f"{spark.conf.get('spark.sql.warehouse.dir').removeprefix('file:')}"
-        "/mh_idx_bkt",
-        ignore_errors=True,
-    )
+    # stale-LOCATION recovery (an interrupted run's orphaned warehouse
+    # dir) is handled inside write_bucketed_table — pinned by
+    # tests/test_sinks.py::test_bucketed_write_recovers_stale_location
     idx_tbl = write_minhash_index_table(idx_mem, "mh_idx_bkt", n_buckets=8)
     try:
         new_banded = minhash_index(new, hash_mode="portable")

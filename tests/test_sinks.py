@@ -274,3 +274,35 @@ class TestOrcInterchange:
         assert "lang" in plan
         n_en = docs.filter(F.col("lang") == "en").count()
         assert df.count() == n_en
+
+
+def test_bucketed_write_recovers_stale_location(spark):
+    """An interrupted run can leave a managed table's warehouse
+    directory on disk with NO catalog entry; saveAsTable then fails
+    with LOCATION_ALREADY_EXISTS even in overwrite mode (observed live
+    r13 after a killed session). write_bucketed_table must clear
+    exactly that orphaned state and succeed."""
+    import os
+    from urllib.parse import urlparse
+
+    from airflow_etl_finance_market_spark.sources.sinks import (
+        write_bucketed_table,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS stale_loc_bkt")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = f"{wh}/stale_loc_bkt"
+    os.makedirs(stale, exist_ok=True)
+    with open(f"{stale}/orphan.parquet", "w") as f:
+        f.write("junk")
+    try:
+        df = spark.range(10).selectExpr("id", "id * 2 AS v")
+        write_bucketed_table(df, "stale_loc_bkt", bucket_by=["id"], n_buckets=2)
+        assert spark.table("stale_loc_bkt").count() == 10
+        # and a normal overwrite of the now-cataloged table still works
+        write_bucketed_table(
+            df.limit(5), "stale_loc_bkt", bucket_by=["id"], n_buckets=2
+        )
+        assert spark.table("stale_loc_bkt").count() == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stale_loc_bkt")
