@@ -60,95 +60,40 @@ def register(name: str, oracle: str | None = None):
 #: test_demoted_entries_within_staleness_budget, so a forgotten rotation
 #: fails the suite, not the judge.
 #:
-#: Round-13 rotation — BACKBONE ROUND (executing the r12 verdict's #1,
-#: the binding obligation pre-committed in the r12 docstring): the 45
-#: r10-green trail-2 entries are LIVE this round — 42 as themselves
-#: plus the two r13 merge successors that carry the other three
-#: members' refresh (the r12 tile_crop precedent):
-#:   - streaming_pct_change_vol + streaming_pct_change_reordered ->
-#:     streaming_pct_change_multi (variant rows 'vol'/'reordered';
-#:     both audits verbatim);
-#:   - multimodal_corpus_prep_full (backbone) + multimodal_corpus_prep
-#:     (r12 cohort) -> multimodal_corpus_prep_multi (variant rows
-#:     'full'/'image_only'; both funnels verbatim).
-#: Also live: c4_line_filter (the PRE-COMMITTED rule-2 entry —
-#: operators/corpus.c4_line_quality was reformulated late-r12 to the
-#: one-pass rule-struct transform; the r13 driver row is the hard
-#: signal); url_canonical_dedup and token_budget_corpus_select under
-#: rule 2 (their depended-on code changed this round: http→https
-#: folding + userinfo stripping in canonicalize_url; the
-#: count+quantile single-action fold in token_budget_select;
-#: video_near_dups after video_frame_dhash gained the streaming
-#: passthrough parameter); and the round's 2 new gates under rule 1
-#: (doc_duplicate_span_removal, video_cdc_crop_near_dups). That is 50
-#: slots exactly — video_near_dups' late rule-2 re-entry displaced
-#: the planned rule-3 early refresh of weekly_volatility (rule 2
-#: outranks rule 3), which stays in the r14 backbone below.
-#: Demoted below: the remaining r11-green entries (trail 2 at r13 —
-#: due and PRE-COMMITTED live at r14) and the r12-green entries
-#: (trail 1, due r15; multimodal_corpus_prep retired into its merge).
-#: Registry 142 after +2 gates / +2 merge successors / −4 retirements
-#: against the 150 ceiling.
-#: (Round-11/12 history — merges funding rule-1/rule-2 slots — lives
-#: in the r11/r12 ledgers and VERDICTs; merged gates' docstrings carry
+#: Round-14 rotation — BACKBONE ROUND (executing the r13 verdict's #1,
+#: the binding obligation pre-committed in the r13 docstring): the 46
+#: r11-green trail-2 entries (weekly_volatility through
+#: weekly_value_quantile_rollup, incl. the merge successors
+#: dim_snapshots, customer_big_order_split, bpe_pipeline,
+#: file_roundtrip_ingest, image_phash_multi_near_dups,
+#: audio_multi_near_dups) are LIVE this round — none of their demoted
+#: names remain below. That fills 46 of the 50 slots; the 4 spare
+#: slots are budgeted this round as:
+#:   - rule 1: unicode_fold_dedup (NEW gate — NFC/NFKC + zero-width
+#:     fold ahead of the exact-dedup fingerprint tier; r13 verdict
+#:     What's-missing #1);
+#:   - rule 1: unigram_lm_tokenizer (NEW gate — fixed-round
+#:     SentencePiece-style EM trainer, the bpe_pipeline pattern; r13
+#:     verdict What's-missing #2);
+#:   - rule 2: doc_duplicate_span_removal (NULL-text guard landed in
+#:     duplicate_span_removal per ADVICE r13 #4; output unchanged on
+#:     non-null fixtures but the operator body changed);
+#:   - rule 2: url_canonical_dedup (port-aware scheme folding landed
+#:     in canonicalize_url per ADVICE r13 #3: http→https only on
+#:     portless/default-port URLs).
+#: Demoted below: the r12-green entries (trail 2 at r14 — due and
+#: PRE-COMMITTED live at r15, first block) and the r13-verified
+#: entries (trail 1, due r16, second block; the two rule-2 re-entries
+#: above are commented out of it while live).
+#: (Round-12/13 history — merges funding rule-1/rule-2 slots — lives
+#: in the r12/r13 ledgers and VERDICTs; merged gates' docstrings carry
 #: their retirement rationales.)
 _WINDOW_DEMOTED = [
-    # --- r11-green, trail 2 at r13: the PRE-COMMITTED r14 backbone
-    # (all 46 MUST be live the moment CORRECTNESS_r14.json lands;
-    # c4_line_filter left this cohort — it is live NOW as the r13
-    # rule-2 entry and re-joins the r15 backbone instead) ---
-    "weekly_volatility",
-    "market_overview",
-    "ticker_report_stats",
-    "segment_balance",
-    "distinct_counts",
-    "customer_big_order_split",
-    "dim_snapshots",
-    "quality_gate_exact",
-    "fk_orphan_check",
-    "brand_scores",
-    "returnflag_correlation",
-    "latest_event_per_user",
-    "events_json_kpi",
-    "doc_token_stats",
-    "multimodal_features",
-    "sql_api_nation_rank",
-    "rolling_close_avg",
-    "qty_rollup",
-    "customer_set_ops",
-    "status_flag_pivot",
-    "sliding_window_kpis",
-    "pricey_parts_vs_brand_avg",
-    "customer_order_coverage",
-    "top_performers",
-    "train_test_split",
-    "doc_chunks",
-    "doc_contamination_dual",
-    "doc_incremental_probe",
-    "doc_bm25_topk",
-    "doc_bigram_logprob",
-    "doc_edit_distance_near_dups",
-    "doc_containment_pairs",
-    "multimodal_image_codec_real",
-    "image_phash_multi_near_dups",
-    "audio_multi_near_dups",
-    "html_text_extract",
-    "dsir_importance_weights",
-    "bpe_pipeline",
-    "weekly_user_kmv_rollup",
-    "streaming_windowed_media_dedup",
-    "cross_doc_ngram_overlap",
-    "doc_nb_lang_classifier",
-    "corpus_prep_pipeline",
-    "file_roundtrip_ingest",
-    "term_heavy_hitters",
-    "weekly_value_quantile_rollup",
-    # --- r12-green, trail 1 (due r15; slack slots at r14 can start
-    # refreshing the oldest of these early) ---
+    # --- r12-green, trail 2 at r14: the PRE-COMMITTED r15 backbone
+    # (all 46 MUST be live the moment CORRECTNESS_r15.json lands;
+    # any of them whose depended-on code changes mid-r14 re-enters
+    # EARLY under rule 2 and still counts toward the 46) ---
     "recent_extract",
-    # url_canonical_dedup: LIVE at r13 under rule 2 (scheme fold +
-    # userinfo strip landed in canonicalize_url; gate variant (c)
-    # extended to plant both) — re-joins the r15 backbone after
     "quality_gate",
     "doc_exact_dedup",
     "doc_lang_id",
@@ -187,22 +132,70 @@ _WINDOW_DEMOTED = [
     "streaming_funnel_ooo",
     "weekly_activity_panel",
     "multimodal_audio_features",
-    # video_near_dups: LIVE at r13 under rule 2 (video_frame_dhash
-    # gained the passthrough parameter for streaming parity — output
-    # unchanged without it, but the stage code changed) — re-joins the
-    # r15 backbone after
     "audio_trim_multi_near_dups",
     "image_tile_multi_crop_near_dups",
-    # multimodal_corpus_prep: retired r13 into the live merge
-    # successor multimodal_corpus_prep_multi (its 'image_only' variant)
     "domain_blocklist_filter",
     "streaming_media_dedup_ingest",
-    # token_budget_corpus_select: LIVE at r13 under rule 2 (the
-    # count+quantile fold into one driver action landed in
-    # token_budget_select) — re-joins the r15 backbone after
     "image_cdc_crop_near_dups",
     "image_mirror_canonical_near_dups",
     "audio_cdc_gain_near_dups",
+    # --- r13-verified, trail 1 (due r16; slack slots at r15 can start
+    # refreshing the oldest of these early) ---
+    "top_avg_volatility",
+    "pricing_summary",
+    "ticker_metrics",
+    "volume_leaders",
+    "star_revenue",
+    # url_canonical_dedup: LIVE at r14 under rule 2 (port-aware
+    # http→https folding landed in canonicalize_url — the fold now
+    # applies only to portless/default-port URLs per ADVICE r13) —
+    # re-joins the r16 cohort after
+    "doc_jaccard_near_dups",
+    "embedding_topk",
+    "embedding_near_dups",
+    "price_percentiles",
+    "windowed_event_kpis",
+    "embedding_topk_lsh",
+    "approx_event_stats",
+    "curated_corpus",
+    "doc_dedup_clusters",
+    "reorder_within_30d",
+    "doc_pii_redaction",
+    "qty_cube",
+    "event_value_outliers",
+    "view_click_attribution",
+    "doc_length_deciles",
+    "doc_near_dup_triangles",
+    "doc_near_dup_triangles_degree",
+    "price_trend_regression",
+    "customer_tier_scd2",
+    "trailing_7d_avg_price",
+    "doc_token_entropy",
+    "corpus_lang_source_chi2",
+    "multimodal_frame_sample",
+    "doc_weighted_sample",
+    "doc_lang_rebalance",
+    "ticker_stats_unpivot",
+    "doc_duplicate_spans",
+    "events_daily_ffill",
+    "hll_user_rollup",
+    "order_price_percent_rank",
+    "multimodal_video_frames_real",
+    "video_near_dups",
+    "doc_paragraph_dedup",
+    "c4_line_filter",
+    "media_pair_bucket_audit",
+    "embedding_semantic_dedup",
+    "gopher_quality_flags",
+    "streaming_dedup_ingest",
+    "embedding_contrastive_negatives",
+    "token_budget_corpus_select",
+    # doc_duplicate_span_removal: LIVE at r14 under rule 2 (NULL-text
+    # guard + documented tokens×removed reassembly bound landed in
+    # duplicate_span_removal) — re-joins the r16 cohort after
+    "video_cdc_crop_near_dups",
+    "streaming_pct_change_multi",
+    "multimodal_corpus_prep_multi",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.
