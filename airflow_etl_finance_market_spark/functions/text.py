@@ -403,7 +403,12 @@ def canonicalize_url(col: Column | str) -> Column:
     - ``http`` FOLDED to ``https`` (r12 verdict #4 — the single most
       common same-page byte-variant in real crawls; the fold direction
       is pinned here: https is the canonical scheme, other schemes
-      pass through unchanged);
+      pass through unchanged) — but ONLY for portless/default-port
+      URLs (r13 ADVICE): an http URL carrying an explicit NON-default
+      port (``http://h:8080``) keeps its scheme and port, because a
+      plain-HTTP service on a non-default port is almost never the
+      same endpoint as its https twin — the fold's rationale is
+      "same-page byte-variant", which only holds at the default ports;
     - USERINFO stripped (``user:pass@host`` → ``host`` — credentials
       are never part of page identity; the LAST ``@`` delimits the
       host, the WHATWG parsing rule);
@@ -460,12 +465,20 @@ def canonicalize_url(col: Column | str) -> Column:
     # the https scheme it is about to fold into — leaving it would make
     # the fold non-idempotent, since a second pass would see
     # 'https://h:443' and strip it)
+    http_host = F.regexp_replace(host, r":(80|443)$", "")
     host = (
-        F.when(scheme == "http", F.regexp_replace(host, r":(80|443)$", ""))
+        F.when(scheme == "http", http_host)
         .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
         .otherwise(host)
     )
-    out_scheme = F.when(scheme == "http", F.lit("https")).otherwise(scheme)
+    # the fold is gated on the port that SURVIVES default-stripping:
+    # portless and :80/:443 http URLs fold to https; an explicit
+    # non-default port (':8080') pins the scheme (and the second pass
+    # sees the same non-default port, so the no-fold branch is
+    # idempotent too)
+    out_scheme = F.when(
+        (scheme == "http") & ~http_host.rlike(r":\d+$"), F.lit("https")
+    ).otherwise(scheme)
     path = F.regexp_extract(
         url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
     )

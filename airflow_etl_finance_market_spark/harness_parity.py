@@ -426,7 +426,9 @@ def q_dim_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     "url_canonical_dedup",
     """
 WITH g AS (
-    SELECT doc_id, ((doc_id - 2) // 9) // 4 AS fam
+    SELECT doc_id,
+           ((doc_id - 2) // 9) // 5 AS fam,
+           ((doc_id - 2) // 9) % 5 AS v
     FROM documents WHERE doc_id % 9 = 2
 )
 SELECT fam,
@@ -434,7 +436,15 @@ SELECT fam,
            AS canonical_url,
        COUNT(*) AS n_in,
        MIN(doc_id) AS survivor_id
-FROM g
+FROM g WHERE v < 4
+GROUP BY fam
+UNION ALL
+SELECT fam,
+       'http://example' || fam || '.com:8080/a/b?id=' || fam
+           AS canonical_url,
+       COUNT(*) AS n_in,
+       MIN(doc_id) AS survivor_id
+FROM g WHERE v = 4
 GROUP BY fam
 """,
 )
@@ -442,36 +452,42 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization + URL-keyed crawl dedup HARD GATE
     (functions/text.canonicalize_url ∘ operators/corpus.url_dedup) —
     the provenance stage published crawl pipelines run before content
-    dedup (RefinedWeb's url hygiene): every selected document QUAD
-    (consecutive docs with doc_id % 9 = 2, grouped 4-by-4) carries
-    four byte-DIFFERENT urls of one page — (a) the clean form, (b) an
-    UPPERCASED scheme+host with the default :443 port, a trailing
-    slash, a utm_ tracking param, reordered query params and a
-    fragment, (c) [extended r13 with the scheme-fold + userinfo
-    rules] an HTTP-scheme variant carrying USERINFO (``u:p@``), the
-    http default :80 port, www. and doubled slashes, plus a trailing
-    tracking param — http must FOLD to https, the credentials and
-    :80 must strip, (d) [r12, with the percent-decode rule] a
-    PERCENT-ENCODED variant (path letters as %61/%62, a param name as
-    %70 — all RFC 3986 unreserved, so decoding is semantics-
+    dedup (RefinedWeb's url hygiene): every selected document QUINT
+    (consecutive docs with doc_id % 9 = 2, grouped 5-by-5) carries
+    five byte-DIFFERENT urls — the first FOUR of one page: (a) the
+    clean form, (b) an UPPERCASED scheme+host with the default :443
+    port, a trailing slash, a utm_ tracking param, reordered query
+    params and a fragment, (c) [extended r13 with the scheme-fold +
+    userinfo rules] an HTTP-scheme variant carrying USERINFO
+    (``u:p@``), the http default :80 port, www. and doubled slashes,
+    plus a trailing tracking param — http must FOLD to https, the
+    credentials and :80 must strip, (d) [r12, with the percent-decode
+    rule] a PERCENT-ENCODED variant (path letters as %61/%62, a param
+    name as %70 — all RFC 3986 unreserved, so decoding is semantics-
     preserving) with a fragment-only '?' trap appended (#frag?x=9 —
     the r11 ADVICE phantom-query case: that '?' must NOT resurrect as
-    a query) — built JVM-side from doc_id arithmetic. The chain must
-    collapse each quad to ONE survivor (the smallest doc_id) whose
-    canonical string EQUALS the clean form. The oracle derives
-    everything from the CONSTRUCTION (the r10 independent-formulation
-    rule: fam arithmetic + string concat — it never runs a regex), so
-    a canonicalization drift in ANY rule (case, port, www, slashes,
-    trailing slash, fragment, tracking filter, param sort,
-    percent-decode, fragment/query precedence, scheme fold, userinfo
-    strip) breaks the canonical_url hash, and an over-merge or
-    under-merge breaks n_in/survivor_id."""
+    a query) — and, NEW r14 (the port-aware fold, r13 ADVICE), (e) a
+    DISTINCT page on an explicit NON-default port
+    (``HTTP://WWW...:8080//a//b/?id=f#x``): every hygiene rule still
+    applies (case, www, slashes, trailing slash, fragment) but the
+    scheme must NOT fold and :8080 must survive — an over-eager fold
+    would wrongly merge it into the quad (n_in 4→5) AND break its own
+    canonical string. Built JVM-side from doc_id arithmetic; each
+    quint collapses to TWO survivors (smallest doc_id each). The
+    oracle derives everything from the CONSTRUCTION (the r10
+    independent-formulation rule: fam arithmetic + string concat — it
+    never runs a regex), so a canonicalization drift in ANY rule
+    (case, port, www, slashes, trailing slash, fragment, tracking
+    filter, param sort, percent-decode, fragment/query precedence,
+    scheme fold + its port gate, userinfo strip) breaks the
+    canonical_url hash, and an over-merge or under-merge breaks
+    n_in/survivor_id."""
     sel = load_fixture(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 9 == 2
     )
     k = ((F.col("doc_id") - 2) / 9).cast("long")
-    fam = (k / 4).cast("long")
-    variant = k % 4
+    fam = (k / 5).cast("long")
+    variant = k % 5
     f = fam.cast("string")
     v0 = F.concat(
         F.lit("https://example"), f, F.lit(".com/a/b?id="), f, F.lit("&p=1")
@@ -488,6 +504,10 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("https://example"), f, F.lit(".com/%61/%62?%70=1&id="), f,
         F.lit("#frag?x=9"),
     )
+    v4 = F.concat(
+        F.lit("HTTP://WWW.EXAMPLE"), f, F.lit(".COM:8080//a//b/?id="), f,
+        F.lit("#x"),
+    )
     from .operators.corpus import url_dedup
 
     pages = sel.select(
@@ -495,12 +515,13 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(variant == 0, v0)
         .when(variant == 1, v1)
         .when(variant == 2, v2)
-        .otherwise(v3)
+        .when(variant == 3, v3)
+        .otherwise(v4)
         .alias("url"),
     )
     survivors = url_dedup(fan_out(pages, "doc_id"))
     return survivors.select(
-        (((F.col("doc_id") - 2) / 9) / 4).cast("long").alias("fam"),
+        (((F.col("doc_id") - 2) / 9) / 5).cast("long").alias("fam"),
         "canonical_url",
         F.col("n_dups").alias("n_in"),
         F.col("doc_id").alias("survivor_id"),
