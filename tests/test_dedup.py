@@ -528,3 +528,76 @@ class TestDuplicateSpanRemoval:
 
         with _pytest.raises(ValueError):
             duplicate_span_removal(rep, preserve="bytes")
+
+    def test_null_text_treated_as_empty(self, spark):
+        """NULL text rows (r14, r13 ADVICE): under the default non-ANSI
+        config size(NULL) is -1, so an unguarded NULL row used to emit
+        n_tokens_kept = -1 — a nonsense count a caller summing kept
+        tokens silently absorbs. NULL now folds to '' and follows the
+        pinned empty-string degenerate contract (one empty token,
+        whole-text span)."""
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            duplicate_span_removal,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_removed)
+            for r in duplicate_span_removal(df, span_tokens=3).collect()
+        }
+        # the lone NULL doc behaves exactly like a lone '' doc: its
+        # degenerate span is unduplicated, counts are NON-NEGATIVE
+        assert got[1] == ("", 1, 0)
+        assert got[2][2] == 0
+        # two NULL docs duplicate EACH OTHER's degenerate span: the
+        # first survives its (empty) token, the later copy loses it —
+        # same survivor arithmetic as any other whole-text dup
+        df2 = spark.createDataFrame(
+            [(1, None), (2, None), (3, "")], "doc_id long, text string"
+        )
+        got2 = {
+            r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_removed)
+            for r in duplicate_span_removal(df2, span_tokens=3).collect()
+        }
+        assert got2[1] == ("", 1, 0)
+        assert got2[2] == ("", 0, 1)
+        assert got2[3] == ("", 0, 1)
+
+    def test_span_removal_long_boilerplate_page_bound(self, spark):
+        """The reassembly membership filter is O(tokens x removed) in
+        ONE row (docstring bound): MEASURE the documented worst-ish
+        case — a long page that is half duplicated boilerplate — so
+        the per-row ceiling is a number, not an assumption. 10k-token
+        docs, ~5k removed positions ≈ 5x10^7 comparisons in one task;
+        the docstring line is drawn at ~10^8."""
+        import time
+
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            duplicate_span_removal,
+        )
+
+        half = 5000
+        boiler = " ".join(f"b{i}" for i in range(half))
+        docs = [
+            (1, boiler + " " + " ".join(f"u{i}" for i in range(half))),
+            (2, boiler + " " + " ".join(f"v{i}" for i in range(half))),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        t0 = time.monotonic()
+        got = {
+            r.doc_id: (r.n_tokens_kept, r.n_tokens_removed)
+            for r in duplicate_span_removal(df, span_tokens=10).collect()
+        }
+        wall = time.monotonic() - t0
+        # doc 1 holds every span's first occurrence -> fully protected;
+        # doc 2 loses exactly the boilerplate half
+        assert got[1] == (2 * half, 0)
+        assert got[2] == (half, half)
+        # the measured bound: half-boilerplate 10k-token pages stay
+        # comfortably inside one task's budget (generous ceiling — the
+        # point is catching an accidental O(corpus) or O(n^2-in-spans)
+        # regression, not timing jitter)
+        assert wall < 90, f"span-removal worst-case blew up: {wall:.1f}s"
