@@ -17,6 +17,7 @@ pruning, and so overwrites of a daily run touch one partition, not 100 TB
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException, SparkRuntimeException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -142,22 +143,65 @@ def write_bucketed_table(
     An INTERRUPTED earlier run can leave the managed table's LOCATION
     on disk with no catalog entry; ``saveAsTable`` then fails with
     LOCATION_ALREADY_EXISTS even in overwrite mode (overwrite replaces
-    catalog tables, not orphaned directories). Clear exactly that
-    state first: when the table is absent from the catalog but its
-    warehouse directory exists, remove the directory (r13 — observed
-    live after a killed test session).
+    catalog tables, not orphaned directories). Recovery is REACTIVE
+    and narrow (hardened r14 per the r13 advice — the r13 form
+    preemptively rmtree'd the derived local path before every first
+    write, which on an hdfs://-s3a:// warehouse deletes an unrelated
+    LOCAL directory): the write is attempted FIRST, and only a
+    LOCATION_ALREADY_EXISTS failure on a table absent from the
+    catalog — exactly the orphan signature — triggers one directory
+    removal and one retry, and only when the warehouse URI is
+    local-filesystem (``file:`` or schemeless; anything else
+    re-raises — a driver-side shutil cannot repair a remote
+    warehouse). Qualified ``db.table`` names map to the managed
+    layout ``<warehouse>/<db>.db/<table>``.
     """
-    spark = df.sparkSession
-    if not spark.catalog.tableExists(table):
-        import shutil
-        from urllib.parse import urlparse
-
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)
-    writer.saveAsTable(table)
+    try:
+        writer.saveAsTable(table)
+    except (AnalysisException, SparkRuntimeException) as e:
+        # Spark 4 surfaces the orphan as SparkRuntimeException; the
+        # AnalysisException arm keeps older surfaces covered
+        spark = df.sparkSession
+        loc = _orphaned_managed_location(
+            spark.conf.get("spark.sql.warehouse.dir"), table
+        )
+        if (
+            e.getCondition() != "LOCATION_ALREADY_EXISTS"
+            or spark.catalog.tableExists(table)
+            or loc is None
+        ):
+            raise
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+        writer.saveAsTable(table)
+
+
+def _orphaned_managed_location(warehouse_uri: str, table: str) -> str | None:
+    """Local-filesystem path a managed table's data directory would occupy
+    under ``warehouse_uri``, or None when driver-side cleanup must not
+    touch it: a non-local warehouse scheme (the derived path would name
+    an unrelated LOCAL directory), or a name qualification this mapping
+    doesn't model (catalog.db.table).
+
+    Managed layout: ``<warehouse>/<table>`` for default-database names,
+    ``<warehouse>/<db>.db/<table>`` for ``db.table`` names (the Hive
+    convention Spark's session catalog follows).
+    """
+    from urllib.parse import urlparse
+
+    u = urlparse(warehouse_uri)
+    if u.scheme not in ("", "file"):
+        return None
+    parts = table.lower().split(".")
+    if len(parts) == 1:
+        return f"{u.path}/{parts[0]}"
+    if len(parts) == 2:
+        return f"{u.path}/{parts[0]}.db/{parts[1]}"
+    return None
 
 
 def zorder_col(cols: list[Column | str], *, bits: int = 16) -> Column:

@@ -306,3 +306,53 @@ def test_bucketed_write_recovers_stale_location(spark):
         assert spark.table("stale_loc_bkt").count() == 5
     finally:
         spark.sql("DROP TABLE IF EXISTS stale_loc_bkt")
+
+
+def test_bucketed_write_does_not_touch_clean_preexisting_dirs(spark):
+    """Recovery is REACTIVE (r14, r13 ADVICE): when saveAsTable succeeds
+    outright, nothing is deleted — an unrelated pre-existing directory
+    whose name does NOT collide with the table survives the write."""
+    import os
+    from urllib.parse import urlparse
+
+    from airflow_etl_finance_market_spark.sources.sinks import (
+        write_bucketed_table,
+    )
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    bystander = f"{wh}/clean_bystander_dir"
+    os.makedirs(bystander, exist_ok=True)
+    marker = f"{bystander}/keep.txt"
+    with open(marker, "w") as f:
+        f.write("precious")
+    spark.sql("DROP TABLE IF EXISTS clean_write_bkt")
+    try:
+        df = spark.range(4).selectExpr("id", "id AS v")
+        write_bucketed_table(df, "clean_write_bkt", bucket_by=["id"], n_buckets=2)
+        assert os.path.exists(marker), "bystander directory was deleted"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS clean_write_bkt")
+        import shutil
+
+        shutil.rmtree(bystander, ignore_errors=True)
+
+
+def test_orphan_location_guards_scheme_and_qualification():
+    """The derived cleanup path is None — recovery re-raises instead of
+    rmtree'ing — for any non-local warehouse scheme (the path would name
+    an unrelated LOCAL directory) and for name shapes the managed-layout
+    mapping doesn't model; db.table maps to <wh>/<db>.db/<table>."""
+    from airflow_etl_finance_market_spark.sources.sinks import (
+        _orphaned_managed_location,
+    )
+
+    # remote warehouses: driver-side shutil must never run
+    assert _orphaned_managed_location("s3a://bucket/wh", "t") is None
+    assert _orphaned_managed_location("hdfs://nn:8020/wh", "t") is None
+    # local forms, default database
+    assert _orphaned_managed_location("/x/wh", "T") == "/x/wh/t"
+    assert _orphaned_managed_location("file:/x/wh", "t") == "/x/wh/t"
+    # qualified name: Hive managed layout, not <wh>/db.tbl
+    assert _orphaned_managed_location("/x/wh", "mydb.T") == "/x/wh/mydb.db/t"
+    # catalog-qualified (3-part) names are not modeled -> no cleanup
+    assert _orphaned_managed_location("/x/wh", "cat.db.t") is None
