@@ -52,6 +52,68 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
 
 
+#: Characters invisible in rendered text that make byte-different copies
+#: of the same page: zero-width space/non-joiner/joiner, word joiner,
+#: BOM/ZWNBSP, soft hyphen. NONE of them is removed by NFC/NFKC (probed:
+#: unicodedata leaves all six untouched), so the strip is its own rule in
+#: BOTH unicode-fold tiers.
+_ZERO_WIDTH_RE = "[\u200b\u200c\u200d\u2060\ufeff\u00ad]"
+
+#: Full-width ASCII plane (U+FF01..U+FF5E) -> ASCII (0x21..0x7E): a
+#: CONTIGUOUS 94-character offset, so one `translate` folds the whole
+#: plane. NBSP and the ideographic space ride the same call (-> ' ',
+#: their NFKC image).
+_FULLWIDTH_SRC = "".join(chr(0xFF01 + i) for i in range(94)) + "\u00a0\u3000"
+_FULLWIDTH_DST = "".join(chr(0x21 + i) for i in range(94)) + "  "
+
+#: Latin ligatures (U+FB00..U+FB06) -> their NFKC letter sequences.
+#: 1 char -> many, so `translate` can't carry them; seven F.replace
+#: calls can (constant-pattern replace stays in codegen).
+_LIGATURES = (
+    ("ﬀ", "ff"), ("ﬁ", "fi"), ("ﬂ", "fl"),
+    ("ﬃ", "ffi"), ("ﬄ", "ffl"), ("ﬅ", "st"),
+    ("ﬆ", "st"),
+)
+
+
+def fold_unicode_compat(col: Column | str) -> Column:
+    """Pure-Catalyst unicode compatibility fold for the COMMON planes —
+    the JVM-side tier of the r14 unicode-normalization stage (r13
+    verdict What's-missing #1; CCNet/Dolma/Gopher preprocessing all
+    normalize before fingerprinting).
+
+    Rules (each the exact NFKC image, probed against unicodedata, so
+    this chain and the exact operator agree wherever both apply):
+
+    - zero-width characters STRIPPED (:data:`_ZERO_WIDTH_RE` — ZWSP,
+      ZWNJ, ZWJ, word joiner, BOM, soft hyphen; NFC/NFKC keep all six,
+      so the strip is a deliberate extra rule, the Dolma posture);
+    - the full-width ASCII plane folded to ASCII and NBSP/ideographic
+      space folded to ' ' — ONE ``translate`` call (the plane is a
+      contiguous 94-char offset);
+    - Latin ligatures (U+FB00..U+FB06) expanded to their letter
+      sequences (seven constant replaces).
+
+    Deliberately NOT covered (the information line of an expression
+    chain): canonical COMPOSITION — NFD accent sequences (``e`` +
+    U+0301), Hangul jamo, and the rest of the compat planes are a
+    many-thousand-entry mapping TABLE, not a finite rewrite; they
+    belong to :func:`...operators.corpus.unicode_normalize_docs`, the
+    exact Arrow tier that runs real ``unicodedata.normalize`` over the
+    non-ASCII minority. This chain exists because the planes it does
+    cover are the high-frequency byte-variant makers in a real crawl
+    (full-width CJK-keyboard ASCII, copy-paste zero-width junk,
+    typographic ligatures) and it handles them inside whole-stage
+    codegen at zero Python cost — compose it in front of
+    ``normalize_text`` on the universal path, reserve the Arrow hop
+    for corpora that need full NFC/NFKC equivalence."""
+    out = F.regexp_replace(_c(col), _ZERO_WIDTH_RE, "")
+    out = F.translate(out, _FULLWIDTH_SRC, _FULLWIDTH_DST)
+    for lig, letters in _LIGATURES:
+        out = F.replace(out, F.lit(lig), F.lit(letters))
+    return out
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of the normalized text."""
     return tokens_from(normalize_text(col))

@@ -1747,3 +1747,101 @@ def q_multimodal_corpus_prep_multi(
         "n_video_survivors",
     )
     return img_only.unionByName(full)
+
+
+@register(
+    "unicode_fold_dedup",
+    """
+WITH g AS (
+    SELECT doc_id,
+           ((doc_id - 3) // 8) // 5 AS fam
+    FROM documents WHERE doc_id % 8 = 3
+)
+SELECT fam,
+       'café finance résumé no' || fam || ' ok' AS text,
+       COUNT(*) AS n_in,
+       MIN(doc_id) AS survivor_id
+FROM g
+GROUP BY fam
+""",
+)
+def q_unicode_fold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization HARD GATE (r14, r13 verdict What's-missing
+    #1: operators/corpus.unicode_normalize_docs in front of the exact
+    fingerprint tier). Every selected document QUINT (consecutive docs
+    with doc_id % 8 = 3, grouped 5-by-5) carries five byte-DIFFERENT
+    encodings of ONE text built JVM-side from doc_id arithmetic:
+    (a) the clean NFC form, (b) the NFD form (combining acute accents
+    U+0301 after bare letters), (c) a FULL-WIDTH variant (the word
+    'finance' on the U+FF01 plane plus an ideographic space U+3000),
+    (d) a ZERO-WIDTH injection (BOM prefix, ZWSP inside a word, a soft
+    hyphen U+00AD inside another), (e) a LIGATURE variant (U+FB01 fi).
+    None of the five shares raw-byte md5 with any other, so WITHOUT
+    the normalization stage the exact tier sees five distinct
+    fingerprints; WITH it every variant folds to the identical NFC
+    byte string and the quint collapses to ONE survivor (the smallest
+    doc_id) with n_in = 5. The gate runs the REAL operator chain —
+    unicode_normalize_docs (ASCII-detector split + Arrow kernel; the
+    kernel's pickle-by-value self-containment is exactly what the
+    driver's bare workers exercise) feeding exact_dedup_stats'
+    fingerprint group — and emits the FOLDED TEXT itself, so a drift
+    in any fold rule (composition, compat plane, zw strip) breaks the
+    text hash, and an over/under-merge breaks n_in/survivor_id. The
+    oracle derives everything from the CONSTRUCTION (fam arithmetic +
+    NFC string concat — the r10 independent-formulation rule; DuckDB
+    never normalizes anything). Incomplete trailing families at small
+    SF still match: the canonical text depends only on fam, so n_in =
+    COUNT(*) and survivor = MIN(doc_id) hold for any member subset."""
+    from .operators.corpus import unicode_normalize_docs
+    from .operators.dedup import exact_dedup_stats
+
+    sel = load_fixture(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 8 == 3
+    )
+    k = ((F.col("doc_id") - 3) / 8).cast("long")
+    fam = (k / 5).cast("long")
+    variant = k % 5
+    f = fam.cast("string")
+    nfc = F.concat(
+        F.lit("caf\u00e9 finance r\u00e9sum\u00e9 no"), f, F.lit(" ok")
+    )
+    nfd = F.concat(
+        F.lit("cafe\u0301 finance re\u0301sume\u0301 no"), f, F.lit(" ok")
+    )
+    fullwidth = F.concat(
+        F.lit(
+            "caf\u00e9 \uff46\uff49\uff4e\uff41\uff4e\uff43\uff45"
+            " r\u00e9sum\u00e9\u3000no"
+        ),
+        f,
+        F.lit(" ok"),
+    )
+    zero_width = F.concat(
+        F.lit(
+            "\ufeffcaf\u00e9 fin\u200bance r\u00e9\u00adsum\u00e9 no"
+        ),
+        f,
+        F.lit(" ok"),
+    )
+    ligature = F.concat(
+        F.lit("caf\u00e9 \ufb01nance r\u00e9sum\u00e9 no"), f, F.lit(" ok")
+    )
+    pages = sel.select(
+        "doc_id",
+        F.when(variant == 0, nfc)
+        .when(variant == 1, nfd)
+        .when(variant == 2, fullwidth)
+        .when(variant == 3, zero_width)
+        .otherwise(ligature)
+        .alias("text"),
+    )
+    folded = unicode_normalize_docs(fan_out(pages, "doc_id"))
+    stats = exact_dedup_stats(folded)
+    return stats.join(
+        folded.select(F.col("doc_id").alias("keep_id"), "text"), "keep_id"
+    ).select(
+        (((F.col("keep_id") - 3) / 8) / 5).cast("long").alias("fam"),
+        "text",
+        F.col("n_copies").alias("n_in"),
+        F.col("keep_id").alias("survivor_id"),
+    )

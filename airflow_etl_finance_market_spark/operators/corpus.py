@@ -1165,3 +1165,80 @@ def token_budget_select(
         .drop("_b", "_cum")
     )
     return whole.unionAll(edge)
+
+
+def unicode_normalize_docs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    form: str = "NFKC",
+    strip_zero_width: bool = True,
+) -> DataFrame:
+    """EXACT unicode normalization of a document column — the Arrow tier
+    of the r14 unicode-normalization stage (r13 verdict What's-missing
+    #1). In a multilingual crawl, NFC-vs-NFD byte variants, full-width
+    forms, ligatures, and zero-width characters make byte-DIFFERENT
+    copies of the same text, and every exact tier here keys on the
+    raw-byte md5 (exact dedup, paragraph dedup, span removal, minhash
+    shingles) — published pipelines (CCNet, Dolma, Gopher
+    preprocessing) therefore normalize FIRST. Run this in front of any
+    fingerprint consumer; the pure-Catalyst sibling for the common
+    compat planes is :func:`...functions.text.fold_unicode_compat`.
+
+    Semantics: zero-width strip (ZWSP/ZWNJ/ZWJ/word-joiner/BOM/soft
+    hyphen — NFC/NFKC keep all six, so the strip runs FIRST, letting a
+    mark sequence interrupted by invisible junk recompose) then
+    ``unicodedata.normalize(form, text)``. NULL text passes through
+    NULL; every non-text column passes through untouched.
+
+    Scale shape (the 100 TB bill): unicode normalization is a
+    many-thousand-entry mapping TABLE plus composition logic — the
+    r13 punycode argument says that is an ALGORITHM, not a Catalyst
+    expression. But unlike punycode's xn-- minority, text touches
+    EVERY row, so the Arrow hop is gated JVM-side: a codegen
+    ``rlike('[^\\x00-\\x7F]')`` splits the frame, the pure-ASCII
+    majority (NF*-closed and containing none of the stripped
+    characters — the skip is EXACT, not approximate) never leaves the
+    JVM, and only the non-ASCII minority crosses Arrow into one
+    self-contained mapInPandas kernel (stdlib ``unicodedata``, C
+    implementation). Both branches are map-only over the same scan —
+    no shuffle anywhere; the union is a plan-level concatenation. On
+    an ASCII-heavy English crawl the Python bill is the non-ASCII
+    slice alone; on a fully-CJK corpus it degrades gracefully to one
+    Arrow pass, which is the floor any exact implementation pays.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown unicode normalization form: {form!r}")
+    txt = F.col(text_col)
+    needs = txt.isNotNull() & txt.rlike("[^\\x00-\\x7F]")
+    clean = docs.filter(~F.coalesce(needs, F.lit(False)))
+    dirty = docs.filter(needs)
+
+    def _kernel_factory(form: str, strip_zw: bool, text_col: str):
+        # self-contained: ships by VALUE to bare python workers (no
+        # repo on worker sys.path — the round-7 cloudpickle gotcha)
+        def _kernel(batches):
+            import re
+            import unicodedata
+
+            zw = re.compile("[\\u200b\\u200c\\u200d\\u2060\\ufeff\\u00ad]")
+
+            def _norm(t):
+                if t is None:
+                    return t
+                if strip_zw:
+                    t = zw.sub("", t)
+                return unicodedata.normalize(form, t)
+
+            for pdf in batches:
+                pdf[text_col] = pdf[text_col].map(_norm)
+                yield pdf
+
+        return _kernel
+
+    normalized = dirty.mapInPandas(
+        _kernel_factory(form, strip_zero_width, text_col), docs.schema
+    )
+    return clean.unionByName(normalized)

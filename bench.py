@@ -1773,6 +1773,10 @@ def corpus_x100_section(
 CRAWL_X100 = [
     "html_text_extract", "c4_line_filter",
     "url_canonical_dedup", "doc_paragraph_dedup",
+    # r14: the unicode-normalization stage (detector split + Arrow
+    # kernel on the planted non-ASCII minority + fingerprint group) —
+    # the gate at 500k docs prices the whole fold->exact-dedup chain
+    "unicode_fold_dedup",
 ]
 
 
@@ -1781,7 +1785,8 @@ def crawl_x100_section(
 ) -> tuple[dict[str, float], int]:
     reclaim(spark)
     x100 = build_x100_docs_fixture(spark, tmp)
-    n_docs = spark.read.parquet(f"{x100}/documents.parquet").count()
+    docs = spark.read.parquet(f"{x100}/documents.parquet")
+    n_docs = docs.count()
 
     def _noop(df):
         df.write.format("noop").mode("overwrite").save()
@@ -1790,6 +1795,16 @@ def crawl_x100_section(
         name: (lambda n=name: _noop(qs[n](spark, x100)))
         for name in CRAWL_X100
     }
+    # r14: the RAW operator over the whole 500k-doc fixture (its text
+    # is ASCII-heavy, so this prices the detector's JVM fast path —
+    # the 100 TB unit cost of running the stage in front of every
+    # fingerprint consumer; the gate line above prices the Arrow
+    # kernel via its planted non-ASCII quints)
+    from airflow_etl_finance_market_spark.operators.corpus import (
+        unicode_normalize_docs,
+    )
+
+    jobs["unicode_fold_raw"] = lambda: _noop(unicode_normalize_docs(docs))
     return best_of_3_each(jobs), n_docs
 
 

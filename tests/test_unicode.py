@@ -1,0 +1,178 @@
+"""Unicode-normalization stage (r14, r13 verdict What's-missing #1):
+the pure-Catalyst compat fold (functions.text.fold_unicode_compat) and
+the exact Arrow tier (operators.corpus.unicode_normalize_docs), plus
+the differential pinning that the Catalyst chain IS NFKC+zw-strip on
+exactly the planes it claims.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_finance_market_spark.functions.text import (
+    fold_unicode_compat,
+)
+from airflow_etl_finance_market_spark.operators.corpus import (
+    unicode_normalize_docs,
+)
+
+ZW = "\u200b\u200c\u200d\u2060\ufeff\u00ad"
+
+
+def _fold(spark, s):
+    return (
+        spark.createDataFrame([(s,)], "t string")
+        .select(fold_unicode_compat("t").alias("c"))
+        .first()["c"]
+    )
+
+
+class TestFoldUnicodeCompat:
+    def test_zero_width_stripped(self, spark):
+        assert _fold(spark, "\ufeff" + "ca" + ZW + "fe") == "cafe"
+
+    def test_fullwidth_plane_and_spaces(self, spark):
+        assert _fold(spark, "ｈｅｌｌｏ！　ｗｏｒｌｄ？") == "hello! world?"
+        # NBSP folds to a plain space (its NFKC image)
+        assert _fold(spark, "a\u00a0b") == "a b"
+
+    def test_ligatures_expand(self, spark):
+        assert (
+            _fold(spark, "eﬃcient ﬂow ﬁle ﬆop")
+            == "efficient flow file stop"
+        )
+
+    def test_ascii_untouched(self, spark):
+        s = "plain ASCII stays byte-identical ~!@#$%^&*()_+ 0123"
+        assert _fold(spark, s) == s
+
+    def test_differential_vs_nfkc_on_covered_planes(self, spark):
+        """On strings drawn from the planes the chain claims (ASCII +
+        zero-width + full-width + NBSP/ideographic space + FB00-FB06
+        ligatures), fold_unicode_compat equals zw-strip + NFKC — the
+        docstring's 'exact NFKC image' promise, pinned mechanically."""
+        import itertools
+        import re
+
+        alphabet = (
+            [chr(c) for c in range(0x20, 0x7F)]
+            + [chr(0xFF01 + i) for i in range(94)]
+            + list(ZW)
+            + ["\u00a0", "\u3000"]
+            + [chr(c) for c in range(0xFB00, 0xFB07)]
+        )
+        # deterministic soup: stride through the alphabet at coprime
+        # steps so every char class appears in many neighborhoods
+        soups = [
+            "".join(alphabet[(i * step) % len(alphabet)] for i in range(40))
+            for step in (1, 7, 13, 29, 61)
+        ] + ["".join(p) for p in itertools.permutations("a\ufb01\u200b\uff01", 3)]
+        zw_re = re.compile(f"[{ZW}]")
+        df = spark.createDataFrame([(s,) for s in soups], "t string")
+        got = [
+            r["c"]
+            for r in df.select(fold_unicode_compat("t").alias("c")).collect()
+        ]
+        want = [
+            unicodedata.normalize("NFKC", zw_re.sub("", s)) for s in soups
+        ]
+        assert got == want
+
+
+class TestUnicodeNormalizeDocs:
+    def _norm(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id long, text string, k int")
+        out = unicode_normalize_docs(df, **kw)
+        assert out.columns == df.columns  # schema preserved
+        return {r.doc_id: (r.text, r.k) for r in out.collect()}
+
+    def test_nfd_composes_and_compat_folds(self, spark):
+        got = self._norm(
+            spark,
+            [
+                (1, "cafe\u0301 re\u0301sume\u0301", 10),  # NFD
+                (2, "ｆｕｌｌ　ｗｉｄｔｈ", 20),
+                (3, "ﬁnance", 30),
+            ],
+        )
+        assert got[1] == ("caf\u00e9 r\u00e9sum\u00e9", 10)
+        assert got[2] == ("full width", 20)
+        assert got[3] == ("finance", 30)
+
+    def test_zero_width_stripped_before_composition(self, spark):
+        # the strip runs FIRST: a combining mark separated from its base
+        # by invisible junk still composes
+        got = self._norm(spark, [(1, "e\u200b\u0301", 1)])
+        assert got[1][0] == "\u00e9"
+        # strip can be disabled
+        got2 = self._norm(
+            spark, [(1, "a\u200bb", 1)], strip_zero_width=False
+        )
+        assert got2[1][0] == "a\u200bb"
+
+    def test_nfc_form_leaves_compat_planes(self, spark):
+        got = self._norm(
+            spark, [(1, "\uff57", 1), (2, "e\u0301", 2)], form="NFC"
+        )
+        assert got[1][0] == "\uff57"  # NFC does not fold compatibility chars
+        assert got[2][0] == "\u00e9"
+
+    def test_ascii_and_null_pass_through(self, spark):
+        rows = [(1, "plain ascii text", 1), (2, None, 2), (3, "", 3)]
+        got = self._norm(spark, rows)
+        assert got == {1: ("plain ascii text", 1), 2: (None, 2), 3: ("", 3)}
+
+    def test_bad_form_rejected(self, spark):
+        df = spark.createDataFrame([(1, "x", 1)], "doc_id long, text string, k int")
+        with pytest.raises(ValueError):
+            unicode_normalize_docs(df, form="NFXX")
+
+    def test_ascii_majority_stays_jvm_side(self, spark):
+        """The scale contract: only the non-ASCII minority crosses
+        Arrow — the plan's Python stage sits under a filter on the
+        non-ASCII detector, and the ASCII branch is filter-only (no
+        ArrowEvalPython / mapInPandas node)."""
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("ascii row "), F.col("id")).alias("text"),
+        )
+        plan = (
+            unicode_normalize_docs(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the union has exactly ONE python stage (the dirty branch)
+        assert plan.count("MapInPandas") == 1
+        # and running it on all-ASCII input returns rows without
+        # invoking python at all being observable: result correctness
+        out = unicode_normalize_docs(df)
+        assert out.count() == 100
+
+    def test_collapses_byte_variants_through_exact_dedup(self, spark):
+        """End-to-end posture check: planted NFD/full-width/zero-width/
+        ligature variants of one text collapse to ONE fingerprint
+        through the repo's exact-dedup machinery once this stage runs
+        in front of it (the gate replays this at sf0.01 against the
+        construction oracle)."""
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            exact_dedup_stats,
+        )
+
+        canon = "caf\u00e9 finance r\u00e9sum\u00e9 no7 ok"
+        rows = [
+            (1, canon, 0),
+            (2, "cafe\u0301 finance re\u0301sume\u0301 no7 ok", 0),  # NFD
+            (3, "caf\u00e9 \uff46\uff49\uff4e\uff41\uff4e\uff43\uff45 r\u00e9sum\u00e9\u3000no7 ok", 0),
+            (4, "\ufeffcaf\u00e9 fin\u200bance r\u00e9\u00adsum\u00e9 no7 ok", 0),
+            (5, "caf\u00e9 \ufb01nance r\u00e9sum\u00e9 no7 ok", 0),
+            (6, "a genuinely different document", 0),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, k int")
+        folded = unicode_normalize_docs(df)
+        stats = exact_dedup_stats(folded).collect()
+        by_keep = {r.keep_id: r.n_copies for r in stats}
+        assert by_keep == {1: 5, 6: 1}
