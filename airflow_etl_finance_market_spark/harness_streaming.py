@@ -1845,3 +1845,246 @@ def q_unicode_fold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_copies").alias("n_in"),
         F.col("keep_id").alias("survivor_id"),
     )
+
+
+# --- unigram-LM tokenizer gate (r14) ---------------------------------------
+
+#: Gate-side training params — small enough that the unrolled oracle
+#: stays tractable (the DP unrolls max_word_len levels per round), big
+#: enough that round 2 re-segments under a genuinely pruned/re-weighted
+#: vocab (EM movement, not a fixed point of the seed).
+_UNI_L = 3  # max piece length
+_UNI_W = 10  # max word length (words longer fall back at apply)
+_UNI_SEED = 64  # seed multi-char pieces
+_UNI_KEEP = 32  # multi-char pieces kept per round
+_UNI_ROUNDS = 2
+
+
+def _unigram_subgrid_sql(L: int) -> str:
+    """(term, cnt, s, l, piece): every substring occurrence of length
+    1..L of every training word type (1-based start s)."""
+    return f"""
+    SELECT term, cnt, s, l, substr(term, s, l) AS piece
+    FROM (
+        SELECT term, cnt, l,
+               unnest(generate_series(1, length(term) - l + 1)) AS s
+        FROM (
+            SELECT term, cnt, unnest(generate_series(1, {L})) AS l
+            FROM types
+        ) WHERE l <= length(term)
+    )"""
+
+
+def _unigram_dp_ctes(tag: str, vocab: str, L: int, W: int) -> str:
+    """The Viterbi DP, unrolled over positions 1..W against ``vocab`` —
+    b{tag}_j holds each word's best (np, sc, winning-piece-length l)
+    cover of its first j characters under (np ASC, sc DESC, l DESC),
+    the integer-exact objective pinned in operators/unigram.py."""
+    parts = [
+        f""",
+occ{tag} AS MATERIALIZED (
+    SELECT g.term, g.cnt, g.s, g.l, v.w
+    FROM subgrid g JOIN {vocab} v ON g.piece = v.piece
+),
+b{tag}_0 AS MATERIALIZED (
+    SELECT term, cnt, 0 AS np, CAST(0 AS BIGINT) AS sc, 0 AS l FROM types
+)"""
+    ]
+    for j in range(1, W + 1):
+        cands = "\n            UNION ALL\n".join(
+            f"""            SELECT p.term, p.cnt, p.np + 1 AS np,
+                   p.sc + o.w AS sc, {l} AS l
+            FROM b{tag}_{j - l} p
+            JOIN occ{tag} o ON o.term = p.term
+                AND o.s = {j - l + 1} AND o.l = {l}"""
+            for l in range(1, min(L, j) + 1)
+        )
+        parts.append(
+            f""",
+b{tag}_{j} AS MATERIALIZED (
+    SELECT term, cnt, np, sc, l FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY term ORDER BY np ASC, sc DESC, l DESC) AS rn
+        FROM (
+{cands}
+        )
+    ) WHERE rn = 1
+)"""
+        )
+    return "".join(parts)
+
+
+def _unigram_round_ctes(r: int, L: int, W: int, keep: int) -> str:
+    """One hard-EM round: DP under vocab{r-1}, backtrace the unique
+    best path (pos walks down by the stored winning length), count
+    used pieces weighted by type count, prune to vocab{r}."""
+    tag = str(r)
+    ball_union = "\n    UNION ALL\n".join(
+        f"    SELECT term, cnt, l, {j} AS pos FROM b{tag}_{j}"
+        for j in range(1, W + 1)
+    )
+    bt_parts = [
+        f""",
+ball{tag} AS MATERIALIZED (
+{ball_union}
+),
+bt{tag}_0 AS MATERIALIZED (
+    SELECT term, cnt, l, pos FROM ball{tag} WHERE pos = length(term)
+)"""
+    ]
+    for k in range(1, W):
+        bt_parts.append(
+            f""",
+bt{tag}_{k} AS MATERIALIZED (
+    SELECT b.term, b.cnt, b.l, b.pos
+    FROM bt{tag}_{k - 1} t JOIN ball{tag} b
+      ON b.term = t.term AND b.pos = t.pos - t.l
+    WHERE t.pos - t.l > 0
+)"""
+        )
+    bt_union = "\n    UNION ALL\n".join(
+        f"    SELECT term, cnt, l, pos FROM bt{tag}_{k}" for k in range(W)
+    )
+    return (
+        _unigram_dp_ctes(tag, f"vocab{r - 1}", L, W)
+        + "".join(bt_parts)
+        + f""",
+used{tag} AS MATERIALIZED (
+    SELECT substr(term, pos - l + 1, l) AS piece,
+           CAST(SUM(cnt) AS BIGINT) AS w
+    FROM (
+{bt_union}
+    )
+    GROUP BY 1
+),
+vocab{r} AS MATERIALIZED (
+    SELECT c.piece, COALESCE(u.w, 0) AS w
+    FROM chars c LEFT JOIN used{tag} u ON u.piece = c.piece
+    UNION ALL
+    SELECT piece, w FROM (
+        SELECT piece, w FROM used{tag} WHERE length(piece) > 1
+        ORDER BY w DESC, piece ASC LIMIT {keep}
+    )
+)"""
+    )
+
+
+def _unigram_oracle(rounds: int, L: int, W: int, seed: int, keep: int) -> str:
+    """Full unrolled replay of the unigram hard-EM trainer + apply —
+    the bpe_pipeline oracle pattern scaled up: seed CTEs, ``rounds``
+    EM rounds (DP + backtrace + recount + prune, every argmax an
+    integer ROW_NUMBER), one final DP for the apply's piece counts,
+    then the doc-keyed aggregate with the character fallback."""
+    seg_union = "\n    UNION ALL\n".join(
+        f"    SELECT term, np FROM bA_{j} WHERE length(term) = {j}"
+        for j in range(1, W + 1)
+    )
+    return (
+        f"""
+WITH types AS MATERIALIZED (
+    SELECT term, COUNT(*) AS cnt
+    FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+    WHERE length(term) BETWEEN 1 AND {W}
+    GROUP BY term
+),
+subgrid AS MATERIALIZED (
+{_unigram_subgrid_sql(L)}
+),
+sub AS MATERIALIZED (
+    SELECT piece, CAST(SUM(cnt) AS BIGINT) AS w FROM subgrid GROUP BY 1
+),
+chars AS MATERIALIZED (
+    SELECT piece FROM sub WHERE length(piece) = 1
+),
+vocab0 AS MATERIALIZED (
+    SELECT piece, w FROM sub WHERE length(piece) = 1
+    UNION ALL
+    SELECT piece, w FROM (
+        SELECT piece, w FROM sub WHERE length(piece) > 1
+        ORDER BY w DESC, piece ASC LIMIT {seed}
+    )
+)"""
+        + "".join(
+            _unigram_round_ctes(r, L, W, keep) for r in range(1, rounds + 1)
+        )
+        + _unigram_dp_ctes("A", f"vocab{rounds}", L, W)
+        + f""",
+seg AS MATERIALIZED (
+{seg_union}
+),
+occ_docs AS MATERIALIZED (
+    SELECT doc_id, u.term
+    FROM documents, unnest({_TOKS_SQL}) AS u(term)
+    WHERE length(u.term) >= 1
+),
+docstats AS (
+    SELECT occ_docs.doc_id, COUNT(*) AS n_words,
+           CAST(SUM(COALESCE(s.np, length(occ_docs.term))) AS BIGINT)
+               AS n_unigram_tokens
+    FROM occ_docs LEFT JOIN seg s USING (term)
+    GROUP BY 1
+)
+SELECT 'piece' AS kind, piece AS k1, CAST(w AS VARCHAR) AS k2,
+       CAST(length(piece) AS VARCHAR) AS k3, CAST(NULL AS VARCHAR) AS k4
+FROM vocab{rounds}
+UNION ALL
+SELECT 'doc', CAST(doc_id AS VARCHAR), CAST(n_words AS VARCHAR),
+       CAST(n_unigram_tokens AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM docstats
+"""
+    )
+
+
+@register(
+    "unigram_lm_tokenizer",
+    _unigram_oracle(_UNI_ROUNDS, _UNI_L, _UNI_W, _UNI_SEED, _UNI_KEEP),
+)
+def q_unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer trainer + apply HARD GATE (r14, r13 verdict
+    What's-missing #2: the SentencePiece-default tokenizer family
+    beyond bpe_pipeline's BPE). Trains operators/unigram.unigram_train
+    on the documents table — seed substring vocabulary, then
+    _UNI_ROUNDS hard-EM rounds of Viterbi re-segmentation under the
+    integer-exact objective (fewest pieces, then max weight-sum, then
+    longest-final-piece; every interior argmax is integer, the
+    determinism contract pinned in the operator docstring) with
+    recount + prune-to-_UNI_KEEP between rounds — and applies the
+    final vocabulary to the corpus via unigram_token_stats' broadcast
+    join. Output = the final (piece, weight) vocabulary rows PLUS the
+    per-document (n_words, n_unigram_tokens) apply rows, projected to
+    the bpe_pipeline VARCHAR multi-variant schema; a drift in ANY
+    round's segmentation, count, or prune order changes the final
+    vocab (and usually every doc count), and a drift in the apply join
+    or its >max_word_len character fallback changes the doc rows. The
+    oracle replays the ENTIRE trainer as one unrolled CTE chain —
+    _UNI_ROUNDS x (position-unrolled Viterbi DP + backtrace walk +
+    recount + prune) + one apply DP — the bpe_pipeline 30-round
+    precedent; it shares only SQL with the Spark side (the kernel is
+    Python, the oracle is pure DuckDB — independent formulations of
+    the pinned contract)."""
+    from .operators.unigram import unigram_token_stats, unigram_train
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    vocab, segments = unigram_train(
+        docs,
+        rounds=_UNI_ROUNDS,
+        max_piece_len=_UNI_L,
+        max_word_len=_UNI_W,
+        seed_multi=_UNI_SEED,
+        keep_multi=_UNI_KEEP,
+    )
+    p = vocab.select(
+        F.lit("piece").alias("kind"),
+        F.col("piece").alias("k1"),
+        F.col("weight").cast("string").alias("k2"),
+        F.col("piece_len").cast("string").alias("k3"),
+        F.lit(None).cast("string").alias("k4"),
+    )
+    d = unigram_token_stats(docs, segments).select(
+        F.lit("doc").alias("kind"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("n_words").cast("string").alias("k2"),
+        F.col("n_unigram_tokens").cast("string").alias("k3"),
+        F.lit(None).cast("string").alias("k4"),
+    )
+    return p.unionAll(d)
