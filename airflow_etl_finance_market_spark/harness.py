@@ -85,6 +85,17 @@ def register(name: str, oracle: str | None = None):
 #: PRE-COMMITTED live at r15, first block) and the r13-verified
 #: entries (trail 1, due r16, second block; the two rule-2 re-entries
 #: above are commented out of it while live).
+#: PRE-COMMITTED r15 MERGE: image_cdc_crop_near_dups (r12 cohort, due
+#: r15) + video_cdc_crop_near_dups (r13 cohort) share the row-CDC
+#: kernel and the set-overlap pair machinery — merge them into a
+#: media_cdc_crop_near_dups successor (variant rows 'image'/'video',
+#: both fixtures and oracles verbatim) AT the r15 rotation, where the
+#: successor takes the image gate's backbone slot under rule 1 and
+#: carries the video gate's refresh (the r13 corpus-prep precedent).
+#: The merge could NOT land this round: the r14 window is exactly
+#: full (46 backbone + 2 rule-2 + 2 new gates), and a never-verified
+#: successor must sit inside the first 50 (window test rule 1), so
+#: registering it now would overflow the window. Registry 144/150.
 #: (Round-12/13 history — merges funding rule-1/rule-2 slots — lives
 #: in the r12/r13 ledgers and VERDICTs; merged gates' docstrings carry
 #: their retirement rationales.)
