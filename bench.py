@@ -578,6 +578,24 @@ stalls there — the r10 storage-headroom failure mode, not a plan
 problem), video_cdc_hash 4.373 / video_cdc_pairs_sigs 7.773,
 cdc_pairs_sigs 3.570 (the join alone ~= tile's — the cumulative
 cdc_pairs 8.664 is hash-dominated), crawl url stage 1.149.
+
+r14 refresh: headline 14.606, MILD SLOW REGIME (factor 1.281 on the
+flagship anchor 0.616 -> 0.789; regime_delta normalizes EVERY stage
+to flat-or-better — no regression anywhere, no arbitration needed).
+The r13 watch item closed: ticker_pair_correlation 0.708 -> 0.481
+raw (the r13 doubling was the split regime, as suspected). Rule-change
+watch: crawl_x100.url_canonical_dedup 1.727 raw / ~1.35 normalized vs
+r13's 1.388 — the r14 port-aware fold gate (one rlike on the stripped
+host) is free at the decade. New r14 crawl_x100 entries:
+unicode_fold_raw 0.804 at 500k docs (the exact-normalization operator
+over the whole fixture — the ASCII-majority detector keeps it a
+JVM-side filter scan, ~1.1x the html_extract stage) and
+unicode_fold_dedup 2.081 (the gate chain: Arrow NFKC kernel over the
+planted non-ASCII quints + the fingerprint hash-agg). The unigram
+trainer is driver-gated, not benched as a decade: its per-round cost
+is bounded by the word-TYPE table, not the corpus — the corpus-scale
+surfaces it does pay (the histogram agg, the apply broadcast join)
+are the token_stats/bpe shapes already priced above.
 """
 
 from __future__ import annotations

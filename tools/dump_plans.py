@@ -86,6 +86,13 @@ NAMES = [
     # three windows over one h-clustered exchange — then coverage
     # explode + id-keyed reassembly join)
     "doc_duplicate_span_removal",
+    # round 14: the unicode fold (detector-split union — the ASCII
+    # branch filter-only, ONE MapInPandas on the non-ASCII branch —
+    # feeding the fingerprint hash-agg) and the unigram trainer's
+    # apply surface (vocab createDataFrame + type-table DP +
+    # broadcast-join doc aggregate)
+    "unicode_fold_dedup",
+    "unigram_lm_tokenizer",
 ]
 
 
