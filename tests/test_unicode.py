@@ -176,3 +176,57 @@ class TestUnicodeNormalizeDocs:
         stats = exact_dedup_stats(folded).collect()
         by_keep = {r.keep_id: r.n_copies for r in stats}
         assert by_keep == {1: 5, 6: 1}
+
+
+def test_unicode_normalize_streams_into_dedup_on_ingest(spark, tmp_path):
+    """The real ingest posture: unicode normalization runs AT THE STREAM
+    EDGE in front of fingerprint dedup-on-ingest, so byte-variant
+    re-uploads (NFD, full-width, zero-width junk) collapse before
+    storage pays for them. The detector-split union (ASCII branch
+    filter-only, non-ASCII branch through the Arrow kernel) must
+    compose with a downstream watermark + dropDuplicatesWithinWatermark
+    — and the batch twin must agree on the surviving fingerprints."""
+    from airflow_etl_finance_market_spark.operators.corpus import (
+        unicode_normalize_docs,
+    )
+    from airflow_etl_finance_market_spark.operators.dedup import fingerprint
+    from airflow_etl_finance_market_spark.streaming import dedup_by_signature
+    from airflow_etl_finance_market_spark.streaming.io import (
+        run_available_now,
+    )
+
+    base_us = 1_700_000_000_000_000
+    rows = [
+        # family A: clean NFC / NFD / zero-width injection — one survivor
+        (1, base_us, "caf\u00e9 report ok"),
+        (2, base_us + 1_000_000, "cafe\u0301 report ok"),  # NFD
+        (3, base_us + 2_000_000, "\ufeffcaf\u00e9 re\u200bport ok"),
+        # family B: pure-ASCII pair (exercises the JVM-only branch)
+        (4, base_us, "plain ascii doc"),
+        (5, base_us + 1_000_000, "plain  ASCII   doc"),
+        # singleton
+        (6, base_us, "unique document"),
+    ]
+    in_dir = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        rows, "doc_id long, ts long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    def pipeline(docs):
+        folded = unicode_normalize_docs(
+            docs.withColumn("ts", F.expr("timestamp_micros(ts)"))
+        )
+        sigs = folded.withColumn("fp", fingerprint("text"))
+        return dedup_by_signature(sigs, sig_col="fp", ts="ts")
+
+    schema = "doc_id long, ts long, text string"
+    batch = pipeline(spark.read.schema(schema).parquet(in_dir))
+    stream = pipeline(spark.readStream.schema(schema).parquet(in_dir))
+    got = run_available_now(stream, "uni_dedup_ingest", output_mode="append")
+    stream_fps = sorted(r.fp for r in got.collect())
+    batch_fps = sorted(r.fp for r in batch.collect())
+    assert stream_fps == batch_fps
+    assert len(stream_fps) == 3  # one survivor per family + the singleton
+    # the survivors' normalized text is byte-identical across variants
+    texts = {r.text for r in got.collect()}
+    assert "caf\u00e9 report ok" in texts
