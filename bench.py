@@ -702,6 +702,22 @@ def build_x10_fixture(spark, tmp: str) -> str:
     return x10
 
 
+def _unigram_train_x10(spark, x10: str):
+    """Unigram-LM trainer at decade scale, gate params (r14): returns
+    the segments frame so the timer covers the histogram, the seed, both
+    hard-EM rounds (their bounded collects run eagerly inside the call),
+    and the final apply DP materialized by the noop write."""
+    from airflow_etl_finance_market_spark.operators.unigram import (
+        unigram_train,
+    )
+
+    docs = spark.read.parquet(f"{x10}/documents.parquet")
+    return unigram_train(
+        docs, rounds=2, max_piece_len=3, max_word_len=10,
+        seed_multi=64, keep_multi=32,
+    )[1]
+
+
 def _contamination_exact_x10(spark, x10: str):
     """The retired doc_contamination gate's body (r11 merged the gates
     into doc_contamination_dual; the bench keeps per-path timings)."""
@@ -1918,6 +1934,14 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         # rewrite stage against the stats-only signal above
         "span_removal": lambda: _noop(
             D.duplicate_span_removal(docs, span_tokens=10)
+        ),
+        # r14: the unigram-LM trainer at 50k docs (gate params) — the
+        # claim "per-round cost is bounded by the word-TYPE table, not
+        # the corpus" as a measured number: histogram agg + seed
+        # explode + 2 hard-EM rounds (Arrow DP over types + bounded
+        # collects) + the final apply DP
+        "unigram_train": lambda: _noop(
+            _unigram_train_x10(spark, x10)
         ),
         # r07: the published-filter tier — Gopher rule bundle (map-only,
         # shuffle-free) and DSIR importance weights (explode + two

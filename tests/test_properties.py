@@ -660,3 +660,48 @@ def test_duplicate_span_removal_matches_replay_hypothesis(
         ).collect()
     }
     assert got == _span_removal_replay(docs, k, min_docs)
+
+
+# --- unigram-LM trainer differential (r14) ---------------------------------
+
+
+@st.composite
+def _unigram_corpus(draw):
+    """Tiny-alphabet doc soups: heavy substring sharing, ties everywhere
+    — exactly where an argmax/tie-break drift between the Spark kernel
+    and the reference would surface."""
+    n_docs = draw(st.integers(min_value=1, max_value=5))
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    docs = []
+    for i in range(n_docs):
+        words = draw(st.lists(word, min_size=1, max_size=8))
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@given(corpus=_unigram_corpus(), rounds=st.integers(min_value=1, max_value=2))
+@settings(**SETTINGS)
+def test_unigram_train_matches_reference_hypothesis(spark, corpus, rounds):
+    """unigram_train + unigram_token_stats vs the pure-Python reference
+    over adversarial tiny-alphabet corpora (the span-removal precedent):
+    the integer-exact objective must make every interior argmax agree,
+    so vocab AND per-doc apply counts are equal exactly."""
+    from airflow_etl_finance_market_spark.operators.unigram import (
+        unigram_token_stats,
+        unigram_train,
+    )
+    from tests.test_unigram_ops import _ref_doc_tokens, _ref_train
+
+    params = dict(rounds=rounds, L=2, W=4, seed_multi=5, keep_multi=3)
+    ref_vocab, _ = _ref_train([t for _, t in corpus], **params)
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    vocab, segments = unigram_train(
+        df, rounds=rounds, max_piece_len=2, max_word_len=4,
+        seed_multi=5, keep_multi=3,
+    )
+    assert {r.piece: r.weight for r in vocab.collect()} == ref_vocab
+    got_docs = {
+        r.doc_id: (r.n_words, r.n_unigram_tokens)
+        for r in unigram_token_stats(df, segments).collect()
+    }
+    assert got_docs == _ref_doc_tokens(corpus, ref_vocab, 2, 4)
