@@ -596,6 +596,16 @@ trainer is driver-gated, not benched as a decade: its per-round cost
 is bounded by the word-TYPE table, not the corpus — the corpus-scale
 surfaces it does pay (the histogram agg, the apply broadcast join)
 are the token_stats/bpe shapes already priced above.
+
+r14 addendum (run2, same day — the COMMITTED BENCH_LOCAL): the regime
+relaxed mid-day exactly as in r13 (headline 14.606 -> 12.629, every
+tier moved together), and the type-bounded claim above became a
+measured line after all: corpus_x10.unigram_train 1.621 at 50k docs
+(histogram + seed explode + 2 hard-EM Arrow passes over types +
+bounded collects + the apply DP — cheaper than one minhash_sigs
+pass). crawl_x100 url stage 1.191 (r13 1.149 — the port gate
+confirmed free), unicode_fold_raw 0.649 / unicode_fold_dedup 1.373 at
+500k docs.
 """
 
 from __future__ import annotations
