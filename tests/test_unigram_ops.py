@@ -251,3 +251,48 @@ class TestUnigramContract:
         )
         assert "BroadcastHashJoin" in plan
         assert plan.count("MapInPandas") == 1  # the segments DP only
+
+
+class TestUnigramEdges:
+    def test_empty_and_whitespace_corpus(self, spark):
+        """No training-eligible words: empty vocab, empty segments, and
+        the apply aggregates an empty occurrence stream without error."""
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, None)], "doc_id long, text string"
+        )
+        vocab, segments = unigram_train(
+            df, rounds=1, max_piece_len=2, max_word_len=6,
+            seed_multi=4, keep_multi=2,
+        )
+        assert vocab.count() == 0
+        assert segments.count() == 0
+        assert unigram_token_stats(df, segments).count() == 0
+
+    def test_chars_only_vocab_keep_multi_zero(self, spark):
+        """keep_multi=0 degenerates to a character tokenizer after the
+        first prune — coverage still holds (every word segments into
+        its single chars, n_pieces == length)."""
+        df = spark.createDataFrame(
+            [(1, "abc ab abc")], "doc_id long, text string"
+        )
+        _, segments = unigram_train(
+            df, rounds=2, max_piece_len=3, max_word_len=6,
+            seed_multi=4, keep_multi=0,
+        )
+        seg = {r.term: r.n_pieces for r in segments.collect()}
+        assert seg == {"abc": 3, "ab": 2}
+
+    def test_custom_column_names(self, spark):
+        df = spark.createDataFrame(
+            [(7, "xy xy zz")], "id long, body string"
+        )
+        vocab, segments = unigram_train(
+            df, text_col="body", id_col="id", rounds=1,
+            max_piece_len=2, max_word_len=6, seed_multi=4, keep_multi=2,
+        )
+        stats = unigram_token_stats(
+            df, segments, text_col="body", id_col="id"
+        ).collect()
+        assert stats[0].n_words == 3
+        pieces = {r.piece for r in vocab.collect()}
+        assert "xy" in pieces and "zz" in pieces
