@@ -230,3 +230,33 @@ def test_unicode_normalize_streams_into_dedup_on_ingest(spark, tmp_path):
     # the survivors' normalized text is byte-identical across variants
     texts = {r.text for r in got.collect()}
     assert "caf\u00e9 report ok" in texts
+
+
+def test_compat_fold_composes_on_the_universal_path(spark):
+    """The documented JVM-only posture: fold_unicode_compat in front of
+    the exact-dedup fingerprint (no Arrow tier anywhere) collapses the
+    compat-plane byte variants — full-width, zero-width junk, ligature,
+    NBSP — while staying a pure codegen expression chain. NFD variants
+    are exactly what it must NOT claim: they need the Arrow tier."""
+    from airflow_etl_finance_market_spark.functions.text import (
+        fold_unicode_compat,
+    )
+    from airflow_etl_finance_market_spark.operators.dedup import (
+        exact_dedup_stats,
+    )
+
+    rows = [
+        (1, "finance report 7 ok"),
+        (2, "ｆｉｎａｎｃｅ report　7 ok"),
+        (3, "﻿fin​ance report 7 ok"),
+        (4, "ﬁnance report 7 ok"),
+        (5, "finance re\u0301port 7 ok"),  # NFD: compat fold must NOT merge
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", fold_unicode_compat("text").alias("text")
+    )
+    stats = {r.keep_id: r.n_copies for r in exact_dedup_stats(df).collect()}
+    assert stats == {1: 4, 5: 1}
+    # and the chain is python-free: no Arrow/python nodes in the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "Python" not in plan
