@@ -248,7 +248,7 @@ def test_compat_fold_composes_on_the_universal_path(spark):
     rows = [
         (1, "finance report 7 ok"),
         (2, "ｆｉｎａｎｃｅ report　7 ok"),
-        (3, "﻿fin​ance report 7 ok"),
+        (3, "\ufefffin\u200bance report 7\u00a0ok"),
         (4, "ﬁnance report 7 ok"),
         (5, "finance re\u0301port 7 ok"),  # NFD: compat fold must NOT merge
     ]
