@@ -96,6 +96,12 @@ def register(name: str, oracle: str | None = None):
 #: full (46 backbone + 2 rule-2 + 2 new gates), and a never-verified
 #: successor must sit inside the first 50 (window test rule 1), so
 #: registering it now would overflow the window. Registry 144/150.
+#: r15 NEW-GATE CANDIDATE (operator + reference-differential tests
+#: landed r14, gate deliberately deferred for the same window-full
+#: reason): operators/corpus.kn_bigram_logprob — the interpolated
+#: Kneser-Ney perplexity scorer (the CCNet filter's actual smoothing);
+#: its oracle is a direct SQL replay of the four count CTEs + the KN
+#: formula, float-safe because the scorer has no interior argmax.
 #: (Round-12/13 history — merges funding rule-1/rule-2 slots — lives
 #: in the r12/r13 ledgers and VERDICTs; merged gates' docstrings carry
 #: their retirement rationales.)

@@ -1242,3 +1242,107 @@ def unicode_normalize_docs(
         _kernel_factory(form, strip_zero_width, text_col), docs.schema
     )
     return clean.unionByName(normalized)
+
+
+def kn_bigram_logprob(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) under an interpolated KNESER-NEY
+    bigram LM trained on the corpus itself — the smoothing the published
+    perplexity filters actually use (CCNet filters on a KenLM model;
+    KenLM's default estimator is interpolated modified KN), one rung
+    above :func:`bigram_logprob`'s add-one on the quality ladder:
+    add-one over-penalizes rich contexts (it spreads V pseudo-counts
+    under every context), while KN discounts each SEEN bigram a fixed
+    ``discount`` and backs off to the CONTINUATION unigram — "how many
+    distinct contexts does w2 follow" — so boilerplate tokens that
+    appear everywhere in one fixed phrase (low continuation diversity)
+    score lower than genuinely productive words (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.25, interpolated form):
+
+        P(w2|w1) = (max(c(w1 w2) - D, 0)
+                    + D * N1+(w1 .) * Pcont(w2)) / c(w1 .)
+        Pcont(w2) = N1+(. w2) / N1+(. .)
+
+    with c() token counts, N1+() DISTINCT-bigram-type counts, and
+    D = ``discount``. Scoring the training corpus itself means every
+    scored bigram and context is observed (c >= 1), the same
+    self-scoring posture as the add-one scorer; documents with fewer
+    than 2 tokens drop out identically. Floats appear only in the
+    final mean (ROUND 6 at the presentation edge) — no interior
+    argmax, so the formula is oracle-replayable despite the division
+    (the r14 unigram gate's integer rule is about interior BRANCHING,
+    which this scorer has none of).
+
+    Physical shape (the 100 TB bill): ONE positional expansion feeds
+    four vocab-bounded aggregates — bigram token counts (Zipf-sparse
+    vocab²), context totals + context type-diversity N1+(w1 .) (both
+    from one grouped pass over the bigram TYPE table), continuation
+    diversity N1+(. w2) (the other grouping of the same type table),
+    and the scalar N1+(. .) as a broadcast 1-row frame; the per-doc
+    mean rides term-keyed joins with build sides bounded by observed
+    vocab. No corpus-sized shuffle beyond the occurrence expansion —
+    identical exchange structure to :func:`bigram_logprob`.
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError("discount must be in (0, 1)")
+    base = fan_out(docs, id_col).select(
+        F.col(id_col), tokens(text_col).alias("toks")
+    )
+    occ2 = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> "
+                    "struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2, "
+                    "concat(element_at(toks, i), ' ', "
+                    "element_at(toks, i + 1)) AS big))"
+                )
+            ).alias("u"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("u.w1").alias("w1"),
+            F.col("u.w2").alias("w2"),
+            F.col("u.big").alias("big"),
+        )
+    )
+    big_counts = occ2.groupBy("big").agg(F.count("*").alias("_cb"))
+    ctx = occ2.groupBy("w1").agg(
+        F.count("*").alias("_cctx"),
+        F.count_distinct("w2").alias("_n1p_fwd"),
+    )
+    cont = (
+        occ2.select("w1", "w2")
+        .distinct()
+        .groupBy("w2")
+        .agg(F.count("*").alias("_n1p_bwd"))
+    )
+    total_types = (
+        occ2.select("big").distinct().agg(F.count("*").alias("_n1p_all"))
+    )
+    d = F.lit(float(discount))
+    p = (
+        F.greatest(F.col("_cb") - d, F.lit(0.0))
+        + d
+        * F.col("_n1p_fwd")
+        * (F.col("_n1p_bwd") / F.col("_n1p_all"))
+    ) / F.col("_cctx")
+    return (
+        occ2.join(big_counts, "big")
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(total_types))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+        )
+    )
