@@ -102,6 +102,12 @@ def register(name: str, oracle: str | None = None):
 #: Kneser-Ney perplexity scorer (the CCNet filter's actual smoothing);
 #: its oracle is a direct SQL replay of the four count CTEs + the KN
 #: formula, float-safe because the scorer has no interior argmax.
+#: Second r15 candidate (same posture — operator + tests landed r14):
+#: operators/dedup.near_dup_decontamination in portable hash mode
+#: (the banded cross-join + exact-Jaccard verify replay in SQL the
+#: same way the minhash_lsh_near_dups oracle does). r15 slot math:
+#: 46 backbone + media_cdc merge successor + kn_bigram +
+#: near-dup-decontam = 49, leaving 1 spare for rule-2 debts.
 #: (Round-12/13 history — merges funding rule-1/rule-2 slots — lives
 #: in the r12/r13 ledgers and VERDICTs; merged gates' docstrings carry
 #: their retirement rationales.)

@@ -1254,3 +1254,96 @@ def duplicate_span_removal(
             F.size(rm).cast("long").alias("n_tokens_removed"),
         )
     )
+
+
+def near_dup_decontamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    hash_mode: str = "xxhash64",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """NEAR-duplicate decontamination: (doc_id, bench_id, jaccard_sim)
+    for every training document whose exact n-gram Jaccard to some
+    benchmark document reaches ``threshold`` — the published-pipeline
+    stage above the EXACT tier (`operators/bloom.py`'s n-gram collision
+    + Bloom pre-gate): GPT-3's appendix-C dedup removes eval overlap by
+    13-gram collision, and later pipelines (PaLM, Llama) additionally
+    drop NEAR-duplicates of eval documents, which exact n-gram
+    collision misses under light paraphrase. Callers anti-join the
+    flagged ``doc_id`` set (or audit the pairs — the benchmark id and
+    similarity are kept for exactly that).
+
+    Shape — the cross-frame twin of :func:`minhash_dedup_pairs`, and
+    the reason this is NOT a self-join of the unioned frames: signature
+    and banding machinery are reused verbatim per side, the candidate
+    join is banded-bucket equi-join ACROSS the two frames only (no
+    corpus-corpus or benchmark-benchmark pairs ever materialize, which
+    a unioned self-join would pay for and then filter away), and the
+    exact-Jaccard verify rehydrates |cross candidates| rows. The
+    benchmark side is typically thousands of eval documents against a
+    100 TB corpus — its banded keys are broadcastable, so the candidate
+    join needs NO shuffle of the corpus side beyond the signature agg
+    (``broadcast_benchmark=True``, the default, hints it explicitly —
+    pass False for a freak-sized benchmark and the planner falls back
+    to the SMJ shape this module's self-join form pins).
+    """
+    sigs_d = minhash_signatures(
+        docs, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, hash_mode=hash_mode,
+    ).select(
+        F.col("id").alias("_did"),
+        F.col("sig"),
+    )
+    sigs_b = minhash_signatures(
+        benchmark, text_col=bench_text_col, id_col=bench_id_col,
+        num_hashes=num_hashes, hash_mode=hash_mode,
+    ).select(
+        F.col("id").alias("_bid"),
+        F.col("sig"),
+    )
+    banded_d = sigs_d.select(
+        "_did",
+        F.posexplode(_banded_keys(bands, hash_mode)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    banded_b = sigs_b.select(
+        "_bid",
+        F.posexplode(_banded_keys(bands, hash_mode)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    maybe_bcast = F.broadcast if broadcast_benchmark else (lambda df: df)
+    cands = (
+        banded_d.join(maybe_bcast(banded_b), ["band_idx", "band_hash"])
+        .select("_did", "_bid")
+        .distinct()
+    )
+    grams_d = fan_out(docs, id_col).select(
+        F.col(id_col).alias("_did"),
+        F.array_distinct(word_ngrams(text_col, 3)).alias("_grams_d"),
+    )
+    grams_b = benchmark.select(
+        F.col(bench_id_col).alias("_bid"),
+        F.array_distinct(word_ngrams(bench_text_col, 3)).alias("_grams_b"),
+    )
+    return (
+        cands.join(grams_d, "_did")
+        .join(maybe_bcast(grams_b), "_bid")
+        .select(
+            F.col("_did").alias(id_col),
+            F.col("_bid").alias(bench_id_col),
+            F.round(
+                jaccard(F.col("_grams_d"), F.col("_grams_b")), 6
+            ).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )

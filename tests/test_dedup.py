@@ -601,3 +601,91 @@ class TestDuplicateSpanRemoval:
         # point is catching an accidental O(corpus) or O(n^2-in-spans)
         # regression, not timing jitter)
         assert wall < 90, f"span-removal worst-case blew up: {wall:.1f}s"
+
+
+class TestNearDupDecontamination:
+    """Cross-frame near-dup decontamination (r14, gate candidate r15):
+    the published stage above exact n-gram collision — training docs
+    near-duplicating EVAL docs are flagged with their match and the
+    exact Jaccard."""
+
+    CORPUS = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        # light paraphrase of benchmark doc 100 (one word changed)
+        (2, "question answer pairs for the benchmark evaluation suite v2"),
+        (3, "an entirely unrelated training document about cooking pasta"),
+        # exact copy of benchmark doc 101
+        (4, "held out test sentences must never leak into training data"),
+        # two identical CORPUS docs: must NOT appear as output pairs
+        (5, "duplicate corpus text that matches no benchmark entry here"),
+        (6, "duplicate corpus text that matches no benchmark entry here"),
+    ]
+    BENCH = [
+        (100, "question answer pairs for the benchmark evaluation suite v1"),
+        (101, "held out test sentences must never leak into training data"),
+        (102, "a benchmark document similar to nothing in the corpus"),
+    ]
+
+    def _run(self, spark, **kw):
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            near_dup_decontamination,
+        )
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        bench = spark.createDataFrame(self.BENCH, "bench_id long, text string")
+        return near_dup_decontamination(docs, bench, threshold=0.5, **kw)
+
+    def test_flags_exact_and_paraphrase_cross_pairs_only(self, spark):
+        got = {(r.doc_id, r.bench_id): r.jaccard_sim for r in self._run(spark).collect()}
+        # the exact copy is flagged at jaccard 1.0
+        assert got[(4, 101)] == 1.0
+        # the one-word paraphrase is flagged (high but < 1)
+        assert (2, 100) in got and 0.5 <= got[(2, 100)] < 1.0
+        # unrelated docs and the within-corpus duplicate pair never appear
+        flagged_docs = {d for d, _ in got}
+        assert flagged_docs == {2, 4}
+        # exact Jaccard agrees with a python set computation per pair
+        def grams(t, n=3):
+            ws = t.split()
+            return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+        for (d, b), sim in got.items():
+            gd = grams(dict(self.CORPUS)[d])
+            gb = grams(dict(self.BENCH)[b])
+            ref = len(gd & gb) / len(gd | gb)
+            assert abs(sim - round(ref, 6)) <= 1e-6
+
+    def test_anti_join_gives_clean_corpus(self, spark):
+        flagged = self._run(spark).select("doc_id").distinct()
+        docs = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        clean = docs.join(flagged, "doc_id", "left_anti")
+        assert sorted(r.doc_id for r in clean.collect()) == [1, 3, 5, 6]
+
+    def test_benchmark_side_broadcasts(self, spark):
+        plan = (
+            self._run(spark)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        # and the opt-out flips the candidate join to a shuffle join
+        plan_smj = (
+            self._run(spark, broadcast_benchmark=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastExchange" not in plan_smj or plan_smj.count(
+            "BroadcastExchange"
+        ) < plan.count("BroadcastExchange")
+
+    def test_portable_mode_matches_xxhash_flag_set(self, spark):
+        a = {(r.doc_id, r.bench_id) for r in self._run(spark).collect()}
+        b = {
+            (r.doc_id, r.bench_id)
+            for r in self._run(spark, hash_mode="portable").collect()
+        }
+        # both modes flag the planted families (banding seeds differ, but
+        # exact-copy families collide in EVERY band in both modes)
+        assert (4, 101) in a and (4, 101) in b
+        assert (2, 100) in a and (2, 100) in b
