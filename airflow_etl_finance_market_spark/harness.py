@@ -60,119 +60,56 @@ def register(name: str, oracle: str | None = None):
 #: test_demoted_entries_within_staleness_budget, so a forgotten rotation
 #: fails the suite, not the judge.
 #:
-#: Round-14 rotation — BACKBONE ROUND (executing the r13 verdict's #1,
-#: the binding obligation pre-committed in the r13 docstring): the 46
-#: r11-green trail-2 entries (weekly_volatility through
-#: weekly_value_quantile_rollup, incl. the merge successors
-#: dim_snapshots, customer_big_order_split, bpe_pipeline,
-#: file_roundtrip_ingest, image_phash_multi_near_dups,
-#: audio_multi_near_dups) are LIVE this round — none of their demoted
-#: names remain below. That fills 46 of the 50 slots; the 4 spare
-#: slots are budgeted this round as:
-#:   - rule 1: unicode_fold_dedup (NEW gate — NFC/NFKC + zero-width
-#:     fold ahead of the exact-dedup fingerprint tier; r13 verdict
-#:     What's-missing #1);
-#:   - rule 1: unigram_lm_tokenizer (NEW gate — fixed-round
-#:     SentencePiece-style EM trainer, the bpe_pipeline pattern; r13
-#:     verdict What's-missing #2);
-#:   - rule 2: doc_duplicate_span_removal (NULL-text guard landed in
-#:     duplicate_span_removal per ADVICE r13 #4; output unchanged on
-#:     non-null fixtures but the operator body changed);
-#:   - rule 2: url_canonical_dedup (port-aware scheme folding landed
-#:     in canonicalize_url per ADVICE r13 #3: http→https only on
-#:     portless/default-port URLs).
-#: Demoted below: the r12-green entries (trail 2 at r14 — due and
-#: PRE-COMMITTED live at r15, first block) and the r13-verified
-#: entries (trail 1, due r16, second block; the two rule-2 re-entries
-#: above are commented out of it while live).
-#: PRE-COMMITTED r15 MERGE: image_cdc_crop_near_dups (r12 cohort, due
-#: r15) + video_cdc_crop_near_dups (r13 cohort) share the row-CDC
-#: kernel and the set-overlap pair machinery — merge them into a
-#: media_cdc_crop_near_dups successor (variant rows 'image'/'video',
-#: both fixtures and oracles verbatim) AT the r15 rotation, where the
-#: successor takes the image gate's backbone slot under rule 1 and
-#: carries the video gate's refresh (the r13 corpus-prep precedent).
-#: The merge could NOT land this round: the r14 window is exactly
-#: full (46 backbone + 2 rule-2 + 2 new gates), and a never-verified
-#: successor must sit inside the first 50 (window test rule 1), so
-#: registering it now would overflow the window. Registry 144/150.
-#: r15 NEW-GATE CANDIDATE (operator + reference-differential tests
-#: landed r14, gate deliberately deferred for the same window-full
-#: reason): operators/corpus.kn_bigram_logprob — the interpolated
-#: Kneser-Ney perplexity scorer (the CCNet filter's actual smoothing);
-#: its oracle is a direct SQL replay of the four count CTEs + the KN
-#: formula, float-safe because the scorer has no interior argmax.
-#: Second r15 candidate (same posture — operator + tests landed r14):
-#: operators/dedup.near_dup_decontamination in portable hash mode
-#: (the banded cross-join + exact-Jaccard verify replay in SQL the
-#: same way the minhash_lsh_near_dups oracle does). r15 slot math:
-#: 46 backbone + media_cdc merge successor + kn_bigram +
-#: near-dup-decontam = 49, leaving 1 spare for rule-2 debts.
-#: (Round-12/13 history — merges funding rule-1/rule-2 slots — lives
-#: in the r12/r13 ledgers and VERDICTs; merged gates' docstrings carry
+#: Round-15 rotation — BACKBONE ROUND (executing the r14 verdict's #1,
+#: the binding obligation pre-committed in the r14 docstring): the 46
+#: r12-green trail-2 entries (recent_extract through
+#: audio_cdc_gain_near_dups) are LIVE this round — 45 verbatim, the
+#: 46th via its merge successor: the PRE-COMMITTED r15 MERGE landed,
+#: image_cdc_crop_near_dups (r12 cohort, due) + video_cdc_crop_near_dups
+#: (r13 cohort) → media_cdc_crop_near_dups (variant rows
+#: 'image'/'video', both fixtures and oracles VERBATIM in the UNION;
+#: retirement rationale in the successor's docstring,
+#: harness_streaming.py). That fills 46 of the 50 slots; the 4
+#: remaining are budgeted this round as:
+#:   - rule 1: kn_bigram_logprob (NEW gate, pre-committed r14 — the
+#:     interpolated Kneser-Ney perplexity scorer built+tested r14;
+#:     oracle = direct SQL replay of the four count CTEs + the KN
+#:     formula, float-safe because the scorer has no interior argmax);
+#:   - rule 1: near_dup_decontamination (NEW gate, pre-committed r14 —
+#:     cross-frame banded MinHash + exact-Jaccard verify built+tested
+#:     r14; portable hash mode, the minhash_lsh_near_dups replay with
+#:     per-side CTEs and a cross-side band join);
+#:   - rule 2: url_canonical_dedup (the r14 ADVICE :443 fix landed in
+#:     canonicalize_url — http strips only ITS OWN default :80 now, so
+#:     http://h:443 keeps scheme AND port; gate fixture extended
+#:     QUINT→SEXT with the must-not-fold :443 member);
+#:   - slot 50 falls to the FIRST demoted name below:
+#:     top_avg_volatility (oldest r13-green entry, early refresh —
+#:     eases the r16 crunch to 46 due + 4 spare).
+#: Demoted below: the r13-green entries (trail 2 at r15 — due and
+#: PRE-COMMITTED live at r16, first block) and the r14-verified
+#: entries (trail 1, due r17, second block; url_canonical_dedup is
+#: commented out of it while live under rule 2).
+#: Registry after the merge + 2 new gates: 145/150.
+#: (Round-12/13/15 history — merges funding rule-1/rule-2 slots —
+#: lives in the ledgers and VERDICTs; merged gates' docstrings carry
 #: their retirement rationales.)
 _WINDOW_DEMOTED = [
-    # --- r12-green, trail 2 at r14: the PRE-COMMITTED r15 backbone
-    # (all 46 MUST be live the moment CORRECTNESS_r15.json lands;
-    # any of them whose depended-on code changes mid-r14 re-enters
-    # EARLY under rule 2 and still counts toward the 46) ---
-    "recent_extract",
-    "quality_gate",
-    "doc_exact_dedup",
-    "doc_lang_id",
-    "purchase_attribution",
-    "user_sessions",
-    "minhash_lsh_near_dups",
-    "simhash_near_dups",
-    "embedding_topk_ivf",
-    "top_docs_per_lang",
-    "term_frequencies",
-    "doc_repetition_stats",
-    "embedding_centroids",
-    "split_balance",
-    "doc_tfidf_top_terms",
-    "doc_seq_packing",
-    "doc_winnow_fingerprints",
-    "doc_stratified_sample",
-    "doc_unigram_logprob",
-    "event_funnel",
-    "user_retention_cohorts",
-    "doc_inverted_index",
-    "term_pmi_pairs",
-    "embedding_quantization",
-    "event_transition_matrix",
-    "top_event_trigrams",
-    "regional_supplier_volume",
-    "ohlcv_weekly_bars",
-    "ticker_max_drawdown",
-    "ticker_beta",
-    "doc_source_quota_sample",
-    "ticker_pair_correlation",
-    "part_supplier_pagerank",
-    "embedding_topk_pq",
-    "embedding_topk_ivfpq",
-    "user_funnel_times",
-    "streaming_funnel_ooo",
-    "weekly_activity_panel",
-    "multimodal_audio_features",
-    "audio_trim_multi_near_dups",
-    "image_tile_multi_crop_near_dups",
-    "domain_blocklist_filter",
-    "streaming_media_dedup_ingest",
-    "image_cdc_crop_near_dups",
-    "image_mirror_canonical_near_dups",
-    "audio_cdc_gain_near_dups",
-    # --- r13-verified, trail 1 (due r16; slack slots at r15 can start
-    # refreshing the oldest of these early) ---
+    # --- r13-green, trail 2 at r15: the PRE-COMMITTED r16 backbone
+    # (all 46 still listed here MUST be live the moment
+    # CORRECTNESS_r16.json lands; any whose depended-on code changes
+    # mid-r15 re-enters EARLY under rule 2 and still counts).
+    # top_avg_volatility is FIRST deliberately: it takes live slot 50
+    # this round (49 non-demoted entries), so it refreshes at r15 and
+    # re-joins the r18 cohort after ---
     "top_avg_volatility",
     "pricing_summary",
     "ticker_metrics",
     "volume_leaders",
     "star_revenue",
-    # url_canonical_dedup: LIVE at r14 under rule 2 (port-aware
-    # http→https folding landed in canonicalize_url — the fold now
-    # applies only to portless/default-port URLs per ADVICE r13) —
-    # re-joins the r16 cohort after
+    # url_canonical_dedup: LIVE at r15 under rule 2 (the :443 no-fold
+    # fix landed in canonicalize_url per ADVICE r14 #1) — re-joins
+    # the r17 cohort after
     "doc_jaccard_near_dups",
     "embedding_topk",
     "embedding_near_dups",
@@ -213,12 +150,64 @@ _WINDOW_DEMOTED = [
     "streaming_dedup_ingest",
     "embedding_contrastive_negatives",
     "token_budget_corpus_select",
-    # doc_duplicate_span_removal: LIVE at r14 under rule 2 (NULL-text
-    # guard + documented tokens×removed reassembly bound landed in
-    # duplicate_span_removal) — re-joins the r16 cohort after
-    "video_cdc_crop_near_dups",
+    # video_cdc_crop_near_dups: RETIRED at the r15 rotation — merged
+    # with image_cdc_crop_near_dups into media_cdc_crop_near_dups
+    # (live, rule 1); its fixture + oracle run verbatim as the
+    # 'video' variant row
     "streaming_pct_change_multi",
     "multimodal_corpus_prep_multi",
+    # --- r14-verified, trail 1 (due r17; slack slots at r16 can start
+    # refreshing the oldest of these early) ---
+    "weekly_volatility",
+    "market_overview",
+    "ticker_report_stats",
+    "segment_balance",
+    "distinct_counts",
+    "customer_big_order_split",
+    "dim_snapshots",
+    # url_canonical_dedup: LIVE at r15 under rule 2 (see above)
+    "quality_gate_exact",
+    "fk_orphan_check",
+    "brand_scores",
+    "returnflag_correlation",
+    "latest_event_per_user",
+    "events_json_kpi",
+    "doc_token_stats",
+    "multimodal_features",
+    "sql_api_nation_rank",
+    "rolling_close_avg",
+    "qty_rollup",
+    "customer_set_ops",
+    "status_flag_pivot",
+    "sliding_window_kpis",
+    "pricey_parts_vs_brand_avg",
+    "customer_order_coverage",
+    "top_performers",
+    "train_test_split",
+    "doc_chunks",
+    "doc_contamination_dual",
+    "doc_incremental_probe",
+    "doc_bm25_topk",
+    "doc_bigram_logprob",
+    "doc_edit_distance_near_dups",
+    "doc_containment_pairs",
+    "multimodal_image_codec_real",
+    "image_phash_multi_near_dups",
+    "audio_multi_near_dups",
+    "html_text_extract",
+    "dsir_importance_weights",
+    "bpe_pipeline",
+    "weekly_user_kmv_rollup",
+    "streaming_windowed_media_dedup",
+    "cross_doc_ngram_overlap",
+    "doc_nb_lang_classifier",
+    "corpus_prep_pipeline",
+    "file_roundtrip_ingest",
+    "term_heavy_hitters",
+    "weekly_value_quantile_rollup",
+    "doc_duplicate_span_removal",
+    "unicode_fold_dedup",
+    "unigram_lm_tokenizer",
 ]
 
 #: The driver verifies exactly this many leading registry entries per round.

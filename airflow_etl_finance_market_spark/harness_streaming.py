@@ -1175,21 +1175,12 @@ def q_token_budget_corpus_select(
     return picked
 
 
-@register(
-    "image_cdc_crop_near_dups",
-    """
-SELECT COUNT(*) * 3 AS n_images,
-       COUNT(*) * 3 AS n_pairs,
-       true AS pairs_within_family,
-       true AS families_fully_paired
-FROM documents
-WHERE doc_id % 16 = 7
-""",
-)
 def q_image_cdc_crop_near_dups(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """ARBITRARY-OFFSET image crop near-dup via per-row CONTENT-DEFINED
+    """[Retired r15 as a standalone gate — runs VERBATIM as the 'image'
+    variant row of media_cdc_crop_near_dups below.]
+    ARBITRARY-OFFSET image crop near-dup via per-row CONTENT-DEFINED
     segmentation (multimodal/phash.py image_row_cdc_hashes ∘ the shared
     tile set-overlap machinery at max_hamming=0) — closes the r11
     coverage gap (What's missing #2): the tile tiers recover only crops
@@ -1519,21 +1510,12 @@ def q_doc_duplicate_span_removal(
     return duplicate_span_removal(pages, span_tokens=8, min_docs=2)
 
 
-@register(
-    "video_cdc_crop_near_dups",
-    """
-SELECT COUNT(*) * 2 AS n_videos,
-       COUNT(*) AS n_pairs,
-       true AS pairs_within_family,
-       true AS families_fully_paired
-FROM documents
-WHERE doc_id % 19 = 8
-""",
-)
 def q_video_cdc_crop_near_dups(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """CROP-ROBUST video near-dup via per-frame row-CDC
+    """[Retired r15 as a standalone gate — runs VERBATIM as the 'video'
+    variant row of media_cdc_crop_near_dups below.]
+    CROP-ROBUST video near-dup via per-frame row-CDC
     (multimodal/phash.py video_frame_row_cdc ∘ video_near_dup_pairs at
     max_hamming=0) — closes the r12 verdict's What's-missing #2: the
     whole-frame tier (video_near_dups gate) collapses trims and
@@ -1600,6 +1582,69 @@ def q_video_cdc_crop_near_dups(
         "n_videos long, n_pairs long, pairs_within_family boolean, "
         "families_fully_paired boolean",
     )
+
+
+@register(
+    "media_cdc_crop_near_dups",
+    """
+SELECT 'image' AS variant,
+       COUNT(*) * 3 AS n_media,
+       COUNT(*) * 3 AS n_pairs,
+       true AS pairs_within_family,
+       true AS families_fully_paired
+FROM documents
+WHERE doc_id % 16 = 7
+UNION ALL
+SELECT 'video' AS variant,
+       COUNT(*) * 2 AS n_media,
+       COUNT(*) AS n_pairs,
+       true AS pairs_within_family,
+       true AS families_fully_paired
+FROM documents
+WHERE doc_id % 19 = 8
+""",
+)
+def q_media_cdc_crop_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOTH content-defined-chunking crop near-dup tiers in ONE
+    multi-variant gate — round-15 merge of `image_cdc_crop_near_dups`
+    (r12 cohort) + `video_cdc_crop_near_dups` (r13 cohort), the
+    pre-committed r15 rotation merge (the registry headroom rule:
+    growth paired with retirements; the streaming_pct_change_multi /
+    multimodal_corpus_prep_multi precedents). RETIREMENT RATIONALE:
+    the two gates exercised the SAME per-row Gear-hash CDC kernel
+    (multimodal/phash.py `_row_cdc_kernel`, reached via
+    image_row_cdc_hashes and video_frame_row_cdc) composed with the
+    SAME block-bounded set-overlap pair machinery at max_hamming=0 /
+    min_match_frac=0.5, over fixtures built by the same
+    family-builder plumbing; they were always green together (r11–r14
+    pytests, r12/r13 driver rows). Each retained audit is UNCHANGED —
+    the retired builders run VERBATIM as this gate's variant rows
+    (q_image_cdc_crop_near_dups / q_video_cdc_crop_near_dups above,
+    fixtures and per-variant oracles verbatim in the UNION), so a
+    drift in either pipeline still flips the hash: variant 'image'
+    pins arbitrary-offset PNG/GIF crop recovery at the (17, 23)
+    off-phase offset, variant 'video' pins MCU-aligned MJPEG crop
+    recovery at (8, 24) with its 2-member families. Audit columns
+    ride a common (variant, n_media, n_pairs, pairs_within_family,
+    families_fully_paired) projection. Their pytest coverage
+    (test_phash.py, test_video.py) is untouched."""
+    img = q_image_cdc_crop_near_dups(spark, sf_dir).select(
+        F.lit("image").alias("variant"),
+        F.col("n_images").alias("n_media"),
+        "n_pairs",
+        "pairs_within_family",
+        "families_fully_paired",
+    )
+    vid = q_video_cdc_crop_near_dups(spark, sf_dir).select(
+        F.lit("video").alias("variant"),
+        F.col("n_videos").alias("n_media"),
+        "n_pairs",
+        "pairs_within_family",
+        "families_fully_paired",
+    )
+    return img.unionByName(vid)
 
 
 @register(
