@@ -458,10 +458,13 @@ def canonicalize_url(col: Column | str) -> Column:
     Rules (each deterministic and order-independent cross-engine):
     - scheme and host LOWERCASED (path/query case preserved — paths are
       case-sensitive by spec);
-    - default ports stripped (``:80`` for http, ``:443`` for https;
-      http also strips ``:443`` — the default of the scheme it folds
-      into — so the fold stays IDEMPOTENT: ``http://h:443`` →
-      ``https://h``, never the unstable ``https://h:443``);
+    - default ports stripped — each scheme strips ONLY ITS OWN
+      default (``:80`` for http, ``:443`` for https; r14 ADVICE): 443
+      is NOT http's default, and a plain-HTTP listener on 443 is
+      usually a distinct endpoint, so ``http://h:443`` keeps both its
+      scheme and its port (the surviving port then pins the scheme
+      via the fold gate below — idempotent because a second pass sees
+      the identical non-default-ported URL);
     - ``http`` FOLDED to ``https`` (r12 verdict #4 — the single most
       common same-page byte-variant in real crawls; the fold direction
       is pinned here: https is the canonical scheme, other schemes
@@ -523,21 +526,22 @@ def canonicalize_url(col: Column | str) -> Column:
     # then www, then the ORIGINAL-scheme default port, then the fold
     host = F.regexp_replace(host, r"^.*@", "")
     host = F.regexp_replace(host, r"^www\.", "")
-    # http strips BOTH defaults: :80 (its own) and :443 (the default of
-    # the https scheme it is about to fold into — leaving it would make
-    # the fold non-idempotent, since a second pass would see
-    # 'https://h:443' and strip it)
-    http_host = F.regexp_replace(host, r":(80|443)$", "")
+    # http strips ONLY its own default :80 (r14 ADVICE: 443 is not
+    # http's default — a plain-HTTP listener on 443 is usually a
+    # distinct endpoint, so 'http://h:443' keeps its port; the
+    # surviving port then blocks the scheme fold below, and the result
+    # is idempotent because a second pass sees the same ported URL)
+    http_host = F.regexp_replace(host, r":80$", "")
     host = (
         F.when(scheme == "http", http_host)
         .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
         .otherwise(host)
     )
     # the fold is gated on the port that SURVIVES default-stripping:
-    # portless and :80/:443 http URLs fold to https; an explicit
-    # non-default port (':8080') pins the scheme (and the second pass
-    # sees the same non-default port, so the no-fold branch is
-    # idempotent too)
+    # portless and :80 http URLs fold to https; any explicit
+    # non-default port (':8080', and since r15 ':443' too) pins the
+    # scheme (and the second pass sees the same non-default port, so
+    # the no-fold branch is idempotent too)
     out_scheme = F.when(
         (scheme == "http") & ~http_host.rlike(r":\d+$"), F.lit("https")
     ).otherwise(scheme)

@@ -427,8 +427,8 @@ def q_dim_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH g AS (
     SELECT doc_id,
-           ((doc_id - 2) // 9) // 5 AS fam,
-           ((doc_id - 2) // 9) % 5 AS v
+           ((doc_id - 2) // 9) // 6 AS fam,
+           ((doc_id - 2) // 9) % 6 AS v
     FROM documents WHERE doc_id % 9 = 2
 )
 SELECT fam,
@@ -446,15 +446,23 @@ SELECT fam,
        MIN(doc_id) AS survivor_id
 FROM g WHERE v = 4
 GROUP BY fam
+UNION ALL
+SELECT fam,
+       'http://example' || fam || '.com:443/a/b?id=' || fam
+           AS canonical_url,
+       COUNT(*) AS n_in,
+       MIN(doc_id) AS survivor_id
+FROM g WHERE v = 5
+GROUP BY fam
 """,
 )
 def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization + URL-keyed crawl dedup HARD GATE
     (functions/text.canonicalize_url ∘ operators/corpus.url_dedup) —
     the provenance stage published crawl pipelines run before content
-    dedup (RefinedWeb's url hygiene): every selected document QUINT
-    (consecutive docs with doc_id % 9 = 2, grouped 5-by-5) carries
-    five byte-DIFFERENT urls — the first FOUR of one page: (a) the
+    dedup (RefinedWeb's url hygiene): every selected document SEXT
+    (consecutive docs with doc_id % 9 = 2, grouped 6-by-6) carries
+    six byte-DIFFERENT urls — the first FOUR of one page: (a) the
     clean form, (b) an UPPERCASED scheme+host with the default :443
     port, a trailing slash, a utm_ tracking param, reordered query
     params and a fragment, (c) [extended r13 with the scheme-fold +
@@ -466,14 +474,22 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name as %70 — all RFC 3986 unreserved, so decoding is semantics-
     preserving) with a fragment-only '?' trap appended (#frag?x=9 —
     the r11 ADVICE phantom-query case: that '?' must NOT resurrect as
-    a query) — and, NEW r14 (the port-aware fold, r13 ADVICE), (e) a
+    a query) — and, r14 (the port-aware fold, r13 ADVICE), (e) a
     DISTINCT page on an explicit NON-default port
     (``HTTP://WWW...:8080//a//b/?id=f#x``): every hygiene rule still
     applies (case, www, slashes, trailing slash, fragment) but the
     scheme must NOT fold and :8080 must survive — an over-eager fold
     would wrongly merge it into the quad (n_in 4→5) AND break its own
-    canonical string. Built JVM-side from doc_id arithmetic; each
-    quint collapses to TWO survivors (smallest doc_id each). The
+    canonical string — and, NEW r15 (the :80-only default-strip, r14
+    ADVICE), (f) a THIRD distinct page on ``:443`` under the http
+    scheme (``HTTP://U:P@WWW...:443//a//b/?id=f&utm_source=z#y``):
+    443 is NOT http's default — a plain-HTTP listener on 443 is a
+    distinct endpoint — so the port must SURVIVE and pin the scheme
+    (userinfo/case/www/slashes/tracking hygiene still applies); the
+    r14 behavior (strip :443, fold to the https quad) would both
+    over-merge (n_in 4→5) and break this member's canonical string.
+    Built JVM-side from doc_id arithmetic; each sext collapses to
+    THREE survivors (smallest doc_id each). The
     oracle derives everything from the CONSTRUCTION (the r10
     independent-formulation rule: fam arithmetic + string concat — it
     never runs a regex), so a canonicalization drift in ANY rule
@@ -486,8 +502,8 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 9 == 2
     )
     k = ((F.col("doc_id") - 2) / 9).cast("long")
-    fam = (k / 5).cast("long")
-    variant = k % 5
+    fam = (k / 6).cast("long")
+    variant = k % 6
     f = fam.cast("string")
     v0 = F.concat(
         F.lit("https://example"), f, F.lit(".com/a/b?id="), f, F.lit("&p=1")
@@ -508,6 +524,10 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("HTTP://WWW.EXAMPLE"), f, F.lit(".COM:8080//a//b/?id="), f,
         F.lit("#x"),
     )
+    v5 = F.concat(
+        F.lit("HTTP://U:P@WWW.EXAMPLE"), f,
+        F.lit(".COM:443//a//b/?id="), f, F.lit("&utm_source=z#y"),
+    )
     from .operators.corpus import url_dedup
 
     pages = sel.select(
@@ -516,12 +536,13 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(variant == 1, v1)
         .when(variant == 2, v2)
         .when(variant == 3, v3)
-        .otherwise(v4)
+        .when(variant == 4, v4)
+        .otherwise(v5)
         .alias("url"),
     )
     survivors = url_dedup(fan_out(pages, "doc_id"))
     return survivors.select(
-        (((F.col("doc_id") - 2) / 9) / 5).cast("long").alias("fam"),
+        (((F.col("doc_id") - 2) / 9) / 6).cast("long").alias("fam"),
         "canonical_url",
         F.col("n_dups").alias("n_in"),
         F.col("doc_id").alias("survivor_id"),

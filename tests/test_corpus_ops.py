@@ -1156,11 +1156,13 @@ class TestUrlCanonicalDedup:
             self._canon(spark, "https://a@b@e.com/a")
             == "https://e.com/a"
         )
-        # http strips :443 too (the fold target's default) so the
-        # result is stable under re-canonicalization
+        # http does NOT strip :443 (r14 ADVICE: not http's default —
+        # a plain-HTTP listener on 443 is a distinct endpoint), so the
+        # port survives, blocks the fold, and the result is stable
+        # under re-canonicalization
         assert (
             self._canon(spark, "http://e.com:443/a")
-            == "https://e.com/a"
+            == "http://e.com:443/a"
         )
         # but https does NOT strip :80 (a genuinely non-default port)
         assert (
