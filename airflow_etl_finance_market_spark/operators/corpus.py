@@ -1201,11 +1201,19 @@ def unicode_normalize_docs(
     characters — the skip is EXACT, not approximate) never leaves the
     JVM, and only the non-ASCII minority crosses Arrow into one
     self-contained mapInPandas kernel (stdlib ``unicodedata``, C
-    implementation). Both branches are map-only over the same scan —
-    no shuffle anywhere; the union is a plan-level concatenation. On
-    an ASCII-heavy English crawl the Python bill is the non-ASCII
-    slice alone; on a fully-CJK corpus it degrades gracefully to one
-    Arrow pass, which is the floor any exact implementation pays.
+    implementation). Both branches are map-only — no shuffle anywhere;
+    the union is a plan-level concatenation. NOTE the split's cost
+    model (r14 verdict): the complementary filters plan TWO SCANS of
+    the input (and evaluate the detector on each), not one shared
+    scan. Over a raw parquet source that is a second pruned columnar
+    read — cheap, and what the bench lines price. Over an EXPENSIVE
+    DERIVED upstream (an html_to_text output, a join) the upstream
+    would recompute once per branch: ``persist()`` or
+    ``localCheckpoint()`` such an input before calling this, the same
+    rule the iterative operators follow. On an ASCII-heavy English
+    crawl the Python bill is the non-ASCII slice alone; on a
+    fully-CJK corpus it degrades gracefully to one Arrow pass, which
+    is the floor any exact implementation pays.
     """
     import unicodedata
 

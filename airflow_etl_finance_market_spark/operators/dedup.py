@@ -1294,7 +1294,21 @@ def near_dup_decontamination(
     (``broadcast_benchmark=True``, the default, hints it explicitly —
     pass False for a freak-sized benchmark and the planner falls back
     to the SMJ shape this module's self-join form pins).
+
+    ``bands`` must divide ``num_hashes`` (r14 ADVICE: ``_banded_keys``
+    would silently drop the trailing ``num_hashes % bands`` signature
+    values, quietly changing recall vs the requested parameters), and
+    the ``threshold`` cut is applied to the UNROUNDED exact Jaccard
+    (r14 ADVICE: rounding first would admit pairs up to 5e-7 below
+    threshold); ``round(.., 6)`` happens only in the output projection,
+    the presentation-edge float rule every gate follows.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): "
+            "_banded_keys would silently truncate the trailing "
+            f"{num_hashes % bands} signature values"
+        )
     sigs_d = minhash_signatures(
         docs, text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, hash_mode=hash_mode,
@@ -1338,6 +1352,7 @@ def near_dup_decontamination(
     return (
         cands.join(grams_d, "_did")
         .join(maybe_bcast(grams_b), "_bid")
+        .filter(jaccard(F.col("_grams_d"), F.col("_grams_b")) >= threshold)
         .select(
             F.col("_did").alias(id_col),
             F.col("_bid").alias(bench_id_col),
@@ -1345,5 +1360,4 @@ def near_dup_decontamination(
                 jaccard(F.col("_grams_d"), F.col("_grams_b")), 6
             ).alias("jaccard_sim"),
         )
-        .filter(F.col("jaccard_sim") >= threshold)
     )

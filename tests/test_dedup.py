@@ -689,3 +689,11 @@ class TestNearDupDecontamination:
         # exact-copy families collide in EVERY band in both modes)
         assert (4, 101) in a and (4, 101) in b
         assert (2, 100) in a and (2, 100) in b
+
+    def test_bands_must_divide_num_hashes(self, spark):
+        # r14 ADVICE: _banded_keys would silently drop the trailing
+        # num_hashes % bands signature values, quietly changing recall
+        import pytest
+
+        with pytest.raises(ValueError, match="must divide num_hashes"):
+            self._run(spark, num_hashes=32, bands=5)
