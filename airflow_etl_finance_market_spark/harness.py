@@ -83,9 +83,13 @@ def register(name: str, oracle: str | None = None):
 #:     canonicalize_url — http strips only ITS OWN default :80 now, so
 #:     http://h:443 keeps scheme AND port; gate fixture extended
 #:     QUINT→SEXT with the must-not-fold :443 member);
-#:   - slot 50 falls to the FIRST demoted name below:
-#:     top_avg_volatility (oldest r13-green entry, early refresh —
-#:     eases the r16 crunch to 46 due + 4 spare).
+#:   - rule 1: ccnet_perplexity_buckets (NEW gate, built r15 — the
+#:     published CCNet head/middle/tail stage composing the KN scorer
+#:     per-language; integer-exact floor split on the ROUND-6 score
+#:     with doc_id tiebreak). It takes slot 50, displacing the
+#:     OPTIONAL top_avg_volatility early refresh (that entry stays
+#:     first in the demoted list: r13-green, due r16 with its cohort
+#:     — the r16 crunch is 47 due + 3 spare).
 #: Demoted below: the r13-green entries (trail 2 at r15 — due and
 #: PRE-COMMITTED live at r16, first block) and the r14-verified
 #: entries (trail 1, due r17, second block; url_canonical_dedup is
@@ -99,9 +103,9 @@ _WINDOW_DEMOTED = [
     # (all 46 still listed here MUST be live the moment
     # CORRECTNESS_r16.json lands; any whose depended-on code changes
     # mid-r15 re-enters EARLY under rule 2 and still counts).
-    # top_avg_volatility is FIRST deliberately: it takes live slot 50
-    # this round (49 non-demoted entries), so it refreshes at r15 and
-    # re-joins the r18 cohort after ---
+    # top_avg_volatility stays FIRST: it briefly held live slot 50
+    # this round until the ccnet gate registered (50 non-demoted
+    # entries now), so it refreshes at r16 with its cohort ---
     "top_avg_volatility",
     "pricing_summary",
     "ticker_metrics",

@@ -2372,3 +2372,75 @@ def q_near_dup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         hash_mode="portable",
     )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    f"""
+WITH occ2 AS MATERIALIZED (
+    SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2,
+           toks[i] || ' ' || toks[i + 1] AS big
+    FROM (SELECT doc_id, lang, toks,
+                 unnest(generate_series(1, len(toks) - 1)) AS i
+          FROM (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents)
+          WHERE len(toks) >= 2)
+), bc AS MATERIALIZED (
+    SELECT lang, big, COUNT(*) AS cb FROM occ2 GROUP BY 1, 2
+), ctx AS MATERIALIZED (
+    SELECT lang, w1, COUNT(*) AS cctx, COUNT(DISTINCT w2) AS n1p_fwd
+    FROM occ2 GROUP BY 1, 2
+), cont AS MATERIALIZED (
+    SELECT lang, w2, COUNT(*) AS n1p_bwd
+    FROM (SELECT DISTINCT lang, w1, w2 FROM occ2) GROUP BY 1, 2
+), tot AS MATERIALIZED (
+    SELECT lang, COUNT(*) AS n1p_all
+    FROM (SELECT DISTINCT lang, big FROM occ2) GROUP BY 1
+), per_doc AS MATERIALIZED (
+    SELECT occ2.doc_id, occ2.lang, COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN((GREATEST(bc.cb - 0.75, 0.0)
+                + 0.75 * ctx.n1p_fwd * (cont.n1p_bwd
+                    / CAST(tot.n1p_all AS DOUBLE))) / ctx.cctx)), 6)
+               AS avg_logprob
+    FROM occ2 JOIN bc USING (lang, big) JOIN ctx USING (lang, w1)
+         JOIN cont USING (lang, w2) JOIN tot USING (lang)
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT doc_id, lang, n_bigrams, avg_logprob,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY avg_logprob DESC, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM per_doc
+)
+SELECT doc_id, lang, n_bigrams, avg_logprob,
+       CASE ((rn - 1) * 3) // n
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM ranked
+""",
+)
+def q_ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing HARD GATE
+    (operators/corpus.ccnet_perplexity_buckets) — the published stage
+    the KN scorer exists to feed (Wenzek et al. 2020): every document
+    scored under its OWN language's interpolated-KN bigram LM (every
+    count aggregate keyed by lang — a global LM would rank every
+    low-resource language as perplexing English; the per-language
+    isolation property is pinned in pytest), then each language's
+    docs split into equal-count head/middle/tail by the ROUND-6
+    presentation-edge score with doc_id as the total-order tiebreak
+    and bucket = ((rank-1)*3) div lang_count — integer-exact after
+    the one rounding both engines share (the r14 rule: interior
+    orderings never compare raw floats), so the floor-split boundary
+    doc is decided by the pinned total order, never a float race.
+    The oracle replays the per-lang count CTEs + the KN formula +
+    the same ROW_NUMBER arithmetic. Output is the full per-doc
+    (lang, n_bigrams, avg_logprob, ppl_bucket) frame: any drift in a
+    language's LM, the rounding edge, the rank order, or the split
+    arithmetic flips the hash."""
+    from .operators.corpus import ccnet_perplexity_buckets
+
+    return ccnet_perplexity_buckets(
+        load_fixture(spark, sf_dir, "documents"), discount=0.75
+    )

@@ -1354,3 +1354,148 @@ def kn_bigram_logprob(
             F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
         )
     )
+
+
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    discount: float = 0.75,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """(doc_id, lang, n_bigrams, avg_logprob, ppl_bucket) — the CCNet
+    quality-bucketing stage (Wenzek et al. 2020): score every document
+    under a PER-LANGUAGE interpolated Kneser-Ney bigram LM (CCNet
+    scores with per-language KenLM models — a global LM would rank
+    every low-resource language as "perplexing" English), then split
+    each language's documents into ``n_buckets`` equal-count
+    perplexity buckets — CCNet's published head/middle/tail terciles,
+    the split its corpus releases ship as directory names and the
+    knob downstream recipes (LLaMA's CCNet reproduction) select on.
+
+    Semantics: the LM is :func:`kn_bigram_logprob`'s formula (Chen &
+    Goodman eq. 4.25, D = ``discount``) with every count aggregate
+    additionally keyed by ``lang_col`` — each language trains on and
+    scores only its own bigram stream; documents with fewer than 2
+    tokens drop out exactly as the corpus-global scorer drops them.
+    Bucketing is INTEGER-EXACT and engine-replayable (the r14 rule:
+    interior orderings never compare raw floats cross-engine): docs
+    rank within their language by the ROUND-6 presentation-edge score
+    (descending — higher avg logprob = lower perplexity = 'head')
+    with ``doc_id`` as the total-order tiebreak, and bucket index is
+    ``((rank - 1) * n_buckets) div lang_count`` — the floor split, so
+    bucket sizes differ by at most 1 and the boundary doc lands by
+    the pinned tiebreak, never by a float race. ``n_buckets=3``
+    labels 'head'/'middle'/'tail'; other widths label 'b0'..'bN'.
+
+    Physical shape (the 100 TB bill): identical to
+    :func:`kn_bigram_logprob` — one positional expansion, four
+    aggregates now keyed (lang, term) so they stay vocab-bounded PER
+    LANGUAGE (the per-lang N1+(. .) scalar becomes a |langs|-row
+    frame, broadcast) — plus ONE window over the per-DOC score frame
+    partitioned by language. That window is the only new exchange and
+    it moves one row per document, ~10^-4 of the corpus bytes; with
+    few languages its partitions are count-skewed, which is exactly
+    AQE-irrelevant here because rank assignment is a streaming pass
+    over each sorted partition (no buffering). A deployment where
+    even the doc-level frame overwhelms single-partition sort should
+    range-partition on the rounded score per language first (the
+    token_budget_select boundary trick) — the contract (rank by
+    (score, id)) is partition-strategy-independent.
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError("discount must be in (0, 1)")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from pyspark.sql.window import Window
+
+    base = fan_out(docs, id_col).select(
+        F.col(id_col), F.col(lang_col), tokens(text_col).alias("toks")
+    )
+    occ2 = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> "
+                    "struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2, "
+                    "concat(element_at(toks, i), ' ', "
+                    "element_at(toks, i + 1)) AS big))"
+                )
+            ).alias("u"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.col("u.w1").alias("w1"),
+            F.col("u.w2").alias("w2"),
+            F.col("u.big").alias("big"),
+        )
+    )
+    big_counts = occ2.groupBy(lang_col, "big").agg(F.count("*").alias("_cb"))
+    ctx = occ2.groupBy(lang_col, "w1").agg(
+        F.count("*").alias("_cctx"),
+        F.count_distinct("w2").alias("_n1p_fwd"),
+    )
+    cont = (
+        occ2.select(lang_col, "w1", "w2")
+        .distinct()
+        .groupBy(lang_col, "w2")
+        .agg(F.count("*").alias("_n1p_bwd"))
+    )
+    total_types = (
+        occ2.select(lang_col, "big")
+        .distinct()
+        .groupBy(lang_col)
+        .agg(F.count("*").alias("_n1p_all"))
+    )
+    d = F.lit(float(discount))
+    p = (
+        F.greatest(F.col("_cb") - d, F.lit(0.0))
+        + d
+        * F.col("_n1p_fwd")
+        * (F.col("_n1p_bwd") / F.col("_n1p_all"))
+    ) / F.col("_cctx")
+    per_doc = (
+        occ2.join(big_counts, [lang_col, "big"])
+        .join(ctx, [lang_col, "w1"])
+        .join(cont, [lang_col, "w2"])
+        .join(F.broadcast(total_types), lang_col)
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+        )
+    )
+    rank_w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col)
+    )
+    count_w = Window.partitionBy(lang_col)
+    labels = (
+        ["head", "middle", "tail"]
+        if n_buckets == 3
+        else [f"b{i}" for i in range(n_buckets)]
+    )
+    return (
+        per_doc.withColumn("_rn", F.row_number().over(rank_w))
+        .withColumn("_n", F.count(F.lit(1)).over(count_w))
+        .withColumn(
+            "_bidx",
+            F.expr(f"((_rn - 1) * {int(n_buckets)}) div _n"),
+        )
+        .select(
+            id_col,
+            lang_col,
+            "n_bigrams",
+            "avg_logprob",
+            F.element_at(
+                F.array(*[F.lit(x) for x in labels]),
+                (F.col("_bidx") + 1).cast("int"),
+            ).alias("ppl_bucket"),
+        )
+    )

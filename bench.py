@@ -1601,6 +1601,11 @@ CORPUS_X100 = [
     # 3-window pass + coverage explode + reassembly join stay linear
     # when the span stream grows 10x
     "span_removal",
+    # r15: the cross-frame decontamination decade — proves the
+    # corpus side's bill stays one signature agg (bench side
+    # broadcast; candidates cross-side only) when the corpus grows
+    # 10x against a ~20k-doc benchmark
+    "decontam_near_dup",
 ]
 
 
@@ -1793,6 +1798,9 @@ def corpus_x100_section(
         "dsir_weights": lambda: _noop(
             qs["dsir_importance_weights"](spark, x100)
         ),
+        "decontam_near_dup": lambda: _noop(
+            qs["near_dup_decontamination"](spark, x100)
+        ),
     }
     # r13: reclaim (outside the timers) before the removal entry —
     # dedup_clusters leaves its CC-round localCheckpoint blocks behind,
@@ -1921,6 +1929,19 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         # round-4 corpus operators at x10
         "inverted_index": lambda: _noop(qs["doc_inverted_index"](spark, x10)),
         "bigram_lp": lambda: _noop(qs["doc_bigram_logprob"](spark, x10)),
+        # r15: the interpolated-KN rung above bigram_lp — same single
+        # positional expansion, but four vocab-bounded aggregates
+        # (bigram counts, context totals + fwd diversity, continuation
+        # diversity, the 1-row N1+(..) scalar) instead of two; the
+        # delta vs bigram_lp prices the KN smoothing machinery
+        "kn_bigram_lp": lambda: _noop(qs["kn_bigram_logprob"](spark, x10)),
+        # r15: the CCNet bucketing stage on top — per-LANG KN counts
+        # (same expansion, lang-keyed aggregates) + the one doc-level
+        # rank window; the delta vs kn_bigram_lp prices the per-lang
+        # keying + the head/middle/tail split
+        "ccnet_buckets": lambda: _noop(
+            qs["ccnet_perplexity_buckets"](spark, x10)
+        ),
         "pmi_pairs": lambda: _noop(qs["term_pmi_pairs"](spark, x10)),
         # narrow (4-char) length buckets: the default 64-char blocking is
         # tuned for the oracle fixture; at 50k docs it would put ~6k docs
@@ -1971,6 +1992,14 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         # pruning before the verify join (includes the bitmap build job)
         "contamination_bloom": lambda: _noop(
             _contamination_bloom_x10(spark, x10)
+        ),
+        # r15: the NEAR-dup tier above the exact contamination twins —
+        # the full gate chain (planted bench construction + per-side
+        # portable signatures + cross-side band join + exact verify)
+        # at 50k docs; the corpus side never shuffles past its own
+        # signature agg (bench side broadcast)
+        "decontam_near_dup": lambda: _noop(
+            qs["near_dup_decontamination"](spark, x10)
         ),
         # r07: two-pass Misra-Gries frequent items at 50k docs (pass 1
         # map-only bounded-memory summaries, pass 2 candidate-only exact

@@ -1756,3 +1756,147 @@ class TestKnBigramLogprob:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             kn_bigram_logprob(df, discount=1.5)
+
+
+class TestCcnetPerplexityBuckets:
+    """CCNet head/middle/tail bucketing over PER-LANGUAGE interpolated-KN
+    scores (r15): python reference differential, per-language isolation,
+    the integer-exact floor split + (score, id) tiebreak."""
+
+    @staticmethod
+    def _ref(rows, D=0.75, n_buckets=3):
+        import math
+        import re
+        from collections import Counter, defaultdict
+
+        by_lang = defaultdict(list)
+        for i, lang, t in rows:
+            by_lang[lang].append((i, t))
+        out = {}
+        for lang, docs in by_lang.items():
+            toks = {
+                i: re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+                for i, t in docs
+            }
+            bigs = Counter()
+            for ws in toks.values():
+                for a, b in zip(ws, ws[1:]):
+                    bigs[(a, b)] += 1
+            cctx, fwd, bwd = Counter(), Counter(), Counter()
+            for (a, b), c in bigs.items():
+                cctx[a] += c
+                fwd[a] += 1
+                bwd[b] += 1
+            n_all = len(bigs)
+            scored = []
+            for i, ws in toks.items():
+                if len(ws) < 2:
+                    continue
+                lps = [
+                    math.log(
+                        (max(bigs[(a, b)] - D, 0.0)
+                         + D * fwd[a] * (bwd[b] / n_all)) / cctx[a]
+                    )
+                    for a, b in zip(ws, ws[1:])
+                ]
+                scored.append((i, len(lps), round(sum(lps) / len(lps), 6)))
+            scored.sort(key=lambda r: (-r[2], r[0]))
+            n = len(scored)
+            labels = (
+                ["head", "middle", "tail"]
+                if n_buckets == 3
+                else [f"b{j}" for j in range(n_buckets)]
+            )
+            for rn, (i, nb, lp) in enumerate(scored, 1):
+                out[i] = (lang, nb, lp, labels[((rn - 1) * n_buckets) // n])
+        return out
+
+    CORPUS = [
+        # lang A: 7 scorable docs spanning repetitive -> diverse
+        (1, "aa", "the cat sat on the mat"),
+        (2, "aa", "the cat sat on the mat"),  # tie with doc 1
+        (3, "aa", "the dog ran over the hill"),
+        (4, "aa", "a b c d e f g h"),
+        (5, "aa", "the the the the the"),
+        (6, "aa", "cat dog cat dog cat dog"),
+        (7, "aa", "the mat sat on the cat"),
+        (8, "aa", "single"),  # < 2 tokens: drops out
+        # lang B: same TEXTS as some lang-A docs — must score under B's
+        # own LM, not A's
+        (11, "bb", "the cat sat on the mat"),
+        (12, "bb", "x y z w v u"),
+        (13, "bb", "x y x y x y"),
+    ]
+
+    def _run(self, spark, rows, **kw):
+        from airflow_etl_finance_market_spark.operators.corpus import (
+            ccnet_perplexity_buckets,
+        )
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        )
+        return ccnet_perplexity_buckets(df, **kw)
+
+    def test_matches_python_reference(self, spark):
+        got = {
+            r.doc_id: (r.lang, r.n_bigrams, r.avg_logprob, r.ppl_bucket)
+            for r in self._run(spark, self.CORPUS).collect()
+        }
+        ref = self._ref(self.CORPUS)
+        assert set(got) == set(ref)
+        for i in ref:
+            assert got[i][0] == ref[i][0]
+            assert got[i][1] == ref[i][1]
+            assert abs(got[i][2] - ref[i][2]) <= 1e-6
+            assert got[i][3] == ref[i][3], f"doc {i}"
+        assert 8 not in got
+
+    def test_per_language_isolation(self, spark):
+        """A document's score depends only on ITS language's corpus:
+        adding documents to lang B must not move any lang-A score —
+        the per-language-LM contract that separates this from scoring
+        everything under one global model."""
+        base = [r for r in self.CORPUS if r[1] == "aa"]
+        a_only = {
+            r.doc_id: r.avg_logprob
+            for r in self._run(spark, base).collect()
+        }
+        mixed = {
+            r.doc_id: r.avg_logprob
+            for r in self._run(spark, self.CORPUS).collect()
+            if r.lang == "aa"
+        }
+        assert a_only == mixed
+
+    def test_floor_split_and_id_tiebreak(self, spark):
+        """7 scorable lang-A docs split 3/2/2, and the tied pair
+        (docs 1, 2 — identical text, identical score) lands in rank
+        order by doc_id: the floor-split boundary is decided by the
+        pinned total order, never a float race."""
+        rows = [r for r in self._run(spark, self.CORPUS).collect()
+                if r.lang == "aa"]
+        from collections import Counter
+
+        sizes = Counter(r.ppl_bucket for r in rows)
+        assert sizes == {"head": 3, "middle": 2, "tail": 2}
+        by_id = {r.doc_id: r for r in rows}
+        assert by_id[1].avg_logprob == by_id[2].avg_logprob
+        # doc 1 ranks ahead of doc 2; they may straddle a boundary but
+        # doc 2's bucket can never precede doc 1's
+        order = ["head", "middle", "tail"]
+        assert order.index(by_id[1].ppl_bucket) <= order.index(
+            by_id[2].ppl_bucket
+        )
+
+    def test_two_buckets_labels(self, spark):
+        rows = self._run(spark, self.CORPUS, n_buckets=2).collect()
+        assert {r.ppl_bucket for r in rows} == {"b0", "b1"}
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._run(spark, self.CORPUS, discount=0.0)
+        with _pytest.raises(ValueError):
+            self._run(spark, self.CORPUS, n_buckets=0)
