@@ -1361,3 +1361,84 @@ def near_dup_decontamination(
             ).alias("jaccard_sim"),
         )
     )
+
+
+def minhash_estimated_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(id_a, id_b, n_agree, est_jaccard) for candidate pairs whose
+    ESTIMATED Jaccard reaches ``threshold`` — the signature-only verify
+    tier below :func:`minhash_dedup_pairs`' exact rehydration: Broder's
+    resemblance estimator (Broder 1997; the b-bit refinement is Li &
+    König 2010), ``est = |{i : sig_a[i] = sig_b[i]}| / num_hashes``,
+    an unbiased estimate of the true Jaccard because each minhash
+    component collides with probability exactly J.
+
+    Why this tier exists (the 100 TB bill): exact verification
+    rehydrates every candidate's gram set — a SECOND full scan +
+    re-shingle of the corpus text joined to |candidates| rows, which
+    at petabyte scale can cost more than the signature pass itself.
+    The estimator touches ONLY the signatures the band join already
+    co-located: per candidate it compares two ``num_hashes``-long int
+    arrays, no text column anywhere past the signature aggregation
+    (the signature frame is reused for banding AND verify — identical
+    subplans, so the self-join reuses one exchange, the r10 rule).
+
+    Precision contract (documented, pinned in tests): the estimator's
+    std error is sqrt(J(1-J)/num_hashes) — ~0.09 at the default 32
+    hashes around J=0.5 — so this is a TRIAGE tier, not a replacement:
+    published pipelines either accept it outright at high thresholds
+    (dedup at 0.8+ where the s-curve is steep) or route the
+    borderline band ``est in [threshold - margin, threshold + margin]``
+    through :func:`minhash_dedup_pairs`' exact verify. The threshold
+    cut itself is INTEGER-exact: ``est >= threshold`` is evaluated as
+    ``n_agree >= threshold * num_hashes`` on the integer agreement
+    count, so no float division sits under the filter (and the
+    estimate is rounded only in the output projection, the r14 rule).
+
+    ``bands`` must divide ``num_hashes`` (same truncation hazard as
+    :func:`near_dup_decontamination`).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): "
+            "_banded_keys would silently truncate the trailing "
+            f"{num_hashes % bands} signature values"
+        )
+    sigs = minhash_signatures(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        hash_mode=hash_mode,
+    )
+    cands = lsh_candidate_pairs(sigs, bands=bands, hash_mode=hash_mode)
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("_sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("_sig_b"))
+    n_agree = F.size(
+        F.filter(
+            F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("n_agree", n_agree)
+        .filter(F.col("n_agree") >= F.lit(float(threshold) * num_hashes))
+        .select(
+            "id_a",
+            "id_b",
+            "n_agree",
+            F.round(F.col("n_agree") / F.lit(num_hashes), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )

@@ -697,3 +697,100 @@ class TestNearDupDecontamination:
 
         with pytest.raises(ValueError, match="must divide num_hashes"):
             self._run(spark, num_hashes=32, bands=5)
+
+
+class TestMinhashEstimatedPairs:
+    """Signature-only Jaccard-estimator verify tier (r15, gate candidate
+    r16): Broder's resemblance estimator over the banded candidates —
+    no gram rehydration past the signature aggregation."""
+
+    CORPUS = [
+        (1, "the quick brown fox jumps over the lazy dog by the river"),
+        (2, "the quick brown fox jumps over the lazy dog by the river"),
+        (3, "the quick brown fox jumps over the lazy dog by the sea"),
+        (4, "an entirely different document about cooking pasta at home"),
+        (5, "another unrelated page describing bicycle repair techniques"),
+    ]
+
+    def _run(self, spark, **kw):
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            minhash_estimated_pairs,
+        )
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        return minhash_estimated_pairs(docs, **kw)
+
+    def test_exact_duplicates_estimate_one(self, spark):
+        for mode in ("xxhash64", "portable"):
+            got = {
+                (r.id_a, r.id_b): (r.n_agree, r.est_jaccard)
+                for r in self._run(
+                    spark, threshold=0.9, hash_mode=mode
+                ).collect()
+            }
+            # identical docs agree on every component, estimate 1.0
+            assert got[(1, 2)] == (32, 1.0), mode
+            # nothing unrelated survives a 0.9 estimate cut
+            assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in got), mode
+
+    def test_estimator_equals_signature_agreement(self, spark):
+        """n_agree must equal the component-wise agreement of the SAME
+        signatures minhash_signatures emits — the estimator is pure
+        signature arithmetic, re-derivable from the public frame."""
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            minhash_signatures,
+        )
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        sigs = {
+            r.id: list(r.sig)
+            for r in minhash_signatures(docs).collect()
+        }
+        got = self._run(spark, threshold=0.0)
+        for r in got.collect():
+            agree = sum(
+                1 for x, y in zip(sigs[r.id_a], sigs[r.id_b]) if x == y
+            )
+            assert r.n_agree == agree
+            assert abs(r.est_jaccard - round(agree / 32, 6)) < 1e-9
+
+    def test_threshold_cut_is_integer_exact(self, spark):
+        """est >= t evaluates as n_agree >= t*32 on the integer count:
+        at t = 0.75 exactly 24 agreements survive, 23 do not."""
+        rows = self._run(spark, threshold=0.75).collect()
+        assert all(r.n_agree >= 24 for r in rows)
+        rows_lo = self._run(spark, threshold=0.75 - 1 / 32).collect()
+        assert all(r.n_agree >= 23 for r in rows_lo)
+
+    def test_no_gram_rehydration_in_plan(self, spark):
+        """The verify stage compares SIGNATURES, never rehydrated gram
+        arrays: minhash_dedup_pairs' exact Jaccard shows up in the plan
+        as array_intersect over the re-shingled text; the estimator
+        plan must contain ZERO array_intersect (its only array work
+        past the signature agg is the zip_with agreement count)."""
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            minhash_dedup_pairs,
+        )
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        est = (
+            self._run(spark, threshold=0.5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        exact = (
+            minhash_dedup_pairs(docs, threshold=0.5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "array_intersect" in exact  # the bill the estimator skips
+        assert "array_intersect" not in est
+        assert "zip_with" in est
+
+    def test_bands_must_divide(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="must divide num_hashes"):
+            self._run(spark, num_hashes=32, bands=5)
