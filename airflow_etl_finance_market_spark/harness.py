@@ -95,15 +95,18 @@ def register(name: str, oracle: str | None = None):
 #: entries (trail 1, due r17, second block; url_canonical_dedup is
 #: commented out of it while live under rule 2).
 #: Registry after the merge + 3 new gates: 146/150.
-#: r16 NEW-GATE CANDIDATE (operator + pytests landed r15, gate
+#: r16 NEW-GATE CANDIDATES (operators + pytests landed r15, gates
 #: deferred — the r15 window is exactly full): operators/dedup.
 #: minhash_estimated_pairs — the signature-only Jaccard-estimator
 #: verify tier (Broder's resemblance estimator; no gram rehydration
-#: past the signature agg). Its oracle is the minhash_lsh_near_dups
-#: portable replay with the per-pair agreement count as an unrolled
-#: 32-term CASE sum instead of the gram rehydration CTEs — integer
-#: n_agree, ROUND-6 estimate at the edge, threshold cut on the
-#: integer count.
+#: past the signature agg) — and operators/dedup.minhash_triage_pairs
+#: — the composed estimate/exact-borderline pipeline on top of it.
+#: Oracle plan: ONE multi-variant gate ('estimate'/'triage' rows)
+#: built on the minhash_lsh_near_dups portable replay with the
+#: per-pair agreement count as an unrolled 32-term CASE sum (integer
+#: n_agree; ROUND-6 estimate at the edge; every cut on the integer
+#: count; the triage variant adds the borderline-only gram CTE) —
+#: one slot funds both operators, keeping r16 at 47 due + 3 spare.
 #: (Round-12/13/15 history — merges funding rule-1/rule-2 slots —
 #: lives in the ledgers and VERDICTs; merged gates' docstrings carry
 #: their retirement rationales.)

@@ -1442,3 +1442,129 @@ def minhash_estimated_pairs(
             ),
         )
     )
+
+
+def minhash_triage_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    margin: float = 0.125,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(id_a, id_b, n_agree, est_jaccard, jaccard_sim, verdict) — the
+    composed TRIAGE pipeline the estimator tier exists for: every
+    banded candidate is first judged by the signature-agreement
+    estimate (:func:`minhash_estimated_pairs`' arithmetic), and ONLY
+    the borderline band pays the exact gram-rehydration verify:
+
+    - ``n_agree >= (threshold + margin) * num_hashes``: accepted on
+      the estimate alone (``verdict='estimate'``, ``jaccard_sim``
+      NULL — no text was rehydrated to produce the row);
+    - ``n_agree < (threshold - margin) * num_hashes``: dropped on the
+      estimate alone, never rehydrated;
+    - otherwise BORDERLINE: the exact verify runs for just these
+      pairs (``verdict='exact'``, ``jaccard_sim`` the true ROUND-6
+      Jaccard, cut at ``threshold`` on the UNROUNDED value — the r14
+      ADVICE contract).
+
+    Why at 100 TB: the exact tier's rehydration join re-reads and
+    re-shingles the text of every candidate; with a steep s-curve
+    (high threshold, rows-per-band >= 4) the overwhelming majority of
+    candidates sit far from the threshold on the estimate, so the
+    expensive join shrinks to the band where the estimator's
+    resolution (std ~ sqrt(J(1-J)/num_hashes), ~2.6/32 agreements at
+    J=0.5) actually matters. ``margin`` is that resolution dial: the
+    default 0.125 = 4/32 agreements ~ 1.5 sigma; widen it for exactness
+    on more of the range, shrink it for throughput. Every cut is
+    INTEGER-exact on ``n_agree`` (floats only at the presentation
+    edge), so the three-way split is engine-replayable.
+
+    The candidate+agreement frame is ``localCheckpoint``-ed before the
+    split (3 integers per candidate — bounded): the accept and
+    borderline branches are two filters over it, and without the
+    checkpoint each branch would re-run the whole signature pipeline
+    (the unicode-split double-scan lesson, r14 verdict). This makes
+    the operator EAGER at call time, like the other checkpoint-backed
+    operators (dedup_clusters).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): "
+            "_banded_keys would silently truncate the trailing "
+            f"{num_hashes % bands} signature values"
+        )
+    if not (0.0 <= margin <= threshold):
+        raise ValueError("margin must be in [0, threshold]")
+    sigs = minhash_signatures(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        hash_mode=hash_mode,
+    )
+    cands = lsh_candidate_pairs(sigs, bands=bands, hash_mode=hash_mode)
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("_sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("_sig_b"))
+    lo = F.lit(float(threshold - margin) * num_hashes)
+    hi = F.lit(float(threshold + margin) * num_hashes)
+    scored = (
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(
+                F.filter(
+                    F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).alias("n_agree"),
+        )
+        .filter(F.col("n_agree") >= lo)
+        .localCheckpoint()
+    )
+    est_col = F.round(F.col("n_agree") / F.lit(num_hashes), 6).alias(
+        "est_jaccard"
+    )
+    accepted = scored.filter(F.col("n_agree") >= hi).select(
+        "id_a",
+        "id_b",
+        "n_agree",
+        est_col,
+        F.lit(None).cast("double").alias("jaccard_sim"),
+        F.lit("estimate").alias("verdict"),
+    )
+    borderline = scored.filter(F.col("n_agree") < hi)
+    grams = fan_out(docs, id_col).select(
+        F.col(id_col).alias("gid"),
+        F.array_distinct(word_ngrams(text_col, 3)).alias("grams"),
+    )
+    exact_sim = jaccard(F.col("grams_a"), F.col("grams_b"))
+    verified = (
+        borderline.join(
+            grams.withColumnRenamed("gid", "id_a").withColumnRenamed(
+                "grams", "grams_a"
+            ),
+            "id_a",
+        )
+        .join(
+            grams.withColumnRenamed("gid", "id_b").withColumnRenamed(
+                "grams", "grams_b"
+            ),
+            "id_b",
+        )
+        .filter(exact_sim >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "n_agree",
+            est_col,
+            F.round(exact_sim, 6).alias("jaccard_sim"),
+            F.lit("exact").alias("verdict"),
+        )
+    )
+    return accepted.unionByName(verified)

