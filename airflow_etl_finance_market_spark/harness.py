@@ -107,6 +107,13 @@ def register(name: str, oracle: str | None = None):
 #: n_agree; ROUND-6 estimate at the edge; every cut on the integer
 #: count; the triage variant adds the borderline-only gram CTE) —
 #: one slot funds both operators, keeping r16 at 47 due + 3 spare.
+#: Second r16 candidate (operator + stream≡batch pytests landed r15):
+#: streaming decontamination-at-ingest (streaming/windows.
+#: contamination_pregate_flags — stateless in-plan Bloom pre-verdict,
+#: exactly-clean majority — + streaming/io.run_decontaminate_to_parquet
+#: — per-micro-batch exact verify + clean/quarantine router). Gate
+#: shape: the streaming_dedup_ingest file-replay pattern with the
+#: doc_contamination_dual SQL as the batch-twin oracle.
 #: (Round-12/13/15 history — merges funding rule-1/rule-2 slots —
 #: lives in the ledgers and VERDICTs; merged gates' docstrings carry
 #: their retirement rationales.)

@@ -15,7 +15,12 @@ query Spark runs incrementally — and it makes the batch path the
 differential oracle for the streaming path in tests.
 """
 
-from .io import read_events_batch, read_events_stream, run_available_now
+from .io import (
+    read_events_batch,
+    read_events_stream,
+    run_available_now,
+    run_decontaminate_to_parquet,
+)
 from .stateful import (
     pct_change_reordered,
     pct_change_stateful,
@@ -23,6 +28,7 @@ from .stateful import (
     windowed_signature_ownership,
 )
 from .windows import (
+    contamination_pregate_flags,
     dedup_by_signature,
     dedup_events,
     session_stats,
@@ -31,8 +37,10 @@ from .windows import (
 )
 
 __all__ = [
+    "contamination_pregate_flags",
     "dedup_by_signature",
     "dedup_events",
+    "run_decontaminate_to_parquet",
     "read_events_batch",
     "read_events_stream",
     "run_available_now",
