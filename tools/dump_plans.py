@@ -93,6 +93,16 @@ NAMES = [
     # broadcast-join doc aggregate)
     "unicode_fold_dedup",
     "unigram_lm_tokenizer",
+    # round 15: the KN scorer (one positional expansion joining four
+    # vocab-bounded aggregates + a broadcast 1-row scalar), the
+    # cross-frame decontamination (per-side signature aggs, the
+    # benchmark side broadcast through band join AND gram verify —
+    # the corpus never shuffles past its signature agg), and the
+    # CCNet bucketing (the KN shape with lang-keyed aggregates + ONE
+    # doc-level rank window)
+    "kn_bigram_logprob",
+    "near_dup_decontamination",
+    "ccnet_perplexity_buckets",
 ]
 
 
