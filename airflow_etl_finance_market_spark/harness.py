@@ -114,6 +114,16 @@ def register(name: str, oracle: str | None = None):
 #: — per-micro-batch exact verify + clean/quarantine router). Gate
 #: shape: the streaming_dedup_ingest file-replay pattern with the
 #: doc_contamination_dual SQL as the batch-twin oracle.
+#: Third r16 candidate (operator + sequential-reference differential
+#: landed r15): operators/packing.pack_sequences_spfhp — SPFHP
+#: whole-document packing (Krell et al. 2021). Oracle plan: a PLANTED
+#: length construction whose SPFHP solution is closed-form (perfectly
+#: tiling length classes from doc_id arithmetic), so the oracle
+#: derives pack composition/fill from the construction (the r10
+#: independent-formulation rule, the url gate precedent) — never by
+#: re-running the solver in SQL. r16 slot math if all three land:
+#: 47 due + 3 new = 50 exactly, zero spare — land at most two unless
+#: no rule-2 debts exist at rotation time.
 #: (Round-12/13/15 history — merges funding rule-1/rule-2 slots —
 #: lives in the ledgers and VERDICTs; merged gates' docstrings carry
 #: their retirement rationales.)

@@ -1900,3 +1900,139 @@ class TestCcnetPerplexityBuckets:
             self._run(spark, self.CORPUS, discount=0.0)
         with _pytest.raises(ValueError):
             self._run(spark, self.CORPUS, n_buckets=0)
+
+
+class TestSpfhpPacking:
+    """Shortest-Pack-First Histogram-Packing (r15): solver differential
+    vs a one-sequence-at-a-time reference, conservation properties, and
+    the whole-document assignment arithmetic."""
+
+    @staticmethod
+    def _ref_spfhp(histogram, budget, max_per_pack=None):
+        """Naive SPFHP: one sequence at a time (the paper's description
+        verbatim) — the differential oracle for the bulk solver."""
+        packs = []  # [composition list, remaining, seq]
+        seq = 0
+        for length in sorted(histogram, reverse=True):
+            for _ in range(histogram[length]):
+                fits = [
+                    p
+                    for p in packs
+                    if p[1] >= length
+                    and (max_per_pack is None or len(p[0]) < max_per_pack)
+                ]
+                if fits:
+                    p = min(fits, key=lambda p: (p[1], p[2]))
+                    p[0].append(length)
+                    p[1] -= length
+                else:
+                    seq += 1
+                    packs.append([[length], budget - length, seq])
+        out = {}
+        for comp, _, _ in packs:
+            key = tuple(comp)
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    def test_bulk_solver_matches_sequential_reference(self):
+        import random
+
+        from airflow_etl_finance_market_spark.operators.packing import (
+            spfhp_strategies,
+        )
+
+        rng = random.Random(42)
+        for trial in range(300):
+            budget = rng.choice([8, 16, 37, 64])
+            hist = {
+                rng.randint(1, budget): rng.randint(1, 40)
+                for _ in range(rng.randint(1, 12))
+            }
+            cap = rng.choice([None, 2, 4])
+            got = dict(spfhp_strategies(hist, budget=budget, max_per_pack=cap))
+            ref = self._ref_spfhp(hist, budget, cap)
+            assert got == ref, (budget, cap, hist)
+
+    def test_solver_validation(self):
+        import pytest as _pytest
+
+        from airflow_etl_finance_market_spark.operators.packing import (
+            spfhp_strategies,
+        )
+
+        with _pytest.raises(ValueError):
+            spfhp_strategies({9: 1}, budget=8)
+        with _pytest.raises(ValueError):
+            spfhp_strategies({0: 1}, budget=8)
+
+    DOCS = [
+        (1, "a b c d e f"),        # 6 tokens
+        (2, "a b c d e"),          # 5
+        (3, "a b c"),              # 3
+        (4, "a b"),                # 2
+        (5, "a b c d e f"),        # 6
+        (6, "x y"),                # 2
+    ]
+
+    def test_assignment_tiles_packs_exactly(self, spark):
+        from collections import defaultdict
+
+        from airflow_etl_finance_market_spark.operators.packing import (
+            pack_sequences_spfhp,
+            spfhp_strategies,
+        )
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        out = pack_sequences_spfhp(docs, budget=8).collect()
+        # every doc placed exactly once
+        assert sorted(r.doc_id for r in out) == [1, 2, 3, 4, 5, 6]
+        packs = defaultdict(list)
+        for r in out:
+            packs[r.pack_id].append(r)
+        # pack ids contiguous from 0
+        assert sorted(packs) == list(range(len(packs)))
+        for rows in packs.values():
+            fill = rows[0].pack_fill
+            assert all(r.pack_fill == fill for r in rows)
+            assert sum(r.n_tokens for r in rows) == fill <= 8
+            # offsets tile [0, fill) without overlap
+            spans = sorted((r.pack_offset, r.pack_offset + r.n_tokens) for r in rows)
+            assert spans[0][0] == 0 and spans[-1][1] == fill
+            for (a, b), (c, d) in zip(spans, spans[1:]):
+                assert b == c
+        # the realized composition multiset equals the solver's answer
+        hist = {6: 2, 5: 1, 3: 1, 2: 2}
+        want = {}
+        for comp, m in spfhp_strategies(hist, budget=8):
+            want[comp] = want.get(comp, 0) + m
+        got = {}
+        for rows in packs.values():
+            comp = tuple(sorted((r.n_tokens for r in rows), reverse=True))
+            got[comp] = got.get(comp, 0) + 1
+        assert got == want
+
+    def test_oversize_policy(self, spark):
+        import pytest as _pytest
+
+        from airflow_etl_finance_market_spark.operators.packing import (
+            pack_sequences_spfhp,
+        )
+
+        docs = spark.createDataFrame(
+            self.DOCS + [(7, "t " * 20)], "doc_id long, text string"
+        )
+        with _pytest.raises(ValueError, match="exceed budget"):
+            pack_sequences_spfhp(docs, budget=8)
+        out = pack_sequences_spfhp(docs, budget=8, oversize="drop").collect()
+        assert 7 not in {r.doc_id for r in out}
+        assert len(out) == 6
+
+    def test_deterministic_across_runs(self, spark):
+        from airflow_etl_finance_market_spark.operators.packing import (
+            pack_sequences_spfhp,
+        )
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        a = sorted(map(tuple, pack_sequences_spfhp(docs, budget=8).collect()))
+        b = sorted(map(tuple, pack_sequences_spfhp(docs, budget=8).collect()))
+        assert a == b
