@@ -606,6 +606,29 @@ bounded collects + the apply DP — cheaper than one minhash_sigs
 pass). crawl_x100 url stage 1.191 (r13 1.149 — the port gate
 confirmed free), unicode_fold_raw 0.649 / unicode_fold_dedup 1.373 at
 500k docs.
+
+r15 notes (regime 0.852 vs r14 — machine faster; headline 12.223):
+NEW priced lines — corpus_x10.kn_bigram_lp 2.150 (vs bigram_lp 1.631:
+the KN smoothing machinery — two extra vocab-bounded aggregates — is
++0.5 s at 50k docs), corpus_x10.ccnet_buckets 2.604 (lang-keyed KN
+counts + the ONE doc-level rank window add +0.45 s over corpus-global
+KN), corpus_x10.decontam_near_dup 2.902 and corpus_x100.
+decontam_near_dup 9.562 — the x100/x10 ratio is 3.3x for 10x corpus
+against the same construction (the benchmark-broadcast shape holds:
+the corpus side's bill is its signature agg, not the cross join).
+ARBITRATION (this round's movers, all resolved as JVM-state — the
+bench run logged GCLocker allocation-stall warnings in the late
+tiers, the known r10 non-evictable-checkpoint pressure): regime_delta
+flagged part_supplier_pagerank 2.018 in-tier (+30% normalized) —
+fresh-JVM solo 4.293/2.206/1.696, min BELOW the r14 1.820; the r14
+watch item markets_x100 moved together against a FLAT anchor
+(in-tier drawdown 8.695 / pair_corr 9.709 / beta 14.544) — fresh-JVM
+solos: drawdown 7.363, pair_corr 5.828 (below r14's 7.40), beta
+truly-solo 11.472 (below r13's 11.7; a stacked-solo run of beta
+AFTER two other x100 queries in one JVM read 15.4, reproducing the
+pressure). No code touched any of these paths this round; in-tier
+numbers stay recorded as the honest-under-pressure figures per the
+r08 decomposition protocol.
 """
 
 from __future__ import annotations
