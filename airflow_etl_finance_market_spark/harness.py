@@ -124,6 +124,18 @@ def register(name: str, oracle: str | None = None):
 #: re-running the solver in SQL. r16 slot math if all three land:
 #: 47 due + 3 new = 50 exactly, zero spare — land at most two unless
 #: no rule-2 debts exist at rotation time.
+#: PRE-COMMITTED r16 MERGE (funds a slot + ceiling headroom):
+#: doc_near_dup_triangles + doc_near_dup_triangles_degree →
+#: near_dup_triangles_multi. The pair shares ONE oracle string
+#: (identical unrolled SQL — orientation never changes the triangle
+#: set), one operator (graph.triangles, orient='asc'/'degree') and
+#: one input pipeline (edit_distance_near_dups); green together
+#: since their landing round. Successor: variant rows 'asc'/'degree',
+#: both builders verbatim, the shared oracle duplicated per variant
+#: (the media_cdc precedent). Both are r13-green (due r16), so the
+#: successor takes one of their backbone slots under rule 1 and
+#: carries the other's refresh: r16 becomes 46 due + merge successor
+#: + up to 3 new = 50, registry 146 → 145 before new gates.
 #: (Round-12/13/15 history — merges funding rule-1/rule-2 slots —
 #: lives in the ledgers and VERDICTs; merged gates' docstrings carry
 #: their retirement rationales.)
