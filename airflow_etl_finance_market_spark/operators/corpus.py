@@ -1296,15 +1296,46 @@ def kn_bigram_logprob(
     vocab. No corpus-sized shuffle beyond the occurrence expansion —
     identical exchange structure to :func:`bigram_logprob`.
     """
+    return _kn_doc_scores(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        discount=discount,
+        group_cols=(),
+    )
+
+
+def _kn_doc_scores(
+    docs: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    discount: float,
+    group_cols: tuple[str, ...],
+) -> DataFrame:
+    """Shared interpolated-KN per-document scoring core — ONE
+    implementation of the positional expansion + the four count
+    aggregates + the Chen & Goodman eq. 4.25 formula, parameterized by
+    the extra grouping keys prepended to every aggregate:
+    :func:`kn_bigram_logprob` is ``group_cols=()`` (corpus-global LM,
+    the N1+(. .) total a broadcast 1-row crossJoin);
+    :func:`ccnet_perplexity_buckets` passes its language column
+    (per-language LMs, the total a broadcast |langs|-row join). Factored
+    (r15 review) so a fix to the expansion or the formula can never
+    apply to one scorer and silently miss the other."""
     if not (0.0 < discount < 1.0):
         raise ValueError("discount must be in (0, 1)")
+    gc = list(group_cols)
     base = fan_out(docs, id_col).select(
-        F.col(id_col), tokens(text_col).alias("toks")
+        F.col(id_col),
+        *[F.col(c) for c in gc],
+        tokens(text_col).alias("toks"),
     )
     occ2 = (
         base.filter(F.size("toks") >= 2)
         .select(
             F.col(id_col),
+            *[F.col(c) for c in gc],
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(toks) - 1), i -> "
@@ -1317,24 +1348,22 @@ def kn_bigram_logprob(
         )
         .select(
             F.col(id_col),
+            *[F.col(c) for c in gc],
             F.col("u.w1").alias("w1"),
             F.col("u.w2").alias("w2"),
             F.col("u.big").alias("big"),
         )
     )
-    big_counts = occ2.groupBy("big").agg(F.count("*").alias("_cb"))
-    ctx = occ2.groupBy("w1").agg(
+    big_counts = occ2.groupBy(*gc, "big").agg(F.count("*").alias("_cb"))
+    ctx = occ2.groupBy(*gc, "w1").agg(
         F.count("*").alias("_cctx"),
         F.count_distinct("w2").alias("_n1p_fwd"),
     )
     cont = (
-        occ2.select("w1", "w2")
+        occ2.select(*gc, "w1", "w2")
         .distinct()
-        .groupBy("w2")
+        .groupBy(*gc, "w2")
         .agg(F.count("*").alias("_n1p_bwd"))
-    )
-    total_types = (
-        occ2.select("big").distinct().agg(F.count("*").alias("_n1p_all"))
     )
     d = F.lit(float(discount))
     p = (
@@ -1343,16 +1372,27 @@ def kn_bigram_logprob(
         * F.col("_n1p_fwd")
         * (F.col("_n1p_bwd") / F.col("_n1p_all"))
     ) / F.col("_cctx")
-    return (
-        occ2.join(big_counts, "big")
-        .join(ctx, "w1")
-        .join(cont, "w2")
-        .crossJoin(F.broadcast(total_types))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+    joined = (
+        occ2.join(big_counts, gc + ["big"])
+        .join(ctx, gc + ["w1"])
+        .join(cont, gc + ["w2"])
+    )
+    if gc:
+        total_types = (
+            occ2.select(*gc, "big")
+            .distinct()
+            .groupBy(*gc)
+            .agg(F.count("*").alias("_n1p_all"))
         )
+        joined = joined.join(F.broadcast(total_types), gc)
+    else:
+        total_types = (
+            occ2.select("big").distinct().agg(F.count("*").alias("_n1p_all"))
+        )
+        joined = joined.crossJoin(F.broadcast(total_types))
+    return joined.groupBy(id_col, *gc).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
     )
 
 
@@ -1405,72 +1445,16 @@ def ccnet_perplexity_buckets(
     token_budget_select boundary trick) — the contract (rank by
     (score, id)) is partition-strategy-independent.
     """
-    if not (0.0 < discount < 1.0):
-        raise ValueError("discount must be in (0, 1)")
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     from pyspark.sql.window import Window
 
-    base = fan_out(docs, id_col).select(
-        F.col(id_col), F.col(lang_col), tokens(text_col).alias("toks")
-    )
-    occ2 = (
-        base.filter(F.size("toks") >= 2)
-        .select(
-            F.col(id_col),
-            F.col(lang_col),
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 1), i -> "
-                    "struct(element_at(toks, i) AS w1, "
-                    "element_at(toks, i + 1) AS w2, "
-                    "concat(element_at(toks, i), ' ', "
-                    "element_at(toks, i + 1)) AS big))"
-                )
-            ).alias("u"),
-        )
-        .select(
-            F.col(id_col),
-            F.col(lang_col),
-            F.col("u.w1").alias("w1"),
-            F.col("u.w2").alias("w2"),
-            F.col("u.big").alias("big"),
-        )
-    )
-    big_counts = occ2.groupBy(lang_col, "big").agg(F.count("*").alias("_cb"))
-    ctx = occ2.groupBy(lang_col, "w1").agg(
-        F.count("*").alias("_cctx"),
-        F.count_distinct("w2").alias("_n1p_fwd"),
-    )
-    cont = (
-        occ2.select(lang_col, "w1", "w2")
-        .distinct()
-        .groupBy(lang_col, "w2")
-        .agg(F.count("*").alias("_n1p_bwd"))
-    )
-    total_types = (
-        occ2.select(lang_col, "big")
-        .distinct()
-        .groupBy(lang_col)
-        .agg(F.count("*").alias("_n1p_all"))
-    )
-    d = F.lit(float(discount))
-    p = (
-        F.greatest(F.col("_cb") - d, F.lit(0.0))
-        + d
-        * F.col("_n1p_fwd")
-        * (F.col("_n1p_bwd") / F.col("_n1p_all"))
-    ) / F.col("_cctx")
-    per_doc = (
-        occ2.join(big_counts, [lang_col, "big"])
-        .join(ctx, [lang_col, "w1"])
-        .join(cont, [lang_col, "w2"])
-        .join(F.broadcast(total_types), lang_col)
-        .groupBy(id_col, lang_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
-        )
+    per_doc = _kn_doc_scores(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        discount=discount,
+        group_cols=(lang_col,),
     )
     rank_w = Window.partitionBy(lang_col).orderBy(
         F.col("avg_logprob").desc(), F.col(id_col)

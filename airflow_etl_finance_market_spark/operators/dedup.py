@@ -1303,12 +1303,7 @@ def near_dup_decontamination(
     threshold); ``round(.., 6)`` happens only in the output projection,
     the presentation-edge float rule every gate follows.
     """
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"bands ({bands}) must divide num_hashes ({num_hashes}): "
-            "_banded_keys would silently truncate the trailing "
-            f"{num_hashes % bands} signature values"
-        )
+    _check_bands(num_hashes, bands)
     sigs_d = minhash_signatures(
         docs, text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, hash_mode=hash_mode,
@@ -1363,6 +1358,77 @@ def near_dup_decontamination(
     )
 
 
+def _check_bands(num_hashes: int, bands: int) -> None:
+    """Shared validation (r14 ADVICE): ``_banded_keys`` silently drops
+    the trailing ``num_hashes % bands`` signature values when bands does
+    not divide num_hashes, quietly changing recall — every public entry
+    point that exposes both knobs raises instead."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): "
+            "_banded_keys would silently truncate the trailing "
+            f"{num_hashes % bands} signature values"
+        )
+
+
+def _min_agree(frac: float, num_hashes: int) -> int:
+    """Smallest integer agreement count n with n/num_hashes >= frac.
+
+    The estimate n/num_hashes is an exact RATIONAL; comparing the
+    integer n against the float product ``frac * num_hashes`` directly
+    would mis-round exact boundaries (IEEE: 0.28 * 25 =
+    7.000000000000001, so a 7/25 = 0.28 estimate would fail an
+    ``n >= 0.28*25`` cut that the contract says it passes). The epsilon
+    absorbs that last-ulp product error; it is far below the 1/num_hashes
+    resolution of the estimator, so it can never move a non-boundary
+    count."""
+    import math
+
+    return math.ceil(frac * num_hashes - 1e-9)
+
+
+def _signature_agreement(
+    docs: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    hash_mode: str,
+) -> DataFrame:
+    """(id_a, id_b, n_agree) for every banded candidate pair — the
+    shared scoring stage of :func:`minhash_estimated_pairs` and
+    :func:`minhash_triage_pairs`: signatures once, banded candidates,
+    then the component-wise agreement count off the same signature
+    frame (identical subplans on both join sides, so the exchange is
+    reused — the r10 rule; no text column anywhere past the signature
+    aggregation)."""
+    sigs = minhash_signatures(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        hash_mode=hash_mode,
+    )
+    cands = lsh_candidate_pairs(sigs, bands=bands, hash_mode=hash_mode)
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("_sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("_sig_b"))
+    return (
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(
+                F.filter(
+                    F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).alias("n_agree"),
+        )
+    )
+
+
 def minhash_estimated_pairs(
     docs: DataFrame,
     *,
@@ -1399,48 +1465,34 @@ def minhash_estimated_pairs(
     borderline band ``est in [threshold - margin, threshold + margin]``
     through :func:`minhash_dedup_pairs`' exact verify. The threshold
     cut itself is INTEGER-exact: ``est >= threshold`` is evaluated as
-    ``n_agree >= threshold * num_hashes`` on the integer agreement
-    count, so no float division sits under the filter (and the
-    estimate is rounded only in the output projection, the r14 rule).
+    ``n_agree >= ceil(threshold * num_hashes)`` with the ceiling
+    computed driver-side over the exact rational boundary
+    (:func:`_min_agree` — comparing the integer count against the raw
+    float product would mis-round exact boundaries like 7/25 vs
+    0.28*25), so no float sits under the filter at all (the estimate
+    is rounded only in the output projection, the r14 rule).
 
     ``bands`` must divide ``num_hashes`` (same truncation hazard as
     :func:`near_dup_decontamination`).
     """
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"bands ({bands}) must divide num_hashes ({num_hashes}): "
-            "_banded_keys would silently truncate the trailing "
-            f"{num_hashes % bands} signature values"
-        )
-    sigs = minhash_signatures(
+    _check_bands(num_hashes, bands)
+    scored = _signature_agreement(
         docs,
         text_col=text_col,
         id_col=id_col,
         num_hashes=num_hashes,
+        bands=bands,
         hash_mode=hash_mode,
     )
-    cands = lsh_candidate_pairs(sigs, bands=bands, hash_mode=hash_mode)
-    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("_sig_a"))
-    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("_sig_b"))
-    n_agree = F.size(
-        F.filter(
-            F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
-    return (
-        cands.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .withColumn("n_agree", n_agree)
-        .filter(F.col("n_agree") >= F.lit(float(threshold) * num_hashes))
-        .select(
-            "id_a",
-            "id_b",
-            "n_agree",
-            F.round(F.col("n_agree") / F.lit(num_hashes), 6).alias(
-                "est_jaccard"
-            ),
-        )
+    return scored.filter(
+        F.col("n_agree") >= F.lit(_min_agree(threshold, num_hashes))
+    ).select(
+        "id_a",
+        "id_b",
+        "n_agree",
+        F.round(F.col("n_agree") / F.lit(num_hashes), 6).alias(
+            "est_jaccard"
+        ),
     )
 
 
@@ -1480,8 +1532,12 @@ def minhash_triage_pairs(
     J=0.5) actually matters. ``margin`` is that resolution dial: the
     default 0.125 = 4/32 agreements ~ 1.5 sigma; widen it for exactness
     on more of the range, shrink it for throughput. Every cut is
-    INTEGER-exact on ``n_agree`` (floats only at the presentation
-    edge), so the three-way split is engine-replayable.
+    INTEGER-exact on ``n_agree``: both band edges go through
+    :func:`_min_agree`'s driver-side ceiling over the exact rational
+    boundary (a raw ``(threshold-margin)*num_hashes`` float product
+    mis-rounds exact edges and would silently eject true borderline
+    pairs before the verify), so the three-way split is
+    engine-replayable with no float under any filter.
 
     The candidate+agreement frame is ``localCheckpoint``-ed before the
     split (3 integers per candidate — bounded): the accept and
@@ -1491,38 +1547,19 @@ def minhash_triage_pairs(
     the operator EAGER at call time, like the other checkpoint-backed
     operators (dedup_clusters).
     """
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"bands ({bands}) must divide num_hashes ({num_hashes}): "
-            "_banded_keys would silently truncate the trailing "
-            f"{num_hashes % bands} signature values"
-        )
+    _check_bands(num_hashes, bands)
     if not (0.0 <= margin <= threshold):
         raise ValueError("margin must be in [0, threshold]")
-    sigs = minhash_signatures(
-        docs,
-        text_col=text_col,
-        id_col=id_col,
-        num_hashes=num_hashes,
-        hash_mode=hash_mode,
-    )
-    cands = lsh_candidate_pairs(sigs, bands=bands, hash_mode=hash_mode)
-    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("_sig_a"))
-    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("_sig_b"))
-    lo = F.lit(float(threshold - margin) * num_hashes)
-    hi = F.lit(float(threshold + margin) * num_hashes)
+    lo = F.lit(_min_agree(threshold - margin, num_hashes))
+    hi = F.lit(_min_agree(threshold + margin, num_hashes))
     scored = (
-        cands.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size(
-                F.filter(
-                    F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
-                    lambda eq: eq,
-                )
-            ).alias("n_agree"),
+        _signature_agreement(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            hash_mode=hash_mode,
         )
         .filter(F.col("n_agree") >= lo)
         .localCheckpoint()

@@ -225,9 +225,11 @@ def pack_sequences_spfhp(
 
     Three stages, each at its cheapest legal place (the 100 TB bill):
 
-    1. HISTOGRAM (one hash-aggregate): ``{n_tokens: count}`` — at most
-       ``budget`` rows collected, the parameter-bounded-collect
-       contract (never documents).
+    1. HISTOGRAM (one hash-aggregate): ``{n_tokens: count}`` — one row
+       per distinct length collected, the parameter-bounded-collect
+       contract (never documents); the SAME collect answers the
+       oversize policy driver-side, so no separate count job scans the
+       corpus.
     2. SOLVE (driver, :func:`spfhp_strategies`): pure integer
        function of the histogram; cost independent of corpus size.
     3. ASSIGN (one window + one broadcast range join): docs rank
@@ -245,31 +247,55 @@ def pack_sequences_spfhp(
     ``oversize``: documents longer than ``budget`` cannot pack whole —
     ``"error"`` raises (the default: silent truncation would corrupt
     training data), ``"drop"`` excludes them (quarantine upstream).
-    Deterministic end to end: histogram → strategies → rank
-    arithmetic, no RNG, no float anywhere.
+    NULL-text documents count 0 tokens and are EXCLUDED under both
+    policies (nothing to pack, no offset to assign) — an explicit rule,
+    not a NULL-comparison accident; an empty STRING tokenizes to one
+    empty token under this package's tokenizer convention
+    (``split('') = ['']``, the same count every other operator sees)
+    and packs as a 1-token document. Deterministic end to end:
+    histogram → strategies → rank arithmetic, no RNG, no float
+    anywhere.
     """
     if oversize not in ("error", "drop"):
         raise ValueError("oversize must be 'error' or 'drop'")
+    # NULL text counts as 0 tokens (coalesce — under NULL comparison
+    # semantics a NULL count would silently fail BOTH the oversize and
+    # the packable filter and the document would vanish by ACCIDENT;
+    # r15 review). Zero-token documents are then EXCLUDED deliberately:
+    # they contribute nothing to a pack and have no offset to assign —
+    # quarantine NULLs upstream if they must be accounted for. (An
+    # empty STRING is 1 token — split('') = [''] — per the package
+    # tokenizer convention, and packs normally.)
     sized = docs.select(
         F.col(id_col),
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.size(tokens(text_col)).cast("long"), F.lit(0)
+        ).alias("n_tokens"),
     )
-    over = sized.filter(F.col("n_tokens") > budget)
-    if oversize == "error":
-        n_over = over.count()
-        if n_over:
-            raise ValueError(
-                f"{n_over} document(s) exceed budget={budget}; "
-                "pass oversize='drop' or split/truncate upstream"
-            )
-    sized = sized.filter(
-        (F.col("n_tokens") <= budget) & (F.col("n_tokens") >= 1)
-    )
-    hist = {
+    # ONE histogram pass serves the oversize check AND the solve: the
+    # length histogram is collected UNFILTERED (still <= distinct
+    # lengths rows) and the oversize classes are split off driver-side
+    # — no dedicated count() scan of the corpus (r15 review; the
+    # unicode-split double-scan lesson).
+    hist_all = {
         int(r["n_tokens"]): int(r["cnt"])
         for r in sized.groupBy("n_tokens")
         .agg(F.count("*").alias("cnt"))
         .collect()
+    }
+    n_over = sum(c for length, c in hist_all.items() if length > budget)
+    if n_over and oversize == "error":
+        raise ValueError(
+            f"{n_over} document(s) exceed budget={budget}; "
+            "pass oversize='drop' or split/truncate upstream"
+        )
+    sized = sized.filter(
+        (F.col("n_tokens") <= budget) & (F.col("n_tokens") >= 1)
+    )
+    hist = {
+        length: c
+        for length, c in hist_all.items()
+        if 1 <= length <= budget
     }
     strategies = spfhp_strategies(
         hist, budget=budget, max_per_pack=max_per_pack

@@ -312,12 +312,17 @@ def run_decontaminate_to_parquet(
         clean.unionByName(false_pos).write.mode("append").parquet(clean_path)
         confirmed.write.mode("append").parquet(quarantine_path)
 
-    q = (
-        flagged.writeStream.outputMode("append")
-        .foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    bench_grams.unpersist()
+    try:
+        q = (
+            flagged.writeStream.outputMode("append")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # unpersist even when the stream fails: a leaked persisted
+        # frame is non-evictable storage for the session lifetime —
+        # exactly the GCLocker pressure the bench notes document
+        bench_grams.unpersist()

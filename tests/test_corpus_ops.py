@@ -2027,6 +2027,23 @@ class TestSpfhpPacking:
         assert 7 not in {r.doc_id for r in out}
         assert len(out) == 6
 
+    def test_null_and_empty_text_policy(self, spark):
+        """NULL text counts 0 tokens (coalesced — a NULL size would
+        silently fail BOTH filters and vanish by accident) and is
+        excluded by the documented rule, never raising the oversize
+        error; an empty STRING is one empty token under the package
+        tokenizer convention (split('') = ['']) and packs normally."""
+        from airflow_etl_finance_market_spark.operators.packing import (
+            pack_sequences_spfhp,
+        )
+
+        docs = spark.createDataFrame(
+            self.DOCS + [(8, None), (9, "")], "doc_id long, text string"
+        )
+        out = pack_sequences_spfhp(docs, budget=8).collect()  # no raise
+        assert {r.doc_id for r in out} == {1, 2, 3, 4, 5, 6, 9}
+        assert next(r for r in out if r.doc_id == 9).n_tokens == 1
+
     def test_deterministic_across_runs(self, spark):
         from airflow_etl_finance_market_spark.operators.packing import (
             pack_sequences_spfhp,

@@ -795,6 +795,24 @@ class TestMinhashEstimatedPairs:
         with pytest.raises(ValueError, match="must divide num_hashes"):
             self._run(spark, num_hashes=32, bands=5)
 
+    def test_threshold_boundary_is_rational_exact(self):
+        """The review-found float trap: 0.28*25 = 7.000000000000001 in
+        IEEE double, so a raw product cut would reject the exactly-on-
+        threshold 7/25 estimate. _min_agree ceils over the exact
+        rational boundary instead."""
+        from airflow_etl_finance_market_spark.operators.dedup import (
+            _min_agree,
+        )
+
+        assert _min_agree(0.28, 25) == 7      # 7/25 == 0.28 passes
+        assert _min_agree(0.75, 32) == 24     # exact boundary
+        assert _min_agree(0.75 + 1e-6, 32) == 25  # just above -> next int
+        assert _min_agree(0.5, 3) == 2        # 1.5 -> need 2
+        assert _min_agree(0.0, 32) == 0
+        assert _min_agree(1.0, 32) == 32
+        # the triage band edges go through the same helper
+        assert _min_agree(0.4 - 0.12, 25) == 7  # (0.28)*25 trap again
+
 
 class TestMinhashTriagePairs:
     """Estimate-then-verify triage composition (r15, gate candidate r16):
