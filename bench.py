@@ -629,6 +629,18 @@ AFTER two other x100 queries in one JVM read 15.4, reproducing the
 pressure). No code touched any of these paths this round; in-tier
 numbers stay recorded as the honest-under-pressure figures per the
 r08 decomposition protocol.
+
+r15 addendum: the estimator/triage tiers priced (solo, fresh JVM,
+50k docs, threshold 0.5, best-of-3): minhash_full 4.079 /
+minhash_est 2.317 / minhash_triage 3.539 — the signature-only
+estimator is 1.76x the exact pipeline, i.e. the gram-rehydration
+verify is ~43% of the exact bill at this scale, exactly the term
+the tier exists to skip (it grows with document length — 50k-doc
+fixtures have short docs, so this is the CONSERVATIVE end of the
+claim); triage sits between, paying rehydration only for the
+borderline band plus its eager candidate checkpoint. Permanent
+corpus_x10 lines minhash_est / minhash_triage added beside
+minhash_full.
 """
 
 from __future__ import annotations
@@ -1977,6 +1989,20 @@ def corpus_x10_section(spark, qs, tmp: str) -> dict[str, float]:
         # as minhash_full — the unblocked scale path for subset dedup
         "containment_lsh": lambda: _noop(
             D.minhash_containment_pairs(docs, threshold=0.5)
+        ),
+        # r15: the signature-only estimator tier vs minhash_full above —
+        # same candidates, verify = zip_with agreement over the already-
+        # co-located signatures (ZERO gram rehydration); the delta vs
+        # minhash_full IS the rehydration bill the tier exists to skip
+        "minhash_est": lambda: _noop(
+            D.minhash_estimated_pairs(docs, threshold=0.5)
+        ),
+        # r15: the composed triage — only the borderline estimate band
+        # (default +-4/32 agreements) pays the exact verify; eager
+        # (localCheckpoints the candidate frame), so the timer covers
+        # the whole pipeline including the checkpoint
+        "minhash_triage": lambda: _noop(
+            D.minhash_triage_pairs(docs, threshold=0.5)
         ),
         # r05: one-pass duplicate-span stats (md5-hashed spans, window
         # cardinality — the substring-dedup signal) at 50k docs
