@@ -1573,3 +1573,56 @@ class TestStreamingDecontamination:
         assert clean_ids | set(quarantined) == {i for i, _ in self.DOCS}
         # the one-trigram overlap is counted exactly
         assert quarantined[2] == 1
+
+    def test_restart_with_checkpoint_is_incremental(self, spark, tmp_path):
+        """The checkpoint contract the sink docstring claims: re-running
+        with the same checkpoint after NEW files arrive processes only
+        the new data — no duplicate rows in either sink."""
+        from airflow_etl_finance_market_spark.streaming import (
+            run_decontaminate_to_parquet,
+        )
+
+        docs, bench = self._frames(spark)
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(
+            self.DOCS[:4], "doc_id long, text string"
+        ).coalesce(1).write.parquet(f"{src}/b0")
+        stream_args = dict(
+            clean_path=str(tmp_path / "clean"),
+            quarantine_path=str(tmp_path / "quarantine"),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+
+        def run():
+            s = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/b*")
+            )
+            run_decontaminate_to_parquet(s, bench, **stream_args)
+
+        run()
+        first_clean = {
+            r.doc_id
+            for r in spark.read.parquet(stream_args["clean_path"]).collect()
+        }
+        # docs 1 (exact copy) and 2 (one shared trigram) quarantine
+        assert first_clean == {3, 4}
+        # new micro-batch arrives; SAME checkpoint
+        spark.createDataFrame(
+            self.DOCS[4:], "doc_id long, text string"
+        ).coalesce(1).write.parquet(f"{src}/b1")
+        run()
+        clean_ids = [
+            r.doc_id
+            for r in spark.read.parquet(stream_args["clean_path"]).collect()
+        ]
+        quar_ids = [
+            r.doc_id
+            for r in spark.read.parquet(
+                stream_args["quarantine_path"]
+            ).collect()
+        ]
+        # incremental: docs 1-4 processed exactly once, 5-6 appended once
+        assert sorted(clean_ids) == [3, 4, 5]
+        assert sorted(quar_ids) == [1, 2, 6]
