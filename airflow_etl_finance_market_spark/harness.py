@@ -107,6 +107,15 @@ def register(name: str, oracle: str | None = None):
 #: n_agree; ROUND-6 estimate at the edge; every cut on the integer
 #: count; the triage variant adds the borderline-only gram CTE) —
 #: one slot funds both operators, keeping r16 at 47 due + 3 spare.
+#: The oracle SQL was SCRATCH-VALIDATED r15 at sf0.01 (32-term CASE
+#: agreement sum over per-pair sig joins; est/triage-accept/borderline
+#: UNION; hash MATCH vs both operators in portable mode) with ONE
+#: caveat: the natural corpus puts ZERO pairs in the borderline band
+#: at threshold 0.5 / margin 0.125 (planted near-dups are near-exact,
+#: n_agree >= 20) — the gate fixture MUST plant shared-prefix
+#: borderline families (true J ~ 0.5, the doc_jaccard pattern) so the
+#: exact-verdict path is exercised, not a 0-row accident (the
+#: near_dup_decontamination fixture lesson).
 #: Second r16 candidate (operator + stream≡batch pytests landed r15):
 #: streaming decontamination-at-ingest (streaming/windows.
 #: contamination_pregate_flags — stateless in-plan Bloom pre-verdict,
