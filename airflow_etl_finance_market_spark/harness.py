@@ -122,7 +122,16 @@ def register(name: str, oracle: str | None = None):
 #: exactly-clean majority — + streaming/io.run_decontaminate_to_parquet
 #: — per-micro-batch exact verify + clean/quarantine router). Gate
 #: shape: the streaming_dedup_ingest file-replay pattern with the
-#: doc_contamination_dual SQL as the batch-twin oracle.
+#: doc_contamination_dual SQL as the batch-twin oracle. SCRATCH-
+#: VALIDATED r15 at sf0.01: corpus = docs %25!=7 with planted exact
+#: copies (%25==8, of the id-interleaved bench text) and one-gram
+#: overlaps (%25==9, 'zz yy eval item k qq rr'), bench = %25==7
+#: id-interleaved texts; 3 doc_id-ranged micro-batch files through
+#: run_decontaminate_to_parquet; output = ('quarantine', doc_id,
+#: n_overlap) UNION ('clean', doc_id, NULL); oracle = construction
+#: CASE + distinct-gram intersect counts — hash MATCH (480 rows, 40
+#: quarantined: both planted classes recovered, no stream/batch
+#: divergence).
 #: Third r16 candidate (operator + sequential-reference differential
 #: landed r15): operators/packing.pack_sequences_spfhp — SPFHP
 #: whole-document packing (Krell et al. 2021). Oracle plan: a PLANTED
