@@ -139,7 +139,13 @@ def register(name: str, oracle: str | None = None):
 #: tiling length classes from doc_id arithmetic), so the oracle
 #: derives pack composition/fill from the construction (the r10
 #: independent-formulation rule, the url gate precedent) — never by
-#: re-running the solver in SQL. r16 slot math if all three land:
+#: re-running the solver in SQL. SCRATCH-VALIDATED r15 at sf0.01:
+#: docs %17 in {3,4,5} planted at 64/32/48 tokens, budget 96 — the
+#: SPFHP solution is provably unique ((64,32) perfect pairs, 48s
+#: self-pack in pairs + odd singleton) and the per-doc
+#: (pack_id, pack_offset, pack_fill) is pure ROW_NUMBER arithmetic
+#: (64 rank r → pack r off 0; 32 rank r → pack r off 64; 48 rank r →
+#: pack n64 + r div 2, off (r%2)*48) — hash MATCH vs the operator. r16 slot math if all three land:
 #: 47 due + 3 new = 50 exactly, zero spare — land at most two unless
 #: no rule-2 debts exist at rotation time.
 #: PRE-COMMITTED r16 MERGE (funds a slot + ceiling headroom):
