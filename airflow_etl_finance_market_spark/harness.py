@@ -160,6 +160,12 @@ def register(name: str, oracle: str | None = None):
 #: successor takes one of their backbone slots under rule 1 and
 #: carries the other's refresh: r16 becomes 46 due + merge successor
 #: + up to 3 new = 50, registry 146 → 145 before new gates.
+#: r17-PIPELINE candidate (operator + reference-differential pytests
+#: landed r15; r16 is already slot-saturated): operators/similarity.
+#: bitext_margin_mining — the Artetxe & Schwenk ratio-margin bitext
+#: miner; oracle = the _COS_SQL + ROW_NUMBER replay on embeddings
+#: with sides split by label parity (every selection already on
+#: ROUND-6 + id tiebreaks, so the replay is mechanical).
 #: (Round-12/13/15 history — merges funding rule-1/rule-2 slots —
 #: lives in the ledgers and VERDICTs; merged gates' docstrings carry
 #: their retirement rationales.)

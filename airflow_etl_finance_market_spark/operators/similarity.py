@@ -1152,3 +1152,134 @@ def cosine_topk_ivfpq(
         scored, embeddings, qraw, id_col=id_col, vec_col=vec_col,
         k=k, refine=refine,
     )
+
+
+def bitext_margin_mining(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    threshold: float = 1.0,
+    mutual: bool = False,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(src_id, tgt_id, cos_sim, margin_score) — margin-based parallel-
+    pair mining between two embedding frames (Artetxe & Schwenk 2019,
+    the criterion behind CCMatrix/LASER bitext mining; WMT's standard
+    for building MT training corpora from web crawl): raw cosine
+    over-selects "hub" sentences that are near everything, so each
+    pair is scored by its cosine RELATIVE to both sides' neighborhood
+    densities — the ratio-margin
+
+        margin(x, y) = cos(x, y) /
+            ((avg cos(x, NN_k(x, tgt)) + avg cos(y, NN_k(y, src))) / 2)
+
+    — and each source row keeps its best-margin target when that
+    margin reaches ``threshold`` (>1 means "closer than the
+    neighborhood average"). ``mutual=True`` keeps only pairs that are
+    each other's best (the paper's intersection variant — higher
+    precision, used when both sides are noisy).
+
+    DETERMINISM (the repo's float-ranking contract, the
+    cosine_topk_bruteforce / tfidf precedent): every interior
+    selection — the k-NN membership feeding the averages, the
+    best-margin argmax, the mutual check — orders by the ROUND-6
+    score with the partner id as tiebreak, so a last-ulp float
+    disagreement (cross-engine, or Spark's own float-sum order) can
+    never flip a selection; ``margin_score`` is rounded at the
+    presentation edge and the threshold cut applies to the rounded
+    value both engines share.
+
+    Scale shape: with ``candidates=None`` the scoring is the exact
+    all-pairs form (|src| x |tgt| — the oracle-checkable/eval-set
+    path; plans as a broadcast nested-loop with the per-pair cosine
+    on the fanned src side). At corpus scale pass ``candidates`` —
+    a (src_id, tgt_id) frame from the ANN tier (IVF cells, LSH
+    buckets: the cosine_topk_* machinery) — and everything downstream
+    of scoring is equi-joins and per-id windows over |candidates|
+    rows. The scored frame feeds THREE consumers (both k-NN averages
+    and the final margin join), so it is ``localCheckpoint``-ed once
+    (4 narrow columns per candidate — bounded; the triage-operator
+    precedent), making the operator EAGER at call time.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a = fan_out(src, id_col).select(
+        F.col(id_col).alias("src_id"), as_double(vec_col).alias("_va")
+    )
+    b = tgt.select(
+        F.col(id_col).alias("tgt_id"), as_double(vec_col).alias("_vb")
+    )
+    if candidates is None:
+        pairs = a.crossJoin(b)
+    else:
+        pairs = (
+            candidates.select("src_id", "tgt_id")
+            .distinct()
+            .join(a, "src_id")
+            .join(b, "tgt_id")
+        )
+    scored = pairs.select(
+        "src_id",
+        "tgt_id",
+        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+    ).localCheckpoint()
+    wa = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_sim"), F.asc("tgt_id")
+    )
+    a_avg = (
+        scored.withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") <= k)
+        .groupBy("src_id")
+        .agg(F.avg("cos_sim").alias("_a_avg"))
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.desc("cos_sim"), F.asc("src_id")
+    )
+    b_avg = (
+        scored.withColumn("_r", F.row_number().over(wb))
+        .filter(F.col("_r") <= k)
+        .groupBy("tgt_id")
+        .agg(F.avg("cos_sim").alias("_b_avg"))
+    )
+    margins = (
+        scored.join(a_avg, "src_id")
+        .join(b_avg, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_sim",
+            F.round(
+                F.col("cos_sim")
+                / ((F.col("_a_avg") + F.col("_b_avg")) / 2),
+                6,
+            ).alias("margin_score"),
+        )
+    )
+    w_fwd = Window.partitionBy("src_id").orderBy(
+        F.desc("margin_score"), F.asc("tgt_id")
+    )
+    best = (
+        margins.withColumn("_rf", F.row_number().over(w_fwd))
+        .filter((F.col("_rf") == 1) & (F.col("margin_score") >= threshold))
+        .drop("_rf")
+    )
+    if not mutual:
+        return best
+    w_bwd = Window.partitionBy("tgt_id").orderBy(
+        F.desc("margin_score"), F.asc("src_id")
+    )
+    best_bwd = (
+        margins.withColumn("_rb", F.row_number().over(w_bwd))
+        .filter(F.col("_rb") == 1)
+        .select(
+            F.col("src_id").alias("_bsrc"), F.col("tgt_id").alias("_btgt")
+        )
+    )
+    return best.join(
+        best_bwd,
+        (F.col("src_id") == F.col("_bsrc"))
+        & (F.col("tgt_id") == F.col("_btgt")),
+    ).drop("_bsrc", "_btgt")

@@ -1345,3 +1345,171 @@ class TestSemanticDedup:
         assert out[5] == (5, True, 1)
         # filter(is_canonical) IS the deduplicated corpus
         assert sorted(k for k, v in out.items() if v[1]) == [1, 4, 5]
+
+
+class TestBitextMarginMining:
+    """Margin-based bitext mining (r15, Artetxe & Schwenk ratio margin):
+    python reference differential, hub demotion, mutual mode."""
+
+    @staticmethod
+    def _ref(A, B, k=2, threshold=1.0, mutual=False):
+        """Pure-python replay of the documented pipeline: ROUND-6 cosines,
+        k-NN averages with id tiebreaks, rounded margins, best-per-src."""
+        import math
+
+        def cos(u, v):
+            d = sum(x * y for x, y in zip(u, v))
+            nu = math.sqrt(sum(x * x for x in u))
+            nv = math.sqrt(sum(x * x for x in v))
+            return round(d / (nu * nv), 6) if nu and nv else None
+
+        pairs = {
+            (i, j): cos(u, v) for i, u in A.items() for j, v in B.items()
+        }
+        def knn_avg(keyed, side):
+            out = {}
+            for key in keyed:
+                if side == "src":
+                    cand = sorted(
+                        ((pairs[(key, j)], j) for j in B),
+                        key=lambda t: (-t[0], t[1]),
+                    )[:k]
+                else:
+                    cand = sorted(
+                        ((pairs[(i, key)], i) for i in A),
+                        key=lambda t: (-t[0], t[1]),
+                    )[:k]
+                out[key] = sum(c for c, _ in cand) / len(cand)
+            return out
+
+        aa, bb = knn_avg(A, "src"), knn_avg(B, "tgt")
+        margins = {
+            (i, j): round(c / ((aa[i] + bb[j]) / 2), 6)
+            for (i, j), c in pairs.items()
+        }
+        best = {}
+        for i in A:
+            j = min(B, key=lambda j: (-margins[(i, j)], j))
+            if margins[(i, j)] >= threshold:
+                best[(i, j)] = (pairs[(i, j)], margins[(i, j)])
+        if mutual:
+            bwd = {
+                j: min(A, key=lambda i: (-margins[(i, j)], i)) for j in B
+            }
+            best = {
+                (i, j): v for (i, j), v in best.items() if bwd[j] == i
+            }
+        return best
+
+    # side A: three distinct directions; side B: near-copies of the
+    # first two plus a HUB vector moderately close to everything
+    A = {
+        1: [1.0, 0.0, 0.0, 0.0],
+        2: [0.0, 1.0, 0.0, 0.0],
+        3: [0.0, 0.0, 1.0, 0.0],
+    }
+    B = {
+        10: [0.9, 0.1, 0.0, 0.0],   # near A1
+        20: [0.1, 0.9, 0.0, 0.0],   # near A2
+        99: [0.5, 0.5, 0.5, 0.5],   # hub: cos ~0.5 to everything
+    }
+
+    def _frames(self, spark):
+        mk = lambda d: spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in d.items()],
+            "vec_id long, embedding array<double>",
+        )
+        return mk(self.A), mk(self.B)
+
+    def test_matches_python_reference(self, spark):
+        from airflow_etl_finance_market_spark.operators.similarity import (
+            bitext_margin_mining,
+        )
+
+        src, tgt = self._frames(spark)
+        got = {
+            (r.src_id, r.tgt_id): (r.cos_sim, r.margin_score)
+            for r in bitext_margin_mining(
+                src, tgt, k=2, threshold=0.0
+            ).collect()
+        }
+        ref = self._ref(self.A, self.B, k=2, threshold=0.0)
+        assert set(got) == set(ref)
+        for p in ref:
+            assert abs(got[p][0] - ref[p][0]) <= 1e-6
+            assert abs(got[p][1] - ref[p][1]) <= 1e-6
+
+    def test_margin_demotes_the_hub(self, spark):
+        """A3 has no true translation: its best raw COSINE is the hub
+        (0.5 vs ~0 for the others), but the hub's high neighborhood
+        average deflates the margin below the aligned pairs' — the
+        exact failure of raw-cosine mining the criterion fixes."""
+        from airflow_etl_finance_market_spark.operators.similarity import (
+            bitext_margin_mining,
+        )
+
+        src, tgt = self._frames(spark)
+        rows = {
+            r.src_id: r
+            for r in bitext_margin_mining(
+                src, tgt, k=2, threshold=0.0
+            ).collect()
+        }
+        # aligned pairs win their sources
+        assert rows[1].tgt_id == 10 and rows[2].tgt_id == 20
+        # the hub pair's margin sits below the aligned pairs' margins
+        assert rows[3].tgt_id == 99
+        assert rows[3].margin_score < rows[1].margin_score
+        assert rows[3].margin_score < rows[2].margin_score
+        # a threshold between them mines ONLY the aligned pairs
+        cut = (rows[3].margin_score + min(
+            rows[1].margin_score, rows[2].margin_score
+        )) / 2
+        mined = {
+            (r.src_id, r.tgt_id)
+            for r in bitext_margin_mining(
+                src, tgt, k=2, threshold=cut
+            ).collect()
+        }
+        assert mined == {(1, 10), (2, 20)}
+
+    def test_mutual_mode_matches_reference(self, spark):
+        from airflow_etl_finance_market_spark.operators.similarity import (
+            bitext_margin_mining,
+        )
+
+        src, tgt = self._frames(spark)
+        got = {
+            (r.src_id, r.tgt_id)
+            for r in bitext_margin_mining(
+                src, tgt, k=2, threshold=0.0, mutual=True
+            ).collect()
+        }
+        ref = set(self._ref(self.A, self.B, k=2, threshold=0.0, mutual=True))
+        assert got == ref
+        # mutual is a subset of forward
+        fwd = {
+            (r.src_id, r.tgt_id)
+            for r in bitext_margin_mining(
+                src, tgt, k=2, threshold=0.0
+            ).collect()
+        }
+        assert got <= fwd
+
+    def test_candidates_restrict_scoring(self, spark):
+        from airflow_etl_finance_market_spark.operators.similarity import (
+            bitext_margin_mining,
+        )
+
+        src, tgt = self._frames(spark)
+        cands = spark.createDataFrame(
+            [(1, 10), (1, 99), (2, 20), (3, 99)],
+            "src_id long, tgt_id long",
+        )
+        rows = bitext_margin_mining(
+            src, tgt, k=2, threshold=0.0, candidates=cands
+        ).collect()
+        assert {(r.src_id, r.tgt_id) for r in rows} <= {
+            (1, 10), (1, 99), (2, 20), (3, 99)
+        }
+        assert {r.src_id for r in rows} == {1, 2, 3}
