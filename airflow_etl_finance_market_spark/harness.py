@@ -148,6 +148,19 @@ def register(name: str, oracle: str | None = None):
 #: pack n64 + r div 2, off (r%2)*48) — hash MATCH vs the operator. r16 slot math if all three land:
 #: 47 due + 3 new = 50 exactly, zero spare — land at most two unless
 #: no rule-2 debts exist at rotation time.
+#: r16-ROTATION maintenance item (r15 review #1, deliberately NOT
+#: landed mid-r15 — the full-window freeze rule): roll _check_bands
+#: out to the OLDER minhash surfaces (minhash_dedup_pairs,
+#: minhash_index, minhash_probe, minhash_containment_pairs), which
+#: still truncate silently when bands does not divide num_hashes.
+#: The change is output-neutral for every gate (all use 32/8 —
+#: pytest-provable), but it reaches the dependency chains of
+#: minhash_lsh_near_dups (r15-green), doc_incremental_probe and
+#: doc_containment_pairs (r14-green): land it AT the r16 rotation
+#: and record the rule-2 judgment there (either re-enter the two
+#: r14-green gates early, or record the output-neutrality argument
+#: explicitly — judged at rotation time as the window test header
+#: prescribes).
 #: PRE-COMMITTED r16 MERGE (funds a slot + ceiling headroom):
 #: doc_near_dup_triangles + doc_near_dup_triangles_degree →
 #: near_dup_triangles_multi. The pair shares ONE oracle string

@@ -1361,8 +1361,13 @@ def near_dup_decontamination(
 def _check_bands(num_hashes: int, bands: int) -> None:
     """Shared validation (r14 ADVICE): ``_banded_keys`` silently drops
     the trailing ``num_hashes % bands`` signature values when bands does
-    not divide num_hashes, quietly changing recall — every public entry
-    point that exposes both knobs raises instead."""
+    not divide num_hashes, quietly changing recall. The r15-added entry
+    points (estimator, triage, decontamination) raise through this
+    helper; the OLDER minhash surfaces (dedup_pairs, index/probe,
+    containment) still truncate silently — their validation rollout is
+    scheduled at the r16 rotation (harness.py rotation docstring), where
+    the demoted gates that depend on them can re-enter the window under
+    rule 2 rather than carrying an unserviceable mid-round debt."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes}): "

@@ -225,11 +225,12 @@ def pack_sequences_spfhp(
 
     Three stages, each at its cheapest legal place (the 100 TB bill):
 
-    1. HISTOGRAM (one hash-aggregate): ``{n_tokens: count}`` — one row
-       per distinct length collected, the parameter-bounded-collect
-       contract (never documents); the SAME collect answers the
-       oversize policy driver-side, so no separate count job scans the
-       corpus.
+    1. HISTOGRAM (one hash-aggregate): ``{n_tokens: count}`` — at most
+       ``budget + 2`` rows collected (every oversize length folds into
+       one sentinel bucket at the aggregation), the parameter-bounded-
+       collect contract (never documents); the SAME collect answers
+       the oversize policy driver-side, so no separate count job scans
+       the corpus.
     2. SOLVE (driver, :func:`spfhp_strategies`): pure integer
        function of the histogram; cost independent of corpus size.
     3. ASSIGN (one window + one broadcast range join): docs rank
@@ -272,18 +273,22 @@ def pack_sequences_spfhp(
             F.size(tokens(text_col)).cast("long"), F.lit(0)
         ).alias("n_tokens"),
     )
-    # ONE histogram pass serves the oversize check AND the solve: the
-    # length histogram is collected UNFILTERED (still <= distinct
-    # lengths rows) and the oversize classes are split off driver-side
-    # — no dedicated count() scan of the corpus (r15 review; the
-    # unicode-split double-scan lesson).
+    # ONE histogram pass serves the oversize check AND the solve; the
+    # collect stays PARAMETER-BOUNDED (<= budget + 2 rows) because all
+    # oversize lengths fold into one sentinel bucket (budget + 1) at
+    # the aggregation — a heavy-tailed corpus can have millions of
+    # distinct oversize lengths, and the solve never needs them, only
+    # their total count (r15 review; no dedicated count() scan either,
+    # the unicode-split double-scan lesson).
     hist_all = {
-        int(r["n_tokens"]): int(r["cnt"])
-        for r in sized.groupBy("n_tokens")
+        int(r["_len"]): int(r["cnt"])
+        for r in sized.groupBy(
+            F.least(F.col("n_tokens"), F.lit(budget + 1)).alias("_len")
+        )
         .agg(F.count("*").alias("cnt"))
         .collect()
     }
-    n_over = sum(c for length, c in hist_all.items() if length > budget)
+    n_over = hist_all.get(budget + 1, 0)
     if n_over and oversize == "error":
         raise ValueError(
             f"{n_over} document(s) exceed budget={budget}; "

@@ -1244,6 +1244,11 @@ def bitext_margin_mining(
         .groupBy("tgt_id")
         .agg(F.avg("cos_sim").alias("_b_avg"))
     )
+    # the neighborhood averages are ROUND-6 pinned BEFORE the division
+    # (r15 review): F.avg's float accumulation order is not pinned, so
+    # an unrounded denominator could flip margin_score's 6th decimal on
+    # an exact rounding boundary across partition orders/engines — the
+    # same last-ulp class the cos_sim rounding already closes
     margins = (
         scored.join(a_avg, "src_id")
         .join(b_avg, "tgt_id")
@@ -1253,7 +1258,13 @@ def bitext_margin_mining(
             "cos_sim",
             F.round(
                 F.col("cos_sim")
-                / ((F.col("_a_avg") + F.col("_b_avg")) / 2),
+                / (
+                    (
+                        F.round(F.col("_a_avg"), 6)
+                        + F.round(F.col("_b_avg"), 6)
+                    )
+                    / 2
+                ),
                 6,
             ).alias("margin_score"),
         )
@@ -1261,25 +1272,20 @@ def bitext_margin_mining(
     w_fwd = Window.partitionBy("src_id").orderBy(
         F.desc("margin_score"), F.asc("tgt_id")
     )
-    best = (
-        margins.withColumn("_rf", F.row_number().over(w_fwd))
-        .filter((F.col("_rf") == 1) & (F.col("margin_score") >= threshold))
-        .drop("_rf")
-    )
-    if not mutual:
-        return best
-    w_bwd = Window.partitionBy("tgt_id").orderBy(
-        F.desc("margin_score"), F.asc("src_id")
-    )
-    best_bwd = (
-        margins.withColumn("_rb", F.row_number().over(w_bwd))
-        .filter(F.col("_rb") == 1)
-        .select(
-            F.col("src_id").alias("_bsrc"), F.col("tgt_id").alias("_btgt")
+    ranked = margins.withColumn("_rf", F.row_number().over(w_fwd))
+    if mutual:
+        # single-pass intersection (r15 review): rank BOTH directions
+        # over the one margins frame instead of rebuilding the whole
+        # margin plan for a self-join
+        w_bwd = Window.partitionBy("tgt_id").orderBy(
+            F.desc("margin_score"), F.asc("src_id")
         )
+        ranked = ranked.withColumn("_rb", F.row_number().over(w_bwd)).filter(
+            F.col("_rb") == 1
+        )
+    return (
+        ranked.filter(
+            (F.col("_rf") == 1) & (F.col("margin_score") >= threshold)
+        )
+        .select("src_id", "tgt_id", "cos_sim", "margin_score")
     )
-    return best.join(
-        best_bwd,
-        (F.col("src_id") == F.col("_bsrc"))
-        & (F.col("tgt_id") == F.col("_btgt")),
-    ).drop("_bsrc", "_btgt")

@@ -1379,7 +1379,9 @@ class TestBitextMarginMining:
                         ((pairs[(i, key)], i) for i in A),
                         key=lambda t: (-t[0], t[1]),
                     )[:k]
-                out[key] = sum(c for c, _ in cand) / len(cand)
+                # ROUND-6 pinned like the operator: the average is a
+                # float sum whose order isn't pinned engine-side
+                out[key] = round(sum(c for c, _ in cand) / len(cand), 6)
             return out
 
         aa, bb = knn_avg(A, "src"), knn_avg(B, "tgt")
