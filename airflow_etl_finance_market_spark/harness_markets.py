@@ -136,10 +136,12 @@ GROUP BY ticker, week
 def q_ohlcv_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly OHLCV+VWAP bars over the lineitem tick series — the bar
     resample every charting/backtest consumer of the reference's price
-    table wants. Spark side is ONE hash-agg (min_by/max_by on the total
-    (ts, orderkey, linenumber) ordering struct — no Window sort); the
-    oracle spells first/last with window functions, which is the
-    equivalent but non-scalable form."""
+    table wants. Spark side is ONE aggregate pass (min_by/max_by on the
+    total (ts, orderkey, linenumber) ordering struct; the struct buffer
+    plans it as SortAggregate, pre-partitioned on the bar key so the
+    single sort happens post-shuffle — see ohlcv_resample); the oracle
+    spells first/last with window functions, which is the equivalent
+    but non-scalable form."""
     from .operators.markets import ohlcv_resample
 
     series = load_fixture(spark, sf_dir, "lineitem").select(
@@ -158,6 +160,12 @@ def q_ohlcv_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         qty="qty",
         bucket="week",
         tiebreak=_SERIES_TIEBREAK,
+        # r15 optimization: the lineitem series is SPARSE (≈1 row per
+        # (ticker, week) bar), so the map-side SortAggregate pass
+        # reduced nothing and cost a full extra sort — pre-partitioning
+        # shuffles the narrow raw rows once instead (−46% at 60M rows;
+        # output byte-identical, oracle-verified)
+        pre_partition=True,
     )
 
 

@@ -737,10 +737,16 @@ def dsir_importance(
             ).alias("bucket"),
         )
     )
+    # r15: `hist` is referenced twice (totals + ratios) and each
+    # reference re-plans the full corpus occ scan+aggregate beneath it;
+    # unlike `occ` the frame is BUCKET-BOUNDED (n_buckets rows), so the
+    # house derived-frame-reuse rule applies — one lazy localCheckpoint
+    # guarantees the corpus histogram pass runs once regardless of
+    # runtime exchange-reuse luck.
     hist = occ.groupBy("bucket").agg(
         F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_c_t"),
         F.count(F.lit(1)).alias("_c_r"),
-    )
+    ).localCheckpoint(eager=False)
     totals = hist.agg(
         F.sum("_c_t").alias("_tot_t"), F.sum("_c_r").alias("_tot_r")
     )

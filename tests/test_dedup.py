@@ -340,8 +340,13 @@ class TestDuplicateSpans:
     def test_one_pass_hashed_span_plan(self, spark, sf_dir):
         """Scale contract: the span explode (the heavy ~1-row-per-token
         frame) is evaluated ONCE — exactly one Generate in the plan —
-        spans travel as md5 hashes, and the distinct-doc cardinality
-        rides a window, not a join back over the span frame."""
+        spans travel as the fixed-width xxhash64 pair (r15: 2x64 bits,
+        the md5-era collision posture at a tenth of the hash cost),
+        and the distinct-doc cardinality rides a window, not a join
+        back over the span frame. The span exchange keys on the hash
+        pair alone (two exchanges total: hash pair, then doc)."""
+        import re
+
         from airflow_etl_finance_market_spark import harness
 
         df = harness.queries()["doc_duplicate_spans"](spark, sf_dir)
@@ -350,7 +355,11 @@ class TestDuplicateSpans:
         assert "Window" in plan
         assert "Join" not in plan
         opt = df._jdf.queryExecution().optimizedPlan().toString()
-        assert "md5" in opt
+        assert "xxhash64" in opt
+        shuffles = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", plan)
+        h_keyed = [s for s in shuffles if "h1#" in s]
+        assert len(h_keyed) == 1, shuffles
+        assert "doc_id#" not in h_keyed[0], shuffles
 
 
 class TestDuplicateSpanRemoval:
@@ -471,20 +480,22 @@ class TestDuplicateSpanRemoval:
         )
         # windows, not a span-frame self-join
         assert plan.count("Window") >= 2
-        # the span stream shuffles ONCE, keyed on h ALONE: a second
-        # h-keyed exchange (or an (h, id)-keyed one) is the regression
-        # where the doc-first window anchors to hashpartitioning(h, id)
-        # and the (h)-only windows force a re-shuffle. The other
-        # exchanges are id-keyed (coverage aggregate + reassembly SMJ
-        # — corpus-sized by necessity; AQE broadcasts the small side
+        # the span stream shuffles ONCE, keyed on the span-hash pair
+        # (h1, h2) ALONE: a second hash-keyed exchange (or an
+        # (h, id)-keyed one) is the regression where the doc-first
+        # window anchors to hashpartitioning(h.., id) and the
+        # hash-only windows force a re-shuffle. The other exchanges
+        # are id-keyed (coverage aggregate + reassembly SMJ —
+        # corpus-sized by necessity; AQE broadcasts the small side
         # at runtime).
         import re
 
         shuffles = re.findall(
             r"Exchange hashpartitioning\(([^)]+)\)", plan
         )
-        h_keyed = [s for s in shuffles if "h#" in s]
+        h_keyed = [s for s in shuffles if "h1#" in s]
         assert len(h_keyed) == 1, shuffles
+        assert "h2#" in h_keyed[0], shuffles
         assert "id#" not in h_keyed[0], shuffles
 
     def test_preserve_original_and_full_exactsubstr_mode(self, spark):
