@@ -82,7 +82,13 @@ def repetition_stats(
     paid; partial aggregation collapses repeats map-side, bounding shuffle
     rows by distinct grams per doc.
     """
-    base = fan_out(docs, id_col).select(
+    # force=True (r15): the exploded (doc, size, gram) stream carries
+    # gram STRINGS at ~3 rows per corpus token — more bytes than the
+    # raw text — so the compact pre-explode text exchange, which the
+    # co-partitioned (doc, ...) aggregate then rides shuffle-free, is
+    # the cheaper wire (measured: 4.0 s → 3.0 s at 50k docs when the
+    # conditional fan-out skipped it)
+    base = fan_out(docs, id_col, force=True).select(
         F.col(id_col), tokens(text_col).alias("toks")
     )
     units = base.select(
@@ -1332,7 +1338,11 @@ def _kn_doc_scores(
     if not (0.0 < discount < 1.0):
         raise ValueError("discount must be in (0, 1)")
     gc = list(group_cols)
-    base = fan_out(docs, id_col).select(
+    # force=True (r15): occ2 below feeds FOUR differently-keyed
+    # aggregates plus the scoring join — this exchange is the shared
+    # stage they all reuse at runtime; without it each consumer re-runs
+    # scan+tokenize+expand (measured: ccnet 8.9 s → 5.2 s at 50k docs)
+    base = fan_out(docs, id_col, force=True).select(
         F.col(id_col),
         *[F.col(c) for c in gc],
         tokens(text_col).alias("toks"),

@@ -6,7 +6,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def fan_out(df: DataFrame, *keys: Column | str, partitions: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    *keys: Column | str,
+    partitions: int | None = None,
+    force: bool = False,
+) -> DataFrame:
     """Spread CPU-bound per-row work across every core.
 
     Text/hash kernels (shingling, minhash, simhash, tokenization, vector
@@ -31,15 +36,44 @@ def fan_out(df: DataFrame, *keys: Column | str, partitions: int | None = None) -
     (``df.rdd.getNumPartitions()`` — plans, never runs, the frame);
     single-file / single-row-group gate fixtures keep the fan-out.
 
+    ``force=True`` keeps the UNCONDITIONAL repartition: when the
+    fanned-out frame feeds a MULTI-CONSUMER expansion whose consumers
+    aggregate on DIFFERENT keys (the KN scorer's occ2 stream feeds
+    four differently-keyed aggregates), this exchange is the one
+    shared stage runtime exchange-reuse can dedupe — skipping it makes
+    every consumer re-run the scan+tokenize+explode subtree
+    independently (measured: ccnet_perplexity_buckets 8.9 s → 5.2 s
+    WITH the forced exchange at 50k docs; repetition_stats 4.0 → 3.0).
+    Single-consumer pipelines, and multi-consumer ones whose sharing
+    point is a downstream aggregate's own exchange (the MinHash
+    signature frame), should leave it off.
+
     Pass the downstream grouping key(s) so the exchange, when taken,
     doubles as the aggregation's shuffle (hash-partitioning by key is
     reused by a later groupBy on the same key; keyless round-robin
     would shuffle twice).
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if not df.isStreaming:
+    if not force and not df.isStreaming:
         try:
-            if df.rdd.getNumPartitions() >= n:
+            # The skip applies only to SCAN-LIKE frames (relation +
+            # projections/filters): there the partition probe is a pure
+            # plan inspection. On a derived frame (join/aggregate/...)
+            # `df.rdd` would MATERIALIZE the AQE query stages eagerly —
+            # running the upstream shuffles at construction time and
+            # then again in the real query (observed live: the
+            # corpus-prep funnel's dedup stage fans out a semi-join
+            # input; the probe doubled its wall) — so anything
+            # non-scan-like keeps the unconditional fan-out.
+            plan = df._jdf.queryExecution().analyzed().toString()
+            scan_like = not any(
+                k in plan
+                for k in (
+                    "Join", "Aggregate", "Window", "Sort",
+                    "Union", "Generate", "Repartition",
+                )
+            )
+            if scan_like and df.rdd.getNumPartitions() >= n:
                 return df
         except Exception:
             pass  # unplannable frame: keep the unconditional fan-out
