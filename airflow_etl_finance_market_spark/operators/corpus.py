@@ -202,8 +202,13 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
+    # force=True (r15): per_doc below is MULTI-consumer (doc-length
+    # window, the df aggregate, the scoring join) and its co-partitioned
+    # (doc, term) aggregate has no exchange of its own — this fan-out
+    # exchange is the one stage they all share (measured: 1.45 s → 1.06 s
+    # at 50k docs when the conditional skip removed it)
     occurrences = (
-        fan_out(docs, id_col)
+        fan_out(docs, id_col, force=True)
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .filter(F.length("term") >= min_len)
     )
