@@ -630,6 +630,27 @@ pressure). No code touched any of these paths this round; in-tier
 numbers stay recorded as the honest-under-pressure figures per the
 r08 decomposition protocol.
 
+r15-OPTIMIZATION notes (optimization round 1; full evidence in
+OPTIMIZATION_r15.md, plans in plans/r15/): DELIBERATE deltas to
+expect vs the r15 build-round artifact — ohlcv_weekly_bars ~-45%
+everywhere (pre-partitioned sparse-series bars: the map-side
+SortAggregate pass sorted 60M rows to reduce 4%); ticker_beta ~-35%
+at x100 (reuse_daily localCheckpoint: the LAG-window subtree planned
+twice); span_removal -40-60% (interval coverage instead of exploded
+positions + xxhash64-pair span keys); dup_spans ~-15% (one span
+exchange removed, fixed-width keys); dsir_weights -20-30% (bucket
+histogram checkpointed); the whole single-pass corpus family
+(html/c4/chunking/token_stats/exact_dedup/inverted_index/pmi...)
+-10-40% at multi-file tiers (fan_out now skips the raw-payload
+repartition when the input already scans in >= target partitions —
+scan-like plans only). Entries that must NOT drift: ccnet_buckets /
+kn_bigram_lp / repetition / tfidf keep forced fan-out exchanges
+(multi-consumer sharing — the first optimization re-bench caught the
+skip regressing them 1.4-2.4x and they were individually A/B'd
+back); ann tier / simhash / unigram A/B'd as ties and keep the skip.
+Methodology unchanged: same queries, same best-of-3 noop-sink
+timing, same fixtures; no measurement-path edits this round.
+
 r15 addendum: the estimator/triage tiers priced (solo, fresh JVM,
 50k docs, threshold 0.5, best-of-3): minhash_full 4.079 /
 minhash_est 2.317 / minhash_triage 3.539 — the signature-only
