@@ -179,6 +179,21 @@ def register(name: str, oracle: str | None = None):
 #: miner; oracle = the _COS_SQL + ROW_NUMBER replay on embeddings
 #: with sides split by label parity (every selection already on
 #: ROUND-6 + id tiebreaks, so the replay is mechanical).
+#: r15-OPTIMIZATION rule-2 debts (recorded at the optimization round,
+#: to be serviced at the r16 rotation): the optimization round changed
+#: operator INTERNALS under two demoted r14-cohort gates —
+#: doc_duplicate_span_removal (interval coverage + xxhash64-pair span
+#: keys) and dsir_importance_weights (bucket-histogram checkpoint) —
+#: both emulator-verified green at sf0.01 this round (incl.
+#: TZ=Asia/Tokyo for the span gate), but a DRIVER row on the new code
+#: is the hard signal: re-enter both EARLY at r16 under rule 2 (they
+#: ride the same slots the r16 crunch already budgets spare for).
+#: doc_duplicate_spans and doc_dedup_clusters also changed and are
+#: r13-green — due live at r16 anyway, no extra slot needed. Every
+#: other corpus gate's chain was touched only through util.fan_out,
+#: whose gate-fixture path (single-file input → the unconditional
+#: branch) is provably byte-identical; the live-window r15 driver rows
+#: cover the changed branch at every multi-file tier the bench runs.
 #: (Round-12/13/15 history — merges funding rule-1/rule-2 slots —
 #: lives in the ledgers and VERDICTs; merged gates' docstrings carry
 #: their retirement rationales.)
