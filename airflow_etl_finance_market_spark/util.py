@@ -71,6 +71,10 @@ def fan_out(
                 for k in (
                     "Join", "Aggregate", "Window", "Sort",
                     "Union", "Generate", "Repartition",
+                    # logical names that don't contain the obvious
+                    # keyword: distinct() = Deduplicate, cube/rollup =
+                    # Expand, limit = GlobalLimit, sample = Sample
+                    "Deduplicate", "Expand", "GlobalLimit", "Sample",
                 )
             )
             if scan_like and df.rdd.getNumPartitions() >= n:
