@@ -1040,6 +1040,20 @@ def duplicate_span_stats(
     16-byte keys instead of 32-char hex strings (measured at 500k
     docs, old-vs-new back-to-back: 15.6 s → 12.6 s, output equal
     row-for-row at sf0.1). Nothing quadratic, no driver-side state.
+
+    Hot-span skew exposure (r15 ADVICE, documented trade): the r15
+    shape dropped the old map-side groupBy(hash, doc) pre-aggregation,
+    so the (h1, h2) window now sorts one row per span OCCURRENCE — a
+    boilerplate span repeated many times inside many documents
+    concentrates ALL its occurrences in one partition's sort (the old
+    shape concentrated only distinct-doc rows, at the price of a third
+    corpus-sized exchange). The 500k-doc fixture (≤10 occurrences per
+    span) does not exercise that regime; on a corpus where one span's
+    occurrence count rivals a partition's row budget, reintroduce the
+    per-(hash, doc) pre-aggregate for the hot keys (two-level
+    aggregation, guide §2.5) before this window. AQE skew handling
+    does NOT split window partitions — only joins — so the fix must be
+    in the plan, not config.
     """
     from pyspark.sql.window import Window
 
@@ -1200,16 +1214,25 @@ def duplicate_span_removal(
         .withColumn("n", F.size("toks"))
     )
 
-    # Span identity travels as a PAIR of independent 64-bit xxhash64
-    # values (optimization r15, guide §2.3 — narrower shuffle keys):
-    # 128 bits total, the same negligible-collision posture as the md5
-    # it replaces, but ~10x cheaper to compute (no per-row MessageDigest,
-    # no 32-char hex string) and sorted/exchanged as two longs — the
-    # h-window sort gets a radix-friendly fixed-width prefix instead of
-    # string comparisons, and every span row sheds ~28 bytes on the
-    # wire. The hash is a pure internal grouping key (equal spans →
-    # equal pair; the survivor order is (id, p), never the hash), so
-    # the output is bit-identical — oracle-verified.
+    # Span identity travels as a PAIR of 64-bit xxhash64 values under
+    # two fixed public seeds (optimization r15, guide §2.3 — narrower
+    # shuffle keys): 128 key bits at ~1/10 the per-span hash cost of
+    # md5 (no per-row MessageDigest, no 32-char hex string), sorted/
+    # exchanged as two longs — the h-window sort gets a radix-friendly
+    # fixed-width prefix and every span row sheds ~28 bytes on the
+    # wire. Collision posture (r15 ADVICE): the two halves are the
+    # SAME non-cryptographic XXH64 over identical bytes, not
+    # independent digests, so this is a NON-ADVERSARIAL-corpus
+    # assumption — random collisions are negligible (~2^-128 scale for
+    # accidental pair agreement is not claimed; the honest bound is
+    # the birthday term on 2 correlated 64-bit values, still far below
+    # any realistic span count), but crafted multi-seed collisions are
+    # far cheaper than against md5. For corpora that may contain
+    # ADVERSARIAL text, use the md5-based portable spelling the way
+    # near_dup_decontamination's hash_mode escape hatch does. The hash
+    # is a pure internal grouping key (equal spans → equal pair; the
+    # survivor order is (id, p), never the hash), so on collision-free
+    # inputs the output is bit-identical — oracle-verified.
     occ = toks.select(
         "id",
         "n",

@@ -551,8 +551,10 @@ def pagerank_fixed_point(
     ``reuse_edges`` (default on) lazily localCheckpoints the edge frame so
     its derivation (often a distinct over a fact table) evaluates ONCE for
     all rounds + nodes + degrees instead of once per reference — measured
-    -26% at sf0.1. Checkpointing nodes/deg as well measured SLOWER (the
-    extra materializations serialize stages that otherwise overlap).
+    -26% at sf0.1 — and (r16) also checkpoints the degree-annotated edge
+    frame so the out-degree join runs once per query instead of once per
+    round. Checkpointing nodes as well measured SLOWER (the extra
+    materializations serialize stages that otherwise overlap).
     Pass ``reuse_edges=False`` when the edge list is ALREADY materialized
     (a parquet/bucketed table, e.g. via ``symmetrize_edges_bucketed``):
     localCheckpoint would copy the entire edge list into non-reliable
@@ -572,26 +574,45 @@ def pagerank_fixed_point(
     deg = edges.groupBy(F.col(src).alias("_u")).agg(
         F.count(F.lit(1)).alias("_deg")
     )
+    # Optimization r16 (guide §2.4 — remove shuffles/joins outright;
+    # A/B'd at sf0.1 with bit-identical output): the per-round shape is
+    # ONE join + ONE aggregate instead of the old two joins + left-outer
+    # + aggregate.
+    #   - the out-degree is attached to each edge ONCE, outside the loop
+    #     (``edges_w``), instead of re-joining ``deg`` every round;
+    #   - the old ``nodes LEFT JOIN contrib`` + COALESCE(…, 0) becomes a
+    #     zero-contribution SEED ROW per node unioned into the round's
+    #     aggregate input — ``base + SUM`` over (contribs ∪ {0}) is
+    #     integer-identical to ``base + COALESCE(SUM(contribs), 0)`` and
+    #     drops one join (and its broadcast build) per round.
+    # With ``reuse_edges`` the degree-annotated edge frame is lazily
+    # checkpointed too, so the deg join runs once per query, not once
+    # per round; without it (pre-materialized/bucketed edge tables) the
+    # join re-derives per round exactly as the old deg join did — on a
+    # src-bucketed table both the aggregate and the join stay
+    # exchange-free, so the 100 TB posture is unchanged.
+    edges_w = edges.join(deg, F.col(src) == F.col("_u")).select(
+        src, dst, "_deg"
+    )
+    if reuse_edges:
+        edges_w = edges_w.localCheckpoint(eager=False)
+    zero = nodes.select("node", F.lit(0).cast("long").alias("_c"))
     scores = nodes.withColumn("score", F.lit(scale).cast("long"))
     for _ in range(iterations):
-        contrib = (
-            edges.join(
+        scores = (
+            edges_w.join(
                 scores.select(F.col("node").alias(src), "score"), src
             )
-            .join(deg, F.col(src) == F.col("_u"))
             .select(
                 F.col(dst).alias("node"),
                 F.expr(
                     f"(score * {damping_pct}) DIV (100 * _deg)"
                 ).alias("_c"),
             )
+            .unionByName(zero)
             .groupBy("node")
-            .agg(F.sum("_c").alias("_c"))
-        )
-        scores = nodes.join(contrib, "node", "left").select(
-            "node",
-            (F.lit(base) + F.coalesce(F.col("_c"), F.lit(0)))
-            .cast("long")
-            .alias("score"),
+            .agg(
+                (F.lit(base) + F.sum("_c")).cast("long").alias("score")
+            )
         )
     return scores

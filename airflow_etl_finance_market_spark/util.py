@@ -5,6 +5,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Logical node names under which the fan_out skip may probe partition
+#: counts: a frame is SCAN-LIKE only when every analyzed-plan node is one
+#: of these (relation + projections/filters/aliases). This is an ALLOWLIST
+#: (optimization r16, per ADVICE): the r15 blocklist classified any node
+#: it had never heard of (Except/Intersect, Offset, CoGroup, future ops)
+#: as scan-like, and the df.rdd partition probe on such a frame eagerly
+#: materializes AQE query stages — the double-execution hazard the skip
+#: exists to avoid. Unknown nodes now keep the unconditional repartition
+#: (fail-safe); the skip still fires exactly where it was measured to win
+#: (plain parquet scans, optionally projected/filtered).
+_SCAN_LIKE_NODES = frozenset(
+    {"Project", "Filter", "Relation", "LogicalRDD", "LocalRelation",
+     "SubqueryAlias", "View"}
+)
+
+
+def _is_scan_like(plan: str) -> bool:
+    """True iff every node line of an analyzed-plan string is allowlisted."""
+    saw_node = False
+    for line in plan.splitlines():
+        s = line.lstrip(" :+-")
+        if not s:
+            continue
+        node = s.split(" ", 1)[0].split("[", 1)[0].split("(", 1)[0]
+        if node not in _SCAN_LIKE_NODES:
+            return False
+        saw_node = True
+    return saw_node
+
 
 def fan_out(
     df: DataFrame,
@@ -35,6 +64,11 @@ def fan_out(
     Partition count probing uses the physical scan plan only
     (``df.rdd.getNumPartitions()`` — plans, never runs, the frame);
     single-file / single-row-group gate fixtures keep the fan-out.
+    r16 hardening (ADVICE): scan-likeness is an ALLOWLIST of logical
+    node names (``_SCAN_LIKE_NODES``) so unrecognized operators
+    fail-safe into the unconditional repartition, and an EXPLICIT
+    ``partitions=n`` is always honored (the skip applies only to the
+    default defaultParallelism fan-out).
 
     ``force=True`` keeps the UNCONDITIONAL repartition: when the
     fanned-out frame feeds a MULTI-CONSUMER expansion whose consumers
@@ -54,7 +88,11 @@ def fan_out(
     would shuffle twice).
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if not force and not df.isStreaming:
+    if partitions is None and not force and not df.isStreaming:
+        # The skip applies only when the caller asked for the DEFAULT
+        # defaultParallelism fan-out: an explicit ``partitions=n`` is a
+        # per-task memory/sizing contract and is honored unconditionally
+        # (ADVICE r15: the skip used to override it silently).
         try:
             # The skip applies only to SCAN-LIKE frames (relation +
             # projections/filters): there the partition probe is a pure
@@ -64,20 +102,10 @@ def fan_out(
             # then again in the real query (observed live: the
             # corpus-prep funnel's dedup stage fans out a semi-join
             # input; the probe doubled its wall) — so anything
-            # non-scan-like keeps the unconditional fan-out.
+            # non-scan-like keeps the unconditional fan-out. Scan-like
+            # is decided by the _SCAN_LIKE_NODES allowlist above.
             plan = df._jdf.queryExecution().analyzed().toString()
-            scan_like = not any(
-                k in plan
-                for k in (
-                    "Join", "Aggregate", "Window", "Sort",
-                    "Union", "Generate", "Repartition",
-                    # logical names that don't contain the obvious
-                    # keyword: distinct() = Deduplicate, cube/rollup =
-                    # Expand, limit = GlobalLimit, sample = Sample
-                    "Deduplicate", "Expand", "GlobalLimit", "Sample",
-                )
-            )
-            if scan_like and df.rdd.getNumPartitions() >= n:
+            if _is_scan_like(plan) and df.rdd.getNumPartitions() >= n:
                 return df
         except Exception:
             pass  # unplannable frame: keep the unconditional fan-out
