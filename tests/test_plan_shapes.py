@@ -749,3 +749,15 @@ def test_video_cdc_pair_join_reuses_signature_exchange(spark):
     )
     assert "ReusedExchange" in final
     assert "CartesianProduct" not in final
+
+
+def test_pagerank_round_is_single_join_plus_aggregate(spark, sf_dir):
+    """Optimization r16: pagerank's per-round shape is ONE scores⋈edges
+    join feeding a zero-seeded aggregate — the old per-round deg join
+    and nodes LEFT-OUTER (+COALESCE) must not come back. The out-degree
+    rides the checkpointed edge frame instead."""
+    plan = plan_of(harness.queries()["part_supplier_pagerank"](spark, sf_dir))
+    assert "LeftOuter" not in plan          # per-round left join gone
+    assert "CartesianProduct" not in plan
+    # one zero-seed Union per round feeds the round aggregate
+    assert plan.count("Union") >= 3
